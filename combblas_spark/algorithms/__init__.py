@@ -1,0 +1,5 @@
+from combblas_spark.algorithms.pagerank import pagerank  # noqa: F401
+from combblas_spark.algorithms.cc import cc_minlabel, cc_fastsv, canonical_labels  # noqa: F401
+from combblas_spark.algorithms.bfs import bfs  # noqa: F401
+from combblas_spark.algorithms.triangles import triangle_count, triangles_per_edge  # noqa: F401
+from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401

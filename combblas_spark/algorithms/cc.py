@@ -1,0 +1,154 @@
+"""Connected components: min-label propagation and FastSV hook/shortcut.
+
+Reference:
+* LACC driver loop  /root/reference/Applications/CC.h:1404-1544
+  (ConditionalHook :1194, StarCheck :1125, UnconditionalHook2 :1242,
+  Shortcut :1331 — all built on SpMV<Select2ndMinSR>, Extract, Assign)
+* FastSV            /root/reference/Applications/FastSV.h:336-374
+  (mngp = SpMV-min, stochastic + aggressive hooking, shortcutting)
+* label canonicalization LabelCC /root/reference/Applications/CC.h:1383-1401
+
+Two implementations:
+* ``cc_minlabel`` — propagate min neighbor label to a fixpoint. O(diameter)
+  supersteps, each ONE join+agg. Simple, exact; the oracle-parity path.
+* ``cc_fastsv``  — grandparent hooking + shortcutting, O(log n) supersteps
+  of ~4 joins each. The 100TB path: on a web-scale graph with diameter in
+  the hundreds, min-label is unusable; FastSV converges in ~log(n) rounds.
+
+Both expect an UNDIRECTED graph (pass a symmetrized edge table).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from combblas_spark.core.semiring import SELECT2ND_MIN
+from combblas_spark.operators.multiply import spmv
+from combblas_spark.operators.ewise import ewise_apply_vec
+from combblas_spark.operators.indexing import vec_gather, vec_assign
+from combblas_spark.plans.superstep import SuperstepRunner
+
+
+def _vertices(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def cc_minlabel(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 200,
+    runner: Optional[SuperstepRunner] = None,
+    vertices: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(id, val) with val = min vertex id in the component (canonical)."""
+    runner = runner or SuperstepRunner(spark)
+    verts = (vertices or _vertices(edges)).select("id")
+    edges = edges.select("src", "dst", "w")
+    edges.persist()
+
+    labels = verts.select("id", F.col("id").alias("val"))
+    resumed = runner.resume() if runner.dir else None
+    start = 0
+    if resumed is not None:
+        start, states, _ = resumed
+        labels = states["labels"]
+    labels = runner.truncate(labels)
+
+    for it in range(start, max_iter):
+        nbr_min = spmv(edges, labels, SELECT2ND_MIN)
+        new_labels = ewise_apply_vec(
+            labels, nbr_min, lambda a, b: F.least(a, b), how="left", y_fill=F.col("val_x")
+        )
+        new_labels = runner.truncate(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.val") != F.col("o.val"))
+            .count()
+        )
+        labels = new_labels
+        runner.save(it + 1, {"labels": labels}, {"changed": int(changed)})
+        if changed == 0:
+            break
+    return labels
+
+
+def cc_fastsv(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 100,
+    runner: Optional[SuperstepRunner] = None,
+    vertices: Optional[DataFrame] = None,
+) -> DataFrame:
+    """FastSV (FastSV.h:336-374): per superstep
+
+    1. gf[v]   = f[f[v]]                      (grandparent gather)
+    2. mngf[v] = min_{u in N(v)} gf[u]        (SpMV, Select2ndMin)
+    3. f[f[v]] = min(f[f[v]], mngf[v])        (stochastic hooking, scatter-min)
+    4. f[v]    = min(f[v], mngf[v])           (aggressive hooking)
+    5. f[v]    = min(f[v], f[f[v]])           (shortcutting)
+
+    Converges when f is unchanged. Returns (id, val=component root id);
+    roots are component minima, so labels are canonical.
+    """
+    runner = runner or SuperstepRunner(spark)
+    verts = (vertices or _vertices(edges)).select("id")
+    edges = edges.select("src", "dst", "w")
+    edges.persist()
+
+    f = verts.select("id", F.col("id").alias("val"))
+    resumed = runner.resume() if runner.dir else None
+    start = 0
+    if resumed is not None:
+        start, states, _ = resumed
+        f = states["f"]
+    f = runner.truncate(f)
+
+    for it in range(start, max_iter):
+        # 1. grandparent
+        gf = vec_gather(f, f)  # gf[v] = f[f[v]]
+        # 2. min grandparent over neighbors
+        mngf = spmv(edges, gf, SELECT2ND_MIN)
+        # 3. stochastic hooking: scatter min(mngf[v]) onto id = f[v]
+        hooks = (
+            f.alias("fv")
+            .join(mngf.alias("m"), on="id", how="inner")
+            .select(F.col("fv.val").alias("id"), F.col("m.val").alias("val"))
+        )
+        f1 = vec_assign(f, hooks, dedup=F.min, combine=F.least)
+        # 4. aggressive hooking: f[v] = min(f[v], mngf[v])
+        f2 = ewise_apply_vec(
+            f1, mngf, lambda a, b: F.least(a, b), how="left", y_fill=F.col("val_x")
+        )
+        # 5. shortcutting: f[v] = min(f[v], f[f[v]])
+        gf2 = vec_gather(f2, f2)
+        f3 = ewise_apply_vec(
+            f2, gf2, lambda a, b: F.least(a, b), how="left", y_fill=F.col("val_x")
+        )
+        f3 = runner.truncate(f3)
+        changed = (
+            f3.alias("n")
+            .join(f.alias("o"), on="id")
+            .filter(F.col("n.val") != F.col("o.val"))
+            .count()
+        )
+        f = f3
+        runner.save(it + 1, {"f": f}, {"changed": int(changed)})
+        if changed == 0:
+            break
+    return f
+
+
+def canonical_labels(labels: DataFrame) -> DataFrame:
+    """Renumber component labels to the min vertex id per component
+    (LabelCC analog, CC.h:1383-1401 — there 0..k, here canonical-min so two
+    implementations compare exactly)."""
+    rep = labels.groupBy("val").agg(F.min("id").alias("rep"))
+    return labels.join(rep, on="val").select("id", F.col("rep").alias("val"))

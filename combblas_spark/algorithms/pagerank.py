@@ -1,0 +1,117 @@
+"""PageRank — semiring SpMV power iteration with damping.
+
+CombBLAS expresses PageRank-class kernels as dense-vector SpMV on
+plus-times (/root/reference/include/CombBLAS/ParFriends.h:2379-2457) after
+a column/row-stochastic scaling via DimApply
+(/root/reference/Applications/MCL.cpp:388-394 MakeColStochastic +
+Operations.h:102 safemultinv). This module is that pipeline, DataFrame-first:
+
+    E_norm = dimapply(E, 1/outdeg, dim=row)        # one-time
+    x_{k+1}[v] = (1-a)/n + a * (sum_{(u,v)} w*x_k[u] + dangling_k/n)
+
+Scale notes:
+* E_norm is computed ONCE and cached; every iteration is a single
+  shuffle (join on src + agg on dst). The ranks vector is tiny relative
+  to edges — AQE broadcast-joins it under the threshold.
+* dangling mass needs a per-iteration scalar; we fold it into the same
+  pass by keeping the dangling-vertex set precomputed (an anti-join done
+  once, not per iteration).
+* lineage is truncated per iteration (localCheckpoint) — without it the
+  plan tree grows linearly and analysis time dominates by iteration ~30.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from combblas_spark.core.semiring import PLUS_TIMES
+from combblas_spark.operators.multiply import spmv
+from combblas_spark.operators.reduce import reduce_dim
+from combblas_spark.operators.transform import dimapply
+from combblas_spark.plans.superstep import SuperstepRunner
+
+
+def _vertices(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 100,
+    num_iters: Optional[int] = None,
+    runner: Optional[SuperstepRunner] = None,
+    vertices: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Returns (id, val) with val = PageRank score, sum(val) == 1.
+
+    ``num_iters`` set -> run exactly that many iterations with no
+    convergence action per step (oracle-parity / benchmark mode);
+    otherwise iterate until L-inf delta < tol, checking every iteration.
+    ``runner`` enables per-superstep durable checkpointing + resume.
+    """
+    runner = runner or SuperstepRunner(spark)
+    verts = (vertices or _vertices(edges)).select("id")
+    verts.persist()
+    n = verts.count()
+
+    outdeg = reduce_dim(edges, "row", F.sum)  # weighted out-degree
+    e_norm = dimapply(edges, outdeg, dim="row", binop=lambda w, d: w / d)
+    e_norm.persist()
+    e_norm.count()
+
+    dangling = verts.join(
+        edges.select(F.col("src").alias("id")).distinct(), on="id", how="left_anti"
+    )
+    dangling.persist()
+
+    start_iter = 0
+    ranks = verts.select("id", F.lit(1.0 / n).alias("val"))
+    resumed = runner.resume() if runner.dir else None
+    if resumed is not None:
+        start_iter, states, _ = resumed
+        ranks = states["ranks"]
+    ranks = runner.truncate(ranks)
+
+    iters = num_iters if num_iters is not None else max_iter
+    for it in range(start_iter, iters):
+        dang_mass = (
+            dangling.join(ranks, on="id", how="inner").agg(F.sum("val")).collect()[0][0]
+            or 0.0
+        )
+        contrib = spmv(e_norm, ranks, PLUS_TIMES)
+        base = (1.0 - alpha) / n + alpha * dang_mass / n
+        new_ranks = (
+            verts.join(contrib, on="id", how="left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("val"), F.lit(0.0))).alias(
+                    "val"
+                ),
+            )
+        )
+        new_ranks = runner.truncate(new_ranks)
+        if num_iters is None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), on="id")
+                .agg(F.max(F.abs(F.col("n.val") - F.col("o.val"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            runner.save(it + 1, {"ranks": ranks}, {"delta": float(delta), "n": n})
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+            runner.save(it + 1, {"ranks": ranks}, {"n": n})
+    return ranks

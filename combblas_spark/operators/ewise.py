@@ -1,0 +1,57 @@
+"""Elementwise / masking operators — inner, anti and outer joins.
+
+Reference:
+* EWiseMult(A, B, exclude)  /root/reference/include/CombBLAS/SpParMat.h:385,
+  local kernels Friends.h:843-898 (exclude=true = A .* !B) and :1020-1044.
+  exclude=True is the structural MASK used by triangle counting (L*L .* L).
+* SetDifference  /root/reference/include/CombBLAS/ParFriends.h:2612-2627.
+* EWiseApply on vectors  ParFriends.h:2699-3170.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def ewise_mult(
+    a: DataFrame,
+    b: DataFrame,
+    mult: Callable[[Column, Column], Column] = lambda x, y: x * y,
+    exclude: bool = False,
+) -> DataFrame:
+    """Hadamard product on intersecting support; ``exclude=True`` -> A .* !B
+    (keep entries of A *not* present in B — a structural anti-mask)."""
+    if exclude:
+        return a.join(b.select("src", "dst"), on=["src", "dst"], how="left_anti")
+    bb = b.select("src", "dst", F.col("w").alias("w_b"))
+    return (
+        a.join(bb, on=["src", "dst"], how="inner")
+        .select("src", "dst", mult(F.col("w"), F.col("w_b")).alias("w"))
+    )
+
+
+def set_difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """A \\ B on support (ParFriends.h:2612)."""
+    return a.join(b.select("src", "dst"), on=["src", "dst"], how="left_anti")
+
+
+def ewise_apply_vec(
+    x: DataFrame,
+    y: DataFrame,
+    binop: Callable[[Column, Column], Column],
+    how: str = "inner",
+    x_fill: Optional[Column] = None,
+    y_fill: Optional[Column] = None,
+) -> DataFrame:
+    """Zip two vectors on id with union/intersection-of-support semantics
+    (ParFriends.h:3035-3170). ``how`` in {inner, full, left}: null sides are
+    filled with ``*_fill`` before ``binop``."""
+    xx = x.select("id", F.col("val").alias("val_x"))
+    yy = y.select("id", F.col("val").alias("val_y"))
+    j = xx.join(yy, on="id", how=how)
+    vx = F.coalesce(F.col("val_x"), x_fill) if x_fill is not None else F.col("val_x")
+    vy = F.coalesce(F.col("val_y"), y_fill) if y_fill is not None else F.col("val_y")
+    return j.select("id", binop(vx, vy).alias("val"))

@@ -1,0 +1,116 @@
+"""Gather / scatter / subscripting — join-based selection & assignment.
+
+Reference:
+* SubsRef  A(ri,ci) with renumbering  /root/reference/include/CombBLAS/SpParMat.cpp:2028-2263
+  (implemented there as SpGEMM with permutation matrices on Bool semirings;
+  here: two mapping-table joins — same relational meaning, no SpGEMM needed)
+* SpAsgn   A(ri,ci) = B               SpParMat.cpp:2435-2481
+* Extract (adaptive gather)           /root/reference/Applications/CC.h:419-575
+* Assign  (scatter w/ min dedup)      /root/reference/Applications/CC.h:746-896
+* FullyDistVec::Set                   FullyDistVec.cpp:1036-1070
+* FullyDistSpVec::Invert              FullyDistSpVec.cpp:1799-2160
+* FullyDistSpVec::Uniq                FullyDistSpVec.cpp:1029
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def subsref(edges: DataFrame, ri: DataFrame, ci: DataFrame) -> DataFrame:
+    """A(ri, ci): keep entries with src in ri and dst in ci, renumbered.
+
+    ``ri``/``ci`` are mapping tables (new_id, old_id) — the permutation
+    matrices of SpParMat.cpp:2028 as relations. Broadcast-sized in practice.
+    """
+    r = ri.select(F.col("new_id").alias("_r_new"), F.col("old_id").alias("_r_old"))
+    c = ci.select(F.col("new_id").alias("_c_new"), F.col("old_id").alias("_c_old"))
+    return (
+        edges.join(r, on=edges["src"] == r["_r_old"], how="inner")
+        .join(c, on=edges["dst"] == c["_c_old"], how="inner")
+        .select(
+            F.col("_r_new").alias("src"), F.col("_c_new").alias("dst"), F.col("w")
+        )
+    )
+
+
+def spasgn(edges: DataFrame, ri: DataFrame, ci: DataFrame, b: DataFrame) -> DataFrame:
+    """A(ri,ci) = B: blank the (ri,ci) block, union remapped B
+    (SpParMat.cpp:2435: A = A - S'*A(ri,ci)*S + S'*B*S)."""
+    r = ri.select(F.col("new_id"), F.col("old_id"))
+    c = ci.select(F.col("new_id"), F.col("old_id"))
+    blanked = edges.join(
+        r.select(F.col("old_id").alias("src")), on="src", how="left_anti"
+    ).unionByName(
+        edges.join(r.select(F.col("old_id").alias("src")), on="src", how="leftsemi")
+        .join(c.select(F.col("old_id").alias("dst")), on="dst", how="left_anti")
+    )
+    embedded = (
+        b.join(r, on=b["src"] == r["new_id"], how="inner")
+        .select(F.col("old_id").alias("src"), b["dst"], b["w"])
+        .join(c, on=F.col("dst") == c["new_id"], how="inner")
+        .select(F.col("src"), c["old_id"].alias("dst"), F.col("w"))
+    )
+    return blanked.unionByName(embedded)
+
+
+def vec_gather(vec: DataFrame, indices: DataFrame) -> DataFrame:
+    """out[i] = vec[indices[i]] — the Extract gather (CC.h:419). ``indices``
+    is (id, val) where val is the index to fetch; broadcast-vs-shuffle is
+    AQE's call, mirroring the reference's adaptive `replicate` decision."""
+    vv = vec.select(F.col("id").alias("_vid"), F.col("val").alias("_vval"))
+    return (
+        indices.join(vv, on=indices["val"] == vv["_vid"], how="inner")
+        .select(indices["id"], F.col("_vval").alias("val"))
+    )
+
+
+def vec_assign(
+    vec: DataFrame,
+    updates: DataFrame,
+    dedup: Callable[[Column], Column] = F.min,
+    combine: Callable[[Column, Column], Column] = lambda old, new: new,
+) -> DataFrame:
+    """Scatter with duplicate-key reduction (CC.h:746 Assign/ReduceAssign):
+    vec[u.id] <- combine(vec[u.id], dedup(updates for that id))."""
+    agg = updates.groupBy("id").agg(dedup(F.col("val")).alias("_new"))
+    return (
+        vec.join(agg, on="id", how="left")
+        .select(
+            "id",
+            F.when(F.col("_new").isNull(), F.col("val"))
+            .otherwise(combine(F.col("val"), F.col("_new")))
+            .alias("val"),
+        )
+    )
+
+
+def vec_set(vec: DataFrame, sparse: DataFrame) -> DataFrame:
+    """Overwrite dense entries at sparse indices (FullyDistVec::Set)."""
+    ss = sparse.select("id", F.col("val").alias("_sval"))
+    return vec.join(ss, on="id", how="left").select(
+        "id", F.coalesce(F.col("_sval"), F.col("val")).alias("val")
+    )
+
+
+def invert(
+    vec: DataFrame, dedup: Callable[[Column], Column] = F.min
+) -> DataFrame:
+    """value <-> index inversion with duplicate policy (FullyDistSpVec::Invert)."""
+    return (
+        vec.select(F.col("val").alias("id"), F.col("id").alias("val"))
+        .groupBy("id")
+        .agg(dedup(F.col("val")).alias("val"))
+    )
+
+
+def uniq(vec: DataFrame, dedup: Callable[[Column], Column] = F.min) -> DataFrame:
+    """Deduplicate values keeping dedup(index) (FullyDistSpVec::Uniq)."""
+    return (
+        vec.groupBy(F.col("val"))
+        .agg(dedup(F.col("id")).alias("id"))
+        .select("id", "val")
+    )

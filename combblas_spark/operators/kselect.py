@@ -1,0 +1,86 @@
+"""Per-column top-k selection with recovery — the MCL select step.
+
+Reference:
+* Kselect / Kselect1 / Kselect2  /root/reference/include/CombBLAS/SpParMat.cpp:1118-1741
+* MCLPruneRecoverySelect         /root/reference/include/CombBLAS/ParFriends.h:185-354
+
+Scale design: a plain Window.partitionBy(dst) puts every nonzero of a hub
+column through ONE task. ``kselect`` therefore runs two-phase: a salted
+local top-k (bounds any task's group to ~|col|/SALT rows) followed by a
+global top-k over at most SALT*k survivors per column. Deterministic
+tie-break (w desc, src asc) keeps results reproducible across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+_SALT = 16
+
+
+def kselect(edges: DataFrame, k: int, by: str = "dst", two_phase: bool = True) -> DataFrame:
+    """Keep the top-k weights per ``by`` group (default: per column/dst)."""
+    other = "src" if by == "dst" else "dst"
+    order = [F.col("w").desc(), F.col(other).asc()]
+    if two_phase:
+        salted = edges.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(other)), F.lit(_SALT))
+        )
+        w_local = Window.partitionBy(F.col(by), F.col("_salt")).orderBy(*order)
+        edges = (
+            salted.withColumn("_rn", F.row_number().over(w_local))
+            .filter(F.col("_rn") <= k)
+            .drop("_salt", "_rn")
+        )
+    w_glob = Window.partitionBy(F.col(by)).orderBy(*order)
+    return (
+        edges.withColumn("_rn", F.row_number().over(w_glob))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def prune_recovery_select(
+    edges: DataFrame,
+    hard_threshold: float,
+    select_k: int,
+    recover_k: int,
+    recover_frac: float = 0.9,
+) -> DataFrame:
+    """MCLPruneRecoverySelect (ParFriends.h:185-354), DataFrame translation:
+
+    1. hard prune: drop w < hard_threshold,
+    2. select: keep top ``select_k`` per column,
+    3. recover: columns whose kept mass fell below ``recover_frac`` of their
+       pre-prune mass are re-lifted to top ``recover_k`` from the ORIGINAL
+       column,
+    4. columns emptied entirely are restored to their top-1 entry.
+    """
+    pre_mass = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.sum("w").alias("val")
+    )
+    pruned = edges.filter(F.col("w") >= hard_threshold)
+    selected = kselect(pruned, select_k, by="dst")
+
+    kept_mass = selected.groupBy(F.col("dst").alias("id")).agg(
+        F.sum("w").alias("val")
+    )
+    # columns needing recovery: kept mass below the fraction, or fully empty
+    status = (
+        pre_mass.withColumnRenamed("val", "pre")
+        .join(kept_mass.withColumnRenamed("val", "kept"), on="id", how="left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(0.0)))
+        .withColumn("_recover", F.col("kept") < recover_frac * F.col("pre"))
+    )
+    bad_cols = status.filter(F.col("_recover")).select("id")
+
+    recovered = kselect(
+        edges.join(bad_cols, on=edges["dst"] == bad_cols["id"], how="leftsemi"),
+        recover_k,
+        by="dst",
+    )
+    good = selected.join(
+        bad_cols, on=selected["dst"] == bad_cols["id"], how="left_anti"
+    )
+    return good.unionByName(recovered)

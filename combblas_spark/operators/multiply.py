@@ -1,0 +1,106 @@
+"""The multiply family: SpMV and SpGEMM as join + groupBy-aggregate.
+
+Reference semantics:
+* SpMV driver  /root/reference/include/CombBLAS/ParFriends.h:2179-2336
+  (TransposeVector -> AllGatherVector -> LocalSpMV -> Alltoallv -> Merge).
+  The AllGather/Alltoallv pair IS Spark's shuffle; the multiway merge of
+  contributions (MergeContributions, ParFriends.h:2011) IS Spark's
+  partial+final hash aggregation.
+* SpGEMM (Sparse SUMMA) /root/reference/include/CombBLAS/ParFriends.h:1447-1560.
+  The sqrt(p)-stage broadcast schedule is replaced by a shuffle hash join;
+  AQE picks broadcast vs shuffle exactly like the reference's adaptive
+  gather (/root/reference/Applications/CC.h:367-375) but at runtime stats.
+
+Conventions:
+* edge table  E(src: long, dst: long, w: numeric) — one row per nonzero
+  A[src, dst]; messages flow src -> dst.
+* vector      x(id: long, val: numeric).
+
+Scale notes (100 TB / 1000 executors):
+* the vector side of SpMV is usually << edges; AQE auto-broadcasts it when
+  under the threshold, otherwise both sides hash-partition on the join key.
+* output partitioning: result of spmv is partitioned by the groupBy key
+  (dst), which is exactly the key the *next* iteration joins on when the
+  vector is re-joined to edges — no extra repartition needed between
+  supersteps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from combblas_spark.core.semiring import Semiring, PLUS_TIMES
+
+
+def spmv(
+    edges: DataFrame,
+    x: DataFrame,
+    sr: Semiring = PLUS_TIMES,
+    reverse: bool = False,
+    broadcast_x: bool | None = None,
+) -> DataFrame:
+    """y = A^T x over semiring ``sr``: y[dst] = add_{(s,d) in E} mult(w, x[s]).
+
+    With ``reverse=True`` messages flow dst -> src (i.e. y = A x).
+    ``x`` may be sparse (frontier — only active ids present): absent ids
+    contribute nothing, mirroring FullyDistSpVec SpMV
+    (/root/reference/include/CombBLAS/ParFriends.h:2179).
+
+    ``broadcast_x=True`` forces a broadcast join (frontier known small);
+    ``None`` leaves the choice to Catalyst/AQE; ``False`` forces shuffle.
+    """
+    join_key, out_key = ("src", "dst") if not reverse else ("dst", "src")
+    xr = x.select(F.col("id"), F.col("val"))
+    if broadcast_x is True:
+        xr = F.broadcast(xr)
+    j = edges.join(xr, on=edges[join_key] == xr["id"], how="inner")
+    contrib = sr.mult(edges["w"], xr["val"])
+    return (
+        j.groupBy(edges[out_key].alias("id"))
+        .agg(sr.add(contrib).alias("val"))
+    )
+
+
+def spgemm(
+    a: DataFrame,
+    b: DataFrame,
+    sr: Semiring = PLUS_TIMES,
+    phases: int = 1,
+) -> DataFrame:
+    """C = A *_sr B: join A.dst == B.src, group by (A.src, B.dst).
+
+    ``phases > 1`` mirrors MemEfficientSpGEMM's column-phased execution
+    (/root/reference/include/CombBLAS/ParFriends.h:452-777): B is sliced
+    into ``phases`` dst-hash buckets, each multiplied separately and
+    unioned. On Spark this bounds the peak shuffle footprint of a single
+    stage; with AQE + spill it is rarely needed, but it is semantically
+    identical (metamorphic test: 1-phase == k-phase).
+    """
+    aa = a.select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"), F.col("w").alias("a_w"))
+    bb = b.select(F.col("src").alias("b_src"), F.col("dst").alias("b_dst"), F.col("w").alias("b_w"))
+
+    def one(bpart: DataFrame) -> DataFrame:
+        j = aa.join(bpart, on=aa["a_dst"] == bpart["b_src"], how="inner")
+        return (
+            j.groupBy(F.col("a_src").alias("src"), F.col("b_dst").alias("dst"))
+            .agg(sr.add(sr.mult(F.col("a_w"), F.col("b_w"))).alias("w"))
+        )
+
+    if phases <= 1:
+        return one(bb)
+    parts = [
+        one(bb.filter(F.pmod(F.xxhash64(F.col("b_dst")), F.lit(phases)) == F.lit(k)))
+        for k in range(phases)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # phases partition B by dst hash => output (src,dst) groups are disjoint
+    # across phases; no re-aggregation needed.
+    return out
+
+
+def square(a: DataFrame, sr: Semiring = PLUS_TIMES, phases: int = 1) -> DataFrame:
+    """A <- A^2 (reference SpParMat::Square, SpParMat.cpp:3469)."""
+    return spgemm(a, a, sr, phases=phases)

@@ -1,0 +1,44 @@
+"""Row/column reductions (degrees, column sums, maxima).
+
+Reference: SpParMat::Reduce /root/reference/include/CombBLAS/SpParMat.cpp:886-1116;
+LoadImbalance SpParMat.cpp:761-770.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def reduce_dim(
+    edges: DataFrame,
+    dim: str = "row",
+    add: Callable[[Column], Column] = F.sum,
+    unop: Optional[Callable[[Column], Column]] = None,
+) -> DataFrame:
+    """Fold nonzeros per row (group by src) or per column (group by dst).
+
+    Returns (id, val). Rows/columns with no nonzeros are simply absent —
+    hypersparse semantics; callers that need the identity fill do an outer
+    join against the vertex table (Spark analog of the reference's dense
+    output vector initialized to ``id``).
+    """
+    key = "src" if dim == "row" else "dst"
+    v = unop(F.col("w")) if unop is not None else F.col("w")
+    return edges.groupBy(F.col(key).alias("id")).agg(add(v).alias("val"))
+
+
+def load_imbalance(df: DataFrame) -> float:
+    """max(partition rows) / mean(partition rows) — the reference's
+    LoadImbalance metric (SpParMat.cpp:761), our per-partition skew probe."""
+    counts = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+        .collect()[0]
+    )
+    if not counts["av"]:
+        return 1.0
+    return float(counts["mx"]) / float(counts["av"])

@@ -1,0 +1,111 @@
+"""Superstep driver: iteration state, lineage truncation, checkpoint/resume.
+
+The reference keeps all iteration state in memory (BFS loop
+/root/reference/Applications/TopDownBFS.cpp:440-449, CC loop
+/root/reference/Applications/CC.h:1404-1544) and has NO checkpoint/restart.
+Checkpointing is OUR addition (north_rule): every superstep can persist its
+state DataFrames to Parquet together with a manifest recording the
+iteration number, metrics and per-partition row counts (lineage evidence),
+so a converged-to-iteration-k job resumes from k.
+
+Two lineage concerns at scale:
+* WITHIN a run, iterative DataFrame plans grow linearly in the iteration
+  count; ``truncate()`` (localCheckpoint) cuts the plan every iteration so
+  Catalyst never re-analyzes a 50-join tree.
+* ACROSS runs, ``save()``/``resume()`` use Parquet snapshots + a JSON
+  manifest (what an Iceberg snapshot gives you on a real cluster).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+class SuperstepRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: Optional[str] = None,
+        every: int = 1,
+        eager: bool = True,
+    ):
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.every = max(1, every)
+        self.eager = eager
+        self._t0 = time.time()
+
+    # -- lineage truncation within a run ------------------------------------
+    def truncate(self, df: DataFrame) -> DataFrame:
+        """Cut the logical plan; returns a DataFrame backed by materialized
+        partitions. localCheckpoint is deliberate: it is the in-run analog
+        of the reference's per-iteration in-memory vectors."""
+        return df.localCheckpoint(eager=self.eager)
+
+    # -- durable checkpoint --------------------------------------------------
+    def _iter_dir(self, iteration: int) -> str:
+        return os.path.join(self.dir, f"iter={iteration:06d}")
+
+    def save(self, iteration: int, states: dict, metrics: dict) -> None:
+        """Persist state DataFrames + manifest for ``iteration``.
+
+        ``states``: name -> DataFrame. The manifest records per-partition row
+        counts per state (partition lineage) and caller metrics.
+        """
+        if self.dir is None or iteration % self.every:
+            return
+        d = self._iter_dir(iteration)
+        lineage = {}
+        for name, df in states.items():
+            path = os.path.join(d, name)
+            df.write.mode("overwrite").parquet(path)
+            parts = (
+                self.spark.read.parquet(path)
+                .groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .collect()
+            )
+            lineage[name] = {
+                "path": path,
+                "partitions": {int(r["pid"]): int(r["count"]) for r in parts},
+                "rows": int(sum(r["count"] for r in parts)),
+            }
+        manifest = {
+            "iteration": iteration,
+            "wall_seconds": time.time() - self._t0,
+            "metrics": metrics,
+            "states": lineage,
+        }
+        tmp = os.path.join(d, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, os.path.join(d, "manifest.json"))
+
+    def latest(self) -> Optional[dict]:
+        """Most recent complete manifest, or None."""
+        if self.dir is None or not os.path.isdir(self.dir):
+            return None
+        best = None
+        for name in sorted(os.listdir(self.dir)):
+            mf = os.path.join(self.dir, name, "manifest.json")
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    best = json.load(f)
+        return best
+
+    def resume(self) -> Optional[tuple[int, dict, dict]]:
+        """(iteration, {name: DataFrame}, metrics) from the latest manifest."""
+        m = self.latest()
+        if m is None:
+            return None
+        states = {
+            name: self.spark.read.parquet(info["path"])
+            for name, info in m["states"].items()
+        }
+        return m["iteration"], states, m.get("metrics", {})

@@ -1,0 +1,69 @@
+"""Deterministic graph builders over the driver testdata tables.
+
+These derive edge tables (src, dst, w) from the TPC-H-ish parquet tables so
+that correctness queries and the DuckDB oracle see the exact same graph.
+Vertex-id spaces are made disjoint with fixed offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from combblas_spark.operators.transform import symmetrize, remove_loops
+
+SUPPLIER_OFFSET = 1_000_000
+NATION_OFFSET = 2_000_000
+
+
+def build_graph(pairs: DataFrame, sym: bool = True) -> DataFrame:
+    """ParallelReadMM analog (/root/reference/include/CombBLAS/SpParMat.cpp:3993):
+    dedup duplicate (src,dst) with a sum binop, drop loops, symmetrize.
+    ``pairs`` has columns (src, dst); w = multiplicity (exact integer in a
+    double), so downstream integer-weight queries hash exactly vs the oracle.
+    """
+    dedup = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    dedup = remove_loops(dedup)
+    return symmetrize(dedup, add=F.sum) if sym else dedup
+
+
+def part_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite part—supplier graph from lineitem: src=l_partkey,
+    dst=SUPPLIER_OFFSET+l_suppkey, w = #lineitems with that pair,
+    symmetrized. The workhorse mid-size graph (~2.1k vertices at sf0.01)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+    )
+    return build_graph(pairs)
+
+
+def nation_clique_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations connected iff they share a region: 5 disjoint 5-cliques —
+    the triangle / SpGEMM hand-checkable graph (5 * C(5,3) = 50 triangles)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    a = n.select(F.col("n_nationkey").cast("long").alias("src"), F.col("n_regionkey").alias("r1"))
+    b = n.select(F.col("n_nationkey").cast("long").alias("dst"), F.col("n_regionkey").alias("r2"))
+    pairs = a.join(b, on=(F.col("r1") == F.col("r2")) & (F.col("src") != F.col("dst"))).select(
+        "src", "dst"
+    )
+    return build_graph(pairs, sym=False)  # construction is already symmetric
+
+
+def nation_star_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-skew star forest: every customer and supplier linked to its
+    nation (ids offset). Exactly 25 star components; the nation vertices are
+    deliberate hubs (skew fixture)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey").cast("long") + F.lit(NATION_OFFSET)).alias("dst"),
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        (F.col("s_suppkey").cast("long") + F.lit(SUPPLIER_OFFSET)).alias("src"),
+        (F.col("s_nationkey").cast("long") + F.lit(NATION_OFFSET)).alias("dst"),
+    )
+    return build_graph(c.unionByName(s))

@@ -1,0 +1,81 @@
+"""numpy / pure-python oracles (scipy is unavailable in this environment).
+
+Plays the role of the reference's golden files ("CControl",
+/root/reference/ReleaseTests/MultTest.cpp:108-143).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def edges_to_dense(rows, n: int) -> np.ndarray:
+    """rows: iterable of (src, dst, w) -> dense A with A[src, dst] = w."""
+    a = np.zeros((n, n))
+    for s, d, w in rows:
+        a[int(s), int(d)] += w
+    return a
+
+
+def collect_edges(df):
+    return [(r["src"], r["dst"], r["w"]) for r in df.collect()]
+
+
+def collect_vec(df, key="id", val="val"):
+    return {r[key]: r[val] for r in df.collect()}
+
+
+def union_find_components(edges, vertices):
+    """-> {vertex: min vertex id of its component} (canonical labels)."""
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d, _ in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in vertices}
+
+
+def pagerank_dense(a: np.ndarray, alpha: float = 0.85, iters: int = 200) -> np.ndarray:
+    """Power iteration with dangling redistribution; a[src, dst] weights."""
+    n = a.shape[0]
+    out = a.sum(axis=1)
+    p = np.zeros_like(a)
+    nz = out > 0
+    p[nz] = a[nz] / out[nz, None]
+    x = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = x[~nz].sum()
+        x = (1 - alpha) / n + alpha * (p.T @ x + dang / n)
+    return x
+
+
+def bfs_depths(edges, root):
+    """Plain python BFS over directed edges; -> {vertex: depth}."""
+    adj = {}
+    for s, d, _ in edges:
+        adj.setdefault(s, []).append(d)
+    depth = {root: 0}
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for v in frontier:
+            for u in adj.get(v, []):
+                if u not in depth:
+                    depth[u] = depth[v] + 1
+                    nxt.append(u)
+        frontier = nxt
+    return depth
+
+
+def triangle_count_dense(edges, n) -> int:
+    a = (edges_to_dense(edges, n) != 0).astype(np.int64)
+    a = ((a + a.T) != 0).astype(np.int64)
+    np.fill_diagonal(a, 0)
+    return int(np.trace(a @ a @ a) // 6)
