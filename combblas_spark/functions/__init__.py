@@ -1,0 +1,22 @@
+from combblas_spark.functions.text import (  # noqa: F401
+    with_tokens,
+    token_stats,
+    quality_score,
+    language_id,
+    fingerprint,
+)
+from combblas_spark.functions.dedup import (  # noqa: F401
+    exact_dedup,
+    shingles,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from combblas_spark.functions.similarity import (  # noqa: F401
+    with_norm,
+    cosine_topk,
+    lsh_buckets,
+    lsh_ann_topk,
+)

@@ -1,0 +1,184 @@
+"""Deduplication: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale shapes:
+* exact          — one hash-groupBy on a 32-byte key (map-side combine).
+* minhash + LSH  — shingle explode -> per-(doc, seed) min -> band buckets ->
+                   bucket self-join. Never an all-pairs join; candidate set
+                   is bounded by bucket sizes (hub buckets are real skew —
+                   callers cap with ``max_bucket``).
+* jaccard        — exact verification on the LSH candidates only.
+* simhash        — 64 bit-majority aggregates, near-dups via Hamming bands.
+
+MinHash uses md5 hex strings as the hash universe: lexicographic MIN over
+md5(seed || '|' || shingle) is a valid uniform min-hash and is reproducible
+in any SQL engine (DuckDB oracle) byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from combblas_spark.functions.text import tokens_col
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fp, rep_id, n_dups): groups of byte-identical documents; rep = min id."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle): distinct k-word shingles per document (word n-grams).
+
+    Built with transform over the token array + explode — no Python UDF.
+    """
+    t = tokens_col(F.col(text_col))
+    n = F.size(t)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(id, seed, minhash): per document and seed, the min md5 over shingles."""
+    seeded = sh.select(
+        "id",
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed"),
+        F.col("shingle"),
+    )
+    return (
+        seeded.select(
+            "id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 2, max_bucket: int = 1000
+) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs sharing >=1 LSH band bucket.
+
+    Band key = md5 of the concatenated in-band minhashes. Buckets larger
+    than ``max_bucket`` (degenerate hubs — e.g. boilerplate) are dropped,
+    the standard web-dedup guard against quadratic bucket blowup.
+    """
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .filter(F.col("band") < bands)
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    )
+    sized = banded.join(
+        banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz")),
+        on=["band", "bucket"],
+    ).filter(F.col("bsz") <= max_bucket)
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs:
+    (id_a, id_b, n_common, n_a, n_b) — all integers; jaccard =
+    n_common / (n_a + n_b - n_common) left to the caller (keeps hashes exact).
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(common, on=["id_a", "id_b"], how="left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), on="id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(id, simhash): bit-majority of xxhash64(token) over the document.
+
+    64 per-bit sign aggregates, all Column expressions. No SQL oracle
+    (xxhash64 is Spark-specific) — covered by rows-only checks + unit tests.
+    """
+    t = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    def bit(i):  # JVM-side 1<<i — a python literal overflows long at i=63
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(bit(i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = t.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, bit(i)).otherwise(F.lit(0).cast("long"))
+        )
+    return per_doc.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dups(sig: DataFrame, band_bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs whose simhashes agree on >=1 of the 64/band_bits
+    bands, verified to Hamming distance <= max_hamming."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select("band", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = banded.select("band", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+Spark-side machinery (schema, Arrow batch shape, mapInPandas signatures,
+partitioning by modality) is real and tested. The actual codec step is
+STUBBED: the decode libraries are not present in this container, so
+``decode_image`` raises NotImplementedError unless ``fake=True``, in which
+case it produces a deterministic feature vector derived from the payload
+bytes (stable for tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, modality string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_SCHEMA = "media_id long, modality string, feature array<float>, n_bytes long"
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.sha2(F.concat(F.lit(f"media-{seed}-"), F.col("id").cast("string")), 256)
+        .cast("binary")
+        .alias("payload"),
+        F.struct(
+            F.lit(32).alias("width"),
+            F.lit(32).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("id") % 10 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return df
+
+
+def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic pseudo-feature from payload bytes (test stand-in for a
+    real decoder+encoder)."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / 2**32).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, fake: bool = False, batch_hint: int = 1024
+) -> DataFrame:
+    """mapInPandas feature extraction — Arrow-batched, no per-row Python in
+    the driver plan; the pandas function vectorizes per batch.
+
+    ``fake=False`` raises NotImplementedError at executor time (codec libs
+    not installed here); ``fake=True`` produces the deterministic stand-in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in this environment"
+                )
+            feats = [ _fake_feature(p, dim) for p in pdf["payload"] ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "feature": feats,
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    # partition by modality so a real decoder gets homogeneous batches
+    return media.repartition("modality").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Metadata-level frame sampling plan: one output row per sampled frame
+    index (decode of the frame itself is the stubbed step above)."""
+    return media.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

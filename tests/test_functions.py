@@ -1,0 +1,145 @@
+"""Training-pipeline function tests (dedup / similarity / text / multimodal)."""
+
+import hashlib
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from combblas_spark.functions import (
+    token_stats,
+    quality_score,
+    fingerprint,
+    exact_dedup,
+    shingles,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+    cosine_topk,
+    lsh_ann_topk,
+)
+from combblas_spark.functions.multimodal import synth_media, extract_features, frame_sample
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different text about spark engines and semirings"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "tiny"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_stats(spark, docs):
+    got = {r["doc_id"]: r.asDict() for r in token_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 9
+    assert got[0]["n_distinct_tokens"] == 8  # 'the' twice
+    assert got[4]["n_tokens"] == 1
+    assert got[0]["n_chars"] == len(DOCS[0][1])
+
+
+def test_fingerprint_and_exact_dedup(spark, docs):
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert fps[0] == fps[3] != fps[1]
+    assert fps[0] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    groups = {r["rep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert groups[0] == 2 and groups[1] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    sh = shingles(docs, k=3)
+    sig = minhash_signatures(sh, num_hashes=8)
+    assert sig.groupBy("id").count().filter(F.col("count") != 8).count() == 0
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 3) in got  # exact dups always collide
+    jac = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in jaccard_pairs(sh, pairs).collect()
+    }
+    n_common, n_a, n_b = jac[(0, 3)]
+    assert n_common == n_a == n_b  # identical shingle sets
+
+
+def test_simhash(spark, docs):
+    sig = simhash(docs)
+    got = {r["id"]: r["simhash"] for r in sig.collect()}
+    assert got[0] == got[3]  # identical docs -> identical simhash
+    # near-dups within a few bits
+    nd = simhash_near_dups(sig, band_bits=16, max_hamming=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (0, 3) in pairs
+
+
+def _np_cosine_topk(vecs, k):
+    v = np.asarray(vecs, dtype=np.float64)
+    nrm = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / np.outer(nrm, nrm)
+    out = {}
+    for q in range(len(v)):
+        order = sorted(
+            (i for i in range(len(v)) if i != q),
+            key=lambda i: (-sims[q, i], i),
+        )
+        out[q] = [(i, sims[q, i]) for i in order[:k]]
+    return out
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {}
+    for r in cosine_topk(emb, queries, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos"]))
+    want = _np_cosine_topk(vecs, 3)
+    for q in range(20):
+        assert [n for n, _ in got[q]] == [n for n, _ in want[q]]
+        for (gn, gc), (wn, wc) in zip(got[q], want[q]):
+            assert gc == pytest.approx(wc, abs=1e-6)
+
+
+def test_lsh_ann_is_subset_quality(spark):
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((10, 8)).astype(np.float32)
+    # clusters: each base vector plus small noise copies
+    vecs = np.concatenate([base + 0.01 * rng.standard_normal((10, 8)).astype(np.float32) for _ in range(3)])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    ann = lsh_ann_topk(emb, k=1, n_planes=4, seed=1, dim=8)
+    rows = ann.collect()
+    assert len(rows) > 0
+    # every returned neighbor really is in the same noise-cluster for most queries
+    same = sum(1 for r in rows if r["neighbor_id"] % 10 == r["query_id"] % 10)
+    assert same / len(rows) > 0.6
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_features(media, dim=16, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # determinism: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=16, fake=True).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert first == again
+    fs = frame_sample(media, every_n=2)
+    assert fs.filter(F.col("frame_idx") % 2 != 0).count() == 0
+    # non-fake path raises (decode libs absent) at execution time
+    with pytest.raises(Exception):
+        extract_features(media, dim=16, fake=False).collect()
