@@ -36,7 +36,9 @@ def bfs(
     EWiseMult(exclude=true) anti-join.
     """
     runner = runner or SuperstepRunner(spark)
-    edges = edges.select("src", "dst", "w")
+    edges = edges.select("src", "dst", "w").repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    )
     edges.persist()
 
     visited = spark.createDataFrame(
@@ -52,8 +54,10 @@ def bfs(
     frontier = runner.truncate(frontier)
 
     while depth < max_iter:
-        # candidate (dst, min parent) from the frontier; frontier val = its id
-        cand = spmv(edges, frontier, SELECT2ND_MIN, broadcast_x=None)
+        # candidate (dst, min parent) from the frontier; frontier val = its
+        # id. The frontier is always a (sparse) subset of vertices — force
+        # broadcast so the persisted edge table never re-shuffles.
+        cand = spmv(edges, frontier, SELECT2ND_MIN, broadcast_x=True)
         new = cand.join(visited.select("id"), on="id", how="left_anti")
         new = runner.truncate(new)
         n_new = new.count()

@@ -46,11 +46,15 @@ def cc_minlabel(
     max_iter: int = 200,
     runner: Optional[SuperstepRunner] = None,
     vertices: Optional[DataFrame] = None,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """(id, val) with val = min vertex id in the component (canonical)."""
     runner = runner or SuperstepRunner(spark)
     verts = (vertices or _vertices(edges)).select("id")
-    edges = edges.select("src", "dst", "w")
+    # edges laid out by join key once; supersteps move only the label vector
+    edges = edges.select("src", "dst", "w").repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    )
     edges.persist()
 
     labels = verts.select("id", F.col("id").alias("val"))
@@ -62,14 +66,15 @@ def cc_minlabel(
     labels = runner.truncate(labels)
 
     for it in range(start, max_iter):
-        nbr_min = spmv(edges, labels, SELECT2ND_MIN)
+        nbr_min = spmv(edges, labels, SELECT2ND_MIN, broadcast_x=broadcast_vectors)
         new_labels = ewise_apply_vec(
-            labels, nbr_min, lambda a, b: F.least(a, b), how="left", y_fill=F.col("val_x")
+            labels, nbr_min, lambda a, b: F.least(a, b), how="left",
+            y_fill=F.col("val_x"), broadcast_y=broadcast_vectors,
         )
         new_labels = runner.truncate(new_labels)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
+            .join(F.broadcast(labels.alias("o")) if broadcast_vectors else labels.alias("o"), on="id")
             .filter(F.col("n.val") != F.col("o.val"))
             .count()
         )
@@ -86,6 +91,7 @@ def cc_fastsv(
     max_iter: int = 100,
     runner: Optional[SuperstepRunner] = None,
     vertices: Optional[DataFrame] = None,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """FastSV (FastSV.h:336-374): per superstep
 
@@ -99,8 +105,11 @@ def cc_fastsv(
     roots are component minima, so labels are canonical.
     """
     runner = runner or SuperstepRunner(spark)
+    bb = broadcast_vectors
     verts = (vertices or _vertices(edges)).select("id")
-    edges = edges.select("src", "dst", "w")
+    edges = edges.select("src", "dst", "w").repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    )
     edges.persist()
 
     f = verts.select("id", F.col("id").alias("val"))
@@ -113,29 +122,31 @@ def cc_fastsv(
 
     for it in range(start, max_iter):
         # 1. grandparent
-        gf = vec_gather(f, f)  # gf[v] = f[f[v]]
+        gf = vec_gather(f, f, broadcast_vec=bb)  # gf[v] = f[f[v]]
         # 2. min grandparent over neighbors
-        mngf = spmv(edges, gf, SELECT2ND_MIN)
+        mngf = spmv(edges, gf, SELECT2ND_MIN, broadcast_x=bb)
         # 3. stochastic hooking: scatter min(mngf[v]) onto id = f[v]
         hooks = (
             f.alias("fv")
-            .join(mngf.alias("m"), on="id", how="inner")
+            .join(F.broadcast(mngf.alias("m")) if bb else mngf.alias("m"), on="id", how="inner")
             .select(F.col("fv.val").alias("id"), F.col("m.val").alias("val"))
         )
-        f1 = vec_assign(f, hooks, dedup=F.min, combine=F.least)
+        f1 = vec_assign(f, hooks, dedup=F.min, combine=F.least, broadcast_updates=bb)
         # 4. aggressive hooking: f[v] = min(f[v], mngf[v])
         f2 = ewise_apply_vec(
-            f1, mngf, lambda a, b: F.least(a, b), how="left", y_fill=F.col("val_x")
+            f1, mngf, lambda a, b: F.least(a, b), how="left",
+            y_fill=F.col("val_x"), broadcast_y=bb,
         )
         # 5. shortcutting: f[v] = min(f[v], f[f[v]])
-        gf2 = vec_gather(f2, f2)
+        gf2 = vec_gather(f2, f2, broadcast_vec=bb)
         f3 = ewise_apply_vec(
-            f2, gf2, lambda a, b: F.least(a, b), how="left", y_fill=F.col("val_x")
+            f2, gf2, lambda a, b: F.least(a, b), how="left",
+            y_fill=F.col("val_x"), broadcast_y=bb,
         )
         f3 = runner.truncate(f3)
         changed = (
             f3.alias("n")
-            .join(f.alias("o"), on="id")
+            .join(F.broadcast(f.alias("o")) if bb else f.alias("o"), on="id")
             .filter(F.col("n.val") != F.col("o.val"))
             .count()
         )

@@ -47,17 +47,22 @@ def label_propagation(
     edges: DataFrame,
     num_iters: int = 5,
     runner: Optional[SuperstepRunner] = None,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Synchronous weighted LP, deterministic tie-break (max weight-sum,
     then min label). Returns (id, val=label). Expects symmetric edges."""
     runner = runner or SuperstepRunner(spark)
-    edges = edges.select("src", "dst", "w")
+    edges = edges.select("src", "dst", "w").repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    )
     edges.persist()
     labels = _vertices(edges).select("id", F.col("id").alias("val"))
     labels = runner.truncate(labels)
 
     for it in range(num_iters):
         lab = labels.select(F.col("id").alias("_lid"), F.col("val").alias("label"))
+        if broadcast_vectors:
+            lab = F.broadcast(lab)
         scores = (
             edges.join(lab, on=edges["src"] == lab["_lid"], how="inner")
             .groupBy(edges["dst"].alias("id"), F.col("label"))
@@ -72,6 +77,8 @@ def label_propagation(
             .select("id", F.col("label").alias("val"))
         )
         # isolated / no-incoming vertices keep their label
+        if broadcast_vectors:
+            picked = F.broadcast(picked)
         labels = runner.truncate(
             labels.alias("o")
             .join(picked.alias("p"), on="id", how="left")

@@ -51,12 +51,16 @@ def pagerank(
     num_iters: Optional[int] = None,
     runner: Optional[SuperstepRunner] = None,
     vertices: Optional[DataFrame] = None,
+    broadcast_vectors: bool = True,
+    check_every: int = 1,
 ) -> DataFrame:
     """Returns (id, val) with val = PageRank score, sum(val) == 1.
 
     ``num_iters`` set -> run exactly that many iterations with no
     convergence action per step (oracle-parity / benchmark mode);
-    otherwise iterate until L-inf delta < tol, checking every iteration.
+    otherwise iterate until L-inf delta < tol, checking every
+    ``check_every`` iterations (each check is an extra join+action —
+    amortize it on long runs).
     ``runner`` enables per-superstep durable checkpointing + resume.
     """
     runner = runner or SuperstepRunner(spark)
@@ -65,14 +69,24 @@ def pagerank(
     n = verts.count()
 
     outdeg = reduce_dim(edges, "row", F.sum)  # weighted out-degree
+    # normalize + lay the edges out by join key ONCE; every superstep then
+    # moves only the (vertex-sized) rank vector — the edge table never
+    # re-shuffles. broadcast_vectors=True replicates the vector to every
+    # task, the DataFrame analog of CombBLAS's AllGatherVector
+    # (ParFriends.h:1884); disable only if the vertex table outgrows
+    # executor memory, in which case the join falls back to shuffle.
     e_norm = dimapply(edges, outdeg, dim="row", binop=lambda w, d: w / d)
-    e_norm.persist()
+    e_norm = e_norm.repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    ).persist()
     e_norm.count()
 
     dangling = verts.join(
         edges.select(F.col("src").alias("id")).distinct(), on="id", how="left_anti"
     )
     dangling.persist()
+    n_dangling = dangling.count()  # symmetric graphs have none -> skip the
+    # per-iteration dangling-mass action entirely
 
     start_iter = 0
     ranks = verts.select("id", F.lit(1.0 / n).alias("val"))
@@ -84,11 +98,15 @@ def pagerank(
 
     iters = num_iters if num_iters is not None else max_iter
     for it in range(start_iter, iters):
-        dang_mass = (
-            dangling.join(ranks, on="id", how="inner").agg(F.sum("val")).collect()[0][0]
-            or 0.0
-        )
-        contrib = spmv(e_norm, ranks, PLUS_TIMES)
+        dang_mass = 0.0
+        if n_dangling:
+            dang_mass = (
+                dangling.join(ranks, on="id", how="inner").agg(F.sum("val")).collect()[0][0]
+                or 0.0
+            )
+        contrib = spmv(e_norm, ranks, PLUS_TIMES, broadcast_x=broadcast_vectors)
+        if broadcast_vectors:
+            contrib = F.broadcast(contrib)
         base = (1.0 - alpha) / n + alpha * dang_mass / n
         new_ranks = (
             verts.join(contrib, on="id", how="left")
@@ -101,15 +119,21 @@ def pagerank(
         )
         new_ranks = runner.truncate(new_ranks)
         if num_iters is None:
-            delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), on="id")
-                .agg(F.max(F.abs(F.col("n.val") - F.col("o.val"))))
-                .collect()[0][0]
-            )
+            delta = None
+            if (it + 1) % check_every == 0 or it + 1 == iters:
+                delta = (
+                    new_ranks.alias("n")
+                    .join(ranks.alias("o"), on="id")
+                    .agg(F.max(F.abs(F.col("n.val") - F.col("o.val"))))
+                    .collect()[0][0]
+                )
             ranks = new_ranks
-            runner.save(it + 1, {"ranks": ranks}, {"delta": float(delta), "n": n})
-            if delta < tol:
+            runner.save(
+                it + 1,
+                {"ranks": ranks},
+                {"delta": float(delta) if delta is not None else None, "n": n},
+            )
+            if delta is not None and delta < tol:
                 break
         else:
             ranks = new_ranks

@@ -42,6 +42,9 @@ def shingles(docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str 
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.array_join(F.slice(t, i + 1, k), " "),
     )
+    # a single parquet file arrives as ONE partition; the ~100x explode +
+    # md5 work downstream must be spread across cores BEFORE it happens
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.col("shingle") != "")
@@ -84,6 +87,9 @@ def lsh_candidate_pairs(
         .groupBy("id", "band")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
     )
+    # banded feeds 4 plan branches (size agg + both join sides); without a
+    # persist Spark recomputes the whole shingle->minhash pipeline each time
+    banded = banded.persist()
     sized = banded.join(
         banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz")),
         on=["band", "bucket"],
@@ -103,6 +109,8 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     (id_a, id_b, n_common, n_a, n_b) — all integers; jaccard =
     n_common / (n_a + n_b - n_common) left to the caller (keeps hashes exact).
     """
+    sh = sh.persist()  # feeds sizes + both join sides
+    pairs = pairs.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("id").alias("id_a"), "shingle")
     sb = sh.select(F.col("id").alias("id_b"), "shingle")

@@ -45,12 +45,17 @@ def ewise_apply_vec(
     how: str = "inner",
     x_fill: Optional[Column] = None,
     y_fill: Optional[Column] = None,
+    broadcast_y: bool = False,
 ) -> DataFrame:
     """Zip two vectors on id with union/intersection-of-support semantics
     (ParFriends.h:3035-3170). ``how`` in {inner, full, left}: null sides are
-    filled with ``*_fill`` before ``binop``."""
+    filled with ``*_fill`` before ``binop``. ``broadcast_y`` hints the y
+    side (use when y is a freshly-aggregated frontier whose stats Catalyst
+    cannot see — avoids a sort-merge join that re-shuffles x)."""
     xx = x.select("id", F.col("val").alias("val_x"))
     yy = y.select("id", F.col("val").alias("val_y"))
+    if broadcast_y:
+        yy = F.broadcast(yy)
     j = xx.join(yy, on="id", how=how)
     vx = F.coalesce(F.col("val_x"), x_fill) if x_fill is not None else F.col("val_x")
     vy = F.coalesce(F.col("val_y"), y_fill) if y_fill is not None else F.col("val_y")

@@ -57,11 +57,17 @@ def spasgn(edges: DataFrame, ri: DataFrame, ci: DataFrame, b: DataFrame) -> Data
     return blanked.unionByName(embedded)
 
 
-def vec_gather(vec: DataFrame, indices: DataFrame) -> DataFrame:
+def vec_gather(
+    vec: DataFrame, indices: DataFrame, broadcast_vec: bool = False
+) -> DataFrame:
     """out[i] = vec[indices[i]] — the Extract gather (CC.h:419). ``indices``
-    is (id, val) where val is the index to fetch; broadcast-vs-shuffle is
-    AQE's call, mirroring the reference's adaptive `replicate` decision."""
+    is (id, val) where val is the index to fetch. ``broadcast_vec=True`` is
+    the reference's adaptive `replicate` fast path (CC.h:367-375: broadcast
+    the owner slab when cheaper than alltoall); leave False to let AQE
+    decide from runtime stats."""
     vv = vec.select(F.col("id").alias("_vid"), F.col("val").alias("_vval"))
+    if broadcast_vec:
+        vv = F.broadcast(vv)
     return (
         indices.join(vv, on=indices["val"] == vv["_vid"], how="inner")
         .select(indices["id"], F.col("_vval").alias("val"))
@@ -73,10 +79,13 @@ def vec_assign(
     updates: DataFrame,
     dedup: Callable[[Column], Column] = F.min,
     combine: Callable[[Column, Column], Column] = lambda old, new: new,
+    broadcast_updates: bool = False,
 ) -> DataFrame:
     """Scatter with duplicate-key reduction (CC.h:746 Assign/ReduceAssign):
     vec[u.id] <- combine(vec[u.id], dedup(updates for that id))."""
     agg = updates.groupBy("id").agg(dedup(F.col("val")).alias("_new"))
+    if broadcast_updates:
+        agg = F.broadcast(agg)
     return (
         vec.join(agg, on="id", how="left")
         .select(

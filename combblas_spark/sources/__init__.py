@@ -11,6 +11,7 @@ from combblas_spark.sources.graphs import (  # noqa: F401
     part_supplier_graph,
     nation_clique_graph,
     nation_star_graph,
+    events_digraph,
 )
 from combblas_spark.sources.corpus import (  # noqa: F401
     build_vertices,

@@ -54,6 +54,21 @@ def nation_clique_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_graph(pairs, sym=False)  # construction is already symmetric
 
 
+def events_digraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small deterministic DIRECTED user graph from events:
+    src = user_id, dst = (user_id + 1 + event_id % 97) % 100 — exercises
+    transpose / elementwise-mask / set-difference semantics (a symmetric
+    graph would make A .* A^T trivial)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        ((F.col("user_id") + 1 + (F.col("event_id") % 97)) % 100)
+        .cast("long")
+        .alias("dst"),
+    )
+    return build_graph(pairs, sym=False)
+
+
 def nation_star_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-skew star forest: every customer and supplier linked to its
     nation (ids offset). Exactly 25 star components; the nation vertices are

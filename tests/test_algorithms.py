@@ -39,7 +39,9 @@ def test_pagerank_vs_numpy(spark):
     a = edges_to_dense(rows, n)
     want = pagerank_dense(a, alpha=0.85, iters=120)
     verts = spark.range(n).select(F.col("id"))
-    got = collect_vec(pagerank(spark, edges, alpha=0.85, tol=1e-12, max_iter=200, vertices=verts))
+    got = collect_vec(
+        pagerank(spark, edges, alpha=0.85, tol=1e-9, max_iter=150, vertices=verts, check_every=5)
+    )
     for i in range(n):
         assert got[i] == pytest.approx(want[i], abs=1e-6)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
