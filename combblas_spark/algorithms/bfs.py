@@ -37,7 +37,7 @@ def bfs(
     """
     runner = runner or SuperstepRunner(spark)
     edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "src"
+        spark.sparkContext.defaultParallelism, "dst"
     )
     edges.persist()
 

@@ -53,7 +53,7 @@ def cc_minlabel(
     verts = (vertices or _vertices(edges)).select("id")
     # edges laid out by join key once; supersteps move only the label vector
     edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "src"
+        spark.sparkContext.defaultParallelism, "dst"
     )
     edges.persist()
 
@@ -108,7 +108,7 @@ def cc_fastsv(
     bb = broadcast_vectors
     verts = (vertices or _vertices(edges)).select("id")
     edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "src"
+        spark.sparkContext.defaultParallelism, "dst"
     )
     edges.persist()
 

@@ -53,7 +53,7 @@ def label_propagation(
     then min label). Returns (id, val=label). Expects symmetric edges."""
     runner = runner or SuperstepRunner(spark)
     edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "src"
+        spark.sparkContext.defaultParallelism, "dst"
     )
     edges.persist()
     labels = _vertices(edges).select("id", F.col("id").alias("val"))

@@ -77,7 +77,7 @@ def pagerank(
     # executor memory, in which case the join falls back to shuffle.
     e_norm = dimapply(edges, outdeg, dim="row", binop=lambda w, d: w / d)
     e_norm = e_norm.repartition(
-        spark.sparkContext.defaultParallelism, "src"
+        spark.sparkContext.defaultParallelism, "dst"
     ).persist()
     e_norm.count()
 

@@ -24,15 +24,19 @@ from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
 
 
-def build_session(cores: int, shuffle_parts: int) -> SparkSession:
+def build_session(cores: int, shuffle_parts: int, mem: str = "24g") -> SparkSession:
+    # NB: heap sized to the workload, NOT the machine — an oversized heap
+    # (60-90g) on this VM produces multi-second GC stalls that swamp the
+    # per-superstep times (observed 1s -> 40s iteration noise).
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"rmat-scaling-{cores}")
         .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.default.parallelism", str(cores * 2))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "90g")
+        .config("spark.driver.memory", mem)
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         .config("spark.local.dir", "/tmp/spark-scaling")
         .getOrCreate()
@@ -60,7 +64,7 @@ def run_supersteps(spark: SparkSession, path: str, iters: int) -> dict:
     from combblas_spark.operators.transform import dimapply
 
     edges = spark.read.parquet(path)
-    edges = edges.repartition(spark.sparkContext.defaultParallelism, "src").persist()
+    edges = edges.repartition(spark.sparkContext.defaultParallelism, "dst").persist()
     nnz = edges.count()
 
     outdeg = reduce_dim(edges, "row", F.sum)
@@ -76,13 +80,14 @@ def run_supersteps(spark: SparkSession, path: str, iters: int) -> dict:
     pr_times, cc_times = [], []
     for _ in range(iters):
         t0 = time.time()
-        ranks = spmv(e_norm, ranks, PLUS_TIMES).localCheckpoint()
+        # vector broadcast per superstep; the edge table never re-shuffles
+        ranks = spmv(e_norm, ranks, PLUS_TIMES, broadcast_x=True).localCheckpoint()
         pr_times.append(time.time() - t0)
         t0 = time.time()
-        nbr = spmv(edges, labels, SELECT2ND_MIN)
+        nbr = spmv(edges, labels, SELECT2ND_MIN, broadcast_x=True)
         labels = (
             labels.alias("o")
-            .join(nbr.alias("nb"), on="id", how="left")
+            .join(F.broadcast(nbr.alias("nb")), on="id", how="left")
             .select("id", F.least(F.col("o.val"), F.coalesce(F.col("nb.val"), F.col("o.val"))).alias("val"))
             .localCheckpoint()
         )
@@ -108,12 +113,13 @@ def main():
     ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
     ap.add_argument("--edges-dir", default="/tmp/rmat_edges")
     ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument("--mem", default="24g")
     args = ap.parse_args()
 
     path = f"{args.edges_dir}/scale{args.scale}"
     results = {}
     for cores in args.cores:
-        spark = build_session(cores, shuffle_parts=cores * 4)
+        spark = build_session(cores, shuffle_parts=cores * 4, mem=args.mem)
         spark.sparkContext.setLogLevel("ERROR")
         prepare_edges(spark, args.scale, path)
         results[cores] = run_supersteps(spark, path, args.iters)

@@ -1,0 +1,103 @@
+"""Streaming + Matrix Market IO tests."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from combblas_spark.sources.fixtures import sevenvertex, SEVENVERTEX
+from combblas_spark.sources.matrix_market import read_mm, write_mm
+from combblas_spark.streaming.incremental import windowed_event_counts, IncrementalCC
+from combblas_spark.operators.transform import symmetrize
+from combblas_spark.algorithms.cc import cc_minlabel
+from tests.util import collect_vec, union_find_components
+
+
+def test_mm_roundtrip(spark, tmp_path):
+    a = sevenvertex(spark)
+    path = str(tmp_path / "seven.mm")
+    write_mm(a, path)
+    back = read_mm(spark, path)
+    got = sorted((r["src"], r["dst"], r["w"]) for r in back.collect())
+    assert got == sorted(SEVENVERTEX)
+
+
+def test_mm_symmetric_banner(spark, tmp_path):
+    p = str(tmp_path / "sym.mtx")
+    with open(p, "w") as f:
+        f.write(
+            "%%MatrixMarket matrix coordinate real symmetric\n"
+            "% comment line\n"
+            "3 3 3\n"
+            "1 1 5.0\n"
+            "2 1 1.5\n"
+            "3 2 2.5\n"
+        )
+    m = read_mm(spark, p)
+    got = sorted((r["src"], r["dst"], r["w"]) for r in m.collect())
+    assert got == [
+        (0, 0, 5.0), (0, 1, 1.5), (1, 0, 1.5), (1, 2, 2.5), (2, 1, 2.5),
+    ]
+
+
+def test_mm_pattern_banner(spark, tmp_path):
+    p = str(tmp_path / "pat.mtx")
+    with open(p, "w") as f:
+        f.write(
+            "%%MatrixMarket matrix coordinate pattern general\n"
+            "2 2 2\n"
+            "1 2\n"
+            "2 1\n"
+        )
+    m = read_mm(spark, p)
+    got = sorted((r["src"], r["dst"], r["w"]) for r in m.collect())
+    assert got == [(0, 1, 1.0), (1, 0, 1.0)]
+
+
+def test_windowed_counts_batch_oracle(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = windowed_event_counts(ev, window="1 hour")
+    rows = batch.collect()
+    assert len(rows) > 0
+    total = sum(r["n"] for r in rows)
+    assert total == ev.count()
+
+
+def test_windowed_counts_streaming_equals_batch(spark, tmp_path):
+    src_dir = str(tmp_path / "ev_stream")
+    os.makedirs(src_dir)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    out = windowed_event_counts(stream, window="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in windowed_event_counts(ev, window="1 hour").collect()
+    }
+    assert got == want
+
+
+def test_incremental_cc_matches_batch(spark, tmp_path):
+    edges = symmetrize(sevenvertex(spark)).select("src", "dst")
+    rows = edges.collect()
+    # three arbitrary batches
+    batches = [rows[:6], rows[6:14], rows[14:]]
+    inc = IncrementalCC(spark, str(tmp_path / "inc_cc"))
+    for i, b in enumerate(batches):
+        bdf = spark.createDataFrame(b, "src long, dst long")
+        inc.process_batch(bdf, i)
+    got = collect_vec(inc.labels())
+    full = collect_vec(cc_minlabel(spark, symmetrize(sevenvertex(spark))))
+    assert got == full
