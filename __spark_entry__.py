@@ -247,6 +247,27 @@ l{k} AS MATERIALIZED (
     return f"WITH {prefix},\n" + ",\n".join(parts) + f"\nSELECT id, val FROM l{iters}"
 
 
+def _sssp_sql(prefix: str, edges_cte: str, iters: int) -> str:
+    """Unrolled min-plus Bellman-Ford from MIN(src); sparse distance vector
+    (absent = +inf), mirrors algorithms.sssp with num_iters=iters."""
+    parts = [
+        f"d0 AS MATERIALIZED (SELECT (SELECT MIN(src) FROM {edges_cte}) AS id, CAST(0.0 AS DOUBLE) AS val)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT COALESCE(d.id, r.id) AS id,
+         CASE WHEN d.val IS NULL THEN r.mn
+              WHEN r.mn IS NULL THEN d.val
+              WHEN r.mn < d.val THEN r.mn ELSE d.val END AS val
+  FROM d{k-1} d FULL OUTER JOIN (
+    SELECT e.dst AS id, MIN(e.w + p.val) AS mn
+    FROM {edges_cte} e JOIN d{k-1} p ON e.src = p.id GROUP BY e.dst) r
+  ON d.id = r.id)"""
+        )
+    return f"WITH {prefix},\n" + ",\n".join(parts) + f"\nSELECT id, val FROM d{iters}"
+
+
 _BFS_SQL = f"""WITH RECURSIVE {PS_CTES},
 reach(id, depth) AS (
   SELECT (SELECT MIN(src) FROM edges), 0
@@ -348,6 +369,44 @@ def q_mcl_expand_nation(spark, sf):
     a = make_col_stochastic(nation_clique_graph(spark, sf))
     c = spgemm(a, a, PLUS_TIMES)
     return c.select("src", "dst", F.round(F.pow("w", F.lit(2.0)), 6).alias("w"))
+
+
+SSSP_ITERS = 15
+
+
+def q_sssp_ps(spark, sf):
+    from combblas_spark.algorithms.sssp import sssp
+
+    e = part_supplier_graph(spark, sf)
+    root = e.agg(F.min("src")).collect()[0][0]
+    return sssp(spark, e, source=int(root), num_iters=SSSP_ITERS)
+
+
+def q_masked_reduce_ps(spark, sf):
+    from combblas_spark.operators.reduce import masked_reduce
+
+    e = part_supplier_graph(spark, sf)
+    mask = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .filter((F.col("id") % 2 == 0) & (F.col("id") < 1_000_000))
+    )
+    return masked_reduce(e, mask, dim="col", add=F.sum)
+
+
+def q_ewise_union_ev(spark, sf):
+    from combblas_spark.operators.ewise import ewise_apply
+
+    a = events_digraph(spark, sf)
+    return ewise_apply(
+        a,
+        transpose(a),
+        lambda x, y: x + y,
+        allow_a_nulls=True,
+        allow_b_nulls=True,
+        a_fill=F.lit(0.0),
+        b_fill=F.lit(0.0),
+    )
 
 
 def q_subsref_ps(spark, sf):
@@ -469,6 +528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_ps": q_pagerank_ps,
         "labelprop_ps": q_labelprop_ps,
         "kselect_ps": q_kselect_ps,
+        "sssp_ps": q_sssp_ps,
+        "masked_reduce_ps": q_masked_reduce_ps,
+        "ewise_union_ev": q_ewise_union_ev,
         "prune_column_ps": q_prune_column_ps,
         "mcl_expand_nation": q_mcl_expand_nation,
         "subsref_ps": q_subsref_ps,
@@ -528,6 +590,16 @@ def oracle_sql() -> dict[str, str]:
         "bfs_ps": _BFS_SQL,
         "pagerank_ps": _pagerank_sql(PS_CTES, "edges", PR_ITERS),
         "labelprop_ps": _labelprop_sql(PS_CTES, "edges", LP_ITERS),
+        "sssp_ps": _sssp_sql(PS_CTES, "edges", SSSP_ITERS),
+        "masked_reduce_ps": f"""WITH {PS_CTES}
+            SELECT dst AS id, SUM(w) AS val FROM edges
+            WHERE src % 2 = 0 AND src < 1000000 GROUP BY dst""",
+        "ewise_union_ev": f"""WITH {EV_CTES}
+            SELECT COALESCE(a.src, b.dst) AS src,
+                   COALESCE(a.dst, b.src) AS dst,
+                   COALESCE(a.w, 0.0) + COALESCE(b.w, 0.0) AS w
+            FROM evedges a FULL OUTER JOIN evedges b
+              ON a.src = b.dst AND a.dst = b.src""",
         "kselect_ps": f"""WITH {PS_CTES}
             SELECT src, dst, w FROM (
               SELECT src, dst, w,

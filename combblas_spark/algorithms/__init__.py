@@ -3,3 +3,4 @@ from combblas_spark.algorithms.cc import cc_minlabel, cc_fastsv, canonical_label
 from combblas_spark.algorithms.bfs import bfs  # noqa: F401
 from combblas_spark.algorithms.triangles import triangle_count, triangles_per_edge  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
+from combblas_spark.algorithms.sssp import sssp  # noqa: F401

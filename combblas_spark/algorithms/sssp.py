@@ -1,0 +1,76 @@
+"""Single-source shortest paths — min-plus semiring relaxation.
+
+The reference ships the tropical semiring for exactly this
+(/root/reference/include/CombBLAS/Semirings.h:236-255 MinPlusSRing with the
+saturating `inf_plus` add, Semirings.h:40-47). The algorithm is Bellman-Ford
+as iterated SpMV: dist' = min(dist, A^T *_{min,+} dist), converging in at
+most |V| supersteps (diameter in practice).
+
+Same execution shape as the other kernels: edges cached partitioned by dst,
+distance vector broadcast per superstep, exchange-free aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from combblas_spark.core.semiring import MIN_PLUS
+from combblas_spark.operators.multiply import spmv
+from combblas_spark.operators.ewise import ewise_apply_vec
+from combblas_spark.plans.superstep import SuperstepRunner
+
+
+def sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    num_iters: Optional[int] = None,
+    max_iter: int = 10_000,
+    runner: Optional[SuperstepRunner] = None,
+    broadcast_vectors: bool = True,
+) -> DataFrame:
+    """(id, val=shortest distance) for vertices reachable from ``source``.
+
+    The distance vector is SPARSE (only reached vertices) — unreached
+    vertices are simply absent, the hypersparse +inf convention.
+    ``num_iters`` fixes the superstep count (oracle-parity mode); otherwise
+    run to fixpoint.
+    """
+    runner = runner or SuperstepRunner(spark)
+    edges = edges.select("src", "dst", "w").repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    )
+    edges.persist()
+
+    dist = spark.createDataFrame([(int(source), 0.0)], "id long, val double")
+    dist = runner.truncate(dist)
+
+    iters = num_iters if num_iters is not None else max_iter
+    for it in range(iters):
+        relax = spmv(edges, dist, MIN_PLUS, broadcast_x=broadcast_vectors)
+        new = ewise_apply_vec(
+            dist, relax, F.least, how="full",
+            x_fill=F.col("val_y"), y_fill=F.col("val_x"),
+            broadcast_y=broadcast_vectors,
+        )
+        new = runner.truncate(new)
+        if num_iters is None:
+            changed = (
+                new.alias("n")
+                .join(dist.alias("o"), on="id", how="left")
+                .filter(
+                    F.col("o.val").isNull() | (F.col("n.val") < F.col("o.val"))
+                )
+                .count()
+            )
+            dist = new
+            runner.save(it + 1, {"dist": dist}, {"changed": int(changed)})
+            if changed == 0:
+                break
+        else:
+            dist = new
+            runner.save(it + 1, {"dist": dist}, {})
+    return dist

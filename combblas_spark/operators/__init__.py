@@ -1,10 +1,17 @@
 from combblas_spark.operators.multiply import spmv, spgemm, square  # noqa: F401
 from combblas_spark.operators.ewise import (  # noqa: F401
     ewise_mult,
+    ewise_apply,
     set_difference,
     ewise_apply_vec,
 )
-from combblas_spark.operators.reduce import reduce_dim, load_imbalance  # noqa: F401
+from combblas_spark.operators.reduce import (  # noqa: F401
+    reduce_dim,
+    masked_reduce,
+    bandwidth,
+    profile,
+    load_imbalance,
+)
 from combblas_spark.operators.transform import (  # noqa: F401
     transpose,
     symmetrize,
@@ -13,7 +20,9 @@ from combblas_spark.operators.transform import (  # noqa: F401
     dimapply,
     apply_values,
     prune,
+    prune_rc,
     prune_column,
+    prune_column_by_index,
 )
 from combblas_spark.operators.kselect import kselect, prune_recovery_select  # noqa: F401
 from combblas_spark.operators.indexing import (  # noqa: F401
@@ -22,6 +31,11 @@ from combblas_spark.operators.indexing import (  # noqa: F401
     vec_gather,
     vec_assign,
     vec_set,
+    vec_sort,
+    randperm,
+    relabel_edges,
+    concatenate,
+    iota,
     invert,
     uniq,
 )

@@ -33,6 +33,35 @@ def ewise_mult(
     )
 
 
+def ewise_apply(
+    a: DataFrame,
+    b: DataFrame,
+    binop: Callable[[Column, Column], Column],
+    allow_a_nulls: bool = False,
+    allow_b_nulls: bool = False,
+    a_fill: Optional[Column] = None,
+    b_fill: Optional[Column] = None,
+) -> DataFrame:
+    """Generalized elementwise matrix combine with union/intersection-of-
+    supports semantics (ParFriends.h:2649-2697 EWiseApply): entries present
+    in only one operand survive iff the other side allows nulls, filled
+    with ``*_fill`` before ``binop``."""
+    aa = a.select("src", "dst", F.col("w").alias("w_a"))
+    bb = b.select("src", "dst", F.col("w").alias("w_b"))
+    if allow_a_nulls and allow_b_nulls:
+        how = "full"
+    elif allow_a_nulls:
+        how = "right"
+    elif allow_b_nulls:
+        how = "left"
+    else:
+        how = "inner"
+    j = aa.join(bb, on=["src", "dst"], how=how)
+    va = F.coalesce(F.col("w_a"), a_fill) if a_fill is not None else F.col("w_a")
+    vb = F.coalesce(F.col("w_b"), b_fill) if b_fill is not None else F.col("w_b")
+    return j.select("src", "dst", binop(va, vb).alias("w"))
+
+
 def set_difference(a: DataFrame, b: DataFrame) -> DataFrame:
     """A \\ B on support (ParFriends.h:2612)."""
     return a.join(b.select("src", "dst"), on=["src", "dst"], how="left_anti")

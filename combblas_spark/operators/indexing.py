@@ -116,6 +116,65 @@ def invert(
     )
 
 
+def vec_sort(vec: DataFrame) -> DataFrame:
+    """Global sort by value returning the permutation (FullyDistVec::sort,
+    FullyDistVec.cpp:747): output (id=rank, val=old id) + sorted values.
+    Spark's range-partitioned orderBy is the reference's parallel sample
+    sort (SpParHelper.cpp:103)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("val").asc(), F.col("id").asc())
+    return vec.select(
+        (F.row_number().over(w) - 1).cast("long").alias("rank"),
+        F.col("id").alias("orig_id"),
+        F.col("val"),
+    )
+
+
+def randperm(vec: DataFrame, seed: int = 42) -> DataFrame:
+    """Seeded random permutation (FullyDistVec::RandPerm, FullyDistVec.cpp:784)
+    — the reference's load-balancing relabeling (CC.cpp:166). Deterministic
+    under a fixed seed AND partitioning-independent: keys are xxhash64 of
+    the id, not rand()."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.xxhash64(F.col("id") + F.lit(seed)), F.col("id"))
+    return vec.select(
+        F.col("id"), (F.row_number().over(w) - 1).cast("long").alias("val")
+    )
+
+
+def relabel_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Apply an id->new-id mapping to both endpoints (RenameVertices,
+    DistEdgeList.cpp:364). ``mapping`` is (id, val=new id)."""
+    ms = mapping.select(F.col("id").alias("src"), F.col("val").alias("_ns"))
+    md = mapping.select(F.col("id").alias("dst"), F.col("val").alias("_nd"))
+    return (
+        edges.join(ms, on="src")
+        .join(md, on="dst")
+        .select(F.col("_ns").alias("src"), F.col("_nd").alias("dst"), F.col("w"))
+    )
+
+
+def concatenate(vecs: list[DataFrame]) -> DataFrame:
+    """Stack vectors with offset ids (Concatenate, ParFriends.h:60). Lengths
+    are computed once on the driver (vector counts are cheap scalars)."""
+    out = None
+    offset = 0
+    for v in vecs:
+        shifted = v.select((F.col("id") + F.lit(offset)).alias("id"), F.col("val"))
+        out = shifted if out is None else out.unionByName(shifted)
+        offset += v.count()
+    return out
+
+
+def iota(spark, n: int, start: int = 0) -> DataFrame:
+    """Dense consecutive-int vector (FullyDistVec::iota)."""
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") + F.lit(start)).alias("val")
+    )
+
+
 def uniq(vec: DataFrame, dedup: Callable[[Column], Column] = F.min) -> DataFrame:
     """Deduplicate values keeping dedup(index) (FullyDistSpVec::Uniq)."""
     return (

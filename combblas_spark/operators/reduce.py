@@ -30,6 +30,40 @@ def reduce_dim(
     return edges.groupBy(F.col(key).alias("id")).agg(add(v).alias("val"))
 
 
+def masked_reduce(
+    edges: DataFrame,
+    mask: DataFrame,
+    dim: str = "col",
+    add: Callable[[Column], Column] = F.sum,
+    unop: Optional[Callable[[Column], Column]] = None,
+    exclude: bool = False,
+) -> DataFrame:
+    """Column/row reduce restricted to masked rows (SpParMat::MaskedReduce,
+    SpParMat.cpp:1847-1990). ``mask`` is a vertex set (id); ``exclude``
+    flips to the complement — semi vs anti join, then the same groupBy."""
+    other = "src" if dim == "col" else "dst"
+    how = "left_anti" if exclude else "leftsemi"
+    m = mask.select(F.col("id").alias(other))
+    return reduce_dim(edges.join(m, on=other, how=how), dim, add, unop)
+
+
+def bandwidth(edges: DataFrame) -> int:
+    """max |src - dst| over nonzeros (SpParMat::Bandwidth, SpParMat.cpp:1742)."""
+    row = edges.agg(F.max(F.abs(F.col("src") - F.col("dst"))).alias("b")).collect()[0]
+    return int(row["b"] or 0)
+
+
+def profile(edges: DataFrame) -> int:
+    """sum over rows of (row max col - row min col) — SpParMat::Profile."""
+    row = (
+        edges.groupBy("src")
+        .agg((F.max("dst") - F.min("dst")).alias("spread"))
+        .agg(F.sum("spread").alias("p"))
+        .collect()[0]
+    )
+    return int(row["p"] or 0)
+
+
 def load_imbalance(df: DataFrame) -> float:
     """max(partition rows) / mean(partition rows) — the reference's
     LoadImbalance metric (SpParMat.cpp:761), our per-partition skew probe."""

@@ -90,6 +90,29 @@ def prune(edges: DataFrame, pred: Column) -> DataFrame:
     return edges.filter(~pred)
 
 
+def prune_rc(
+    edges: DataFrame, ri: DataFrame, ci: DataFrame, full: bool = False
+) -> DataFrame:
+    """Drop entries with row in ri AND col in ci (SpParMat::Prune(ri,ci),
+    SpParMat.cpp:2484); ``full=True`` drops row in ri OR col in ci
+    (PruneFull, SpParMat.cpp:2533). ``ri``/``ci`` are vertex sets (id)."""
+    r = ri.select(F.col("id").alias("src"))
+    c = ci.select(F.col("id").alias("dst"))
+    if full:
+        return edges.join(r, on="src", how="left_anti").join(
+            c, on="dst", how="left_anti"
+        )
+    # in-both is the intersection: remove rows matching r AND c
+    hit = edges.join(r, on="src", how="leftsemi").join(c, on="dst", how="leftsemi")
+    return edges.join(hit.select("src", "dst"), on=["src", "dst"], how="left_anti")
+
+
+def prune_column_by_index(edges: DataFrame, ci: DataFrame) -> DataFrame:
+    """Drop whole columns listed in ci (SpParMat::PruneColumnByIndex,
+    SpParMat.cpp:2660)."""
+    return edges.join(ci.select(F.col("id").alias("dst")), on="dst", how="left_anti")
+
+
 def prune_column(
     edges: DataFrame,
     thresholds: DataFrame,
