@@ -338,6 +338,53 @@ def q_cc_ps(spark, sf):
     return cc_minlabel(spark, part_supplier_graph(spark, sf), max_iter=CC_ORACLE_ITERS)
 
 
+def q_cc_fastsv_ps(spark, sf):
+    """Cross-implementation check (MultTest.cpp:162-239 pattern): FastSV
+    hook/shortcut must equal min-label propagation — same oracle SQL."""
+    from combblas_spark.algorithms.cc import cc_fastsv, canonical_labels
+
+    return canonical_labels(cc_fastsv(spark, part_supplier_graph(spark, sf)))
+
+
+def q_triangles_ev(spark, sf):
+    e = symmetrize_ev(spark, sf)
+    return triangles_per_edge(e).agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_triangles")
+    )
+
+
+def symmetrize_ev(spark, sf):
+    from combblas_spark.operators.transform import symmetrize as _sym
+
+    return _sym(events_digraph(spark, sf))
+
+
+def q_mcl_nation(spark, sf):
+    """Full MCL loop on the nation cliques — rows-only check (the iterative
+    expand/inflate/prune loop is not finitely SQL-expressible); exactness is
+    covered by tests/test_algorithms.py::test_mcl_two_cliques."""
+    from combblas_spark.algorithms.labelprop import mcl
+
+    return mcl(spark, nation_clique_graph(spark, sf), inflation=2.0, max_iter=20)
+
+
+def q_simhash_docs(spark, sf):
+    """SimHash signatures — rows-only (xxhash64 is Spark-specific)."""
+    from combblas_spark.functions.dedup import simhash
+
+    return simhash(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
+def q_corpus_edges(spark, sf):
+    """Co-occurrence clique projection over the documents-as-corpus with
+    dense vertex ids (the ReadGeneralizedTuples + DistEdgeList build)."""
+    from combblas_spark.sources.corpus import build_edges_cooccurrence
+
+    files = _docs_as_corpus(spark, sf)
+    verts = build_vertices(files, dense=True)
+    return build_edges_cooccurrence(files, verts, all_pairs_max=1000)
+
+
 def q_bfs_ps(spark, sf):
     e = part_supplier_graph(spark, sf)
     root = e.agg(F.min("src")).collect()[0][0]
@@ -524,6 +571,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_nation": q_triangles_nation,
         "cc_star": q_cc_star,
         "cc_ps": q_cc_ps,
+        "cc_fastsv_ps": q_cc_fastsv_ps,
+        "triangles_ev": q_triangles_ev,
+        "mcl_nation": q_mcl_nation,
+        "simhash_docs": q_simhash_docs,
+        "corpus_edges": q_corpus_edges,
         "bfs_ps": q_bfs_ps,
         "pagerank_ps": q_pagerank_ps,
         "labelprop_ps": q_labelprop_ps,
@@ -587,6 +639,39 @@ def oracle_sql() -> dict[str, str]:
                      JOIN L c ON c.src = a.src AND c.dst = b.dst""",
         "cc_star": _minlabel_sql(STAR_CTES, "sedges", 6),
         "cc_ps": _minlabel_sql(PS_CTES, "edges", CC_ORACLE_ITERS),
+        "cc_fastsv_ps": _minlabel_sql(PS_CTES, "edges", CC_ORACLE_ITERS),
+        "triangles_ev": f"""WITH {EV_CTES},
+            sym AS MATERIALIZED (
+              SELECT src, dst, SUM(w) AS w FROM (
+                SELECT src, dst, w FROM evedges
+                UNION ALL
+                SELECT dst AS src, src AS dst, w FROM evedges
+              ) u GROUP BY src, dst),
+            L AS MATERIALIZED (
+              SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+              FROM sym WHERE src <> dst)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM L a JOIN L b ON a.dst = b.src
+                     JOIN L c ON c.src = a.src AND c.dst = b.dst""",
+        "corpus_edges": """
+            WITH base AS (
+              SELECT source || '/' || CAST(doc_id AS VARCHAR) AS key, source
+              FROM documents),
+            v AS MATERIALIZED (
+              SELECT CAST(ROW_NUMBER() OVER (ORDER BY key) - 1 AS BIGINT) AS id,
+                     key, source
+              FROM base),
+            pairs AS (
+              SELECT a.id AS src, b.id AS dst
+              FROM v a JOIN v b ON a.source = b.source AND a.id < b.id),
+            ded AS MATERIALIZED (
+              SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+              FROM pairs GROUP BY src, dst)
+            SELECT src, dst, SUM(w) AS w FROM (
+              SELECT src, dst, w FROM ded
+              UNION ALL
+              SELECT dst AS src, src AS dst, w FROM ded
+            ) u GROUP BY src, dst""",
         "bfs_ps": _BFS_SQL,
         "pagerank_ps": _pagerank_sql(PS_CTES, "edges", PR_ITERS),
         "labelprop_ps": _labelprop_sql(PS_CTES, "edges", LP_ITERS),

@@ -47,13 +47,26 @@ def cc_minlabel(
     runner: Optional[SuperstepRunner] = None,
     vertices: Optional[DataFrame] = None,
     broadcast_vectors: bool = True,
+    check_every: int = 1,
 ) -> DataFrame:
-    """(id, val) with val = min vertex id in the component (canonical)."""
+    """(id, val) with val = min vertex id in the component (canonical).
+
+    Runs on A + I (AddLoops, SpParMat.cpp:3290): the diagonal carries each
+    vertex's own label through the min, so a superstep is a SINGLE
+    SpMV<Select2ndMin> — one job, no separate self-compare join.
+    Convergence (changed == 0) is checked every ``check_every`` supersteps.
+    """
     runner = runner or SuperstepRunner(spark)
     verts = (vertices or _vertices(edges)).select("id")
-    # edges laid out by join key once; supersteps move only the label vector
-    edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "dst"
+    # A + I, laid out by the aggregation key once; supersteps move only the
+    # label vector
+    diag = verts.select(
+        F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(1.0).alias("w")
+    )
+    edges = (
+        edges.select("src", "dst", F.col("w").cast("double"))
+        .unionByName(diag)
+        .repartition(spark.sparkContext.defaultParallelism, "dst")
     )
     edges.persist()
 
@@ -66,20 +79,22 @@ def cc_minlabel(
     labels = runner.truncate(labels)
 
     for it in range(start, max_iter):
-        nbr_min = spmv(edges, labels, SELECT2ND_MIN, broadcast_x=broadcast_vectors)
-        new_labels = ewise_apply_vec(
-            labels, nbr_min, lambda a, b: F.least(a, b), how="left",
-            y_fill=F.col("val_x"), broadcast_y=broadcast_vectors,
+        new_labels = runner.truncate(
+            spmv(edges, labels, SELECT2ND_MIN, broadcast_x=broadcast_vectors)
         )
-        new_labels = runner.truncate(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(F.broadcast(labels.alias("o")) if broadcast_vectors else labels.alias("o"), on="id")
-            .filter(F.col("n.val") != F.col("o.val"))
-            .count()
-        )
+        changed = None
+        if (it + 1) % check_every == 0 or it + 1 == max_iter:
+            changed = (
+                new_labels.alias("n")
+                .join(
+                    F.broadcast(labels.alias("o")) if broadcast_vectors else labels.alias("o"),
+                    on="id",
+                )
+                .filter(F.col("n.val") != F.col("o.val"))
+                .count()
+            )
         labels = new_labels
-        runner.save(it + 1, {"labels": labels}, {"changed": int(changed)})
+        runner.save(it + 1, {"labels": labels}, {"changed": changed})
         if changed == 0:
             break
     return labels

@@ -34,6 +34,10 @@ from combblas_spark.operators.indexing import (  # noqa: F401
     vec_sort,
     randperm,
     relabel_edges,
+    permute_edges,
+    vec_min_element,
+    induced_subgraphs,
+    block_split,
     concatenate,
     iota,
     invert,

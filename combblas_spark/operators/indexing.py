@@ -156,6 +156,60 @@ def relabel_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
+def permute_edges(edges: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic random shuffle of edge placement (PermEdges,
+    DistEdgeList.cpp:294 — destroys generator locality). Spark reading:
+    repartition by a seeded hash of the edge, which is exactly the load
+    purpose the reference uses it for."""
+    p = edges.sparkSession.sparkContext.defaultParallelism
+    return edges.repartition(
+        p, F.xxhash64(F.col("src"), F.col("dst"), F.lit(seed))
+    )
+
+
+def vec_min_element(vec: DataFrame) -> tuple[int, float]:
+    """(argmin, min) — FullyDistVec::MinElement (FullyDistVec.cpp:138)."""
+    row = vec.orderBy(F.col("val").asc(), F.col("id").asc()).limit(1).collect()[0]
+    return int(row["id"]), row["val"]
+
+
+def induced_subgraphs(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Edges whose endpoints share a cluster, tagged + partitioned by that
+    cluster (SpParMat::InducedSubgraphs2Procs, SpParMat.cpp:4920: route each
+    cluster's induced subgraph to one process). Downstream per-cluster
+    kernels use groupBy('cluster').applyInPandas on the result."""
+    a_s = assignment.select(F.col("id").alias("src"), F.col("val").alias("_cs"))
+    a_d = assignment.select(F.col("id").alias("dst"), F.col("val").alias("_cd"))
+    p = edges.sparkSession.sparkContext.defaultParallelism
+    return (
+        edges.join(a_s, on="src")
+        .join(a_d, on="dst")
+        .filter(F.col("_cs") == F.col("_cd"))
+        .select("src", "dst", "w", F.col("_cs").alias("cluster"))
+        .repartition(p, "cluster")
+    )
+
+
+def block_split(edges: DataFrame, br: int, bc: int, n: int) -> list[list[DataFrame]]:
+    """Split an n x n matrix into br x bc sub-DataFrames by index range
+    (SpParMat::BlockSplit, SpParMat.cpp:2985). Each block is a filter over
+    the same cached parent — no data movement until a block is used."""
+    rstep = (n + br - 1) // br
+    cstep = (n + bc - 1) // bc
+    out = []
+    for i in range(br):
+        row = []
+        for j in range(bc):
+            row.append(
+                edges.filter(
+                    (F.col("src") >= i * rstep) & (F.col("src") < (i + 1) * rstep)
+                    & (F.col("dst") >= j * cstep) & (F.col("dst") < (j + 1) * cstep)
+                )
+            )
+        out.append(row)
+    return out
+
+
 def concatenate(vecs: list[DataFrame]) -> DataFrame:
     """Stack vectors with offset ids (Concatenate, ParFriends.h:60). Lengths
     are computed once on the driver (vector counts are cheap scalars)."""

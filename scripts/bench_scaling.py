@@ -53,57 +53,64 @@ def prepare_edges(spark: SparkSession, scale: int, path: str) -> None:
     edges.write.mode("overwrite").parquet(path)
 
 
-def run_supersteps(spark: SparkSession, path: str, iters: int) -> dict:
-    """Timed full-matrix supersteps: one PageRank-style plus-times SpMV and
-    one CC-style min SpMV per iteration (each touches every edge once — the
-    TEPS convention of TopDownBFS.cpp:465 adapted to full-matrix iterations).
+def run_kernel(spark: SparkSession, path: str, iters: int, kernel: str) -> dict:
+    """Timed full-matrix supersteps for one kernel ('pr' or 'cc'): each
+    superstep touches every edge once — the TEPS convention of
+    TopDownBFS.cpp:465 adapted to full-matrix iterations. One kernel per
+    session so exactly ONE cached edge table holds the executor memory.
     """
     from combblas_spark.core.semiring import PLUS_TIMES, SELECT2ND_MIN
     from combblas_spark.operators.multiply import spmv
     from combblas_spark.operators.reduce import reduce_dim
     from combblas_spark.operators.transform import dimapply
 
+    p = spark.sparkContext.defaultParallelism
     edges = spark.read.parquet(path)
-    edges = edges.repartition(spark.sparkContext.defaultParallelism, "dst").persist()
-    nnz = edges.count()
-
-    outdeg = reduce_dim(edges, "row", F.sum)
-    e_norm = dimapply(edges, outdeg, dim="row", binop=lambda w, d: w / d).persist()
-    e_norm.count()
-
     verts = edges.select(F.col("src").alias("id")).distinct().persist()
     n = verts.count()
 
-    ranks = verts.select("id", F.lit(1.0 / n).alias("val")).localCheckpoint()
-    labels = verts.select("id", F.col("id").alias("val")).localCheckpoint()
+    if kernel == "pr":
+        outdeg = reduce_dim(edges, "row", F.sum)
+        table = dimapply(edges, outdeg, dim="row", binop=lambda w, d: w / d)
+        vec = verts.select("id", F.lit(1.0 / n).alias("val"))
+        sr = PLUS_TIMES
+    else:
+        # CC on A + I (AddLoops, SpParMat.cpp:3290): the diagonal carries
+        # each vertex's own label through the min -> single-SpMV superstep
+        diag = verts.select(
+            F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(1.0).alias("w")
+        )
+        table = edges.unionByName(diag)
+        vec = verts.select("id", F.col("id").cast("double").alias("val"))
+        sr = SELECT2ND_MIN
 
-    pr_times, cc_times = [], []
+    table = table.repartition(p, "dst").persist()
+    nnz = table.count()
+    x = vec.localCheckpoint()
+
+    times = []
     for _ in range(iters):
         t0 = time.time()
-        # vector broadcast per superstep; the edge table never re-shuffles
-        ranks = spmv(e_norm, ranks, PLUS_TIMES, broadcast_x=True).localCheckpoint()
-        pr_times.append(time.time() - t0)
-        t0 = time.time()
-        nbr = spmv(edges, labels, SELECT2ND_MIN, broadcast_x=True)
-        labels = (
-            labels.alias("o")
-            .join(F.broadcast(nbr.alias("nb")), on="id", how="left")
-            .select("id", F.least(F.col("o.val"), F.coalesce(F.col("nb.val"), F.col("o.val"))).alias("val"))
-            .localCheckpoint()
-        )
-        cc_times.append(time.time() - t0)
+        x = spmv(table, x, sr, broadcast_x=True).localCheckpoint()
+        times.append(time.time() - t0)
 
-    # drop the first (JIT/cache warmup) iteration from the rate
-    pr = pr_times[1:] or pr_times
-    cc = cc_times[1:] or cc_times
-    return {
-        "nnz": nnz,
-        "n_vertices": n,
-        "pr_sec_per_iter": sum(pr) / len(pr),
-        "cc_sec_per_iter": sum(cc) / len(cc),
-        "pr_gteps": nnz / (sum(pr) / len(pr)) / 1e9,
-        "cc_gteps": nnz / (sum(cc) / len(cc)) / 1e9,
-    }
+    ts = times[1:] or times  # drop JIT/cache warmup iteration
+    sec = sum(ts) / len(ts)
+    return {"nnz": nnz, "n_vertices": n, "sec_per_iter": sec, "gteps": nnz / sec / 1e9}
+
+
+def run_supersteps(build, path: str, iters: int) -> dict:
+    out = {}
+    for kernel in ("pr", "cc"):
+        spark = build()
+        spark.sparkContext.setLogLevel("ERROR")
+        r = run_kernel(spark, path, iters, kernel)
+        spark.stop()
+        out["nnz"] = r["nnz"]
+        out["n_vertices"] = r["n_vertices"]
+        out[f"{kernel}_sec_per_iter"] = r["sec_per_iter"]
+        out[f"{kernel}_gteps"] = r["gteps"]
+    return out
 
 
 def main():
@@ -117,14 +124,21 @@ def main():
     args = ap.parse_args()
 
     path = f"{args.edges_dir}/scale{args.scale}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # Kernel-1 (graph construction) is NOT part of the measured scaling
+        # protocol — build it once with the full machine.
+        gen = build_session(32, shuffle_parts=128, mem=args.mem)
+        gen.sparkContext.setLogLevel("ERROR")
+        prepare_edges(gen, args.scale, path)
+        gen.stop()
     results = {}
     for cores in args.cores:
-        spark = build_session(cores, shuffle_parts=cores * 4, mem=args.mem)
-        spark.sparkContext.setLogLevel("ERROR")
-        prepare_edges(spark, args.scale, path)
-        results[cores] = run_supersteps(spark, path, args.iters)
+        results[cores] = run_supersteps(
+            lambda c=cores: build_session(c, shuffle_parts=c * 4, mem=args.mem),
+            path,
+            args.iters,
+        )
         print(f"cores={cores}: {json.dumps(results[cores])}", file=sys.stderr)
-        spark.stop()
 
     lo, hi = args.cores
     ratio = hi / lo
