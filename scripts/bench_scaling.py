@@ -94,9 +94,15 @@ def run_kernel(spark: SparkSession, path: str, iters: int, kernel: str) -> dict:
         x = spmv(table, x, sr, broadcast_x=True).localCheckpoint()
         times.append(time.time() - t0)
 
-    ts = times[1:] or times  # drop JIT/cache warmup iteration
-    sec = sum(ts) / len(ts)
-    return {"nnz": nnz, "n_vertices": n, "sec_per_iter": sec, "gteps": nnz / sec / 1e9}
+    ts = sorted(times[1:] or times)  # drop JIT/cache warmup iteration
+    sec = ts[len(ts) // 2]  # median — superstep times are noisy in local mode
+    return {
+        "nnz": nnz,
+        "n_vertices": n,
+        "sec_per_iter": sec,
+        "gteps": nnz / sec / 1e9,
+        "iters_sec": [round(t, 2) for t in times],
+    }
 
 
 def run_supersteps(build, path: str, iters: int) -> dict:
