@@ -62,7 +62,10 @@ from combblas_spark.functions.dedup import (
     lsh_candidate_pairs,
     jaccard_pairs,
 )
-from combblas_spark.functions.similarity import cosine_topk, with_norm
+from combblas_spark.functions.similarity import cosine_topk, with_norm, _planes
+
+# seeded hyperplanes shared between the Spark ANN query and its SQL oracle
+_ANN_PLANES = _planes(dim=64, n_planes=8, seed=42)
 
 # --------------------------------------------------------------------------
 # shared oracle CTEs (DuckDB) — must mirror combblas_spark.sources.graphs
@@ -268,15 +271,174 @@ def _sssp_sql(prefix: str, edges_cte: str, iters: int) -> str:
     return f"WITH {prefix},\n" + ",\n".join(parts) + f"\nSELECT id, val FROM d{iters}"
 
 
+BFS_DEPTH = 24  # shared Spark/oracle bound: both sides cap at the SAME depth
+
 _BFS_SQL = f"""WITH RECURSIVE {PS_CTES},
 reach(id, depth) AS (
   SELECT (SELECT MIN(src) FROM edges), 0
   UNION
   SELECT e.dst, r.depth + 1
   FROM reach r JOIN edges e ON e.src = r.id
-  WHERE r.depth < 24
+  WHERE r.depth < {BFS_DEPTH}
 )
 SELECT id, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY id"""
+
+
+def _betweenness_sql(prefix: str, edges_cte: str, depth: int, n_sources: int) -> str:
+    """Unrolled batched Brandes (forward levels f{k}, backward del{k});
+    sources = the n_sources smallest src ids. Run it on TREE graphs (star
+    forest): sigma == 1 and integer deltas make the arithmetic exact in
+    doubles, so both engines hash identically (general-graph numerics are
+    covered by pytest vs a pure-python Brandes oracle)."""
+    parts = [
+        f"srcs AS MATERIALIZED (SELECT src AS s FROM ("
+        f"SELECT DISTINCT src FROM {edges_cte} ORDER BY src LIMIT {n_sources}))",
+        "f0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS DOUBLE) AS sigma FROM srcs)",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for k in range(1, depth + 1):
+        parts.append(f"""f{k} AS MATERIALIZED (
+  SELECT x.s, x.v, SUM(x.sigma) AS sigma FROM (
+    SELECT f.s, e.dst AS v, f.sigma FROM f{k-1} f JOIN {edges_cte} e ON e.src = f.v) x
+  WHERE NOT EXISTS (SELECT 1 FROM vis{k-1} t WHERE t.s = x.s AND t.v = x.v)
+  GROUP BY x.s, x.v)""")
+        parts.append(
+            f"vis{k} AS MATERIALIZED (SELECT s, v FROM vis{k-1} UNION ALL SELECT s, v FROM f{k})"
+        )
+    parts.append(
+        f"del{depth} AS MATERIALIZED (SELECT s, v, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f{depth})"
+    )
+    for d in range(depth - 1, 0, -1):
+        parts.append(f"""del{d} AS MATERIALIZED (
+  SELECT f.s, f.v, f.sigma, COALESCE(x.dl, 0.0) AS delta
+  FROM f{d} f LEFT JOIN (
+    SELECT f2.s, f2.v, SUM(f2.sigma / g.sigma * (1.0 + g.delta)) AS dl
+    FROM f{d} f2 JOIN {edges_cte} e ON e.src = f2.v
+                 JOIN del{d+1} g ON g.s = f2.s AND g.v = e.dst
+    GROUP BY f2.s, f2.v) x ON x.s = f.s AND x.v = f.v)""")
+    unions = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM del{d}" for d in range(1, depth + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {prefix},
+{body},
+alld AS ({unions}),
+bverts AS (SELECT DISTINCT src AS id FROM {edges_cte}),
+bcv AS (SELECT v AS id, SUM(delta) AS bc FROM alld WHERE v <> s GROUP BY v)
+SELECT v.id, ROUND(COALESCE(b.bc, 0.0), 6) AS bc
+FROM bverts v LEFT JOIN bcv b ON v.id = b.id"""
+
+
+def _mis_sql(prefix: str, edges_cte: str, rounds: int, seed: int) -> str:
+    """Unrolled Luby MIS with the md5-60bit priority (dedup.md5_60bit) —
+    replays algorithms.mis.mis_luby round-for-round. Requires a symmetric,
+    loop-free edge table."""
+    parts = [
+        f"""c0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM {edges_cte}
+  UNION SELECT DISTINCT dst FROM {edges_cte})"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""pr{r} AS MATERIALIZED (
+  SELECT id, CAST(('0x' || substr(md5('{seed}|{r}|' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+  FROM c{r})""")
+        parts.append(f"""nb{r} AS (
+  SELECT e.dst AS id, MIN(p.p) AS mn
+  FROM {edges_cte} e JOIN pr{r} p ON e.src = p.id JOIN pr{r} q ON e.dst = q.id
+  GROUP BY e.dst)""")
+        parts.append(f"""win{r} AS MATERIALIZED (
+  SELECT p.id FROM pr{r} p LEFT JOIN nb{r} n ON p.id = n.id
+  WHERE n.mn IS NULL OR p.p < n.mn)""")
+        parts.append(f"""c{r+1} AS MATERIALIZED (
+  SELECT id FROM c{r}
+  WHERE id NOT IN (SELECT id FROM win{r})
+    AND id NOT IN (SELECT e.dst FROM {edges_cte} e JOIN win{r} w ON e.src = w.id))""")
+    wins = " UNION ".join(f"SELECT id FROM win{r}" for r in range(rounds))
+    body = ",\n".join(parts)
+    return f"""WITH {prefix},
+{body},
+allw AS ({wins})
+SELECT c0.id, CAST(CASE WHEN allw.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_mis
+FROM c0 LEFT JOIN allw ON c0.id = allw.id"""
+
+
+def _matching_sql(prefix: str, edges_cte: str, rounds: int) -> str:
+    """Unrolled greedy bipartite maximal matching (BPMaximalMatching.h
+    analog): per round each src proposes to MIN(dst), each dst accepts
+    MIN(src), matched endpoints drop out."""
+    parts = [f"a0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_cte})"]
+    for r in range(rounds):
+        parts.append(
+            f"prop{r} AS (SELECT src, MIN(dst) AS dst FROM a{r} GROUP BY src)"
+        )
+        parts.append(
+            f"acc{r} AS MATERIALIZED (SELECT MIN(src) AS src, dst FROM prop{r} GROUP BY dst)"
+        )
+        parts.append(f"""a{r+1} AS MATERIALIZED (
+  SELECT src, dst FROM a{r}
+  WHERE src NOT IN (SELECT src FROM acc{r})
+    AND dst NOT IN (SELECT dst FROM acc{r}))""")
+    acc = " UNION ALL ".join(f"SELECT src, dst FROM acc{r}" for r in range(rounds))
+    body = ",\n".join(parts)
+    return f"WITH {prefix},\n{body}\nSELECT src, dst FROM ({acc}) m"""
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    """Bit-majority simhash over md5-60bit token hashes — exact integer
+    aggregates, byte-identical to functions.dedup.simhash."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        )
+    sig = "\n         + ".join(terms)
+    return f"""WITH th AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents) t)
+SELECT id, ({sig}) AS simhash
+FROM th GROUP BY id"""
+
+
+def _ann_sql(planes: list[list[float]], k: int = 5, max_bucket: int = 10_000) -> str:
+    """Random-hyperplane LSH ANN replay: the seeded planes are injected as
+    float literals (repr round-trips to the identical double), the bucket is
+    the packed sign pattern, candidates are same-bucket pairs under the
+    ``max_bucket`` cap — mirrors functions.similarity.lsh_ann_topk."""
+    dim = len(planes[0])
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        dot = (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), 'sum')"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    bucket = "\n       + ".join(bits)
+    return f"""WITH b AS MATERIALIZED (
+  SELECT vec_id AS id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         ({bucket}) AS bucket
+  FROM embeddings),
+capped AS MATERIALIZED (
+  SELECT b.* FROM b JOIN (
+    SELECT bucket, COUNT(*) AS bsz FROM b GROUP BY bucket) s ON b.bucket = s.bucket
+  WHERE s.bsz <= {max_bucket}),
+scored AS (
+  SELECT q.id AS query_id, e.id AS neighbor_id,
+         list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+         / (q.nrm * e.nrm) AS cos
+  FROM capped q JOIN capped e ON q.bucket = e.bucket AND e.id <> q.id)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored) x
+WHERE rn <= {k}"""
 
 
 # --------------------------------------------------------------------------
@@ -286,6 +448,11 @@ SELECT id, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY id"""
 PR_ITERS = 10
 CC_ORACLE_ITERS = 24
 LP_ITERS = 3
+BC_DEPTH = 8       # betweenness level cap, shared Spark/oracle
+BC_SOURCES = 4     # batch = the 4 smallest src ids
+MIS_ROUNDS = 6     # Luby rounds, shared (converges in <= 4 on these graphs)
+MIS_SEED = 42
+MATCH_ROUNDS = 6   # greedy matching proposal rounds, shared
 
 
 def _x_mod97(edges: DataFrame) -> DataFrame:
@@ -369,7 +536,8 @@ def q_mcl_nation(spark, sf):
 
 
 def q_simhash_docs(spark, sf):
-    """SimHash signatures — rows-only (xxhash64 is Spark-specific)."""
+    """SimHash signatures over md5-60bit token hashes — fully oracled (the
+    round-1 xxhash64 version was Spark-only and stuck at rows-only)."""
     from combblas_spark.functions.dedup import simhash
 
     return simhash(spark.read.parquet(f"{sf}/documents.parquet"))
@@ -388,7 +556,62 @@ def q_corpus_edges(spark, sf):
 def q_bfs_ps(spark, sf):
     e = part_supplier_graph(spark, sf)
     root = e.agg(F.min("src")).collect()[0][0]
-    return bfs(spark, e, root=int(root)).select("id", F.col("depth").cast("long").alias("depth"))
+    # cap the Spark side with the SAME bound the recursive-CTE oracle uses
+    return bfs(spark, e, root=int(root), max_iter=BFS_DEPTH).select(
+        "id", F.col("depth").cast("long").alias("depth")
+    )
+
+
+def q_betwcent_star(spark, sf):
+    """Batched-BFS Brandes on the nation-star forest (BetwCent.cpp analog).
+    Trees -> sigma == 1 and integer dependencies, so the oracle hashes
+    byte-identically; general-graph numerics live in pytest vs Brandes."""
+    from combblas_spark.algorithms import betweenness
+
+    e = nation_star_graph(spark, sf)
+    sources = (
+        e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(BC_SOURCES)
+    )
+    out = betweenness(spark, e, sources, max_depth=BC_DEPTH)
+    return out.select("id", F.round("bc", 6).alias("bc"))
+
+
+def q_mis_ps(spark, sf):
+    """Luby MIS (FilteredMIS.cpp analog) with md5-60bit priorities."""
+    from combblas_spark.algorithms import mis_luby
+
+    e = part_supplier_graph(spark, sf)
+    out = mis_luby(spark, e, seed=MIS_SEED, max_rounds=MIS_ROUNDS)
+    return out.select("id", F.col("in_mis").cast("long").alias("in_mis"))
+
+
+def q_matching_ps(spark, sf):
+    """Greedy bipartite maximal matching (BPMaximalMatching.h analog) on the
+    DIRECTED part->supplier table (pre-symmetrization)."""
+    from combblas_spark.algorithms import maximal_matching
+    from combblas_spark.sources.graphs import build_graph, SUPPLIER_OFFSET
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pairs = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+    )
+    e = build_graph(pairs, sym=False)
+    return maximal_matching(spark, e, max_rounds=MATCH_ROUNDS)
+
+
+def q_ann_topk(spark, sf):
+    """Bucketed (capped) random-hyperplane ANN — the scale path for
+    similarity search; the brute-force cosine_topk stays as the rerank
+    baseline."""
+    from combblas_spark.functions.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = lsh_ann_topk(emb, k=5, n_planes=8, seed=42, dim=64, max_bucket=10_000)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_pagerank_ps(spark, sf):
@@ -600,6 +823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "embed_norms": q_embed_norms,
+        "betwcent_star": q_betwcent_star,
+        "mis_ps": q_mis_ps,
+        "matching_ps": q_matching_ps,
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -785,4 +1012,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(list_aggregate(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS nrm
             FROM embeddings""",
+        "betwcent_star": _betweenness_sql(STAR_CTES, "sedges", BC_DEPTH, BC_SOURCES),
+        "mis_ps": _mis_sql(PS_CTES, "edges", MIS_ROUNDS, MIS_SEED),
+        "matching_ps": _matching_sql(PS_CTES, "ps_dedup", MATCH_ROUNDS),
+        "ann_topk": _ann_sql(_ANN_PLANES, k=5, max_bucket=10_000),
+        "simhash_docs": _simhash_sql(60),
     }

@@ -34,6 +34,11 @@ HEADLINE = [
     "minhash",
     "lsh_pairs",
     "cosine_topk",
+    "betwcent_star",
+    "mis_ps",
+    "matching_ps",
+    "ann_topk",
+    "simhash_docs",
 ]
 
 

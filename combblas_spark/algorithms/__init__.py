@@ -4,3 +4,8 @@ from combblas_spark.algorithms.bfs import bfs  # noqa: F401
 from combblas_spark.algorithms.triangles import triangle_count, triangles_per_edge  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
 from combblas_spark.algorithms.sssp import sssp  # noqa: F401
+from combblas_spark.algorithms.betweenness import betweenness  # noqa: F401
+from combblas_spark.algorithms.mis import mis_luby  # noqa: F401
+from combblas_spark.algorithms.matching import maximal_matching  # noqa: F401
+from combblas_spark.algorithms.filtered import filtered_bfs  # noqa: F401
+from combblas_spark.algorithms.ordering import rcm_order, pseudo_peripheral_source  # noqa: F401

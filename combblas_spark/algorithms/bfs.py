@@ -1,13 +1,25 @@
-"""Breadth-first search — frontier SpMV on the select-parent semiring.
+"""Breadth-first search — frontier SpMV with direction optimization.
 
 Reference: top-down BFS loop /root/reference/Applications/TopDownBFS.cpp:440-449:
     fringe.setNumToInd()                       -> frontier (id, val=id)
     SpMV<Select2ndMax>(A, fringe)              -> candidate parents per dst
     EWiseMult(fringe, parents, exclude=true)   -> drop already-visited
     parents.Set(fringe)                        -> scatter
-Direction-optimized variant (DirOptBFS.cpp:388-439) flips the build side
-when the frontier outgrows the unvisited set; here that is the
-``bottom_up_cutoff`` switch (same DataFrame algebra, flipped join).
+Direction-optimized variant /root/reference/Applications/DirOptBFS.cpp:388-439:
+when the frontier outgrows the unvisited remainder, flip to a bottom-up
+step — each unvisited vertex looks for ANY frontier in-neighbor. In
+DataFrame algebra the flip is which side drives the edge probe:
+
+* top-down:  edges ⋈ frontier (frontier broadcast while it is small)
+* bottom-up: edges ⋈ unvisited (unvisited is the small side by
+  construction past the peak), then the surviving candidate edges —
+  at most sum(indeg(unvisited)) rows — join the frontier. BFS invariant:
+  every visited in-neighbor of a still-unvisited vertex is at the current
+  depth, so candidates ⋈ frontier loses nothing.
+
+The O(V)-row frontier broadcast that a fixed top-down plan forces at the
+peak superstep (round-1 scale-killer) never happens: by the time the
+frontier is large, unvisited is small and the plan has flipped.
 """
 
 from __future__ import annotations
@@ -21,6 +33,10 @@ from combblas_spark.core.semiring import SELECT2ND_MIN
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.plans.superstep import SuperstepRunner
 
+#: above this many frontier rows, never force a broadcast join — fall back
+#: to a shuffle join (AQE may still broadcast from runtime stats).
+BROADCAST_MAX_ROWS = 4_000_000
+
 
 def bfs(
     spark: SparkSession,
@@ -28,47 +44,91 @@ def bfs(
     root: int,
     max_iter: int = 10_000,
     runner: Optional[SuperstepRunner] = None,
+    mode: str = "auto",
+    bottom_up_cutoff: float = 4.0,
 ) -> DataFrame:
     """Returns (id, parent, depth) for every reached vertex.
 
-    Frontier is a sparse vector (only active vertices), exactly
-    FullyDistSpVec semantics; visited-set subtraction is the
-    EWiseMult(exclude=true) anti-join.
+    ``mode``: 'auto' (direction-optimized, DirOptBFS.cpp:388-439 semantics),
+    'topdown' (TopDownBFS.cpp loop), or 'bottomup' (always flipped — test
+    hook). 'auto' flips to bottom-up when
+    ``n_frontier * bottom_up_cutoff > n_unvisited`` (the Beamer-style
+    vertex-count heuristic the reference drives with edge counts).
+    Frontier/unvisited broadcasts are size-gated, never forced at O(V).
     """
+    if mode not in ("auto", "topdown", "bottomup"):
+        raise ValueError(mode)
     runner = runner or SuperstepRunner(spark)
     edges = edges.select("src", "dst", "w").repartition(
         spark.sparkContext.defaultParallelism, "dst"
     )
     edges.persist()
-
-    visited = spark.createDataFrame(
-        [(int(root), int(root), 0)], "id long, parent long, depth int"
-    )
-    frontier = visited.select("id", F.col("id").alias("val"))
-    depth = 0
-    resumed = runner.resume() if runner.dir else None
-    if resumed is not None:
-        depth, states, _ = resumed
-        visited, frontier = states["visited"], states["frontier"]
-    visited = runner.truncate(visited)
-    frontier = runner.truncate(frontier)
-
-    while depth < max_iter:
-        # candidate (dst, min parent) from the frontier; frontier val = its
-        # id. The frontier is always a (sparse) subset of vertices — force
-        # broadcast so the persisted edge table never re-shuffles.
-        cand = spmv(edges, frontier, SELECT2ND_MIN, broadcast_x=True)
-        new = cand.join(visited.select("id"), on="id", how="left_anti")
-        new = runner.truncate(new)
-        n_new = new.count()
-        if n_new == 0:
-            break
-        depth += 1
-        visited = runner.truncate(
-            visited.unionByName(
-                new.select("id", F.col("val").alias("parent"), F.lit(depth).alias("depth"))
-            )
+    try:
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
         )
-        frontier = runner.truncate(new.select("id", F.col("id").alias("val")))
-        runner.save(depth, {"visited": visited, "frontier": frontier}, {"new": int(n_new)})
-    return visited
+
+        visited = spark.createDataFrame(
+            [(int(root), int(root), 0)], "id long, parent long, depth int"
+        )
+        frontier = visited.select("id", F.col("id").alias("val"))
+        depth = 0
+        resumed = runner.resume() if runner.dir else None
+        if resumed is not None:
+            depth, states, _ = resumed
+            visited, frontier = states["visited"], states["frontier"]
+        visited = runner.truncate(visited)
+        frontier = runner.truncate(frontier)
+        unvisited = runner.truncate(verts.join(visited.select("id"), on="id", how="left_anti"))
+        n_frontier = frontier.count()
+        n_unvisited = unvisited.count()
+
+        while depth < max_iter:
+            bottom_up = mode == "bottomup" or (
+                mode == "auto" and n_frontier * bottom_up_cutoff > n_unvisited
+            )
+            if not bottom_up:
+                # top-down: probe edges with the frontier; broadcast only
+                # while the frontier is genuinely small
+                cand = spmv(
+                    edges, frontier, SELECT2ND_MIN,
+                    broadcast_x=True if n_frontier <= BROADCAST_MAX_ROWS else None,
+                )
+                new = cand.join(visited.select("id"), on="id", how="left_anti")
+            else:
+                # bottom-up: keep only edges INTO unvisited vertices, then
+                # require the source to be on the frontier; min src = parent
+                unv = unvisited.select(F.col("id").alias("dst"))
+                if n_unvisited <= BROADCAST_MAX_ROWS:
+                    unv = F.broadcast(unv)
+                cand_e = edges.join(unv, on="dst")
+                fr = frontier.select(F.col("id").alias("src"))
+                new = (
+                    cand_e.join(fr, on="src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("src").alias("val"))
+                )
+            new = runner.truncate(new)
+            n_new = new.count()
+            if n_new == 0:
+                break
+            depth += 1
+            visited = runner.truncate(
+                visited.unionByName(
+                    new.select("id", F.col("val").alias("parent"), F.lit(depth).alias("depth"))
+                )
+            )
+            frontier = runner.truncate(new.select("id", F.col("id").alias("val")))
+            unvisited = runner.truncate(unvisited.join(new.select("id"), on="id", how="left_anti"))
+            n_frontier = n_new
+            n_unvisited -= n_new
+            runner.save(
+                depth,
+                {"visited": visited, "frontier": frontier},
+                {"new": int(n_new), "bottom_up": bool(bottom_up)},
+            )
+        return visited
+    finally:
+        edges.unpersist()

@@ -29,6 +29,7 @@ from combblas_spark.core.semiring import SELECT2ND_MIN
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.ewise import ewise_apply_vec
 from combblas_spark.operators.indexing import vec_gather, vec_assign
+from combblas_spark.plans.grid import Grid2D, spmv_grid
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
@@ -48,6 +49,8 @@ def cc_minlabel(
     vertices: Optional[DataFrame] = None,
     broadcast_vectors: bool = True,
     check_every: int = 1,
+    mode: str = "broadcast",
+    grid_shape: tuple[int, int] = (16, 4),
 ) -> DataFrame:
     """(id, val) with val = min vertex id in the component (canonical).
 
@@ -55,6 +58,8 @@ def cc_minlabel(
     vertex's own label through the min, so a superstep is a SINGLE
     SpMV<Select2ndMin> — one job, no separate self-compare join.
     Convergence (changed == 0) is checked every ``check_every`` supersteps.
+    ``mode='grid'`` uses the 2D band-grid vector exchange (plans/grid.py)
+    instead of a label-vector broadcast — the O(V)-row-vector scale path.
     """
     runner = runner or SuperstepRunner(spark)
     verts = (vertices or _vertices(edges)).select("id")
@@ -63,41 +68,50 @@ def cc_minlabel(
     diag = verts.select(
         F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(1.0).alias("w")
     )
-    edges = (
-        edges.select("src", "dst", F.col("w").cast("double"))
-        .unionByName(diag)
-        .repartition(spark.sparkContext.defaultParallelism, "dst")
-    )
+    edges = edges.select("src", "dst", F.col("w").cast("double")).unionByName(diag)
+    grid = None
+    if mode == "grid":
+        grid = Grid2D(spark, *grid_shape)
+        # select2nd ignores w — drop it from the cached layout
+        edges = grid.partition_edges(edges, with_w=False)
+    else:
+        edges = edges.repartition(spark.sparkContext.defaultParallelism, "dst")
     edges.persist()
+    try:
+        labels = verts.select("id", F.col("id").alias("val"))
+        resumed = runner.resume() if runner.dir else None
+        start = 0
+        if resumed is not None:
+            start, states, _ = resumed
+            labels = states["labels"]
+        labels = runner.truncate(labels)
 
-    labels = verts.select("id", F.col("id").alias("val"))
-    resumed = runner.resume() if runner.dir else None
-    start = 0
-    if resumed is not None:
-        start, states, _ = resumed
-        labels = states["labels"]
-    labels = runner.truncate(labels)
-
-    for it in range(start, max_iter):
-        new_labels = runner.truncate(
-            spmv(edges, labels, SELECT2ND_MIN, broadcast_x=broadcast_vectors)
-        )
-        changed = None
-        if (it + 1) % check_every == 0 or it + 1 == max_iter:
-            changed = (
-                new_labels.alias("n")
-                .join(
-                    F.broadcast(labels.alias("o")) if broadcast_vectors else labels.alias("o"),
-                    on="id",
+        for it in range(start, max_iter):
+            if grid is not None:
+                step = spmv_grid(edges, labels, grid, SELECT2ND_MIN)
+            else:
+                step = spmv(edges, labels, SELECT2ND_MIN, broadcast_x=broadcast_vectors)
+            new_labels = runner.truncate(step)
+            changed = None
+            if (it + 1) % check_every == 0 or it + 1 == max_iter:
+                changed = (
+                    new_labels.alias("n")
+                    .join(
+                        F.broadcast(labels.alias("o"))
+                        if (broadcast_vectors and grid is None)
+                        else labels.alias("o"),
+                        on="id",
+                    )
+                    .filter(F.col("n.val") != F.col("o.val"))
+                    .count()
                 )
-                .filter(F.col("n.val") != F.col("o.val"))
-                .count()
-            )
-        labels = new_labels
-        runner.save(it + 1, {"labels": labels}, {"changed": changed})
-        if changed == 0:
-            break
-    return labels
+            labels = new_labels
+            runner.save(it + 1, {"labels": labels}, {"changed": changed})
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
 
 
 def cc_fastsv(
@@ -126,7 +140,13 @@ def cc_fastsv(
         spark.sparkContext.defaultParallelism, "dst"
     )
     edges.persist()
+    try:
+        return _fastsv_loop(edges, verts, max_iter, runner, bb)
+    finally:
+        edges.unpersist()
 
+
+def _fastsv_loop(edges, verts, max_iter, runner, bb):
     f = verts.select("id", F.col("id").alias("val"))
     resumed = runner.resume() if runner.dir else None
     start = 0

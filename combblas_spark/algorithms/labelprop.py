@@ -56,36 +56,39 @@ def label_propagation(
         spark.sparkContext.defaultParallelism, "dst"
     )
     edges.persist()
-    labels = _vertices(edges).select("id", F.col("id").alias("val"))
-    labels = runner.truncate(labels)
+    try:
+        labels = _vertices(edges).select("id", F.col("id").alias("val"))
+        labels = runner.truncate(labels)
 
-    for it in range(num_iters):
-        lab = labels.select(F.col("id").alias("_lid"), F.col("val").alias("label"))
-        if broadcast_vectors:
-            lab = F.broadcast(lab)
-        scores = (
-            edges.join(lab, on=edges["src"] == lab["_lid"], how="inner")
-            .groupBy(edges["dst"].alias("id"), F.col("label"))
-            .agg(F.sum("w").alias("score"))
-        )
-        w_pick = Window.partitionBy("id").orderBy(
-            F.col("score").desc(), F.col("label").asc()
-        )
-        picked = (
-            scores.withColumn("_rn", F.row_number().over(w_pick))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("label").alias("val"))
-        )
-        # isolated / no-incoming vertices keep their label
-        if broadcast_vectors:
-            picked = F.broadcast(picked)
-        labels = runner.truncate(
-            labels.alias("o")
-            .join(picked.alias("p"), on="id", how="left")
-            .select("id", F.coalesce(F.col("p.val"), F.col("o.val")).alias("val"))
-        )
-        runner.save(it + 1, {"labels": labels}, {})
-    return labels
+        for it in range(num_iters):
+            lab = labels.select(F.col("id").alias("_lid"), F.col("val").alias("label"))
+            if broadcast_vectors:
+                lab = F.broadcast(lab)
+            scores = (
+                edges.join(lab, on=edges["src"] == lab["_lid"], how="inner")
+                .groupBy(edges["dst"].alias("id"), F.col("label"))
+                .agg(F.sum("w").alias("score"))
+            )
+            w_pick = Window.partitionBy("id").orderBy(
+                F.col("score").desc(), F.col("label").asc()
+            )
+            picked = (
+                scores.withColumn("_rn", F.row_number().over(w_pick))
+                .filter(F.col("_rn") == 1)
+                .select("id", F.col("label").alias("val"))
+            )
+            # isolated / no-incoming vertices keep their label
+            if broadcast_vectors:
+                picked = F.broadcast(picked)
+            labels = runner.truncate(
+                labels.alias("o")
+                .join(picked.alias("p"), on="id", how="left")
+                .select("id", F.coalesce(F.col("p.val"), F.col("o.val")).alias("val"))
+            )
+            runner.save(it + 1, {"labels": labels}, {})
+        return labels
+    finally:
+        edges.unpersist()
 
 
 def chaos(a: DataFrame) -> float:
@@ -132,6 +135,20 @@ def mcl(
     runner = runner or SuperstepRunner(spark)
     verts = _vertices(edges)
     verts.persist()
+    try:
+        return _mcl_loop(
+            spark, edges, verts, inflation, select_k, recover_k, hard_threshold,
+            eps, max_iter, phases, support_threshold, runner,
+        )
+    finally:
+        verts.unpersist()
+
+
+def _mcl_loop(
+    spark, edges, verts, inflation, select_k, recover_k, hard_threshold,
+    eps, max_iter, phases, support_threshold, runner,
+):
+    from combblas_spark.algorithms.cc import cc_minlabel  # cycle-free import
 
     a = symmetrize(edges.select("src", "dst", F.col("w").cast("double")))
     # AdjustLoops (MCL.cpp:462-473): set each diagonal to the column max

@@ -31,6 +31,7 @@ from combblas_spark.core.semiring import PLUS_TIMES
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.reduce import reduce_dim
 from combblas_spark.operators.transform import dimapply
+from combblas_spark.plans.grid import Grid2D, spmv_grid
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
@@ -53,8 +54,14 @@ def pagerank(
     vertices: Optional[DataFrame] = None,
     broadcast_vectors: bool = True,
     check_every: int = 1,
+    mode: str = "broadcast",
+    grid_shape: tuple[int, int] = (16, 4),
 ) -> DataFrame:
     """Returns (id, val) with val = PageRank score, sum(val) == 1.
+
+    ``mode='grid'`` switches the per-superstep vector exchange to the 2D
+    band grid (plans/grid.py) — use when the rank vector is too large to
+    broadcast; ``grid_shape=(R, C)`` sizes the grid (R*C partitions).
 
     ``num_iters`` set -> run exactly that many iterations with no
     convergence action per step (oracle-parity / benchmark mode);
@@ -66,25 +73,59 @@ def pagerank(
     runner = runner or SuperstepRunner(spark)
     verts = (vertices or _vertices(edges)).select("id")
     verts.persist()
+    try:
+        return _pagerank_loop(
+            spark, edges, verts, alpha, tol, max_iter, num_iters, runner,
+            broadcast_vectors, check_every, mode, grid_shape,
+        )
+    finally:
+        verts.unpersist()
+
+
+def _pagerank_loop(
+    spark, edges, verts, alpha, tol, max_iter, num_iters, runner,
+    broadcast_vectors, check_every, mode, grid_shape,
+):
     n = verts.count()
 
     outdeg = reduce_dim(edges, "row", F.sum)  # weighted out-degree
-    # normalize + lay the edges out by join key ONCE; every superstep then
-    # moves only the (vertex-sized) rank vector — the edge table never
-    # re-shuffles. broadcast_vectors=True replicates the vector to every
-    # task, the DataFrame analog of CombBLAS's AllGatherVector
-    # (ParFriends.h:1884); disable only if the vertex table outgrows
-    # executor memory, in which case the join falls back to shuffle.
+    # normalize + lay the edges out ONCE; every superstep then moves only
+    # the (vertex-sized) rank vector — the edge table never re-shuffles.
+    # Two vector-exchange regimes (see plans/grid.py):
+    # * 'broadcast': replicate the vector to every task, the DataFrame
+    #   analog of CombBLAS's AllGatherVector (ParFriends.h:1884). Right
+    #   while the vector is broadcast-sized; the build is driver-serial.
+    # * 'grid': 2D band grid + replicate-by-shuffle — all per-superstep
+    #   movement is parallel; the scale path for O(V)-row vectors.
     e_norm = dimapply(edges, outdeg, dim="row", binop=lambda w, d: w / d)
-    e_norm = e_norm.repartition(
-        spark.sparkContext.defaultParallelism, "dst"
-    ).persist()
+    grid = None
+    if mode == "grid":
+        grid = Grid2D(spark, *grid_shape)
+        e_norm = grid.partition_edges(e_norm).persist()
+    else:
+        e_norm = e_norm.repartition(
+            spark.sparkContext.defaultParallelism, "dst"
+        ).persist()
     e_norm.count()
 
     dangling = verts.join(
         edges.select(F.col("src").alias("id")).distinct(), on="id", how="left_anti"
     )
     dangling.persist()
+    try:
+        return _pagerank_iters(
+            spark, e_norm, verts, dangling, grid, n, alpha, tol, max_iter,
+            num_iters, runner, broadcast_vectors, check_every,
+        )
+    finally:
+        e_norm.unpersist()
+        dangling.unpersist()
+
+
+def _pagerank_iters(
+    spark, e_norm, verts, dangling, grid, n, alpha, tol, max_iter,
+    num_iters, runner, broadcast_vectors, check_every,
+):
     n_dangling = dangling.count()  # symmetric graphs have none -> skip the
     # per-iteration dangling-mass action entirely
 
@@ -104,9 +145,12 @@ def pagerank(
                 dangling.join(ranks, on="id", how="inner").agg(F.sum("val")).collect()[0][0]
                 or 0.0
             )
-        contrib = spmv(e_norm, ranks, PLUS_TIMES, broadcast_x=broadcast_vectors)
-        if broadcast_vectors:
-            contrib = F.broadcast(contrib)
+        if grid is not None:
+            contrib = spmv_grid(e_norm, ranks, grid, PLUS_TIMES)
+        else:
+            contrib = spmv(e_norm, ranks, PLUS_TIMES, broadcast_x=broadcast_vectors)
+            if broadcast_vectors:
+                contrib = F.broadcast(contrib)
         base = (1.0 - alpha) / n + alpha * dang_mass / n
         new_ranks = (
             verts.join(contrib, on="id", how="left")

@@ -38,10 +38,15 @@ def shingles(docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str 
     """
     t = tokens_col(F.col(text_col))
     n = F.size(t)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(t, i + 1, k), " "),
-    )
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # documents shorter than k tokens emit NO shingles (a truncated <k-gram
+    # would silently diverge from the SQL oracle, which requires k positions)
     # a single parquet file arrives as ONE partition; the ~100x explode +
     # md5 work downstream must be spread across cores BEFORE it happens
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -134,15 +139,25 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """(id, simhash): bit-majority of xxhash64(token) over the document.
+def md5_60bit(col) -> F.Column:
+    """Engine-portable 60-bit token hash: int(md5(x)[0:15], 16).
 
-    64 per-bit sign aggregates, all Column expressions. No SQL oracle
-    (xxhash64 is Spark-specific) — covered by rows-only checks + unit tests.
+    15 hex chars = 60 bits stays positive in a signed 64-bit integer, so
+    Spark (conv+cast) and DuckDB (CAST('0x'||substr(md5(x),1,15) AS BIGINT))
+    produce identical values — this is what makes simhash oracle-checkable.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
+    """(id, simhash): bit-majority of md5_60bit(token) over the document.
+
+    ``bits`` per-bit sign aggregates, all Column expressions. The token hash
+    is md5-derived (not xxhash64) so a DuckDB oracle replays the exact bits.
     """
     t = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", md5_60bit(F.col("tok")))
     def bit(i):  # JVM-side 1<<i — a python literal overflows long at i=63
         return F.shiftleft(F.lit(1).cast("long"), i)
 
@@ -161,10 +176,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return per_doc.select("id", sig.alias("simhash"))
 
 
-def simhash_near_dups(sig: DataFrame, band_bits: int = 16, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs whose simhashes agree on >=1 of the 64/band_bits
+def simhash_near_dups(
+    sig: DataFrame, band_bits: int = 15, max_hamming: int = 3, bits: int = 60
+) -> DataFrame:
+    """Candidate pairs whose simhashes agree on >=1 of the bits/band_bits
     bands, verified to Hamming distance <= max_hamming."""
-    n_bands = 64 // band_bits
+    n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(
         "id",

@@ -2,11 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side machinery (schema, Arrow batch shape, mapInPandas signatures,
-partitioning by modality) is real and tested. The actual codec step is
-STUBBED: the decode libraries are not present in this container, so
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case it produces a deterministic feature vector derived from the payload
-bytes (stable for tests).
+partitioning by modality) is real and tested. Decode dispatches on the
+codec registry (functions/codecs.py): WAV/PCM16 audio and 24-bit BMP images
+decode for REAL (pure numpy — no external libraries needed); compressed
+formats (png/jpeg/mp3/mp4) are declared stubs that raise
+NotImplementedError, and ``fake=True`` substitutes a deterministic
+payload-derived vector for tests that don't care about pixels.
 """
 
 from __future__ import annotations
@@ -62,17 +63,27 @@ def extract_features(
     """mapInPandas feature extraction — Arrow-batched, no per-row Python in
     the driver plan; the pandas function vectorizes per batch.
 
-    ``fake=False`` raises NotImplementedError at executor time (codec libs
-    not installed here); ``fake=True`` produces the deterministic stand-in.
+    Dispatch is on the ``modality`` column against codecs.CODECS
+    ('audio/wav' and 'image/bmp' decode for real); unknown modalities raise
+    NotImplementedError at executor time unless ``fake=True``, which
+    substitutes the deterministic payload-derived stand-in.
     """
+    from combblas_spark.functions.codecs import CODECS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in this environment"
-                )
-            feats = [ _fake_feature(p, dim) for p in pdf["payload"] ]
+            feats = []
+            for modality, payload in zip(pdf["modality"], pdf["payload"]):
+                codec = CODECS.get(modality)
+                if codec is not None:
+                    feats.append(codec(bytes(payload), dim))
+                elif fake:
+                    feats.append(_fake_feature(bytes(payload), dim))
+                else:
+                    raise NotImplementedError(
+                        f"no codec for modality {modality!r} (compressed formats "
+                        "need libraries not present in this environment)"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -82,7 +93,7 @@ def extract_features(
                 }
             )
 
-    # partition by modality so a real decoder gets homogeneous batches
+    # partition by modality so each decoder gets homogeneous batches
     return media.repartition("modality").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

@@ -108,10 +108,20 @@ def lsh_ann_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: candidates limited to same-bucket pairs."""
+    """Approximate all-pairs top-k: candidates limited to same-bucket pairs.
+
+    Buckets larger than ``max_bucket`` are dropped before the self-join —
+    without the cap one degenerate hyperplane bucket (all-near-zero vectors,
+    boilerplate embeddings) costs |bucket|^2 at corpus scale; same guard as
+    dedup.lsh_candidate_pairs.
+    """
     b = lsh_buckets(emb, n_planes, seed, dim, id_col, vec_col)
     b = b.withColumn("nrm", norm(F.col("vec")))
+    b = b.join(
+        b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz")), on="bucket"
+    ).filter(F.col("_bsz") <= max_bucket)
     lhs = b.select("bucket", F.col("id").alias("query_id"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm"))
     rhs = b.select("bucket", F.col("id").alias("neighbor_id"), F.col("vec").alias("vec"), F.col("nrm"))
     scored = (

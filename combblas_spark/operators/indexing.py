@@ -116,32 +116,53 @@ def invert(
     )
 
 
+def _global_ranks(df: DataFrame, order_cols: list[Column]) -> DataFrame:
+    """Append a dense 0..n-1 ``rank`` column in ``order_cols`` order WITHOUT
+    a single-partition window: range-partitioned sort (Spark's sample sort,
+    the parallel analog of SpParHelper.cpp:103-190 memory-efficient sort),
+    then rank = per-partition row offset + per-partition sequence. The
+    per-partition counts are one tiny collect; the sequence comes from
+    monotonically_increasing_id on the materialized sorted partitions —
+    no global shuffle to one task anywhere.
+
+    ``order_cols`` must be a total order (include a tiebreaker) or ranks of
+    ties are partition-order dependent.
+    """
+    s = df.orderBy(*order_cols).localCheckpoint()  # pin partition layout
+    counts = {
+        r["p"]: r["count"]
+        for r in s.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    }
+    n_parts = (max(counts) + 1) if counts else 1
+    offsets, acc = [], 0
+    for p in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+    pid = F.spark_partition_id()
+    seq = F.monotonically_increasing_id() - F.shiftleft(pid.cast("long"), 33)
+    return s.withColumn("rank", F.element_at(off_arr, pid + 1) + seq)
+
+
 def vec_sort(vec: DataFrame) -> DataFrame:
     """Global sort by value returning the permutation (FullyDistVec::sort,
-    FullyDistVec.cpp:747): output (id=rank, val=old id) + sorted values.
-    Spark's range-partitioned orderBy is the reference's parallel sample
-    sort (SpParHelper.cpp:103)."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("val").asc(), F.col("id").asc())
-    return vec.select(
-        (F.row_number().over(w) - 1).cast("long").alias("rank"),
-        F.col("id").alias("orig_id"),
-        F.col("val"),
+    FullyDistVec.cpp:747): output (rank, orig_id, val). Range-partitioned
+    sample sort + per-partition offsets — fully parallel (the previous
+    un-partitioned Window funneled the whole vector through one task)."""
+    return _global_ranks(vec, [F.col("val").asc(), F.col("id").asc()]).select(
+        F.col("rank"), F.col("id").alias("orig_id"), F.col("val")
     )
 
 
 def randperm(vec: DataFrame, seed: int = 42) -> DataFrame:
     """Seeded random permutation (FullyDistVec::RandPerm, FullyDistVec.cpp:784)
     — the reference's load-balancing relabeling (CC.cpp:166). Deterministic
-    under a fixed seed AND partitioning-independent: keys are xxhash64 of
-    the id, not rand()."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.xxhash64(F.col("id") + F.lit(seed)), F.col("id"))
-    return vec.select(
-        F.col("id"), (F.row_number().over(w) - 1).cast("long").alias("val")
+    under a fixed seed AND partitioning-independent (keys are xxhash64 of the
+    id, not rand()), yet fully parallel (sample sort, no global window)."""
+    ranked = _global_ranks(
+        vec.select("id"), [F.xxhash64(F.col("id") + F.lit(seed)), F.col("id")]
     )
+    return ranked.select("id", F.col("rank").alias("val"))
 
 
 def relabel_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
@@ -211,15 +232,24 @@ def block_split(edges: DataFrame, br: int, bc: int, n: int) -> list[list[DataFra
 
 
 def concatenate(vecs: list[DataFrame]) -> DataFrame:
-    """Stack vectors with offset ids (Concatenate, ParFriends.h:60). Lengths
-    are computed once on the driver (vector counts are cheap scalars)."""
-    out = None
-    offset = 0
-    for v in vecs:
-        shifted = v.select((F.col("id") + F.lit(offset)).alias("id"), F.col("val"))
-        out = shifted if out is None else out.unionByName(shifted)
-        offset += v.count()
-    return out
+    """Stack vectors with offset ids (Concatenate, ParFriends.h:60). All
+    input lengths come from ONE tagged-union aggregation job (the round-1
+    version issued a driver count() per vector inside the loop)."""
+    tagged = None
+    for i, v in enumerate(vecs):
+        t = v.select(F.lit(i).alias("_k"), "id", "val")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    if tagged is None:
+        raise ValueError("concatenate of zero vectors")
+    counts = {r["_k"]: r["c"] for r in tagged.groupBy("_k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = [], 0
+    for i in range(len(vecs)):
+        offsets.append(acc)
+        acc += counts.get(i, 0)
+    off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+    return tagged.select(
+        (F.col("id") + F.element_at(off_arr, F.col("_k") + 1)).alias("id"), F.col("val")
+    )
 
 
 def iota(spark, n: int, start: int = 0) -> DataFrame:

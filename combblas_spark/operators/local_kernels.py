@@ -34,11 +34,20 @@ def _to_numpy_vec(x: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], vals[order]
 
 
+def broadcast_vec(spark: SparkSession, x: DataFrame):
+    """Collect (id, val) once and ship it as a SparkContext broadcast of two
+    sorted numpy arrays — build it ONCE per vector and pass to spmv_numpy
+    via ``x_bc`` when running several products against the same x (the
+    per-call toPandas round-trip is the AllGather; don't pay it twice)."""
+    return spark.sparkContext.broadcast(_to_numpy_vec(x))
+
+
 def spmv_numpy(
     edges: DataFrame,
-    x: DataFrame,
+    x: DataFrame | None,
     add: str = "sum",
     reverse: bool = False,
+    x_bc=None,
 ) -> DataFrame:
     """y[dst] = add_{(s,d)} w * x[s] with add in {sum, min, max}.
 
@@ -54,8 +63,7 @@ def spmv_numpy(
         raise ValueError(add)
     join_key, out_key = ("src", "dst") if not reverse else ("dst", "src")
     spark = edges.sparkSession
-    ids, vals = _to_numpy_vec(x)
-    b = spark.sparkContext.broadcast((ids, vals))
+    b = x_bc if x_bc is not None else broadcast_vec(spark, x)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bids, bvals = b.value

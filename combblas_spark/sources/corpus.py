@@ -65,10 +65,12 @@ def build_vertices(files: DataFrame, dense: bool = True) -> DataFrame:
         F.sha2(F.col("content"), 256).alias("sha"),
     )
     if dense:
-        w = Window.orderBy("key")
-        return base.select(
-            (F.row_number().over(w) - 1).cast("long").alias("id"), "key", "sha"
-        )
+        # parallel sample sort + per-partition offsets (no global window);
+        # still only for oracle-scale ingests — at 10^12 rows use dense=False
+        from combblas_spark.operators.indexing import _global_ranks
+
+        ranked = _global_ranks(base, [F.col("key").asc()])
+        return ranked.select(F.col("rank").alias("id"), "key", "sha")
     return base.select(F.xxhash64("key").alias("id"), "key", "sha")
 
 

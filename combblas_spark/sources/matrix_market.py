@@ -35,7 +35,23 @@ def read_mm(
     coordinates merge with ``dedup`` (the reference's BinOp).
     """
     raw = spark.read.text(path)
+    import os
+
+    if os.path.isdir(path):
+        data_files = [
+            f for f in os.listdir(path)
+            if not f.startswith((".", "_")) and os.path.isfile(os.path.join(path, f))
+        ]
+        if len(data_files) > 1:
+            # banner detection + global comment-skip below assume ONE file's
+            # line order; a parts directory interleaves arbitrarily
+            raise ValueError(
+                f"read_mm expects a single Matrix Market file; {path} has "
+                f"{len(data_files)} parts — read them individually and union"
+            )
     banner = raw.limit(1).collect()[0][0].strip().lower()
+    if not banner.startswith("%%matrixmarket"):
+        raise ValueError(f"not a MatrixMarket file (banner: {banner[:60]!r})")
     symmetric = "symmetric" in banner and "skew" not in banner
     skew = "skew-symmetric" in banner
     pattern = "pattern" in banner

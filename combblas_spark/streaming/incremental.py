@@ -31,26 +31,29 @@ def windowed_event_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: Optional[str] = "value",
 ) -> DataFrame:
     """Watermarked sliding-window counts; works on both batch and streaming
-    DataFrames (same plan — the batch path is the oracle for the stream)."""
+    DataFrames (same plan — the batch path is the oracle for the stream).
+    ``value_col=None`` (or a column absent from the source) drops the
+    total_value aggregate instead of failing analysis."""
     win = F.window(F.col(ts_col), window, slide or window)
     # parquet event times often arrive as TIMESTAMP_NTZ; watermarks need
     # TimestampType — normalize on both batch and stream paths
     src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if events.isStreaming:
         src = src.withWatermark(ts_col, watermark)
-    return (
-        src.groupBy(win.alias("win"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            key_col,
-            "n",
-            "total_value",
-        )
-    )
+    has_value = bool(value_col) and value_col in events.columns
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if has_value:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    cols = [
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        F.col(key_col),
+        F.col("n"),
+    ] + ([F.col("total_value")] if has_value else [])
+    return src.groupBy(win.alias("win"), F.col(key_col)).agg(*aggs).select(*cols)
 
 
 class IncrementalCC:

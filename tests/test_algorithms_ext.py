@@ -1,0 +1,211 @@
+"""Round-2 algorithm tests: direction-optimized BFS, betweenness, MIS,
+bipartite matching, filtered BFS, RCM ordering — each vs a pure-python
+oracle or an invariant set (the reference's application tests,
+Applications/CMakeLists.txt: dobfs/fmis/bc ctest analogs)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from combblas_spark.algorithms import (
+    bfs,
+    betweenness,
+    mis_luby,
+    maximal_matching,
+    filtered_bfs,
+    rcm_order,
+)
+from combblas_spark.operators.indexing import relabel_edges, vec_sort, randperm
+from combblas_spark.operators.reduce import bandwidth
+from combblas_spark.operators.transform import symmetrize
+from combblas_spark.sources.fixtures import (
+    sevenvertex,
+    chain_star_forest,
+    weighted_digraph,
+    SEVENVERTEX,
+    EDGE_SCHEMA,
+)
+from tests.util import bfs_depths, brandes_bc
+
+
+# ---------------------------------------------------------------- dir-opt BFS
+
+def _bfs_result(df):
+    return {(r["id"], r["parent"], r["depth"]) for r in df.collect()}
+
+
+def test_bfs_directions_metamorphic_forest(spark):
+    """top-down == auto == bottom-up (DirOptBFS.cpp semantics: the direction
+    switch must not change the BFS tree given min-parent tie-breaks).
+    Small path+star+clique forest: bottom-up costs one pass per LEVEL, so
+    the fixture keeps the diameter modest."""
+    rows = [(i, i + 1, 1.0) for i in range(12)]                 # path 0..12
+    rows += [(5, 100 + i, 1.0) for i in range(200)]             # star at 5
+    rows += [(9, 400, 1.0), (400, 401, 1.0), (401, 9, 1.0)]     # triangle
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    sym = symmetrize(edges)
+    td = _bfs_result(bfs(spark, sym, root=0, mode="topdown"))
+    au = _bfs_result(bfs(spark, sym, root=0, mode="auto"))
+    bu = _bfs_result(bfs(spark, sym, root=0, mode="bottomup"))
+    assert td == au == bu
+    assert max(d for _, _, d in td) >= 9  # multi-level traversal exercised
+
+
+def test_bfs_directions_metamorphic_random(spark):
+    edges = symmetrize(weighted_digraph(spark, n=512, avg_deg=4, seed=11))
+    td = _bfs_result(bfs(spark, edges, root=3, mode="topdown"))
+    au = _bfs_result(bfs(spark, edges, root=3, mode="auto", bottom_up_cutoff=1.0))
+    bu = _bfs_result(bfs(spark, edges, root=3, mode="bottomup"))
+    assert td == au == bu
+    want = bfs_depths(
+        [(r["src"], r["dst"], 1.0) for r in edges.collect()], 3
+    )
+    assert {i: d for i, _, d in td} == want
+
+
+# ---------------------------------------------------------------- betweenness
+
+def test_betweenness_sevenvertex(spark):
+    e = sevenvertex(spark)
+    sources = spark.range(7).select(F.col("id"))
+    got = {r["id"]: r["bc"] for r in betweenness(spark, e, sources).collect()}
+    want = brandes_bc(SEVENVERTEX, range(7))
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_betweenness_partial_sources(spark):
+    e = symmetrize(weighted_digraph(spark, n=96, avg_deg=4, seed=5))
+    rows = [(r["src"], r["dst"]) for r in e.collect()]
+    sources = spark.createDataFrame([(i,) for i in range(0, 96, 7)], "id long")
+    got = {r["id"]: r["bc"] for r in betweenness(spark, e, sources).collect()}
+    want = brandes_bc([(s, d, 1.0) for s, d in rows], range(0, 96, 7))
+    for v in want:
+        assert got.get(v, 0.0) == pytest.approx(want[v], abs=1e-7)
+
+
+# ------------------------------------------------------------------------ MIS
+
+def _check_mis(edge_rows, flags):
+    members = {v for v, m in flags.items() if m}
+    adj = {}
+    for s, d in edge_rows:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    # independence
+    for v in members:
+        assert not (adj.get(v, set()) & members), f"MIS not independent at {v}"
+    # maximality
+    for v, m in flags.items():
+        if not m:
+            assert adj.get(v, set()) & members, f"MIS not maximal at {v}"
+
+
+def test_mis_sevenvertex(spark):
+    sym = symmetrize(sevenvertex(spark))
+    flags = {r["id"]: r["in_mis"] for r in mis_luby(spark, sym).collect()}
+    _check_mis([(s, d) for s, d, _ in SEVENVERTEX], flags)
+
+
+def test_mis_random_and_deterministic(spark):
+    sym = symmetrize(weighted_digraph(spark, n=300, avg_deg=5, seed=9))
+    rows = [(r["src"], r["dst"]) for r in sym.collect()]
+    a = {r["id"]: r["in_mis"] for r in mis_luby(spark, sym, seed=1).collect()}
+    _check_mis(rows, a)
+    b = {r["id"]: r["in_mis"] for r in mis_luby(spark, sym.repartition(13), seed=1).collect()}
+    assert a == b  # partition-independent determinism
+
+
+# ------------------------------------------------------------------- matching
+
+def test_matching_invariants(spark):
+    # bipartite: src in 0..49 (left), dst in 100..139 (right)
+    import random
+
+    rnd = random.Random(4)
+    rows = sorted({(rnd.randrange(50), 100 + rnd.randrange(40)) for _ in range(300)})
+    e = spark.createDataFrame([(s, d, 1.0) for s, d in rows], EDGE_SCHEMA)
+    m = [(r["src"], r["dst"]) for r in maximal_matching(spark, e).collect()]
+    srcs = [s for s, _ in m]
+    dsts = [d for _, d in m]
+    assert len(srcs) == len(set(srcs)) and len(dsts) == len(set(dsts))  # matching
+    assert set(m) <= set(rows)
+    # maximality: no edge joins two unmatched endpoints
+    ms, md = set(srcs), set(dsts)
+    for s, d in rows:
+        assert s in ms or d in md
+
+
+# --------------------------------------------------------------- filtered BFS
+
+def test_filtered_bfs_time_window(spark):
+    # TwitterEdge analog: edges carry ts; traverse only ts in [10, 20)
+    rows = [
+        (0, 1, 1.0, 12), (1, 2, 1.0, 15), (2, 3, 1.0, 25),  # 2->3 outside window
+        (0, 4, 1.0, 5),                                      # outside window
+        (1, 5, 1.0, 19),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, w double, ts long")
+    res = filtered_bfs(
+        spark, e, root=0, predicate=(F.col("ts") >= 10) & (F.col("ts") < 20)
+    )
+    got = {r["id"]: r["depth"] for r in res.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 5: 2}
+
+
+# ------------------------------------------------------------------------ RCM
+
+def test_rcm_reduces_bandwidth(spark):
+    # a ring + random chords relabeled by a random permutation has high
+    # bandwidth; RCM should bring it way down
+    import random
+
+    # small ring: RCM's per-level ordering loop is O(diameter) driver
+    # iterations, so the fixture keeps the diameter ~20
+    rnd = random.Random(7)
+    n = 40
+    perm = list(range(n))
+    rnd.shuffle(perm)
+    rows = set()
+    for i in range(n):
+        a, b = perm[i], perm[(i + 1) % n]
+        rows.add((min(a, b), max(a, b)))
+    for _ in range(10):
+        i = rnd.randrange(n)
+        a, b = perm[i], perm[(i + rnd.randrange(1, 4)) % n]
+        if a != b:
+            rows.add((min(a, b), max(a, b)))
+    e = symmetrize(spark.createDataFrame([(s, d, 1.0) for s, d in rows], EDGE_SCHEMA))
+    e = e.localCheckpoint()
+    bw_before = bandwidth(e)
+    p = rcm_order(spark, e)
+    relabeled = relabel_edges(e, p)
+    bw_after = bandwidth(relabeled)
+    assert bw_after < bw_before / 4
+
+
+# ------------------------------------------------- parallel sort / randperm
+
+def test_vec_sort_parallel_matches_semantics(spark):
+    import random
+
+    rnd = random.Random(3)
+    vals = [(i, float(rnd.randrange(100))) for i in range(5000)]
+    vec = spark.createDataFrame(vals, "id long, val double").repartition(7)
+    got = [(r["rank"], r["orig_id"], r["val"]) for r in vec_sort(vec).collect()]
+    got.sort()
+    want = sorted(vals, key=lambda t: (t[1], t[0]))
+    assert [(i, ov[0], ov[1]) for i, ov in enumerate(want)] == got
+    # plan must not funnel through a single partition
+    assert "SinglePartition" not in vec_sort(vec)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_randperm_parallel_deterministic(spark):
+    vec = spark.range(4000).select("id", F.lit(0.0).alias("val"))
+    a = {r["id"]: r["val"] for r in randperm(vec, seed=5).collect()}
+    b = {r["id"]: r["val"] for r in randperm(vec.repartition(11), seed=5).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(4000))  # a permutation
+    c = {r["id"]: r["val"] for r in randperm(vec, seed=6).collect()}
+    assert a != c

@@ -1,0 +1,67 @@
+"""Real-codec tests: WAV/PCM16 + BMP24 round-trips (pure numpy) and the
+Spark extract_features dispatch over real payloads."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from combblas_spark.functions.codecs import (
+    encode_wav_pcm16,
+    decode_wav_pcm16,
+    encode_bmp24,
+    decode_bmp24,
+    wav_features,
+    bmp_features,
+)
+from combblas_spark.functions.multimodal import extract_features
+
+
+def test_wav_roundtrip():
+    t = np.linspace(0, 1, 1600, endpoint=False)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    payload = encode_wav_pcm16(sig, 16_000)
+    out, rate = decode_wav_pcm16(payload)
+    assert rate == 16_000
+    assert len(out) == 1600
+    assert np.max(np.abs(out - sig)) < 1e-3  # 16-bit quantization
+    f = wav_features(payload, dim=8)
+    assert f.shape == (8,) and np.all(f >= 0)
+    assert f[0] == pytest.approx(0.5 / np.sqrt(2), abs=0.01)  # sine RMS
+
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)  # odd row pad
+    payload = encode_bmp24(img)
+    out = decode_bmp24(payload)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)  # lossless
+    f = bmp_features(payload, dim=12)
+    assert f.shape == (12,)
+    assert f.mean() == pytest.approx(img.mean() / 255.0, abs=0.15)
+
+
+def test_extract_features_real_codecs(spark):
+    t = np.linspace(0, 1, 800, endpoint=False)
+    wav = encode_wav_pcm16(0.25 * np.sin(2 * np.pi * 100 * t), 8_000)
+    img = encode_bmp24(np.full((8, 8, 3), 128, dtype=np.uint8))
+    rows = [
+        (0, "audio/wav", bytearray(wav), (0, 0, 8000, 0)),
+        (1, "image/bmp", bytearray(img), (8, 8, 0, 0)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    got = {r["media_id"]: r for r in extract_features(media, dim=6).collect()}
+    assert got[0]["modality"] == "audio/wav"
+    assert got[0]["feature"][0] == pytest.approx(0.25 / np.sqrt(2), abs=0.01)
+    assert got[1]["feature"][0] == pytest.approx(128 / 255.0, abs=0.01)
+    # unknown modality without fake -> declared NotImplementedError
+    vid = spark.createDataFrame(
+        [(2, "video/mp4", bytearray(b"xx"), (0, 0, 0, 1))],
+        media.schema,
+    )
+    with pytest.raises(Exception, match="no codec|NotImplemented"):
+        extract_features(vid, dim=4).collect()

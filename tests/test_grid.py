@@ -1,0 +1,84 @@
+"""2D band-grid vector exchange (plans/grid.py): metamorphic equality with
+the broadcast spmv, plan-shape assertions, and grid-mode algorithm parity."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from combblas_spark.core.semiring import PLUS_TIMES, SELECT2ND_MIN
+from combblas_spark.operators.multiply import spmv
+from combblas_spark.operators.transform import symmetrize
+from combblas_spark.plans.grid import Grid2D, spmv_grid, _partition_tokens
+from combblas_spark.sources.fixtures import sevenvertex, weighted_digraph
+
+
+def test_partition_tokens_bijective(spark):
+    toks = _partition_tokens(spark, 24)
+    assert len(set(toks)) == 24
+    got = [
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in toks], "t long")
+        .select(F.pmod(F.hash(F.col("t")), F.lit(24)).alias("b"))
+        .collect()
+    ]
+    assert got == list(range(24))
+
+
+@pytest.mark.parametrize("sr,name", [(PLUS_TIMES, "sum"), (SELECT2ND_MIN, "min")])
+def test_spmv_grid_matches_spmv(spark, sr, name):
+    edges = weighted_digraph(spark, n=300, avg_deg=5, seed=13)
+    x = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", (F.col("id") % 11).cast("double").alias("val"))
+    )
+    grid = Grid2D(spark, R=4, C=2)
+    eg = grid.partition_edges(edges).persist()
+    try:
+        got = {r["id"]: r["val"] for r in spmv_grid(eg, x, grid, sr).collect()}
+        want = {r["id"]: r["val"] for r in spmv(edges, x, sr).collect()}
+        assert got == want
+    finally:
+        eg.unpersist()
+
+
+def test_grid_plan_no_edge_exchange(spark):
+    """The cached grid edge table must be joined in place: the superstep
+    plan may exchange the replicated vector, never the edges."""
+    edges = weighted_digraph(spark, n=200, avg_deg=4, seed=3)
+    grid = Grid2D(spark, R=4, C=2)
+    eg = grid.partition_edges(edges).persist()
+    try:
+        eg.count()
+        x = eg.select(F.col("src").alias("id")).distinct().select(
+            "id", F.lit(1.0).alias("val")
+        ).localCheckpoint()
+        plan = (
+            spmv_grid(eg, x, grid, PLUS_TIMES)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "InMemoryTableScan" in plan
+        # exactly the vector-replication exchange + the final agg exchange
+        # sit ABOVE the cached relation; the cached edge side has none
+        above_cache = plan.split("InMemoryTableScan")[0]
+        assert above_cache.count("Exchange") <= 2
+    finally:
+        eg.unpersist()
+
+
+def test_algorithms_grid_mode_parity(spark):
+    from combblas_spark.algorithms import cc_minlabel, pagerank
+    from combblas_spark.algorithms.cc import canonical_labels
+
+    edges = symmetrize(weighted_digraph(spark, n=250, avg_deg=3, seed=21))
+    a = {r["id"]: r["val"] for r in cc_minlabel(spark, edges, mode="broadcast").collect()}
+    b = {r["id"]: r["val"] for r in cc_minlabel(spark, edges, mode="grid", grid_shape=(4, 2)).collect()}
+    assert a == b
+    pa = {r["id"]: r["val"] for r in pagerank(spark, edges, num_iters=6).collect()}
+    pb = {
+        r["id"]: r["val"]
+        for r in pagerank(spark, edges, num_iters=6, mode="grid", grid_shape=(4, 2)).collect()
+    }
+    assert set(pa) == set(pb)
+    for k in pa:
+        assert pa[k] == pytest.approx(pb[k], abs=1e-12)

@@ -79,3 +79,43 @@ def triangle_count_dense(edges, n) -> int:
     a = ((a + a.T) != 0).astype(np.int64)
     np.fill_diagonal(a, 0)
     return int(np.trace(a @ a @ a) // 6)
+
+
+def brandes_bc(edges, sources):
+    """Pure-python Brandes betweenness (directed, unweighted); edges are
+    (src, dst[, w]) tuples; returns {vertex: bc} over all endpoint vertices."""
+    adj = {}
+    verts = set()
+    for e in edges:
+        s, d = e[0], e[1]
+        adj.setdefault(s, set()).add(d)
+        verts.add(s)
+        verts.add(d)
+    bc = {v: 0.0 for v in verts}
+    for s in sources:
+        # forward BFS
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for u in sorted(adj.get(v, ())):
+                    if u not in dist:
+                        dist[u] = dist[v] + 1
+                        sigma[u] = 0.0
+                        nxt.append(u)
+                    if dist[u] == dist[v] + 1:
+                        sigma[u] += sigma[v]
+            order.extend(nxt)
+            frontier = nxt
+        # backward accumulation
+        delta = {v: 0.0 for v in order}
+        for v in reversed(order):
+            for u in adj.get(v, ()):
+                if u in dist and dist[u] == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[u] * (1.0 + delta[u])
+            if v != s:
+                bc[v] += delta[v]
+    return bc
