@@ -104,3 +104,37 @@ def spgemm(
 def square(a: DataFrame, sr: Semiring = PLUS_TIMES, phases: int = 1) -> DataFrame:
     """A <- A^2 (reference SpParMat::Square, SpParMat.cpp:3469)."""
     return spgemm(a, a, sr, phases=phases)
+
+
+def incremental_mcl_square(
+    a: DataFrame, phases: int = 1, hard_threshold: float = 0.0
+) -> DataFrame:
+    """A^2 with the diagonal split out (IncrementalMCLSquare,
+    /root/reference/include/CombBLAS/ParFriends.h:844-940): with A = O + D
+    (off-diagonal + diagonal),
+
+        A^2 = O^2 + O.DimApply(col, diag) + O.DimApply(row, diag) + D^2
+
+    so only the off-diagonal block pays the SpGEMM; the three diagonal terms
+    are linear-cost column/row scalings — the point of the incremental-MCL
+    pipeline where D carries the previous clustering's self-affinity.
+    ``hard_threshold`` prunes the scaled terms like the reference's 1e-8
+    Prune; 0.0 keeps exact-equality with spgemm(a, a) (metamorphic test).
+    """
+    diag_e = a.filter(F.col("src") == F.col("dst"))
+    off = a.filter(F.col("src") != F.col("dst"))
+    diag = diag_e.select(F.col("dst").alias("id"), F.col("w").alias("val"))
+    from combblas_spark.operators.transform import dimapply
+
+    ad = dimapply(off, diag, dim="col")   # (O*D)[i,j] = O[i,j] * diag[j]
+    da = dimapply(off, diag, dim="row")   # (D*O)[i,j] = diag[i] * O[i,j]
+    if hard_threshold > 0.0:
+        ad = ad.filter(F.col("w") > hard_threshold)
+        da = da.filter(F.col("w") > hard_threshold)
+    d2 = diag_e.select("src", "dst", (F.col("w") * F.col("w")).alias("w"))
+    o2 = spgemm(off, off, PLUS_TIMES, phases=phases)
+    return (
+        o2.unionByName(ad).unionByName(da).unionByName(d2)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )

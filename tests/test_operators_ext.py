@@ -147,3 +147,23 @@ def test_sssp_vs_dijkstra(spark, A):
     assert set(got) == set(dist)
     for k in dist:
         assert got[k] == pytest.approx(dist[k])
+
+
+def test_incremental_mcl_square_metamorphic(spark):
+    """IncrementalMCLSquare (ParFriends.h:844): O^2 + AD + DA + D^2 must
+    equal the plain spgemm square when no pruning is applied."""
+    from combblas_spark.operators.multiply import incremental_mcl_square, spgemm
+    from combblas_spark.core.semiring import PLUS_TIMES
+
+    # sevenvertex + explicit diagonal entries (the incremental-MCL shape)
+    diag = [(i, i, 0.5 + 0.1 * i) for i in range(7)]
+    a = spark.createDataFrame(SEVENVERTEX + diag, "src long, dst long, w double")
+    got = {(r["src"], r["dst"]): r["w"] for r in incremental_mcl_square(a).collect()}
+    want = {(r["src"], r["dst"]): r["w"] for r in spgemm(a, a, PLUS_TIMES).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    # phased variant identical too
+    got2 = {(r["src"], r["dst"]): r["w"]
+            for r in incremental_mcl_square(a, phases=3).collect()}
+    assert set(got2) == set(want)

@@ -101,3 +101,16 @@ def test_incremental_cc_matches_batch(spark, tmp_path):
     got = collect_vec(inc.labels())
     full = collect_vec(cc_minlabel(spark, symmetrize(sevenvertex(spark))))
     assert got == full
+
+
+def test_vec_text_roundtrip(spark, tmp_path):
+    """FullyDistVec::ParallelRead/Write analog (FullyDistVec.h:96)."""
+    from combblas_spark.sources.vectors import read_vec, write_vec
+
+    vec = spark.createDataFrame(
+        [(0, 1.5), (3, -2.0), (7, 0.25)], "id long, val double"
+    )
+    p = str(tmp_path / "vec_txt")
+    write_vec(vec, p, one_based=True)
+    back = {r["id"]: r["val"] for r in read_vec(spark, p, one_based=True).collect()}
+    assert back == {0: 1.5, 3: -2.0, 7: 0.25}
