@@ -283,6 +283,72 @@ reach(id, depth) AS (
 )
 SELECT id, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY id"""
 
+RCM_DEPTH = 16  # shared Spark/oracle BFS bound for the RCM permutation
+
+
+def _rcm_sql(prefix: str, edges_cte: str, depth: int) -> str:
+    """Reverse Cuthill-McKee oracle (RCM.cpp:332-380 semantics): BFS from
+    the min-(degree, id) vertex; each level ranked by (parent's order,
+    degree, id); final index = n-1 - visit order; unreached vertices
+    appended by (degree, id). Parent = MIN in-neighbor at depth-1, exactly
+    the SELECT2ND_MIN parent the Spark BFS assigns."""
+    parts = [
+        f"""deg AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT src AS id FROM {edges_cte} UNION ALL SELECT dst FROM {edges_cte}
+  ) u GROUP BY id)""",
+        "root AS MATERIALIZED (SELECT id FROM deg ORDER BY deg ASC, id ASC LIMIT 1)",
+        f"""reach(id, depth) AS (
+  SELECT id, 0 FROM root
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN {edges_cte} e ON e.src = r.id
+  WHERE r.depth < {depth})""",
+        "lvl AS MATERIALIZED (SELECT id, MIN(depth) AS depth FROM reach GROUP BY id)",
+        f"""par AS MATERIALIZED (
+  SELECT l.id, l.depth, MIN(e.src) AS parent
+  FROM lvl l JOIN {edges_cte} e ON e.dst = l.id
+             JOIN lvl p ON p.id = e.src AND p.depth = l.depth - 1
+  GROUP BY l.id, l.depth)""",
+        "o0 AS (SELECT id, CAST(0 AS BIGINT) AS ord FROM root)",
+        "a0 AS (SELECT * FROM o0)",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(f"""o{d} AS MATERIALIZED (
+  SELECT x.id,
+         (SELECT COUNT(*) FROM a{d - 1})
+           + ROW_NUMBER() OVER (ORDER BY po.ord, dg.deg, x.id) - 1 AS ord
+  FROM par x JOIN a{d - 1} po ON po.id = x.parent
+             JOIN deg dg ON dg.id = x.id
+  WHERE x.depth = {d})""")
+        parts.append(
+            f"a{d} AS MATERIALIZED (SELECT * FROM a{d - 1} UNION ALL SELECT * FROM o{d})"
+        )
+    parts.append(f"""rest AS MATERIALIZED (
+  SELECT d.id,
+         (SELECT COUNT(*) FROM a{depth})
+           + ROW_NUMBER() OVER (ORDER BY d.deg, d.id) - 1 AS ord
+  FROM deg d WHERE NOT EXISTS (SELECT 1 FROM a{depth} a WHERE a.id = d.id))""")
+    parts.append(f"allv AS MATERIALIZED (SELECT * FROM a{depth} UNION ALL SELECT * FROM rest)")
+    body = ",\n".join(parts)
+    return f"""WITH RECURSIVE {prefix},
+{body}
+SELECT id, CAST((SELECT COUNT(*) FROM allv) - 1 - ord AS BIGINT) AS val
+FROM allv"""
+
+
+# payload-filtered BFS: same traversal restricted to edges with w >= 2
+_FILTERED_BFS_SQL = f"""WITH RECURSIVE {PS_CTES},
+fedges AS MATERIALIZED (SELECT src, dst FROM edges WHERE w >= 2),
+reach(id, depth) AS (
+  SELECT (SELECT MIN(src) FROM fedges), 0
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN fedges e ON e.src = r.id
+  WHERE r.depth < {BFS_DEPTH}
+)
+SELECT id, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY id"""
+
 
 def _betweenness_sql(prefix: str, edges_cte: str, depth: int, n_sources: int) -> str:
     """Unrolled batched Brandes (forward levels f{k}, backward del{k});
@@ -562,6 +628,36 @@ def q_bfs_ps(spark, sf):
     )
 
 
+def q_filtered_bfs_ps(spark, sf):
+    """Payload-filtered BFS (TwitterEdge.h:15-27 / FilteredBFS.cpp analog):
+    BFS over the subgraph of part-supplier edges whose payload (the
+    multiplicity w — TwitterEdge's `count`) passes a predicate. The
+    predicate is a Column applied below the superstep loop, so Catalyst
+    pushes it into the scan and excluded edges are never materialized."""
+    from combblas_spark.algorithms.filtered import filtered_bfs
+
+    e = part_supplier_graph(spark, sf)
+    pred = F.col("w") >= 2.0
+    root = e.filter(pred).agg(F.min("src")).collect()[0][0]
+    return filtered_bfs(
+        spark, e, root=int(root), predicate=pred, max_iter=BFS_DEPTH
+    ).select("id", F.col("depth").cast("long").alias("depth"))
+
+
+def q_rcm_ps(spark, sf):
+    """Reverse Cuthill-McKee permutation of the part-supplier graph
+    (Ordering/RCM.cpp:332-380 analog) — BFS from the pseudo-peripheral
+    (min-degree, min-id) source, per-level parallel sample-sort ranking by
+    (parent order, degree, id), reversed. Depth capped at RCM_DEPTH on both
+    sides; other components appended by (degree, id)."""
+    from combblas_spark.algorithms.ordering import rcm_order
+
+    e = part_supplier_graph(spark, sf)
+    return rcm_order(spark, e, max_depth=RCM_DEPTH).select(
+        "id", F.col("val").cast("long").alias("val")
+    )
+
+
 def q_betwcent_star(spark, sf):
     """Batched-BFS Brandes on the nation-star forest (BetwCent.cpp analog).
     Trees -> sigma == 1 and integer dependencies, so the oracle hashes
@@ -800,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "corpus_edges": q_corpus_edges,
         "bfs_ps": q_bfs_ps,
+        "filtered_bfs_ps": q_filtered_bfs_ps,
+        "rcm_ps": q_rcm_ps,
         "pagerank_ps": q_pagerank_ps,
         "labelprop_ps": q_labelprop_ps,
         "kselect_ps": q_kselect_ps,
@@ -900,6 +998,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT dst AS src, src AS dst, w FROM ded
             ) u GROUP BY src, dst""",
         "bfs_ps": _BFS_SQL,
+        "filtered_bfs_ps": _FILTERED_BFS_SQL,
+        "rcm_ps": _rcm_sql(PS_CTES, "edges", RCM_DEPTH),
         "pagerank_ps": _pagerank_sql(PS_CTES, "edges", PR_ITERS),
         "labelprop_ps": _labelprop_sql(PS_CTES, "edges", LP_ITERS),
         "sssp_ps": _sssp_sql(PS_CTES, "edges", SSSP_ITERS),

@@ -42,16 +42,18 @@ def rcm_order(
     edges: DataFrame,
     source: Optional[int] = None,
     runner: Optional[SuperstepRunner] = None,
+    max_depth: int = 10_000,
 ) -> DataFrame:
     """Returns the permutation (id, val=new index) over reached vertices.
 
     ``edges`` must be symmetric. Unreached vertices (other components) are
     appended after, ordered by (degree, id) — callers wanting strict
-    per-component RCM run it per component.
+    per-component RCM run it per component. ``max_depth`` caps the BFS
+    (share it with any fixed-depth oracle, like BFS_DEPTH in the contract).
     """
     if source is None:
         source = pseudo_peripheral_source(edges)
-    tree = bfs(spark, edges, source, runner=runner)  # (id, parent, depth)
+    tree = bfs(spark, edges, source, runner=runner, max_iter=max_depth)
     tree = tree.localCheckpoint()
     deg = (
         edges.select(F.col("src").alias("id"))

@@ -44,10 +44,14 @@ from combblas_spark.core.semiring import Semiring, PLUS_TIMES
 
 
 def _partition_tokens(spark: SparkSession, num_partitions: int) -> list[int]:
-    """token[b] hashes (murmur3, the HashPartitioning hash) into partition b."""
+    """token[b] hashes (murmur3, the HashPartitioning hash) into partition b.
+
+    Tokens are INT (4-byte) — the pid column is the hottest shuffled column
+    at scale, and murmur3(int) != murmur3(long), so the search and the tag
+    must agree on the type (both int, here and in _tok_array)."""
     rows = spark.range(0, max(4096, num_partitions * 64)).select(
         F.col("id"),
-        F.pmod(F.hash(F.col("id").cast("long")), F.lit(num_partitions)).alias("b"),
+        F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_partitions)).alias("b"),
     ).collect()
     tok: dict[int, int] = {}
     for r in rows:
@@ -80,7 +84,7 @@ class Grid2D:
         return self.R * self.C
 
     def _tok_array(self) -> Column:
-        return F.array(*[F.lit(t).cast("long") for t in self._tokens])
+        return F.array(*[F.lit(t).cast("int") for t in self._tokens])
 
     def band_of(self, src: Column, dst: Column) -> Column:
         """Partition token for edge (src, dst)."""
@@ -88,12 +92,21 @@ class Grid2D:
                + F.pmod(F.xxhash64(dst), F.lit(self.C)) + 1).cast("int")
         return F.element_at(self._tok_array(), idx)
 
-    def partition_edges(self, edges: DataFrame, with_w: bool = True) -> DataFrame:
+    def partition_edges(self, edges: DataFrame, with_w: bool = True,
+                        sort: bool = True) -> DataFrame:
         """Band-tag + partition the edge table (caller persists). The layout
-        is computed once; every superstep reuses it with zero edge movement."""
+        is computed once; every superstep reuses it with zero edge movement.
+
+        ``sort`` orders each partition by (pid, src): the per-superstep hash
+        probe then walks the build table in key order (consecutive edges hit
+        the same bucket), which cuts the cache-miss inflation that otherwise
+        appears when many cores probe large hash tables concurrently — a
+        one-time layout cost paid at build, like the reference's CSC sort
+        (SpParMat.cpp column-major tuples)."""
         cols = ["src", "dst"] + (["w"] if with_w else [])
         tagged = edges.select(*cols, self.band_of(F.col("src"), F.col("dst")).alias("pid"))
-        return tagged.repartition(self.num_partitions, "pid")
+        out = tagged.repartition(self.num_partitions, "pid")
+        return out.sortWithinPartitions("pid", "src") if sort else out
 
     def replicate_vector(self, x: DataFrame) -> DataFrame:
         """C copies of x(id, val), each tagged with one column band's pid —
@@ -118,7 +131,19 @@ def spmv_grid(
     partial agg bounded by the partition's dst band, and a final reduce of
     <= R*|V| partial rows. No driver-side broadcast build — every byte
     moves through the parallel shuffle path.
+
+    ``x.id`` MUST have the same type as ``e_grid.src``: band assignment
+    hashes the raw column bytes (xxhash64(int) != xxhash64(long)), so a
+    type mismatch silently lands vector rows in the wrong band and the
+    join drops them.
     """
+    x_t = dict(x.dtypes)["id"]
+    e_t = dict(e_grid.dtypes)["src"]
+    if x_t != e_t:
+        raise TypeError(
+            f"spmv_grid: x.id is {x_t} but e_grid.src is {e_t}; band hashing "
+            "is type-sensitive — cast both sides to the same type"
+        )
     xr = grid.replicate_vector(x)
     w = e_grid["w"] if "w" in e_grid.columns else F.lit(1.0)
     j = e_grid.join(xr, on=[e_grid["pid"] == xr["pid"], e_grid["src"] == xr["id"]])

@@ -16,7 +16,7 @@ def test_partition_tokens_bijective(spark):
     assert len(set(toks)) == 24
     got = [
         r["b"]
-        for r in spark.createDataFrame([(t,) for t in toks], "t long")
+        for r in spark.createDataFrame([(t,) for t in toks], "t int")
         .select(F.pmod(F.hash(F.col("t")), F.lit(24)).alias("b"))
         .collect()
     ]
