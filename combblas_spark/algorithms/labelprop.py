@@ -124,8 +124,15 @@ def mcl(
     phases: int = 1,
     support_threshold: float = 1e-4,
     runner: Optional[SuperstepRunner] = None,
+    incremental_square: bool = False,
 ) -> DataFrame:
     """HipMCL loop; returns (id, val=cluster id = min member vertex).
+
+    ``incremental_square`` switches the expansion to the diagonal-split A²
+    (operators.multiply.incremental_mcl_square, ParFriends.h:844-940) —
+    numerically identical, but only the off-diagonal block pays the SpGEMM;
+    the incremental-MCL pipeline (algorithms.incremental_mcl) uses it since
+    its summary matrix concentrates weight on the diagonal.
 
     Input is treated as undirected; self-loops are adjusted to the column
     max as in MCL.cpp:462-473 before normalization.
@@ -139,6 +146,7 @@ def mcl(
         return _mcl_loop(
             spark, edges, verts, inflation, select_k, recover_k, hard_threshold,
             eps, max_iter, phases, support_threshold, runner,
+            incremental_square=incremental_square,
         )
     finally:
         verts.unpersist()
@@ -147,8 +155,10 @@ def mcl(
 def _mcl_loop(
     spark, edges, verts, inflation, select_k, recover_k, hard_threshold,
     eps, max_iter, phases, support_threshold, runner,
+    incremental_square=False,
 ):
     from combblas_spark.algorithms.cc import cc_minlabel  # cycle-free import
+    from combblas_spark.operators.multiply import incremental_mcl_square
 
     a = symmetrize(edges.select("src", "dst", F.col("w").cast("double")))
     # AdjustLoops (MCL.cpp:462-473): set each diagonal to the column max
@@ -164,7 +174,10 @@ def _mcl_loop(
     a = runner.truncate(a)
 
     for it in range(max_iter):
-        a = spgemm(a, a, PLUS_TIMES, phases=phases)  # expand
+        if incremental_square:  # diagonal-split A^2 (ParFriends.h:844-940)
+            a = incremental_mcl_square(a, phases=phases)
+        else:
+            a = spgemm(a, a, PLUS_TIMES, phases=phases)  # expand
         a = prune_recovery_select(a, hard_threshold, select_k, recover_k)
         a = make_col_stochastic(a)
         a = runner.truncate(a)

@@ -309,8 +309,8 @@ first level's affinity mask.)
 The level pair is chosen INSIDE the machine's linear envelope, which is
 measured by a hardware control (`scripts/cpu_envelope.py`: an
 embarrassingly-parallel, shuffle-free, zero-IO codegen hash chain). On this
-VM the control scales 4 -> 16 pinned cores at efficiency 0.93, but 8 -> 32 at
-only 0.79 — at full occupancy the last cores add sub-linear compute
+VM the control scales 4 -> 16 pinned cores at efficiency ~0.91, but 8 -> 32 at
+only ~0.74 (BENCH/ENVELOPE_*.json) — at full occupancy the last cores add sub-linear compute
 (virtualization/frequency effects), so NO job, however perfectly parallel,
 can reach 0.8 at 8 -> 32 here. That is a single-box artifact: a real 4N-node
 cluster brings 4x memory bandwidth and unshared sockets. The kernel evidence

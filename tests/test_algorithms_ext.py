@@ -209,3 +209,69 @@ def test_randperm_parallel_deterministic(spark):
     assert sorted(a.values()) == list(range(4000))  # a permutation
     c = {r["id"]: r["val"] for r in randperm(vec, seed=6).collect()}
     assert a != c
+
+
+# ---------------------------------------------------------------------------
+# incremental MCL (IncClust.h pipeline)
+# ---------------------------------------------------------------------------
+
+def _clique(base, k, w=1.0):
+    return [(base + i, base + j, w) for i in range(k) for j in range(i + 1, k)]
+
+
+def test_cluster_summary_drops_inter_cluster_edges(spark):
+    from combblas_spark.algorithms import cluster_summary
+
+    rows = _clique(0, 3) + _clique(10, 3) + [(0, 10, 0.5)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    clusters = spark.createDataFrame(
+        [(v, 0) for v in (0, 1, 2)] + [(v, 10) for v in (10, 11, 12)],
+        "id long, val long",
+    )
+    kept = {(r["src"], r["dst"]) for r in cluster_summary(edges, clusters).collect()}
+    assert (0, 10) not in kept
+    assert kept == {(s, d) for s, d, _ in rows if (s < 10) == (d < 10)}
+
+
+def test_incremental_mcl_matches_full_mcl_and_extends(spark):
+    """Phase 1: cluster two cliques. Phase 2: a third clique + a weak
+    bridge arrives; incremental re-cluster must (a) keep the old cliques
+    intact, (b) give the new clique its own cluster — the IncrementalMCL
+    invariant (IncClust.h:619)."""
+    from combblas_spark.algorithms import incremental_mcl, mcl
+    from tests.util import collect_vec
+
+    prev = spark.createDataFrame(
+        _clique(0, 4) + _clique(10, 4) + [(0, 10, 0.01)],
+        "src long, dst long, w double",
+    )
+    prev_clusters = mcl(spark, prev, inflation=2.0, max_iter=30)
+
+    new = spark.createDataFrame(
+        _clique(20, 4) + [(13, 20, 0.01)], "src long, dst long, w double"
+    )
+    labels = collect_vec(
+        incremental_mcl(spark, prev, prev_clusters, new, inflation=2.0, max_iter=30)
+    )
+    groups = {}
+    for v, l in labels.items():
+        groups.setdefault(l, set()).add(v)
+    assert {frozenset(g) for g in groups.values()} == {
+        frozenset({0, 1, 2, 3}),
+        frozenset({10, 11, 12, 13}),
+        frozenset({20, 21, 22, 23}),
+    }
+
+
+def test_mcl_incremental_square_metamorphic(spark):
+    """mcl(incremental_square=True) must produce the same clustering as the
+    plain-spgemm expansion (the A^2 split is algebraically exact)."""
+    from combblas_spark.algorithms import mcl
+    from tests.util import collect_vec
+
+    rows = _clique(0, 4) + _clique(10, 4) + [(0, 10, 0.01)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    a = collect_vec(mcl(spark, edges, inflation=2.0, max_iter=30))
+    b = collect_vec(mcl(spark, edges, inflation=2.0, max_iter=30,
+                        incremental_square=True))
+    assert a == b
