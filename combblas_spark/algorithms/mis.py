@@ -81,13 +81,16 @@ def mis_luby(
                 .select("id")
             )
             winners = runner.truncate(winners)
-            mis = winners if mis is None else runner.truncate(mis.unionByName(winners))
+            # the running MIS union is only needed for resume snapshots and
+            # the final answer — build it lazily (each term is checkpointed,
+            # so the union's lineage stays flat; no per-round re-checkpoint job)
+            mis = winners if mis is None else mis.unionByName(winners)
             # remove winners and their neighbors from the candidate set
+            # no distinct: left_anti ignores duplicate keys on the right
             wn = (
                 e.join(winners.select(F.col("id").alias("src")), on="src")
                 .select(F.col("dst").alias("id"))
                 .unionByName(winners)
-                .distinct()
             )
             cand = runner.truncate(cand.join(wn, on="id", how="left_anti"))
             runner.save(rnd + 1, {"cand": cand, "mis": mis}, {})
