@@ -285,6 +285,71 @@ SELECT id, CAST(MIN(depth) AS BIGINT) AS depth FROM reach GROUP BY id"""
 
 RCM_DEPTH = 16  # shared Spark/oracle BFS bound for the RCM permutation
 
+# IVF-Flat contract parameters, shared Spark/oracle
+IVF_CELLS = 16
+IVF_PROBE = 4
+IVF_ITERS = 2
+IVF_K = 5
+IVF_MAX_QID = 20
+
+
+def _ivf_sql(n_cells: int, n_probe: int, iters: int, k: int, max_qid: int) -> str:
+    """IVF-Flat oracle replaying the WHOLE pipeline — Lloyd training
+    (seeds = lowest vec_ids, per-round nearest-cell assignment + rounded
+    position-wise means), final cell assignment, n_probe cell expansion,
+    in-cell cosine top-k. Every distance/centroid component is ROUND(.,6)
+    on both engines, so double-sum ulp noise can never flip an argmin
+    (see similarity.ivf_train)."""
+
+    def assign(tgt: str, cells: str) -> str:
+        return f"""{tgt} AS MATERIALIZED (
+  SELECT e.vec_id, e.v,
+         (SELECT c.c FROM {cells} c
+          ORDER BY ROUND(list_dot_product(c.vec, c.vec)
+                         - 2 * list_dot_product(e.v, c.vec), 6) ASC, c.c ASC
+          LIMIT 1) AS cell
+  FROM embd e)"""
+
+    parts = [
+        "embd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""cells0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(v, x -> ROUND(x, 6)) AS vec
+  FROM (SELECT vec_id, v FROM embd ORDER BY vec_id LIMIT {n_cells}))""",
+    ]
+    for i in range(iters):
+        parts.append(assign(f"a{i}", f"cells{i}"))
+        parts.append(f"""cells{i + 1} AS MATERIALIZED (
+  SELECT cell AS c, array_agg(m ORDER BY pos) AS vec FROM (
+    SELECT cell, pos, ROUND(AVG(val), 6) AS m FROM (
+      SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a{i}
+    ) u GROUP BY cell, pos
+  ) g GROUP BY cell)""")
+    parts.append(assign("af", f"cells{iters}"))
+    parts.append(
+        "nrmv AS MATERIALIZED (SELECT vec_id, v, cell, sqrt(list_dot_product(v, v)) AS nrm FROM af)"
+    )
+    parts.append(f"""probes AS MATERIALIZED (
+  SELECT query_id, qv, qnrm, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, c.c AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(c.vec, c.vec)
+                            - 2 * list_dot_product(q.v, c.vec), 6) ASC, c.c ASC) AS pr
+    FROM (SELECT * FROM nrmv WHERE vec_id < {max_qid}) q
+    CROSS JOIN cells{iters} c) z
+  WHERE pr <= {n_probe})""")
+    parts.append("""scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(p.qv, e.v) / (p.qnrm * e.nrm) AS cos
+  FROM probes p JOIN nrmv e ON e.cell = p.cell AND e.vec_id <> p.query_id)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored) x
+WHERE rn <= {k}"""
+
 
 def _rcm_sql(prefix: str, edges_cte: str, depth: int) -> str:
     """Reverse Cuthill-McKee oracle (RCM.cpp:332-380 semantics): BFS from
@@ -710,6 +775,24 @@ def q_ann_topk(spark, sf):
     )
 
 
+def q_ivf_topk(spark, sf):
+    """IVF-Flat ANN (coarse-quantizer + in-cell brute force) — the second
+    scale path for similarity search next to the LSH buckets; the oracle
+    replays Lloyd training itself (rounded distances on both engines)."""
+    from combblas_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < IVF_MAX_QID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk(emb, queries, k=IVF_K, n_cells=IVF_CELLS,
+                   n_probe=IVF_PROBE, iters=IVF_ITERS)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_pagerank_ps(spark, sf):
     e = part_supplier_graph(spark, sf)
     r = pagerank(spark, e, alpha=0.85, num_iters=PR_ITERS)
@@ -925,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_ps": q_mis_ps,
         "matching_ps": q_matching_ps,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1116,5 +1200,6 @@ def oracle_sql() -> dict[str, str]:
         "mis_ps": _mis_sql(PS_CTES, "edges", MIS_ROUNDS, MIS_SEED),
         "matching_ps": _matching_sql(PS_CTES, "ps_dedup", MATCH_ROUNDS),
         "ann_topk": _ann_sql(_ANN_PLANES, k=5, max_bucket=10_000),
+        "ivf_topk": _ivf_sql(IVF_CELLS, IVF_PROBE, IVF_ITERS, IVF_K, IVF_MAX_QID),
         "simhash_docs": _simhash_sql(60),
     }

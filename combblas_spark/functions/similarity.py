@@ -6,9 +6,17 @@
 * ``lsh_ann_topk`` — random-hyperplane LSH bucketing: the scale path.
   Planes are a deterministic seeded literal (few KB, shipped in the plan);
   search is bucket-local, so the join is |bucket| x |bucket| instead of n^2.
+* ``ivf_topk`` — IVF-Flat: Lloyd-trained coarse quantizer (n_cells
+  centroids), vectors indexed by nearest cell, queries probe their
+  n_probe nearest cells and brute-force only inside them. The centroid
+  table is a few KB — collected to the driver each Lloyd round and
+  re-broadcast as plan literals (the sample-sort pattern: tiny global
+  state on the driver, all heavy work distributed). Every distance is
+  ROUND(·, 6)-stabilized so a SQL oracle replays training + search
+  byte-for-byte (same trick as the md5 minhash universe).
 
-At 100 TB the brute-force path is only for reranking candidates; LSH (or an
-IVF built from it) bounds the candidate set per query.
+At 100 TB the brute-force path is only for reranking candidates; LSH or
+IVF bounds the candidate set per query.
 """
 
 from __future__ import annotations
@@ -60,6 +68,123 @@ def cosine_topk(
     )
     scored = (
         q.crossJoin(e)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("_rn").alias("rank"))
+    )
+
+
+def _cell_dist(vec: Column, cvec: list[float]) -> Column:
+    """round(c.c - 2 x.c, 6) — the argmin-equivalent of L2 distance with
+    the x.x term dropped (constant per row); rounded so cross-engine
+    double-sum ulp noise can never flip an argmin."""
+    c = F.array(*[F.lit(float(v)) for v in cvec])
+    cc = sum(v * v for v in cvec)
+    return F.round(F.lit(cc) - 2.0 * dot(vec, c), 6)
+
+
+def _nearest_cell(vec: Column, cents: dict[int, list[float]]) -> Column:
+    """argmin cell id under _cell_dist; ties break toward the smaller id
+    (struct array_min orders by (dist, cell))."""
+    # explicit cast: struct field aliases are not preserved inside F.array
+    return F.array_min(
+        F.array(*[
+            F.struct(_cell_dist(vec, cv).alias("d"), F.lit(i).alias("c"))
+            .cast("struct<d:double,c:int>")
+            for i, cv in sorted(cents.items())
+        ])
+    )["c"]
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """Lloyd-trained coarse quantizer: returns {cell id: centroid}.
+
+    Seeds are the ``n_cells`` vectors with the smallest ids (deterministic,
+    no RNG); each round assigns every vector to its nearest centroid
+    (distributed argmin over plan literals) and recomputes position-wise
+    means (posexplode + avg). Centroid components are rounded to 6 dp at
+    every step — the whole training run is then a pure function of the
+    input replayable by a SQL oracle. Cells that lose all members are
+    dropped (ids of the survivors are stable).
+    """
+    seeds = emb.orderBy(F.col(id_col).asc()).limit(n_cells).select(vec_col).collect()
+    cents = {
+        i: [round(float(v), 6) for v in r[0]] for i, r in enumerate(seeds)
+    }
+    for _ in range(iters):
+        cell = _nearest_cell(F.col(vec_col), cents)
+        means = (
+            emb.select(cell.alias("cell"), F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in means:
+            new.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = {
+            c: [comps[p] for p in sorted(comps)] for c, comps in sorted(new.items())
+        }
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k cosine neighbors.
+
+    Index side: every vector lands in exactly ONE cell (its nearest
+    centroid), so probing never produces duplicate candidate pairs. Query
+    side: each query expands to its ``n_probe`` nearest cells and
+    brute-forces only those cells' members — the candidate set per query is
+    ~n_probe/n_cells of the corpus instead of all of it. Output schema
+    matches cosine_topk: (query_id, neighbor_id, cos, rank).
+    """
+    cents = ivf_train(emb, n_cells=n_cells, iters=iters,
+                      id_col=id_col, vec_col=vec_col)
+    e = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("nrm"),
+        _nearest_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    probes = F.slice(
+        F.array_sort(F.array(*[
+            F.struct(_cell_dist(F.col("qvec"), cv).alias("d"), F.lit(i).alias("c"))
+            .cast("struct<d:double,c:int>")
+            for i, cv in sorted(cents.items())
+        ])),
+        1, n_probe,
+    )
+    q = (
+        queries.select("query_id", "qvec", norm(F.col("qvec")).alias("qnrm"))
+        .withColumn("_p", F.explode(probes))
+        .select("query_id", "qvec", "qnrm", F.col("_p.c").alias("cell"))
+    )
+    scored = (
+        q.join(e, on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

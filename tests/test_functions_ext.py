@@ -69,3 +69,36 @@ def test_ann_bucket_cap(spark):
     assert all(i >= 100 or i not in ids for i in range(30)) or len(ids) < 30
     uncapped = lsh_ann_topk(emb, k=3, n_planes=4, seed=1, dim=8, max_bucket=10_000)
     assert uncapped.count() > capped.count()
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with n_probe probing must recover most exact top-k neighbors on
+    clustered data (the regime IVF exists for), and every indexed vector
+    lands in exactly one cell."""
+    import numpy as np
+    from combblas_spark.functions.similarity import cosine_topk, ivf_topk, ivf_train, _nearest_cell
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(4):  # 4 well-separated clusters of 25
+        center = rng.standard_normal(16) * 5
+        for i in range(25):
+            rows.append((c * 100 + i, (center + 0.3 * rng.standard_normal(16)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 100 < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3, iters=2).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"recall {recall}"
+
+    cents = ivf_train(emb, n_cells=8, iters=2)
+    cells = emb.select(_nearest_cell(F.col("embedding"), cents).alias("cell"))
+    per_vec = emb.select("vec_id", _nearest_cell(F.col("embedding"), cents).alias("cell"))
+    assert per_vec.count() == per_vec.select("vec_id").distinct().count()
+    assert cells.filter(F.col("cell").isNull()).count() == 0
