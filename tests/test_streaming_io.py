@@ -114,3 +114,39 @@ def test_vec_text_roundtrip(spark, tmp_path):
     write_vec(vec, p, one_based=True)
     back = {r["id"]: r["val"] for r in read_vec(spark, p, one_based=True).collect()}
     assert back == {0: 1.5, 3: -2.0, 7: 0.25}
+
+
+def test_streaming_dedup_exact_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates are dropped WITHIN a
+    micro-batch and ACROSS micro-batches (state carries the seen-digest
+    set); first occurrence (min id) wins."""
+    from combblas_spark.streaming.stateful import streaming_dedup_exact
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    # batch 1: a, b, dup-of-a ; batch 2: dup-of-b (cross-batch), c
+    spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")], schema
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        [(3, "beta"), (4, "gamma")], schema
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_dedup_exact(stream, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("dedup_state_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM dedup_state_t").collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 4]
