@@ -275,3 +275,20 @@ def test_mcl_incremental_square_metamorphic(spark):
     b = collect_vec(mcl(spark, edges, inflation=2.0, max_iter=30,
                         incremental_square=True))
     assert a == b
+
+
+def test_filtered_bfs_predicate_pushdown(spark, tmp_path):
+    """The payload predicate must reach the parquet scan (PushedFilters),
+    so excluded edges are never materialized — the 'filtered semantic
+    graph' claim in algorithms/filtered.py."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "payload_edges")
+    spark.createDataFrame(
+        [(0, 1, 1.0, 5), (1, 2, 1.0, 15), (2, 3, 1.0, 25)],
+        "src long, dst long, w double, ts long",
+    ).write.parquet(p)
+    edges = spark.read.parquet(p)
+    sub = edges.filter(F.col("ts") >= 10)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters")[1][:120]
