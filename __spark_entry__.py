@@ -709,6 +709,21 @@ def q_filtered_bfs_ps(spark, sf):
     ).select("id", F.col("depth").cast("long").alias("depth"))
 
 
+def q_randperm_ps(spark, sf):
+    """Seeded random permutation of the part-supplier vertex set
+    (FullyDistVec::RandPerm analog) — md5-60bit sort key, parallel sample
+    sort; the oracle replays the same key with ROW_NUMBER."""
+    from combblas_spark.operators.indexing import randperm
+
+    e = part_supplier_graph(spark, sf)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return randperm(verts, seed=42).select("id", F.col("val").cast("long").alias("val"))
+
+
 def q_rcm_ps(spark, sf):
     """Reverse Cuthill-McKee permutation of the part-supplier graph
     (Ordering/RCM.cpp:332-380 analog) — BFS from the pseudo-peripheral
@@ -981,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_ps": q_bfs_ps,
         "filtered_bfs_ps": q_filtered_bfs_ps,
         "rcm_ps": q_rcm_ps,
+        "randperm_ps": q_randperm_ps,
         "pagerank_ps": q_pagerank_ps,
         "labelprop_ps": q_labelprop_ps,
         "kselect_ps": q_kselect_ps,
@@ -1084,6 +1100,12 @@ def oracle_sql() -> dict[str, str]:
         "bfs_ps": _BFS_SQL,
         "filtered_bfs_ps": _FILTERED_BFS_SQL,
         "rcm_ps": _rcm_sql(PS_CTES, "edges", RCM_DEPTH),
+        "randperm_ps": f"""WITH {PS_CTES},
+verts AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges)
+SELECT id, CAST(ROW_NUMBER() OVER (
+  ORDER BY CAST(('0x' || substr(md5('42|' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+           id ASC) - 1 AS BIGINT) AS val
+FROM verts""",
         "pagerank_ps": _pagerank_sql(PS_CTES, "edges", PR_ITERS),
         "labelprop_ps": _labelprop_sql(PS_CTES, "edges", LP_ITERS),
         "sssp_ps": _sssp_sql(PS_CTES, "edges", SSSP_ITERS),

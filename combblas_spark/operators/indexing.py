@@ -157,11 +157,17 @@ def vec_sort(vec: DataFrame) -> DataFrame:
 def randperm(vec: DataFrame, seed: int = 42) -> DataFrame:
     """Seeded random permutation (FullyDistVec::RandPerm, FullyDistVec.cpp:784)
     — the reference's load-balancing relabeling (CC.cpp:166). Deterministic
-    under a fixed seed AND partitioning-independent (keys are xxhash64 of the
-    id, not rand()), yet fully parallel (sample sort, no global window)."""
-    ranked = _global_ranks(
-        vec.select("id"), [F.xxhash64(F.col("id") + F.lit(seed)), F.col("id")]
-    )
+    under a fixed seed AND partitioning-independent, yet fully parallel
+    (sample sort, no global window). The sort key is the md5-60bit of
+    "seed|id" — engine-portable (same trick as mis/minhash), so a SQL
+    oracle replays the permutation byte-for-byte."""
+    prio = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col("id").cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    ranked = _global_ranks(vec.select("id"), [prio, F.col("id")])
     return ranked.select("id", F.col("rank").alias("val"))
 
 
