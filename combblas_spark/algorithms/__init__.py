@@ -8,7 +8,11 @@ from combblas_spark.algorithms.betweenness import betweenness  # noqa: F401
 from combblas_spark.algorithms.mis import mis_luby  # noqa: F401
 from combblas_spark.algorithms.matching import maximal_matching  # noqa: F401
 from combblas_spark.algorithms.filtered import filtered_bfs  # noqa: F401
-from combblas_spark.algorithms.ordering import rcm_order, pseudo_peripheral_source  # noqa: F401
+from combblas_spark.algorithms.ordering import (  # noqa: F401
+    rcm_order,
+    pseudo_peripheral_source,
+    md_order_blocked,
+)
 from combblas_spark.algorithms.incremental_mcl import (  # noqa: F401
     incremental_mcl,
     cluster_summary,

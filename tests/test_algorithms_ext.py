@@ -292,3 +292,61 @@ def test_filtered_bfs_predicate_pushdown(spark, tmp_path):
     sub = edges.filter(F.col("ts") >= 10)
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters")[1][:120]
+
+
+# ---------------------------------------------------------------------------
+# minimum-degree ordering (MD.cpp analog)
+# ---------------------------------------------------------------------------
+
+def test_md_order_star_and_path(spark):
+    from combblas_spark.algorithms import md_order_blocked
+    from combblas_spark.operators.transform import symmetrize
+
+    # star: 0 is the hub; every leaf has degree 1 -> hub eliminated last
+    star = symmetrize(spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 6)], "src long, dst long, w double"
+    ))
+    got = {r["id"]: r["val"] for r in md_order_blocked(spark, star).collect()}
+    assert sorted(got.values()) == list(range(6))   # a permutation
+    # leaves (degree 1) fill the first positions; the hub only becomes a
+    # candidate once its updated reach-degree drops to 1 (ties -> min id,
+    # so it edges out the last leaf at position 4)
+    assert got[0] >= 4
+    assert all(got[leaf] < got[0] for leaf in range(1, 5))
+
+    # path 0-1-2-3-4: endpoints have degree 1 -> an endpoint goes first
+    path = symmetrize(spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(4)], "src long, dst long, w double"
+    ))
+    got = {r["id"]: r["val"] for r in md_order_blocked(spark, path).collect()}
+    assert sorted(got.values()) == list(range(5))
+    first = [i for i, p in got.items() if p == 0][0]
+    assert first in (0, 4)
+
+
+def test_md_order_blocked_matches_per_block(spark):
+    """Two disconnected cliques with a block assignment must order each
+    block exactly as running the single-block path on that clique alone."""
+    import pyspark.sql.functions as F
+    from combblas_spark.algorithms import md_order_blocked
+    from combblas_spark.operators.transform import symmetrize
+
+    def clique(base, k):
+        return [(base + i, base + j, 1.0) for i in range(k) for j in range(i + 1, k)]
+
+    both = symmetrize(spark.createDataFrame(
+        clique(0, 4) + clique(10, 3), "src long, dst long, w double"
+    ))
+    assignment = spark.createDataFrame(
+        [(v, 0) for v in range(4)] + [(10 + v, 1) for v in range(3)],
+        "id long, val long",
+    )
+    blocked = {(r["cluster"], r["id"]): r["val"]
+               for r in md_order_blocked(spark, both, assignment).collect()}
+    for base, k, cl in ((0, 4, 0), (10, 3, 1)):
+        solo = symmetrize(spark.createDataFrame(
+            clique(base, k), "src long, dst long, w double"
+        ))
+        alone = {r["id"]: r["val"] for r in md_order_blocked(spark, solo).collect()}
+        for v, p in alone.items():
+            assert blocked[(cl, v)] == p
