@@ -657,13 +657,78 @@ def symmetrize_ev(spark, sf):
     return _sym(events_digraph(spark, sf))
 
 
+MCL_ORACLE_ITERS = 4  # shared Spark/oracle fixed iteration count
+MCL_CC_ITERS = 3      # min-label rounds over the converged support
+
+
 def q_mcl_nation(spark, sf):
-    """Full MCL loop on the nation cliques — rows-only check (the iterative
-    expand/inflate/prune loop is not finitely SQL-expressible); exactness is
-    covered by tests/test_algorithms.py::test_mcl_two_cliques."""
+    """Full MCL loop on the nation cliques, fully oracled: with eps=0 the
+    loop runs EXACTLY MCL_ORACLE_ITERS expand/prune/normalize/inflate
+    rounds (no data-dependent early stop), which the oracle unrolls. At
+    this scale select_k/recovery never bind (columns have <= 6 entries),
+    so the SQL models hard-prune + normalize + inflate only; general-graph
+    k-select pruning exactness is covered by
+    tests/test_algorithms.py::test_mcl_two_cliques and the kselect tests."""
     from combblas_spark.algorithms.labelprop import mcl
 
-    return mcl(spark, nation_clique_graph(spark, sf), inflation=2.0, max_iter=20)
+    return mcl(
+        spark, nation_clique_graph(spark, sf), inflation=2.0,
+        max_iter=MCL_ORACLE_ITERS, eps=0.0,
+    ).select("id", F.col("val").cast("long").alias("val"))
+
+
+def _mcl_sql(prefix: str, edges_cte: str, iters: int, cc_iters: int) -> str:
+    """Unrolled MCL (labelprop._mcl_loop semantics): symmetrize, AdjustLoops
+    (diag = column max), column-normalize; per round A^2 -> hard prune
+    (>= 1e-8) -> normalize -> inflate (pow 2) -> normalize; clusters =
+    min-label components of the support (> 1e-4). Valid when k-select /
+    recovery never bind — asserted by the nation graph's <= 6-entry
+    columns."""
+    parts = [
+        f"""msym AS MATERIALIZED (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT src, dst, w FROM {edges_cte}
+    UNION ALL SELECT dst, src, w FROM {edges_cte}
+  ) u GROUP BY src, dst)""",
+        "mverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM msym UNION SELECT DISTINCT dst FROM msym)",
+        "mcolmax AS (SELECT dst, MAX(w) AS mx FROM msym WHERE src <> dst GROUP BY dst)",
+        """madj AS MATERIALIZED (
+  SELECT src, dst, w FROM msym WHERE src <> dst
+  UNION ALL
+  SELECT v.id, v.id, COALESCE(c.mx, 1.0)
+  FROM mverts v LEFT JOIN mcolmax c ON c.dst = v.id)""",
+        "s0 AS MATERIALIZED (SELECT src, dst, w / SUM(w) OVER (PARTITION BY dst) AS w FROM madj)",
+    ]
+    for i in range(iters):
+        parts.append(f"""e{i} AS MATERIALIZED (
+  SELECT a.src, b.dst, SUM(a.w * b.w) AS w
+  FROM s{i} a JOIN s{i} b ON a.dst = b.src GROUP BY a.src, b.dst)""")
+        parts.append(
+            f"n{i} AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY dst) AS w "
+            f"FROM e{i} WHERE w >= 1e-8)"
+        )
+        parts.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT src, dst, "
+            f"(w * w) / SUM(w * w) OVER (PARTITION BY dst) AS w FROM n{i})"
+        )
+    parts.append(
+        f"supp AS MATERIALIZED (SELECT src, dst FROM s{iters} WHERE w > 1e-4)"
+    )
+    parts.append("""ssym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM supp UNION ALL SELECT dst, src FROM supp) u)""")
+    parts.append("l0 AS (SELECT id, id AS lbl FROM mverts)")
+    for j in range(cc_iters):
+        parts.append(f"""l{j + 1} AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lbl, COALESCE(MIN(n.lbl), v.lbl)) AS lbl
+  FROM l{j} v LEFT JOIN (
+    SELECT e.dst AS id, l.lbl FROM ssym e JOIN l{j} l ON l.id = e.src
+  ) n ON n.id = v.id
+  GROUP BY v.id, v.lbl)""")
+    body = ",\n".join(parts)
+    return f"""WITH {prefix},
+{body}
+SELECT id, CAST(lbl AS BIGINT) AS val FROM l{cc_iters}"""
 
 
 def q_simhash_docs(spark, sf):
@@ -1223,5 +1288,6 @@ FROM verts""",
         "matching_ps": _matching_sql(PS_CTES, "ps_dedup", MATCH_ROUNDS),
         "ann_topk": _ann_sql(_ANN_PLANES, k=5, max_bucket=10_000),
         "ivf_topk": _ivf_sql(IVF_CELLS, IVF_PROBE, IVF_ITERS, IVF_K, IVF_MAX_QID),
+        "mcl_nation": _mcl_sql(NATION_CTES, "nedges", MCL_ORACLE_ITERS, MCL_CC_ITERS),
         "simhash_docs": _simhash_sql(60),
     }
