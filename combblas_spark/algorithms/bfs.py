@@ -33,9 +33,10 @@ from combblas_spark.core.semiring import SELECT2ND_MIN
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.plans.superstep import SuperstepRunner
 
-#: above this many frontier rows, never force a broadcast join — fall back
-#: to a shuffle join (AQE may still broadcast from runtime stats).
-BROADCAST_MAX_ROWS = 4_000_000
+# shared gate (core/tuning.py): above this many frontier rows, never force
+# a broadcast join — fall back to a shuffle join (AQE may still broadcast
+# from runtime stats). Re-exported here for existing importers.
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS  # noqa: E402
 
 
 def bfs(

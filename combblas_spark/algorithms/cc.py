@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from combblas_spark.core.semiring import SELECT2ND_MIN
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.ewise import ewise_apply_vec
 from combblas_spark.operators.indexing import vec_gather, vec_assign
@@ -85,12 +86,22 @@ def cc_minlabel(
             start, states, _ = resumed
             labels = states["labels"]
         labels = runner.truncate(labels)
+        # labels are O(V) rows every superstep — gate the forced broadcast
+        # once on |V| (past the gate AQE decides; 'grid' broadcasts nothing)
+        bb = (
+            broadcast_vectors
+            and grid is None
+            and labels.count() <= BROADCAST_MAX_ROWS
+        )
 
         for it in range(start, max_iter):
             if grid is not None:
                 step = spmv_grid(edges, labels, grid, SELECT2ND_MIN)
             else:
-                step = spmv(edges, labels, SELECT2ND_MIN, broadcast_x=broadcast_vectors)
+                step = spmv(
+                    edges, labels, SELECT2ND_MIN,
+                    broadcast_x=True if bb else (None if broadcast_vectors else False),
+                )
             new_labels = runner.truncate(step)
             changed = None
             if (it + 1) % check_every == 0 or it + 1 == max_iter:
@@ -98,7 +109,7 @@ def cc_minlabel(
                     new_labels.alias("n")
                     .join(
                         F.broadcast(labels.alias("o"))
-                        if (broadcast_vectors and grid is None)
+                        if bb
                         else labels.alias("o"),
                         on="id",
                     )
@@ -134,8 +145,9 @@ def cc_fastsv(
     roots are component minima, so labels are canonical.
     """
     runner = runner or SuperstepRunner(spark)
-    bb = broadcast_vectors
     verts = (vertices or _vertices(edges)).select("id")
+    # the parent vector f is O(V) rows — gate every forced broadcast on |V|
+    bb = broadcast_vectors and verts.count() <= BROADCAST_MAX_ROWS
     edges = edges.select("src", "dst", "w").repartition(
         spark.sparkContext.defaultParallelism, "dst"
     )

@@ -50,14 +50,24 @@ def prep_inc_mat(*blocks: DataFrame) -> DataFrame:
     """Assemble the incremental matrix (PrepIncMat, IncClust.h:922) from its
     blocks — typically (previous clusters' summary, old<->new bridge +
     new-vertex edges; Mpn/Mnp arrive as one undirected edge set). All
-    blocks share the global vertex id space, so assembly is a union +
-    re-aggregation (duplicate (src,dst) across blocks keeps the max —
-    blocks are disjoint by construction; max is a safe idempotent merge).
+    blocks share the global vertex id space; assembly is a union +
+    re-aggregation. On a (src,dst) conflict the LATER block wins (the
+    caller passes new_edges last, so a re-delivered edge's fresh weight
+    replaces the stale summary value — even a lower one); duplicates within
+    one block keep the max weight.
     """
-    u = blocks[0]
-    for b in blocks[1:]:
+    tagged = [
+        b.select("src", "dst", "w", F.lit(i).alias("_blk"))
+        for i, b in enumerate(blocks)
+    ]
+    u = tagged[0]
+    for b in tagged[1:]:
         u = u.unionByName(b)
-    return u.groupBy("src", "dst").agg(F.max("w").alias("w"))
+    return (
+        u.groupBy("src", "dst")
+        .agg(F.max(F.struct(F.col("_blk"), F.col("w"))).alias("_m"))
+        .select("src", "dst", F.col("_m.w").alias("w"))
+    )
 
 
 def incremental_mcl(

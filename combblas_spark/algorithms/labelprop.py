@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from combblas_spark.core.semiring import PLUS_TIMES
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
 from combblas_spark.operators.multiply import spgemm
 from combblas_spark.operators.reduce import reduce_dim
 from combblas_spark.operators.transform import (
@@ -31,6 +32,7 @@ from combblas_spark.operators.transform import (
     symmetrize,
 )
 from combblas_spark.operators.kselect import prune_recovery_select
+from combblas_spark.plans.grid import Grid2D
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
@@ -48,27 +50,59 @@ def label_propagation(
     num_iters: int = 5,
     runner: Optional[SuperstepRunner] = None,
     broadcast_vectors: bool = True,
+    mode: str = "broadcast",
+    grid_shape: tuple[int, int] = (16, 4),
 ) -> DataFrame:
     """Synchronous weighted LP, deterministic tie-break (max weight-sum,
-    then min label). Returns (id, val=label). Expects symmetric edges."""
+    then min label). Returns (id, val=label). Expects symmetric edges.
+
+    The label table is O(V) rows by construction, so the broadcast path is
+    size-gated on |V| (BROADCAST_MAX_ROWS) — above the gate the per-superstep
+    joins fall back to shuffles and AQE decides. ``mode='grid'`` replaces the
+    vector broadcast with the 2D band-grid exchange (plans/grid.py): labels
+    are replicated C times by a parallel shuffle, joined co-partitioned
+    against the cached edge bands (zero edge movement), and the
+    (dst, label) partial aggregate is bounded per partition by its dst
+    band — the O(V)-label scale path."""
+    if mode not in ("broadcast", "grid"):
+        raise ValueError(mode)
     runner = runner or SuperstepRunner(spark)
-    edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "dst"
-    )
+    grid = None
+    if mode == "grid":
+        grid = Grid2D(spark, *grid_shape)
+        edges = grid.partition_edges(edges.select("src", "dst", "w"))
+    else:
+        edges = edges.select("src", "dst", "w").repartition(
+            spark.sparkContext.defaultParallelism, "dst"
+        )
     edges.persist()
     try:
         labels = _vertices(edges).select("id", F.col("id").alias("val"))
         labels = runner.truncate(labels)
+        n_v = labels.count()
+        bb = broadcast_vectors and grid is None and n_v <= BROADCAST_MAX_ROWS
 
         for it in range(num_iters):
-            lab = labels.select(F.col("id").alias("_lid"), F.col("val").alias("label"))
-            if broadcast_vectors:
-                lab = F.broadcast(lab)
-            scores = (
-                edges.join(lab, on=edges["src"] == lab["_lid"], how="inner")
-                .groupBy(edges["dst"].alias("id"), F.col("label"))
-                .agg(F.sum("w").alias("score"))
-            )
+            if grid is not None:
+                xr = grid.replicate_vector(labels)
+                scores = (
+                    edges.join(
+                        xr, on=[edges["pid"] == xr["pid"], edges["src"] == xr["id"]]
+                    )
+                    .groupBy(edges["dst"].alias("id"), xr["val"].alias("label"))
+                    .agg(F.sum(edges["w"]).alias("score"))
+                )
+            else:
+                lab = labels.select(
+                    F.col("id").alias("_lid"), F.col("val").alias("label")
+                )
+                if bb:
+                    lab = F.broadcast(lab)
+                scores = (
+                    edges.join(lab, on=edges["src"] == lab["_lid"], how="inner")
+                    .groupBy(edges["dst"].alias("id"), F.col("label"))
+                    .agg(F.sum("w").alias("score"))
+                )
             w_pick = Window.partitionBy("id").orderBy(
                 F.col("score").desc(), F.col("label").asc()
             )
@@ -78,7 +112,7 @@ def label_propagation(
                 .select("id", F.col("label").alias("val"))
             )
             # isolated / no-incoming vertices keep their label
-            if broadcast_vectors:
+            if bb:
                 picked = F.broadcast(picked)
             labels = runner.truncate(
                 labels.alias("o")

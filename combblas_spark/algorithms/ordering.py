@@ -166,8 +166,15 @@ def md_order_blocked(
 
     With ``assignment=None`` every vertex lands in one block — the
     small-graph path matching the reference tool's single-matrix usage.
+
+    The result is a TOTAL ordering of ``assignment``: a vertex with no
+    intra-block edge (isolated, or all its edges cross blocks under a
+    general clustering) has degree 0 in its block and is appended after the
+    eliminated ones, min-id first — exactly where the elimination loop would
+    pick it if the induced subgraph had carried it as an isolated node.
     """
     import pandas as pd
+    from pyspark.sql import Window
 
     from combblas_spark.operators.indexing import induced_subgraphs
 
@@ -188,6 +195,25 @@ def md_order_blocked(
             {"cluster": cluster, "id": [i for i, _ in order], "val": [p for _, p in order]}
         )
 
-    return sub.groupBy("cluster").applyInPandas(
+    ordered = sub.groupBy("cluster").applyInPandas(
         block_md, schema="cluster long, id long, val long"
     )
+    # trailing positions for vertices the induced subgraph never saw
+    missing = assignment.select(
+        F.col("val").alias("cluster"), "id"
+    ).join(ordered.select("id"), on="id", how="left_anti")
+    base = ordered.groupBy("cluster").agg((F.max("val") + 1).alias("_base"))
+    w_tail = Window.partitionBy("cluster").orderBy("id")
+    tail = (
+        missing.join(base, on="cluster", how="left")
+        .select(
+            "cluster",
+            "id",
+            (
+                F.coalesce(F.col("_base"), F.lit(0))
+                + F.row_number().over(w_tail)
+                - 1
+            ).cast("long").alias("val"),
+        )
+    )
+    return ordered.unionByName(tail)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from combblas_spark.core.semiring import PLUS_TIMES
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.reduce import reduce_dim
 from combblas_spark.operators.transform import dimapply
@@ -128,6 +129,9 @@ def _pagerank_iters(
 ):
     n_dangling = dangling.count()  # symmetric graphs have none -> skip the
     # per-iteration dangling-mass action entirely
+    # ranks are exactly n rows every superstep — gate the forced broadcast
+    # on it once (past the gate AQE decides; 'grid' mode broadcasts nothing)
+    bb = broadcast_vectors and n <= BROADCAST_MAX_ROWS
 
     start_iter = 0
     ranks = verts.select("id", F.lit(1.0 / n).alias("val"))
@@ -148,8 +152,11 @@ def _pagerank_iters(
         if grid is not None:
             contrib = spmv_grid(e_norm, ranks, grid, PLUS_TIMES)
         else:
-            contrib = spmv(e_norm, ranks, PLUS_TIMES, broadcast_x=broadcast_vectors)
-            if broadcast_vectors:
+            contrib = spmv(
+                e_norm, ranks, PLUS_TIMES,
+                broadcast_x=True if bb else (None if broadcast_vectors else False),
+            )
+            if bb:
                 contrib = F.broadcast(contrib)
         base = (1.0 - alpha) / n + alpha * dang_mass / n
         new_ranks = (

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from combblas_spark.core.semiring import MIN_PLUS
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.ewise import ewise_apply_vec
 from combblas_spark.plans.superstep import SuperstepRunner
@@ -38,25 +39,44 @@ def sssp(
     vertices are simply absent, the hypersparse +inf convention.
     ``num_iters`` fixes the superstep count (oracle-parity mode); otherwise
     run to fixpoint.
+
+    The distance vector grows toward O(V) as the relaxation wave spreads, so
+    the broadcast is size-gated per superstep on the tracked vector size
+    (BROADCAST_MAX_ROWS) — past the gate the SpMV falls back to a shuffle
+    join and AQE decides from runtime stats.
     """
     runner = runner or SuperstepRunner(spark)
     edges = edges.select("src", "dst", "w").repartition(
         spark.sparkContext.defaultParallelism, "dst"
     )
     edges.persist()
+    try:
+        return _sssp_loop(
+            spark, edges, source, num_iters, max_iter, runner, broadcast_vectors
+        )
+    finally:
+        edges.unpersist()
 
+
+def _sssp_loop(spark, edges, source, num_iters, max_iter, runner, bb):
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, val double")
     dist = runner.truncate(dist)
+    n_dist = 1
 
     iters = num_iters if num_iters is not None else max_iter
     for it in range(iters):
-        relax = spmv(edges, dist, MIN_PLUS, broadcast_x=broadcast_vectors)
+        gated = bb and n_dist <= BROADCAST_MAX_ROWS
+        relax = spmv(
+            edges, dist, MIN_PLUS,
+            broadcast_x=True if gated else (None if bb else False),
+        )
         new = ewise_apply_vec(
             dist, relax, F.least, how="full",
             x_fill=F.col("val_y"), y_fill=F.col("val_x"),
-            broadcast_y=broadcast_vectors,
         )
         new = runner.truncate(new)
+        if bb:
+            n_dist = new.count()  # cheap: new is materialized by truncate()
         if num_iters is None:
             changed = (
                 new.alias("n")

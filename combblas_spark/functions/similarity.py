@@ -118,14 +118,22 @@ def ivf_train(
     no RNG); each round assigns every vector to its nearest centroid
     (distributed argmin over plan literals) and recomputes position-wise
     means (posexplode + avg). Centroid components are rounded to 6 dp at
-    every step — the whole training run is then a pure function of the
-    input replayable by a SQL oracle. Cells that lose all members are
-    dropped (ids of the survivors are stable).
+    every step BY THE ENGINE (F.round, HALF_UP = away from zero on halves,
+    same rule as DuckDB ROUND) — seeds included, so one rounding mode covers
+    the whole training run and a SQL oracle replays it byte-for-byte. Cells
+    that lose all members are dropped (ids of the survivors are stable).
     """
-    seeds = emb.orderBy(F.col(id_col).asc()).limit(n_cells).select(vec_col).collect()
-    cents = {
-        i: [round(float(v), 6) for v in r[0]] for i, r in enumerate(seeds)
-    }
+    seeds = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.transform(
+                F.col(vec_col), lambda v: F.round(v.cast("double"), 6)
+            ).alias("v")
+        )
+        .collect()
+    )
+    cents = {i: [float(v) for v in r["v"]] for i, r in enumerate(seeds)}
     for _ in range(iters):
         cell = _nearest_cell(F.col(vec_col), cents)
         means = (

@@ -11,9 +11,10 @@ digest across the whole stream. State is sharded by
 ``xxhash64(digest) % n_shards`` — each shard's group state holds the set of
 digests it has seen, so state size and update cost partition evenly across
 the cluster's state store; n_shards is the state-parallelism knob (use
-O(cores) locally, O(executors x cores) on a cluster). Within one Arrow
-chunk the smallest id wins, so results are deterministic for test-sized
-batches.
+O(cores) locally, O(executors x cores) on a cluster). All Arrow chunks of a
+micro-batch group are concatenated before the winner is picked, so the
+smallest id wins per digest WITHIN a micro-batch (matching the batch
+oracle); across micro-batches the contract is first-seen.
 """
 
 from __future__ import annotations
@@ -45,7 +46,12 @@ def streaming_dedup_exact(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = set(state.get[0]) if state.exists else set()
-        for pdf in pdfs:
+        # concatenate the group's chunks FIRST: min-id-wins must hold across
+        # the whole micro-batch, not per Arrow chunk (the shard's batch is
+        # bounded, so the concat is)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(id_col).drop_duplicates("digest", keep="first")
             fresh = pdf[~pdf["digest"].isin(seen)]
             if len(fresh):

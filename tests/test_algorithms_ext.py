@@ -350,3 +350,30 @@ def test_md_order_blocked_matches_per_block(spark):
         alone = {r["id"]: r["val"] for r in md_order_blocked(spark, solo).collect()}
         for v, p in alone.items():
             assert blocked[(cl, v)] == p
+
+
+def test_md_order_blocked_is_total_ordering(spark):
+    """Vertices with only cross-block edges (and isolated ones) must still
+    receive an elimination position — trailing per block, min-id first."""
+    from combblas_spark.algorithms import md_order_blocked
+    from combblas_spark.operators.transform import symmetrize
+
+    # block 0 = {0,1}, block 1 = {2,3}; vertex 4 only bridges blocks,
+    # vertex 5 is entirely absent from the edge set
+    edges = symmetrize(spark.createDataFrame(
+        [(0, 1, 1.0), (2, 3, 1.0), (4, 0, 1.0), (4, 2, 1.0)],
+        "src long, dst long, w double",
+    ))
+    assignment = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, 0), (5, 1)], "id long, val long"
+    )
+    rows = md_order_blocked(spark, edges, assignment).collect()
+    got = {(r["cluster"], r["id"]): r["val"] for r in rows}
+    assert set(got) == {(0, 0), (0, 1), (0, 4), (1, 2), (1, 3), (1, 5)}
+    # within each block, positions are a permutation of 0..k-1
+    for cl in (0, 1):
+        ps = sorted(v for (c, _), v in got.items() if c == cl)
+        assert ps == list(range(len(ps)))
+    # the edge-less vertices trail their blocks
+    assert got[(0, 4)] == 2
+    assert got[(1, 5)] == 2

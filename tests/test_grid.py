@@ -82,3 +82,20 @@ def test_algorithms_grid_mode_parity(spark):
     assert set(pa) == set(pb)
     for k in pa:
         assert pa[k] == pytest.approx(pb[k], abs=1e-12)
+
+
+def test_labelprop_grid_mode_parity(spark):
+    from combblas_spark.algorithms import label_propagation
+
+    edges = symmetrize(weighted_digraph(spark, n=250, avg_deg=3, seed=22))
+    a = {
+        r["id"]: r["val"]
+        for r in label_propagation(spark, edges, num_iters=4).collect()
+    }
+    b = {
+        r["id"]: r["val"]
+        for r in label_propagation(
+            spark, edges, num_iters=4, mode="grid", grid_shape=(4, 2)
+        ).collect()
+    }
+    assert a == b
