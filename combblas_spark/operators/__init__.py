@@ -1,4 +1,4 @@
-from combblas_spark.operators.multiply import spmv, spgemm, square  # noqa: F401
+from combblas_spark.operators.multiply import spmv, spgemm, square, galerkin  # noqa: F401
 from combblas_spark.operators.ewise import (  # noqa: F401
     ewise_mult,
     ewise_apply,

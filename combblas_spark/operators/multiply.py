@@ -101,6 +101,25 @@ def spgemm(
     return out
 
 
+def galerkin(
+    r: DataFrame, a: DataFrame, sr: Semiring = PLUS_TIMES, phases: int = 1
+) -> DataFrame:
+    """Galerkin triple product R * A * R^T — the multigrid restriction
+    operator (/root/reference/ReleaseTests/GalerkinNew.cpp:105-106 computes
+    AT = PSpGEMM(A, T) then SAT = PSpGEMM(S, AT) with T = transpose of the
+    restriction; 3DSpGEMM/RestrictionOp.cpp builds R itself).
+
+    ``r`` maps fine vertices to coarse ones: r(src=coarse id, dst=fine id,
+    w=interpolation weight); the result is the coarse-grid operator
+    (src=coarse, dst=coarse). Associates right-to-left like the reference —
+    A*R^T first (|V_fine| x |V_coarse|, the thin side), then R*(A*R^T).
+    """
+    from combblas_spark.operators.transform import transpose
+
+    art = spgemm(a, transpose(r), sr, phases=phases)
+    return spgemm(r, art, sr, phases=phases)
+
+
 def square(a: DataFrame, sr: Semiring = PLUS_TIMES, phases: int = 1) -> DataFrame:
     """A <- A^2 (reference SpParMat::Square, SpParMat.cpp:3469)."""
     return spgemm(a, a, sr, phases=phases)

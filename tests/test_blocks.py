@@ -1,6 +1,7 @@
 """Block split / induced subgraph / permute / min-element tests."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from combblas_spark.operators import (
     block_split,
@@ -29,6 +30,62 @@ def test_permute_edges_preserves_content(spark):
     a = sevenvertex(spark)
     p = permute_edges(a, seed=5)
     assert sorted(collect_edges(p)) == sorted(SEVENVERTEX)
+
+
+def test_permute_edges_placement_oracle(spark):
+    """The seeded placement is a pure function of (src, dst, seed): each edge
+    lands in pmod(murmur3(xxhash64(src, dst, seed)), p) — assert the actual
+    partition id against that closed form, and that a re-run is identical."""
+    a = sevenvertex(spark)
+    p = spark.sparkContext.defaultParallelism
+
+    def placement(seed):
+        out = permute_edges(a, seed=seed).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        return {(r["src"], r["dst"]): r["pid"] for r in out.collect()}
+
+    got = placement(5)
+    expected = {
+        (r["src"], r["dst"]): r["want"]
+        for r in a.select(
+            "src", "dst",
+            F.pmod(F.hash(F.xxhash64("src", "dst", F.lit(5))), F.lit(p)).alias("want"),
+        ).collect()
+    }
+    assert got == expected
+    assert placement(5) == got
+    # a different seed must actually move something on this fixture
+    assert placement(6) != got
+
+
+def test_galerkin_coarsens_by_cluster(spark):
+    """R aggregating vertices into blocks: R*A*R^T must equal the
+    cluster-to-cluster weight totals (and the composed-spgemm form)."""
+    from combblas_spark.operators import galerkin, spgemm
+    from combblas_spark.operators.transform import transpose
+
+    a = sevenvertex(spark)
+    # coarse 0 <- {0..3}, coarse 1 <- {4..6}
+    r = spark.createDataFrame(
+        [(0 if v < 4 else 1, v, 1.0) for v in range(7)],
+        "src long, dst long, w double",
+    )
+    got = {(x["src"], x["dst"]): x["w"] for x in galerkin(r, a).collect()}
+    want: dict = {}
+    for s, d, w in SEVENVERTEX:
+        key = (0 if s < 4 else 1, 0 if d < 4 else 1)
+        want[key] = want.get(key, 0.0) + w
+    assert set(got) == set(want)
+    for k in want:  # summation order differs -> compare to ulp tolerance
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    composed = {
+        (x["src"], x["dst"]): x["w"]
+        for x in spgemm(spgemm(r, a), transpose(r)).collect()
+    }
+    assert set(composed) == set(want)
+    for k in want:
+        assert composed[k] == pytest.approx(want[k], rel=1e-12)
 
 
 def test_induced_subgraphs(spark):
