@@ -644,6 +644,14 @@ def q_cc_fastsv_ps(spark, sf):
     return canonical_labels(cc_fastsv(spark, part_supplier_graph(spark, sf)))
 
 
+def q_cc_lacc_ps(spark, sf):
+    """LACC hook/star-check schedule (CC.h:1404-1544) must equal min-label
+    propagation after canonicalization — same oracle SQL as cc_ps."""
+    from combblas_spark.algorithms.cc import cc_lacc
+
+    return cc_lacc(spark, part_supplier_graph(spark, sf))
+
+
 def q_triangles_ev(spark, sf):
     e = symmetrize_ev(spark, sf)
     return triangles_per_edge(e).agg(
@@ -1054,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": q_cc_star,
         "cc_ps": q_cc_ps,
         "cc_fastsv_ps": q_cc_fastsv_ps,
+        "cc_lacc_ps": q_cc_lacc_ps,
         "triangles_ev": q_triangles_ev,
         "mcl_nation": q_mcl_nation,
         "simhash_docs": q_simhash_docs,
@@ -1130,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_star": _minlabel_sql(STAR_CTES, "sedges", 6),
         "cc_ps": _minlabel_sql(PS_CTES, "edges", CC_ORACLE_ITERS),
         "cc_fastsv_ps": _minlabel_sql(PS_CTES, "edges", CC_ORACLE_ITERS),
+        "cc_lacc_ps": _minlabel_sql(PS_CTES, "edges", CC_ORACLE_ITERS),
         "triangles_ev": f"""WITH {EV_CTES},
             sym AS MATERIALIZED (
               SELECT src, dst, SUM(w) AS w FROM (

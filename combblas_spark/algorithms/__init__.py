@@ -1,12 +1,16 @@
 from combblas_spark.algorithms.pagerank import pagerank  # noqa: F401
-from combblas_spark.algorithms.cc import cc_minlabel, cc_fastsv, canonical_labels  # noqa: F401
+from combblas_spark.algorithms.cc import cc_minlabel, cc_fastsv, cc_lacc, canonical_labels  # noqa: F401
 from combblas_spark.algorithms.bfs import bfs  # noqa: F401
 from combblas_spark.algorithms.triangles import triangle_count, triangles_per_edge  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
 from combblas_spark.algorithms.sssp import sssp  # noqa: F401
 from combblas_spark.algorithms.betweenness import betweenness  # noqa: F401
 from combblas_spark.algorithms.mis import mis_luby  # noqa: F401
-from combblas_spark.algorithms.matching import maximal_matching  # noqa: F401
+from combblas_spark.algorithms.matching import (  # noqa: F401
+    maximal_matching,
+    maximum_matching,
+    approx_weight_matching,
+)
 from combblas_spark.algorithms.filtered import filtered_bfs  # noqa: F401
 from combblas_spark.algorithms.ordering import (  # noqa: F401
     rcm_order,

@@ -1,4 +1,4 @@
-"""Connected components: min-label propagation and FastSV hook/shortcut.
+"""Connected components: min-label, FastSV, and the LACC hook/star schedule.
 
 Reference:
 * LACC driver loop  /root/reference/Applications/CC.h:1404-1544
@@ -8,14 +8,18 @@ Reference:
   (mngp = SpMV-min, stochastic + aggressive hooking, shortcutting)
 * label canonicalization LabelCC /root/reference/Applications/CC.h:1383-1401
 
-Two implementations:
+Three implementations:
 * ``cc_minlabel`` — propagate min neighbor label to a fixpoint. O(diameter)
   supersteps, each ONE join+agg. Simple, exact; the oracle-parity path.
 * ``cc_fastsv``  — grandparent hooking + shortcutting, O(log n) supersteps
   of ~4 joins each. The 100TB path: on a web-scale graph with diameter in
   the hundreds, min-label is unusable; FastSV converges in ~log(n) rounds.
+* ``cc_lacc``    — the reference's flagship schedule (conditional hook of
+  star roots onto smaller neighbor parents, star check, unconditional hook
+  of leftover stars into non-star trees, shortcut). Output-equivalent to
+  FastSV after canonicalization; kept for algorithmic parity with CC.h.
 
-Both expect an UNDIRECTED graph (pass a symmetrized edge table).
+All expect an UNDIRECTED graph (pass a symmetrized edge table).
 """
 
 from __future__ import annotations
@@ -202,6 +206,114 @@ def _fastsv_loop(edges, verts, max_iter, runner, bb):
         if changed == 0:
             break
     return f
+
+
+def _lacc_nonstars(f: DataFrame, bb: bool) -> DataFrame:
+    """Sparse (id)-set of NON-star vertices of the parent forest ``f``
+    (StarCheck, CC.h:1125-1192, the Shiloach-Vishkin star test): a vertex is
+    non-star iff it is marked (it has a grandparent differing from its
+    parent, or it IS such a grandparent) or its parent is marked — the
+    mark-then-copy-parent's-flag schedule, keeping one's own mark."""
+    gp = vec_gather(f, f, broadcast_vec=bb)  # gp[v] = f[f[v]]
+    deep = (
+        f.alias("p")
+        .join(F.broadcast(gp.alias("g")) if bb else gp.alias("g"), on="id")
+        .filter(F.col("p.val") != F.col("g.val"))
+    )
+    marks = (
+        deep.select("id")
+        .unionByName(deep.select(F.col("g.val").alias("id")))
+        .distinct()
+    )
+    parent_marked = f.join(
+        F.broadcast(marks.select(F.col("id").alias("_m"))) if bb
+        else marks.select(F.col("id").alias("_m")),
+        on=f["val"] == F.col("_m"),
+    ).select("id")
+    return marks.unionByName(parent_marked).distinct()
+
+
+def cc_lacc(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 100,
+    runner: Optional[SuperstepRunner] = None,
+    vertices: Optional[DataFrame] = None,
+    broadcast_vectors: bool = True,
+) -> DataFrame:
+    """LACC (CC.h:1404-1544 driver schedule) on the Extract/Assign/SpMV
+    operators. Per superstep:
+
+    1. ConditionalHook (CC.h:1194): every STAR vertex v computes
+       mnp[v] = min over neighbors of parent[u] (SpMV<Select2ndMin>); if
+       mnp[v] < parent[v], scatter parent[parent[v]] <- mnp[v] (min on
+       collision — strictly decreasing, so no cycles).
+    2. StarCheck (CC.h:1125) recomputed on the hooked forest.
+    3. UnconditionalHook2 (CC.h:1242): each remaining STAR vertex takes the
+       min parent among NON-star neighbors only (sparse SpMV over the
+       non-star parents) and its root hooks there unconditionally — a star
+       always hooks into a non-star tree, so no cycles (LACC paper's proof).
+    4. Shortcut (CC.h:1331): parent = parent[parent], trivially identity
+       for stars.
+
+    Converges when the parent vector is stable (every tree is then a star
+    and no edge crosses two trees). Returns CANONICAL (id, val = min member
+    id) labels via canonical_labels, so results compare exactly with
+    cc_fastsv / cc_minlabel.
+    """
+    runner = runner or SuperstepRunner(spark)
+    verts = (vertices or _vertices(edges)).select("id")
+    bb = broadcast_vectors and verts.count() <= BROADCAST_MAX_ROWS
+    edges = edges.select("src", "dst", "w").repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    )
+    edges.persist()
+    try:
+        f = runner.truncate(verts.select("id", F.col("id").alias("val")))
+        for it in range(max_iter):
+            # 1. conditional hook: stars with a smaller neighbor parent
+            mnp = spmv(edges, f, SELECT2ND_MIN, broadcast_x=bb)
+            nonstars = _lacc_nonstars(f, bb)
+            hooks = (
+                f.alias("p")
+                .join(mnp.alias("m"), on="id")
+                .join(nonstars, on="id", how="left_anti")
+                .filter(F.col("m.val") < F.col("p.val"))
+                .select(F.col("p.val").alias("id"), F.col("m.val").alias("val"))
+            )
+            f1 = runner.truncate(
+                vec_assign(f, hooks, dedup=F.min, combine=F.least,
+                           broadcast_updates=bb)
+            )
+            # 2-3. star check, then unconditional hook of leftover stars
+            nonstars1 = _lacc_nonstars(f1, bb)
+            p_nonstar = f1.join(nonstars1, on="id")  # parents of non-stars
+            mnsp = spmv(edges, p_nonstar, SELECT2ND_MIN, broadcast_x=bb)
+            uhooks = (
+                f1.alias("p")
+                .join(mnsp.alias("m"), on="id")
+                .join(nonstars1, on="id", how="left_anti")
+                .select(F.col("p.val").alias("id"), F.col("m.val").alias("val"))
+            )
+            f2 = vec_assign(
+                f1, uhooks, dedup=F.min, combine=lambda old, new: new,
+                broadcast_updates=bb,
+            )
+            # 4. shortcut: f = f[f] for every vertex
+            f3 = runner.truncate(vec_gather(f2, f2, broadcast_vec=bb))
+            changed = (
+                f3.alias("n")
+                .join(F.broadcast(f.alias("o")) if bb else f.alias("o"), on="id")
+                .filter(F.col("n.val") != F.col("o.val"))
+                .count()
+            )
+            f = f3
+            runner.save(it + 1, {"f": f}, {"changed": int(changed)})
+            if changed == 0:
+                break
+        return canonical_labels(f)
+    finally:
+        edges.unpersist()
 
 
 def canonical_labels(labels: DataFrame) -> DataFrame:

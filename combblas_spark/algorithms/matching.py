@@ -1,23 +1,33 @@
-"""Bipartite maximal matching — proposal rounds as DataFrame supersteps.
+"""Bipartite matchings — maximal, maximum-cardinality, and approx-weight.
 
 Reference: /root/reference/Applications/BipartiteMatchings/
-BPMaximalMatching.h:35-172 (MaximalMatching, init DMD): per round every
-unmatched row vertex proposes along an incident edge to an unmatched column
-vertex (SpMV<Select2ndMin> over the active subgraph), each column accepts
-exactly one proposer (min), matched pairs leave the graph, repeat until no
-row can propose. Greedy maximal: no augmenting, >= 1/2 optimum.
+* BPMaximalMatching.h:35-172 (MaximalMatching, init DMD): per round every
+  unmatched row vertex proposes along an incident edge to an unmatched
+  column vertex (SpMV<Select2ndMin> over the active subgraph), each column
+  accepts exactly one proposer (min), matched pairs leave the graph, repeat
+  until no row can propose. Greedy maximal: no augmenting, >= 1/2 optimum.
+* BPMaximumMatching.h / .cpp (maximumMatching, MS-BFS tree construction):
+  repeated phases of multi-source alternating BFS from the unmatched row
+  vertices, extracting a vertex-disjoint set of augmenting paths and
+  flipping them; terminates at a TRUE maximum (Berge). ``maximum_matching``
+  is that shape as DataFrame supersteps.
+* ApproxWeightPerfectMatching.h (approximate weighted matching):
+  ``approx_weight_matching`` covers the weighted family with the
+  locally-dominant-edge rounds (Preis / Manne–Bisseling): every vertex
+  points at its heaviest incident edge, edges picked from both ends are
+  matched — >= 1/2 of the optimum weight, fully distributed.
 
-Determinism: the reference breaks ties by processor order; here both the
-proposal (min column neighbor) and the acceptance (min proposer) use vertex
-ids — the result is a pure function of the edge set, so a SQL oracle can
-replay it round-by-round.
+Determinism: the reference breaks ties by processor order; here every
+selection (proposal, acceptance, BFS parent, augmenting-path winner,
+heaviest-edge tie) uses vertex ids — each result is a pure function of the
+edge set, so a SQL oracle can replay it round-by-round.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from combblas_spark.plans.superstep import SuperstepRunner
@@ -54,4 +64,206 @@ def maximal_matching(
         runner.save(rnd + 1, {"matched": matched, "active": active}, {})
     if matched is None:
         return edges.select("src", "dst").filter(F.lit(False))
+    return matched
+
+
+def _augment_phase(
+    e: DataFrame,
+    m: DataFrame,
+    runner: SuperstepRunner,
+    depth: Optional[int] = None,
+    max_depth: int = 200,
+):
+    """One augmenting phase (BPMaximumMatching.h's MS-BFS + augment):
+    alternating BFS from ALL free row vertices — forward along any edge to
+    an unvisited column vertex (parent = min proposing src), backward only
+    along matched edges (unique) — then flip a vertex-disjoint set of
+    augmenting paths.
+
+    ``depth=None``: stop at the FIRST level holding a free column vertex
+    (shortest augmenting length; returns None if the BFS exhausts with no
+    free column vertex = matching is maximum). ``depth=d``: search paths of
+    exactly length ``d`` (fixed-unroll mode a SQL oracle can replay);
+    returns (m, 0) when none exist.
+
+    Disjointness needs no conflict resolution: parent pointers are
+    functions, so two trace-backs that share ANY vertex share their entire
+    suffix and thus their root — picking one free column vertex (the min)
+    per root makes the chosen paths pairwise vertex-disjoint.
+    """
+    free_src = (
+        e.select("src").distinct().join(m.select("src"), on="src", how="left_anti")
+    )
+    cur_src = runner.truncate(free_src)
+    visited = None
+    parents: dict[int, DataFrame] = {}
+    found_level = None
+    level = 1
+    while level <= (depth if depth is not None else max_depth):
+        prop = e.join(cur_src, on="src")
+        if visited is not None:
+            prop = prop.join(visited, on="dst", how="left_anti")
+        dl = runner.truncate(prop.groupBy("dst").agg(F.min("src").alias("ps")))
+        if dl.limit(1).count() == 0:
+            return None if depth is None else (m, 0)
+        parents[level] = dl
+        visited = runner.truncate(
+            dl.select("dst")
+            if visited is None
+            else visited.unionByName(dl.select("dst"))
+        )
+        if depth is None:
+            has_free = (
+                dl.join(m.select("dst"), on="dst", how="left_anti").limit(1).count()
+            )
+            if has_free:
+                found_level = level
+                break
+        elif level == depth:
+            found_level = level
+            break
+        # extend through matched column vertices to their row partners
+        cur_src = runner.truncate(dl.select("dst").join(m, on="dst").select("src"))
+        level += 2
+    if found_level is None:
+        return None if depth is None else (m, 0)
+
+    freed = parents[found_level].join(m.select("dst"), on="dst", how="left_anti")
+    if depth is not None and freed.limit(1).count() == 0:
+        return (m, 0)
+    # trace back every free column vertex to its root; collect path edges
+    state = freed.select(
+        F.col("dst").alias("dd"), F.col("ps").alias("s")
+    )
+    new_edges = freed.select(
+        F.col("dst").alias("dd"), F.col("ps").alias("src"), F.col("dst").alias("dst")
+    )
+    old_edges = None
+    lvl = found_level - 2
+    while lvl >= 1:
+        mm = m.select(F.col("src").alias("s"), F.col("dst").alias("mdst"))
+        step = state.join(mm, on="s")  # (dd, s, mdst): matched edge to drop
+        drop = step.select("dd", F.col("s").alias("src"), F.col("mdst").alias("dst"))
+        old_edges = drop if old_edges is None else old_edges.unionByName(drop)
+        pl = parents[lvl].select(F.col("dst").alias("mdst"), F.col("ps").alias("ps"))
+        step2 = step.join(pl, on="mdst")  # (dd, s, mdst, ps)
+        new_edges = new_edges.unionByName(
+            step2.select("dd", F.col("ps").alias("src"), F.col("mdst").alias("dst"))
+        )
+        state = step2.select("dd", F.col("ps").alias("s"))
+        lvl -= 2
+    # state.s is now the free root; one winner (min free dst) per root
+    winners = state.groupBy("s").agg(F.min("dd").alias("dd")).select("dd")
+    new_e = new_edges.join(winners, on="dd").select("src", "dst")
+    m2 = m
+    if old_edges is not None:
+        drop_e = old_edges.join(winners, on="dd").select("src", "dst")
+        m2 = m2.join(drop_e, on=["src", "dst"], how="left_anti")
+    m2 = runner.truncate(m2.unionByName(new_e))
+    n_aug = winners.count()
+    return (m2, int(n_aug))
+
+
+def maximum_matching(
+    spark: SparkSession,
+    edges: DataFrame,
+    schedule: Optional[list[int]] = None,
+    max_phases: int = 10_000,
+    max_depth: int = 200,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Maximum-cardinality bipartite matching via augmenting-path phases
+    (BPMaximumMatching.cpp driver loop). Returns (src, dst) matched pairs.
+
+    Default mode runs shortest-length phases until NO augmenting path of any
+    length remains — a true maximum by Berge's theorem (pytest checks
+    cardinality equality with Hopcroft–Karp). ``schedule=[d1, d2, ...]``
+    instead runs fixed exact-length phases (odd lengths) — a deterministic
+    unrolling a SQL oracle replays phase-for-phase; with a schedule that
+    exhausts the graph's shortest-augmenting-length growth the result equals
+    the dynamic mode (asserted empirically per dataset).
+    """
+    runner = runner or SuperstepRunner(spark)
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+    )
+    e.persist()
+    try:
+        m = runner.truncate(
+            spark.createDataFrame([], "src long, dst long")
+        )
+        if schedule is not None:
+            for ph, d in enumerate(schedule):
+                if d % 2 != 1:
+                    raise ValueError(f"augmenting path lengths are odd, got {d}")
+                m, n_aug = _augment_phase(e, m, runner, depth=d)
+                runner.save(ph + 1, {"m": m}, {"depth": d, "augmented": n_aug})
+        else:
+            for ph in range(max_phases):
+                res = _augment_phase(e, m, runner, depth=None, max_depth=max_depth)
+                if res is None:
+                    break
+                m, n_aug = res
+                runner.save(ph + 1, {"m": m}, {"augmented": n_aug})
+        return m
+    finally:
+        e.unpersist()
+
+
+def approx_weight_matching(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 64,
+    num_rounds: Optional[int] = None,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Locally-dominant greedy weighted matching
+    (ApproxWeightPerfectMatching.h's distributed-friendly shape; Preis /
+    Manne–Bisseling): per round every row vertex points at its heaviest
+    incident edge (ties -> min dst) and every column vertex at its heaviest
+    (ties -> min src); edges picked from BOTH ends are locally dominant and
+    enter the matching, their endpoints leave. The heaviest active edge
+    under the total order (w desc, src asc, dst asc) is always mutual, so
+    every round makes progress; the result is maximal with weight >= 1/2 of
+    the optimum (standard locally-dominant bound).
+
+    ``num_rounds`` fixes the round count (oracle-replay mode, no early-exit
+    actions); rounds past convergence are no-ops. Returns (src, dst, w).
+    """
+    runner = runner or SuperstepRunner(spark)
+    active = runner.truncate(
+        edges.groupBy("src", "dst").agg(F.max("w").alias("w"))
+    )
+    matched = None
+    w_src = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+    w_dst = Window.partitionBy("dst").orderBy(F.col("w").desc(), F.col("src").asc())
+    rounds = num_rounds if num_rounds is not None else max_rounds
+    for rnd in range(rounds):
+        if num_rounds is None and active.limit(1).count() == 0:
+            break
+        best_s = (
+            active.withColumn("_r", F.row_number().over(w_src))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        best_d = (
+            active.withColumn("_r", F.row_number().over(w_dst))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        dom = runner.truncate(
+            best_s.join(best_d.select("src", "dst"), on=["src", "dst"])
+        )
+        if num_rounds is None and dom.limit(1).count() == 0:
+            break
+        matched = dom if matched is None else runner.truncate(matched.unionByName(dom))
+        active = runner.truncate(
+            active.join(dom.select("src"), on="src", how="left_anti")
+            .join(dom.select("dst"), on="dst", how="left_anti")
+        )
+        runner.save(rnd + 1, {"matched": matched, "active": active}, {})
+    if matched is None:
+        return edges.select("src", "dst", "w").filter(F.lit(False))
     return matched

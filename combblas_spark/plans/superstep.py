@@ -45,8 +45,28 @@ class SuperstepRunner:
     def truncate(self, df: DataFrame) -> DataFrame:
         """Cut the logical plan; returns a DataFrame backed by materialized
         partitions. localCheckpoint is deliberate: it is the in-run analog
-        of the reference's per-iteration in-memory vectors."""
-        return df.localCheckpoint(eager=self.eager)
+        of the reference's per-iteration in-memory vectors.
+
+        The checkpointed Dataset is re-wrapped in a FRESH LogicalRDD (via
+        internalCreateDataFrame over the already-materialized RDD) to drop
+        the origin plan's Catalyst statistics: Spark's localCheckpoint
+        preserves them, and SizeInBytesOnlyStatsPlanVisitor multiplies child
+        estimates per join — an iterative kernel with k joins per superstep
+        then compounds the BigInt estimate ~k-fold every superstep
+        (measured: 15,000-DIGIT sizeInBytes by iteration 8, with driver
+        time exploding ~7x per superstep in BigInteger.multiply). With the
+        stats dropped, leaves fall back to defaultSizeInBytes and per-
+        superstep planning cost is constant; runtime join strategy is AQE's
+        job anyway."""
+        cp = df.localCheckpoint(eager=self.eager)
+        try:
+            jdf = cp._jdf
+            fresh = self.spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            )
+            return DataFrame(fresh, self.spark)
+        except Exception:  # internal API moved — stats may then compound
+            return cp
 
     # -- durable checkpoint --------------------------------------------------
     def _iter_dir(self, iteration: int) -> str:

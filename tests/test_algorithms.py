@@ -66,6 +66,38 @@ def test_cc_forest_fastsv(spark):
     assert len(set(got.values())) == golden["n_components_with_edges"]
 
 
+def test_cc_lacc_matches_fastsv(spark):
+    from combblas_spark.algorithms import cc_lacc
+
+    for make in (
+        lambda: symmetrize(sevenvertex(spark)),
+        lambda: symmetrize(chain_star_forest(spark)[0]),
+        lambda: symmetrize(weighted_digraph(spark, n=300, avg_deg=2, seed=13)),
+    ):
+        sym = make()
+        want = collect_vec(canonical_labels(cc_fastsv(spark, sym)))
+        got = collect_vec(cc_lacc(spark, sym))
+        assert got == want
+
+
+def test_cc_lacc_superstep_count_logarithmic(spark, tmp_path):
+    """On a diameter-200 path (min-label would need ~200 supersteps) LACC
+    must converge in O(log n) hook/shortcut rounds, like FastSV."""
+    from combblas_spark.algorithms import cc_lacc
+    from combblas_spark.plans.superstep import SuperstepRunner
+    import os
+
+    n = 200
+    path = symmetrize(spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, w double"
+    ))
+    runner = SuperstepRunner(spark, checkpoint_dir=str(tmp_path / "lacc"))
+    labels = collect_vec(cc_lacc(spark, path, runner=runner))
+    assert set(labels.values()) == {0}
+    iters = len([d for d in os.listdir(tmp_path / "lacc") if d.startswith("iter=")])
+    assert iters <= 14  # ~log2(200) + schedule slack; far below diameter
+
+
 def test_bfs_sevenvertex(spark):
     res = bfs(spark, sevenvertex(spark), root=2)
     got = {r["id"]: r["depth"] for r in res.collect()}

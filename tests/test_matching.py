@@ -1,0 +1,104 @@
+"""Matching family tests vs pure-python oracles (BPMaximalMatching /
+BPMaximumMatching / ApproxWeightPerfectMatching parity, SURVEY.md §5)."""
+
+import random
+
+import pytest
+
+from combblas_spark.algorithms import (
+    maximal_matching,
+    maximum_matching,
+    approx_weight_matching,
+)
+from tests.util import hopcroft_karp, max_weight_matching_brute
+
+
+def _bipartite(spark, n_src, n_dst, n_edges, seed):
+    rng = random.Random(seed)
+    pairs = sorted(
+        {
+            (rng.randrange(n_src), 1000 + rng.randrange(n_dst))
+            for _ in range(n_edges)
+        }
+    )
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df, pairs
+
+
+def _assert_valid_matching(rows, pairs):
+    srcs = [r[0] for r in rows]
+    dsts = [r[1] for r in rows]
+    assert len(srcs) == len(set(srcs))
+    assert len(dsts) == len(set(dsts))
+    assert set(map(tuple, rows)) <= set(pairs)
+
+
+def test_maximum_matching_equals_hopcroft_karp(spark):
+    for seed, (ns, nd, ne) in enumerate(
+        [(12, 10, 25), (30, 25, 60), (50, 40, 90), (8, 8, 30)]
+    ):
+        df, pairs = _bipartite(spark, ns, nd, ne, seed=100 + seed)
+        got = [(r["src"], r["dst"]) for r in maximum_matching(spark, df).collect()]
+        _assert_valid_matching(got, pairs)
+        assert len(got) == hopcroft_karp(pairs)
+
+
+def test_maximum_matching_beats_greedy_and_path_fixture(spark):
+    # the classic case greedy gets wrong: path a1-b1, a2-b1, a2-b2 style
+    # chains where maximal-greedy leaves an augmenting path
+    pairs = [(0, 1000), (1, 1000), (1, 1001), (2, 1001), (2, 1002)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    greedy = maximal_matching(spark, df).count()
+    best = maximum_matching(spark, df)
+    got = [(r["src"], r["dst"]) for r in best.collect()]
+    _assert_valid_matching(got, pairs)
+    assert len(got) == hopcroft_karp(pairs) == 3
+    assert len(got) >= greedy
+
+
+def test_maximum_matching_fixed_schedule_parity(spark):
+    """The oracle-replayable fixed schedule must reach the same cardinality
+    as the dynamic shortest-phase mode once it exhausts the shortest-length
+    growth of these graphs."""
+    for seed, (ns, nd, ne) in enumerate([(20, 16, 45), (40, 30, 70)]):
+        df, pairs = _bipartite(spark, ns, nd, ne, seed=300 + seed)
+        want = hopcroft_karp(pairs)
+        sched = [1, 1, 1, 1, 3, 3, 5, 5, 7]
+        got = maximum_matching(spark, df, schedule=sched).collect()
+        _assert_valid_matching([(r["src"], r["dst"]) for r in got], pairs)
+        assert len(got) == want
+
+
+def test_approx_weight_matching_half_optimal(spark):
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        wpairs = sorted(
+            {
+                (rng.randrange(7), 100 + rng.randrange(6))
+                for _ in range(18)
+            }
+        )
+        wpairs = [(s, d, round(rng.uniform(0.1, 10.0), 3)) for s, d in wpairs]
+        df = spark.createDataFrame(wpairs, "src long, dst long, w double")
+        got = [(r["src"], r["dst"], r["w"]) for r in approx_weight_matching(spark, df).collect()]
+        _assert_valid_matching([(s, d) for s, d, _ in got], [(s, d) for s, d, _ in wpairs])
+        opt = max_weight_matching_brute(wpairs)
+        assert sum(w for _, _, w in got) >= 0.5 * opt - 1e-9
+        # maximality: no active edge joins two unmatched endpoints
+        ms = {s for s, _, _ in got}
+        md = {d for _, d, _ in got}
+        assert not [e for e in wpairs if e[0] not in ms and e[1] not in md]
+
+
+def test_approx_weight_matching_fixed_rounds_deterministic(spark):
+    wpairs = [(0, 100, 5.0), (0, 101, 5.0), (1, 100, 5.0), (1, 101, 4.0), (2, 101, 1.0)]
+    df = spark.createDataFrame(wpairs, "src long, dst long, w double")
+    a = sorted(
+        (r["src"], r["dst"]) for r in approx_weight_matching(spark, df, num_rounds=4).collect()
+    )
+    b = sorted(
+        (r["src"], r["dst"]) for r in approx_weight_matching(spark, df).collect()
+    )
+    assert a == b
+    # ties resolve to min ids: (0,100) dominates, then (1,101)
+    assert (0, 100) in a and (1, 101) in a

@@ -119,3 +119,76 @@ def brandes_bc(edges, sources):
             if v != s:
                 bc[v] += delta[v]
     return bc
+
+
+def hopcroft_karp(pairs):
+    """Maximum-cardinality bipartite matching size, pure python.
+
+    ``pairs``: iterable of (src, dst). Classic Hopcroft–Karp with BFS
+    layering + layered DFS augmentation; returns the matching cardinality.
+    """
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    match_s, match_d = {}, {}
+    INF = float("inf")
+
+    def bfs():
+        from collections import deque
+
+        dist = {}
+        q = deque()
+        for s in adj:
+            if s not in match_s:
+                dist[s] = 0
+                q.append(s)
+        found = False
+        while q:
+            s = q.popleft()
+            for d in adj[s]:
+                t = match_d.get(d)
+                if t is None:
+                    found = True
+                elif t not in dist:
+                    dist[t] = dist[s] + 1
+                    q.append(t)
+        return found, dist
+
+    def dfs(s, dist):
+        for d in adj[s]:
+            t = match_d.get(d)
+            if t is None or (dist.get(t) == dist[s] + 1 and dfs(t, dist)):
+                match_s[s] = d
+                match_d[d] = s
+                return True
+        dist[s] = INF
+        return False
+
+    while True:
+        found, dist = bfs()
+        if not found:
+            break
+        for s in list(adj):
+            if s not in match_s:
+                dfs(s, dist)
+    return len(match_s)
+
+
+def max_weight_matching_brute(wpairs):
+    """Optimal bipartite matching WEIGHT by exhaustive recursion (small
+    fixtures only). ``wpairs``: iterable of (src, dst, w)."""
+    srcs = sorted({s for s, _, _ in wpairs})
+    byid = {}
+    for s, d, w in wpairs:
+        byid.setdefault(s, []).append((d, w))
+
+    def rec(i, used):
+        if i == len(srcs):
+            return 0.0
+        best = rec(i + 1, used)  # leave srcs[i] unmatched
+        for d, w in byid.get(srcs[i], []):
+            if d not in used:
+                best = max(best, w + rec(i + 1, used | {d}))
+        return best
+
+    return rec(0, frozenset())
