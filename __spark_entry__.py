@@ -514,6 +514,109 @@ def _matching_sql(prefix: str, edges_cte: str, rounds: int) -> str:
     return f"WITH {prefix},\n{body}\nSELECT src, dst FROM ({acc}) m"""
 
 
+def _maxmatch_sql(prefix: str, edges_cte: str, schedule: list[int]) -> str:
+    """Unrolled maximum-cardinality matching (BPMaximumMatching.cpp analog):
+    replays algorithms.matching.maximum_matching(schedule=...) phase-for-
+    phase — per phase an alternating BFS to the fixed odd depth (min-src
+    parents, visited-dst exclusion), free column vertices traced back
+    through (matched-edge, parent) hops, one winner (min dst) per free root,
+    matched edges flipped along the chosen vertex-disjoint paths."""
+    parts = [
+        "m0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS src, "
+        "CAST(NULL AS BIGINT) AS dst WHERE FALSE)"
+    ]
+    for p, d in enumerate(schedule):
+        assert d % 2 == 1
+        parts.append(f"""fs{p} AS MATERIALIZED (
+  SELECT DISTINCT src FROM {edges_cte}
+  WHERE src NOT IN (SELECT src FROM m{p}))""")
+        lvls = list(range(1, d + 1, 2))
+        for i, l in enumerate(lvls):
+            if l > 1:
+                parts.append(f"""s{p}_{l - 1} AS (
+  SELECT m.src FROM d{p}_{l - 2} dd JOIN m{p} m ON m.dst = dd.dst)""")
+            src_set = f"fs{p}" if l == 1 else f"s{p}_{l - 1}"
+            not_in = " AND ".join(
+                f"dst NOT IN (SELECT dst FROM d{p}_{ll})" for ll in lvls[:i]
+            )
+            where = f"src IN (SELECT src FROM {src_set})"
+            if not_in:
+                where += " AND " + not_in
+            parts.append(f"""d{p}_{l} AS MATERIALIZED (
+  SELECT dst, MIN(src) AS ps FROM {edges_cte}
+  WHERE {where}
+  GROUP BY dst)""")
+        parts.append(f"""fd{p} AS MATERIALIZED (
+  SELECT dst, ps FROM d{p}_{d}
+  WHERE dst NOT IN (SELECT dst FROM m{p}))""")
+        # traceback join chain: fd.ps = n0s; per hop k the matched edge
+        # (n{k}s, o{k}d) is dropped and (n{k+1}s, o{k}d) added
+        sel = ["fd.dst AS dd", "fd.ps AS n0s"]
+        joins = []
+        prev = "fd.ps"
+        k = 0
+        for l in range(d - 2, 0, -2):
+            joins.append(f"JOIN m{p} mm{k} ON mm{k}.src = {prev}")
+            joins.append(f"JOIN d{p}_{l} pp{k} ON pp{k}.dst = mm{k}.dst")
+            sel.append(f"mm{k}.dst AS o{k}d")
+            sel.append(f"pp{k}.ps AS n{k + 1}s")
+            prev = f"pp{k}.ps"
+            k += 1
+        sel.append(f"{prev} AS root")
+        parts.append(f"""tb{p} AS MATERIALIZED (
+  SELECT {', '.join(sel)}
+  FROM fd{p} fd
+  {' '.join(joins)})""")
+        parts.append(f"""win{p} AS MATERIALIZED (
+  SELECT MIN(dd) AS dd FROM tb{p} GROUP BY root)""")
+        parts.append(f"""ch{p} AS MATERIALIZED (
+  SELECT tb.* FROM tb{p} tb JOIN win{p} w ON tb.dd = w.dd)""")
+        drops = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM ch{p} c WHERE c.n{kk}s = mo.src "
+            f"AND c.o{kk}d = mo.dst)"
+            for kk in range(k)
+        )
+        adds = [f"SELECT n0s AS src, dd AS dst FROM ch{p}"] + [
+            f"SELECT n{kk + 1}s AS src, o{kk}d AS dst FROM ch{p}"
+            for kk in range(k)
+        ]
+        keep = f"SELECT src, dst FROM m{p} mo" + (f" WHERE {drops}" if drops else "")
+        parts.append(
+            f"m{p + 1} AS MATERIALIZED (\n  "
+            + "\n  UNION ALL ".join([keep] + adds)
+            + ")"
+        )
+    body = ",\n".join(parts)
+    return f"WITH {prefix},\n{body}\nSELECT src, dst FROM m{len(schedule)}"
+
+
+def _wmatch_sql(prefix: str, edges_cte: str, rounds: int) -> str:
+    """Unrolled locally-dominant weighted matching
+    (ApproxWeightPerfectMatching.h analog): per round each endpoint picks
+    its heaviest incident edge (w DESC, partner id ASC); edges chosen from
+    both ends are matched, their endpoints drop out."""
+    parts = [f"a0 AS MATERIALIZED (SELECT src, dst, w FROM {edges_cte})"]
+    for r in range(rounds):
+        parts.append(f"""bs{r} AS (
+  SELECT src, dst, w FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
+    FROM a{r}) x WHERE rn = 1)""")
+        parts.append(f"""bd{r} AS (
+  SELECT src, dst FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY w DESC, src ASC) AS rn
+    FROM a{r}) x WHERE rn = 1)""")
+        parts.append(f"""dom{r} AS MATERIALIZED (
+  SELECT s.src, s.dst, s.w FROM bs{r} s JOIN bd{r} d
+    ON s.src = d.src AND s.dst = d.dst)""")
+        parts.append(f"""a{r + 1} AS MATERIALIZED (
+  SELECT src, dst, w FROM a{r}
+  WHERE src NOT IN (SELECT src FROM dom{r})
+    AND dst NOT IN (SELECT dst FROM dom{r}))""")
+    doms = " UNION ALL ".join(f"SELECT src, dst, w FROM dom{r}" for r in range(rounds))
+    body = ",\n".join(parts)
+    return f"WITH {prefix},\n{body}\nSELECT src, dst, w FROM ({doms}) m"
+
+
 def _simhash_sql(bits: int = 60) -> str:
     """Bit-majority simhash over md5-60bit token hashes — exact integer
     aggregates, byte-identical to functions.dedup.simhash."""
@@ -584,6 +687,11 @@ BC_SOURCES = 4     # batch = the 4 smallest src ids
 MIS_ROUNDS = 6     # Luby rounds, shared (converges in <= 4 on these graphs)
 MIS_SEED = 42
 MATCH_ROUNDS = 6   # greedy matching proposal rounds, shared
+# maximum-matching phase schedule (exact odd path lengths, Spark + oracle):
+# the ps graphs saturate through depth-1 augments (12 phases at sf0.1); the
+# depth-3 tail phases exercise the traceback machinery and re-converge
+MAXM_SCHEDULE = [1] * 14 + [3, 1, 3]
+WM_ROUNDS = 6      # locally-dominant weighted rounds (converges in <= 4)
 
 
 def _x_mod97(edges: DataFrame) -> DataFrame:
@@ -849,6 +957,35 @@ def q_matching_ps(spark, sf):
     return maximal_matching(spark, e, max_rounds=MATCH_ROUNDS)
 
 
+def _ps_directed(spark, sf):
+    from combblas_spark.sources.graphs import build_graph, SUPPLIER_OFFSET
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pairs = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+    )
+    return build_graph(pairs, sym=False)
+
+
+def q_max_matching_ps(spark, sf):
+    """Maximum-cardinality matching (BPMaximumMatching.cpp analog) on the
+    DIRECTED part->supplier table; fixed phase schedule so the oracle
+    replays the augmenting rounds exactly. Cardinality == Hopcroft-Karp
+    (asserted in pytest on fixtures; saturates the supplier side here)."""
+    from combblas_spark.algorithms import maximum_matching
+
+    return maximum_matching(spark, _ps_directed(spark, sf), schedule=MAXM_SCHEDULE)
+
+
+def q_wmatch_ps(spark, sf):
+    """Approx-weight matching (ApproxWeightPerfectMatching.h analog) on the
+    weighted part->supplier table (w = lineitem multiplicity)."""
+    from combblas_spark.algorithms import approx_weight_matching
+
+    return approx_weight_matching(spark, _ps_directed(spark, sf), num_rounds=WM_ROUNDS)
+
+
 def q_ann_topk(spark, sf):
     """Bucketed (capped) random-hyperplane ANN — the scale path for
     similarity search; the brute-force cosine_topk stays as the rerank
@@ -1097,6 +1234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betwcent_star": q_betwcent_star,
         "mis_ps": q_mis_ps,
         "matching_ps": q_matching_ps,
+        "max_matching_ps": q_max_matching_ps,
+        "wmatch_ps": q_wmatch_ps,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
     }
@@ -1296,6 +1435,8 @@ FROM verts""",
         "betwcent_star": _betweenness_sql(STAR_CTES, "sedges", BC_DEPTH, BC_SOURCES),
         "mis_ps": _mis_sql(PS_CTES, "edges", MIS_ROUNDS, MIS_SEED),
         "matching_ps": _matching_sql(PS_CTES, "ps_dedup", MATCH_ROUNDS),
+        "max_matching_ps": _maxmatch_sql(PS_CTES, "ps_dedup", MAXM_SCHEDULE),
+        "wmatch_ps": _wmatch_sql(PS_CTES, "ps_dedup", WM_ROUNDS),
         "ann_topk": _ann_sql(_ANN_PLANES, k=5, max_bucket=10_000),
         "ivf_topk": _ivf_sql(IVF_CELLS, IVF_PROBE, IVF_ITERS, IVF_K, IVF_MAX_QID),
         "mcl_nation": _mcl_sql(NATION_CTES, "nedges", MCL_ORACLE_ITERS, MCL_CC_ITERS),
