@@ -1029,6 +1029,27 @@ def q_labelprop_ps(spark, sf):
     return label_propagation(spark, e, num_iters=LP_ITERS)
 
 
+def q_pagerank_grid_ps(spark, sf):
+    """The 100-TB vector-exchange path (plans/grid.py): same result as
+    pagerank_ps, zero driver-built broadcasts — same oracle."""
+    e = part_supplier_graph(spark, sf)
+    r = pagerank(spark, e, alpha=0.85, num_iters=PR_ITERS, mode="grid")
+    return r.select("id", F.round("val", 6).alias("val"))
+
+
+def q_cc_grid_ps(spark, sf):
+    """cc_minlabel over the 2D band grid — same oracle as cc_ps."""
+    return cc_minlabel(
+        spark, part_supplier_graph(spark, sf), max_iter=CC_ORACLE_ITERS, mode="grid"
+    )
+
+
+def q_labelprop_grid_ps(spark, sf):
+    """label_propagation over the 2D band grid — same oracle as labelprop_ps."""
+    e = part_supplier_graph(spark, sf)
+    return label_propagation(spark, e, num_iters=LP_ITERS, mode="grid")
+
+
 def q_kselect_ps(spark, sf):
     return kselect(part_supplier_graph(spark, sf), 3, by="dst")
 
@@ -1210,6 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "randperm_ps": q_randperm_ps,
         "pagerank_ps": q_pagerank_ps,
         "labelprop_ps": q_labelprop_ps,
+        "pagerank_grid_ps": q_pagerank_grid_ps,
+        "cc_grid_ps": q_cc_grid_ps,
+        "labelprop_grid_ps": q_labelprop_grid_ps,
         "kselect_ps": q_kselect_ps,
         "sssp_ps": q_sssp_ps,
         "masked_reduce_ps": q_masked_reduce_ps,
@@ -1322,6 +1346,9 @@ SELECT id, CAST(ROW_NUMBER() OVER (
 FROM verts""",
         "pagerank_ps": _pagerank_sql(PS_CTES, "edges", PR_ITERS),
         "labelprop_ps": _labelprop_sql(PS_CTES, "edges", LP_ITERS),
+        "pagerank_grid_ps": _pagerank_sql(PS_CTES, "edges", PR_ITERS),
+        "cc_grid_ps": _minlabel_sql(PS_CTES, "edges", CC_ORACLE_ITERS),
+        "labelprop_grid_ps": _labelprop_sql(PS_CTES, "edges", LP_ITERS),
         "sssp_ps": _sssp_sql(PS_CTES, "edges", SSSP_ITERS),
         "masked_reduce_ps": f"""WITH {PS_CTES}
             SELECT dst AS id, SUM(w) AS val FROM edges

@@ -29,6 +29,12 @@ HEADLINE = [
     "cc_ps",
     "bfs_ps",
     "labelprop_ps",
+    # the 100-TB vector-exchange plans (plans/grid.py): regressions here
+    # track the scale path, not only the broadcast path
+    "pagerank_grid_ps",
+    "cc_grid_ps",
+    "max_matching_ps",
+    "wmatch_ps",
     "kselect_ps",
     "dedup_exact",
     "minhash",

@@ -91,28 +91,31 @@ def _augment_phase(
     suffix and thus their root — picking one free column vertex (the min)
     per root makes the chosen paths pairwise vertex-disjoint.
     """
-    free_src = (
-        e.select("src").distinct().join(m.select("src"), on="src", how="left_anti")
-    )
-    cur_src = runner.truncate(free_src)
+    fixed = depth is not None
+    all_src = e.select("src").distinct()
+    cur_src = all_src.join(m.select("src"), on="src", how="left_anti")
     visited = None
     parents: dict[int, DataFrame] = {}
     found_level = None
     level = 1
-    while level <= (depth if depth is not None else max_depth):
+    while level <= (depth if fixed else max_depth):
         prop = e.join(cur_src, on="src")
         if visited is not None:
             prop = prop.join(visited, on="dst", how="left_anti")
+        # dl is the only per-level materialization: it feeds the next level,
+        # the visited set, and the traceback
         dl = runner.truncate(prop.groupBy("dst").agg(F.min("src").alias("ps")))
-        if dl.limit(1).count() == 0:
-            return None if depth is None else (m, 0)
+        # fixed mode skips every per-level action: an empty level just
+        # propagates empty frames through the flip (a no-op on m)
+        if not fixed and dl.limit(1).count() == 0:
+            return None
         parents[level] = dl
-        visited = runner.truncate(
+        visited = (
             dl.select("dst")
             if visited is None
             else visited.unionByName(dl.select("dst"))
-        )
-        if depth is None:
+        )  # union of truncated levels — bounded plan, no extra job
+        if not fixed:
             has_free = (
                 dl.join(m.select("dst"), on="dst", how="left_anti").limit(1).count()
             )
@@ -123,14 +126,12 @@ def _augment_phase(
             found_level = level
             break
         # extend through matched column vertices to their row partners
-        cur_src = runner.truncate(dl.select("dst").join(m, on="dst").select("src"))
+        cur_src = dl.select("dst").join(m, on="dst").select("src")
         level += 2
     if found_level is None:
-        return None if depth is None else (m, 0)
+        return None if not fixed else (m, 0)
 
     freed = parents[found_level].join(m.select("dst"), on="dst", how="left_anti")
-    if depth is not None and freed.limit(1).count() == 0:
-        return (m, 0)
     # trace back every free column vertex to its root; collect path edges
     state = freed.select(
         F.col("dst").alias("dd"), F.col("ps").alias("s")
@@ -160,8 +161,8 @@ def _augment_phase(
         drop_e = old_edges.join(winners, on="dd").select("src", "dst")
         m2 = m2.join(drop_e, on=["src", "dst"], how="left_anti")
     m2 = runner.truncate(m2.unionByName(new_e))
-    n_aug = winners.count()
-    return (m2, int(n_aug))
+    n_aug = -1 if fixed else int(winners.count())  # fixed mode: no action
+    return (m2, n_aug)
 
 
 def maximum_matching(
