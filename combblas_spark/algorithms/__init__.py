@@ -10,6 +10,7 @@ from combblas_spark.algorithms.matching import (  # noqa: F401
     maximal_matching,
     maximum_matching,
     approx_weight_matching,
+    auction_matching,
 )
 from combblas_spark.algorithms.filtered import filtered_bfs  # noqa: F401
 from combblas_spark.algorithms.ordering import (  # noqa: F401
