@@ -128,7 +128,12 @@ def run_kernel(spark: SparkSession, prep_dir: str, iters: int, kernel: str,
     """
     from combblas_spark.core.semiring import PLUS_TIMES, SELECT2ND_MIN
     from combblas_spark.plans.grid import Grid2D, spmv_grid
+    from combblas_spark.plans.superstep import SuperstepRunner
 
+    runner = SuperstepRunner(spark)  # truncate() drops checkpoint stats —
+    # with a bare localCheckpoint the Catalyst size estimate compounds
+    # additively per superstep here (1 join) and multiplicatively in
+    # kernels with more; use the one shared lineage-cut everywhere
     grid = Grid2D(spark, R=R, C=C)
     with open(os.path.join(prep_dir, "meta.json")) as f:
         n = json.load(f)["n_vertices"]
@@ -156,12 +161,12 @@ def run_kernel(spark: SparkSession, prep_dir: str, iters: int, kernel: str,
     # eliminates the spill entirely (supersteps ~30s, CPU-bound).
     table = table.persist(StorageLevel.DISK_ONLY)
     nnz = table.count()
-    x = vec.localCheckpoint()
+    x = runner.truncate(vec)
 
     times = []
     for _ in range(iters):
         t0 = time.time()
-        x = spmv_grid(table, x, grid, sr).localCheckpoint()
+        x = runner.truncate(spmv_grid(table, x, grid, sr))
         times.append(time.time() - t0)
 
     # drop JIT/cache warmup iterations — codegen compilation and the OS page

@@ -377,3 +377,33 @@ def test_md_order_blocked_is_total_ordering(spark):
     # the edge-less vertices trail their blocks
     assert got[(0, 4)] == 2
     assert got[(1, 5)] == 2
+
+
+def test_k_tips_detects_hanging_paths(spark):
+    """Hand-computed KTipsTest.cpp walk: path 0-1-2-3 branching at 3
+    (children 4,5 rejoining at 6), spur 9 hanging off 2, isolated edge 7-8.
+    Tip candidates are the degree-1 vertices {0, 9, 7, 8}; 0 and 9 reach the
+    branch at 2, the isolated edge dead-ends (no tip row)."""
+    from combblas_spark.algorithms import k_tips
+    from combblas_spark.operators.transform import symmetrize
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (3, 5), (4, 6), (5, 6), (2, 9), (7, 8)]
+    edges = symmetrize(spark.createDataFrame(
+        [(s, d, 1.0) for s, d in und], "src long, dst long, w double"
+    ))
+    got = {
+        (r["tip"], r["source"], r["dest"])
+        for r in k_tips(spark, edges, l=3).collect()
+    }
+    assert got == {(0, 1, 2), (9, 9, 2)}
+
+
+def test_k_tips_no_tips_on_cycle(spark):
+    from combblas_spark.algorithms import k_tips
+    from combblas_spark.operators.transform import symmetrize
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    edges = symmetrize(spark.createDataFrame(
+        [(s, d, 1.0) for s, d in cyc], "src long, dst long, w double"
+    ))
+    assert k_tips(spark, edges, l=4).count() == 0
