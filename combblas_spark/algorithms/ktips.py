@@ -38,7 +38,7 @@ from combblas_spark.operators.ewise import set_difference
 from combblas_spark.plans.superstep import SuperstepRunner
 
 #: boolean or.and over {0.0, 1.0} weights (KTipsSR, KTipsTest.cpp:12-21)
-BOOL_OR_AND = Semiring(add=F.max, mult=F.least)
+BOOL_OR_AND = Semiring("bool_or_and", F.least, F.max)
 
 
 def k_tips(
