@@ -514,6 +514,42 @@ def _matching_sql(prefix: str, edges_cte: str, rounds: int) -> str:
     return f"WITH {prefix},\n{body}\nSELECT src, dst FROM ({acc}) m"""
 
 
+def _embed_dups_sql(planes: list[list[float]], threshold: float,
+                    max_bucket: int = 10_000) -> str:
+    """Embedding-cosine near-dup pairs: same machinery as _ann_sql (seeded
+    plane literals, packed sign bucket, capped buckets) but emitting the
+    (id_a < id_b, cos >= threshold) pair set instead of per-query top-k."""
+    dim = len(planes[0])
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        dot = (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), 'sum')"
+        )
+        bits.append(
+            f"CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    bucket = "\n       + ".join(bits)
+    return f"""WITH b AS MATERIALIZED (
+  SELECT vec_id AS id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         ({bucket}) AS bucket
+  FROM embeddings),
+capped AS MATERIALIZED (
+  SELECT b.* FROM b JOIN (
+    SELECT bucket, COUNT(*) AS bsz FROM b GROUP BY bucket) s ON b.bucket = s.bucket
+  WHERE s.bsz <= {max_bucket})
+SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM (
+  SELECT a.id AS id_a, e.id AS id_b,
+         list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+         / (a.nrm * e.nrm) AS cos
+  FROM capped a JOIN capped e ON a.bucket = e.bucket AND a.id < e.id) p
+WHERE cos >= {threshold!r}"""
+
+
 def _maxmatch_sql(prefix: str, edges_cte: str, schedule: list[int]) -> str:
     """Unrolled maximum-cardinality matching (BPMaximumMatching.cpp analog):
     replays algorithms.matching.maximum_matching(schedule=...) phase-for-
@@ -1183,6 +1219,35 @@ def q_fingerprint(spark, sf):
     return fingerprint(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
+# the driver's synthetic embeddings are random (same-bucket cosine tops out
+# ~0.45), so a production-style 0.9 near-dup cut would select nothing; 0.3
+# keeps the bucket-join + threshold semantics exercised on the upper tail
+EMBED_DUP_THRESHOLD = 0.3
+
+
+def q_embed_dups(spark, sf):
+    """Embedding-cosine near-dup dedup (the fifth dedup mode next to exact /
+    minhash-LSH / simhash / n-gram-jaccard): bucket-local candidate pairs
+    with cosine >= threshold."""
+    from combblas_spark.functions.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = embedding_near_dups(
+        emb, threshold=EMBED_DUP_THRESHOLD, n_planes=8, seed=42, dim=64,
+        max_bucket=10_000,
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_bpe_stats(spark, sf):
+    """Token counting with the BPE-ish pretokenizer regex + whitespace count
+    (the budgeting pair for a training-data pipeline)."""
+    from combblas_spark.functions.text import bpe_token_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bpe_token_stats(docs)
+
+
 def q_cosine_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -1255,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "embed_norms": q_embed_norms,
+        "embed_dups": q_embed_dups,
+        "bpe_token_stats": q_bpe_stats,
         "betwcent_star": q_betwcent_star,
         "mis_ps": q_mis_ps,
         "matching_ps": q_matching_ps,
@@ -1465,6 +1532,17 @@ FROM verts""",
         "max_matching_ps": _maxmatch_sql(PS_CTES, "ps_dedup", MAXM_SCHEDULE),
         "wmatch_ps": _wmatch_sql(PS_CTES, "ps_dedup", WM_ROUNDS),
         "ann_topk": _ann_sql(_ANN_PLANES, k=5, max_bucket=10_000),
+        "embed_dups": _embed_dups_sql(_ANN_PLANES, EMBED_DUP_THRESHOLD, 10_000),
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   CAST(len(pieces) AS BIGINT) AS n_bpe_pieces,
+                   CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                        AS BIGINT) AS n_ws_tokens
+            FROM (SELECT doc_id, text,
+                         regexp_extract_all(text,
+                           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS pieces
+                  FROM documents) p""",
         "ivf_topk": _ivf_sql(IVF_CELLS, IVF_PROBE, IVF_ITERS, IVF_K, IVF_MAX_QID),
         "mcl_nation": _mcl_sql(NATION_CTES, "nedges", MCL_ORACLE_ITERS, MCL_CC_ITERS),
         "simhash_docs": _simhash_sql(60),

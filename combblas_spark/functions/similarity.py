@@ -272,3 +272,48 @@ def lsh_ann_topk(
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("_rn").alias("rank"))
     )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the dedup entry point over an
+    embedding column: (id_a, id_b, cos) for same-LSH-bucket pairs with
+    cosine >= ``threshold``, id_a < id_b.
+
+    100-TB shape: candidates are bucket-local (two near-identical vectors
+    agree on every hyperplane sign with high probability, so true near-dups
+    co-locate), buckets above ``max_bucket`` are dropped before the
+    self-join — never all-pairs, same guard as dedup.lsh_candidate_pairs.
+    Recall can be raised with more plane sets (union over seeds);
+    cosine_topk stays the exact rerank baseline.
+    """
+    b = lsh_buckets(emb, n_planes, seed, dim, id_col, vec_col)
+    b = b.withColumn("nrm", norm(F.col("vec")))
+    b = b.join(
+        b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz")), on="bucket"
+    ).filter(F.col("_bsz") <= max_bucket)
+    lhs = b.select(
+        "bucket", F.col("id").alias("id_a"),
+        F.col("vec").alias("va"), F.col("nrm").alias("na"),
+    )
+    rhs = b.select(
+        "bucket", F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    return (
+        lhs.join(rhs, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

@@ -80,3 +80,26 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     whitespace variation) — the exact-dedup key."""
     norm = F.array_join(tokens_col(F.col(text_col)), " ")
     return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+#: GPT-2-style pretokenizer shape, ASCII-safe subset shared verbatim with
+#: the DuckDB oracle (both engines treat these classes identically):
+#: optional leading space + a letter run, digit run, or punctuation run.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bpe_pieces, n_distinct_pieces, n_ws_tokens) — token counting
+    with the BPE-ish pretokenizer regex next to the whitespace count, the
+    standard pair a training-data pipeline budgets with. Pure Column
+    expressions (JVM regex), exact integers.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+    return docs.select(
+        F.col(id_col),
+        F.size(pieces).cast("long").alias("n_bpe_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+    )

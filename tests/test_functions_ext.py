@@ -102,3 +102,43 @@ def test_ivf_topk_recall_vs_exact(spark):
     per_vec = emb.select("vec_id", _nearest_cell(F.col("embedding"), cents).alias("cell"))
     assert per_vec.count() == per_vec.select("vec_id").distinct().count()
     assert cells.filter(F.col("cell").isNull()).count() == 0
+
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    """Two near-identical vectors agree on every hyperplane sign, land in
+    the same bucket, and clear a high cosine threshold; the orthogonal
+    filler vectors do not."""
+    import random
+
+    from combblas_spark.functions.similarity import embedding_near_dups
+
+    rng = random.Random(5)
+    dim = 64
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    near = [v + 1e-4 for v in base]
+    rows = [(0, base), (1, near)]
+    for i in range(2, 30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in embedding_near_dups(emb, threshold=0.99, dim=dim).collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(0, 1)]
+    assert got[0][2] > 0.999
+
+
+def test_bpe_token_stats_hand_computed(spark):
+    from combblas_spark.functions.text import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! 42"), (2, "aa aa aa"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bpe_pieces"], r["n_distinct_pieces"], r["n_ws_tokens"])
+        for r in bpe_token_stats(docs).collect()
+    }
+    # 1: ['Hello', ',', ' world', '!', ' 42'] -> 5 pieces, all distinct, 3 ws
+    # 2: ['aa', ' aa', ' aa']                 -> 3 pieces, 2 distinct, 3 ws
+    assert got == {1: (5, 5, 3), 2: (3, 2, 3), 3: (0, 0, 0)}
