@@ -102,10 +102,7 @@ def cc_minlabel(
             if grid is not None:
                 step = spmv_grid(edges, labels, grid, SELECT2ND_MIN)
             else:
-                step = spmv(
-                    edges, labels, SELECT2ND_MIN,
-                    broadcast_x=True if bb else (None if broadcast_vectors else False),
-                )
+                step = spmv(edges, labels, SELECT2ND_MIN, broadcast_x=bb)
             new_labels = runner.truncate(step)
             changed = None
             if (it + 1) % check_every == 0 or it + 1 == max_iter:

@@ -37,8 +37,11 @@ from combblas_spark.operators.multiply import spgemm
 from combblas_spark.operators.ewise import set_difference
 from combblas_spark.plans.superstep import SuperstepRunner
 
-#: boolean or.and over {0.0, 1.0} weights (KTipsSR, KTipsTest.cpp:12-21)
-BOOL_OR_AND = Semiring("bool_or_and", F.least, F.max)
+#: or.and over {0.0, 1.0} DOUBLE weights (KTipsSR, KTipsTest.cpp:12-21).
+#: Deliberately NOT core.semiring.BOOL_OR_AND: that one casts w to boolean,
+#: which would break this module's unionByName with the double-typed
+#: frontier matrices — keep the weight domain numeric here.
+KTIPS_SR = Semiring("ktips_or_and", F.least, F.max)
 
 
 def k_tips(
@@ -67,14 +70,14 @@ def k_tips(
                 F.lit(1.0).alias("w"),
             )
         )
-        f1 = runner.truncate(spgemm(a, f0, BOOL_OR_AND))
+        f1 = runner.truncate(spgemm(a, f0, KTIPS_SR))
         # V = F0; V += F1 (KTipsTest.cpp:107-108) — per-column visited sets
         v = runner.truncate(
             f0.unionByName(f1).groupBy("src", "dst").agg(F.max("w").alias("w"))
         )
         results = None
         for _ in range(1, l + 1):
-            f2 = runner.truncate(set_difference(spgemm(a, f1, BOOL_OR_AND), v))
+            f2 = runner.truncate(set_difference(spgemm(a, f1, KTIPS_SR), v))
             v = runner.truncate(
                 v.unionByName(f2).groupBy("src", "dst").agg(F.max("w").alias("w"))
             )

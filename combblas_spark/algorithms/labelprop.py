@@ -79,8 +79,12 @@ def label_propagation(
     try:
         labels = _vertices(edges).select("id", F.col("id").alias("val"))
         labels = runner.truncate(labels)
-        n_v = labels.count()
-        bb = broadcast_vectors and grid is None and n_v <= BROADCAST_MAX_ROWS
+        # count last: the job only runs when the gate can actually pass
+        bb = (
+            broadcast_vectors
+            and grid is None
+            and labels.count() <= BROADCAST_MAX_ROWS
+        )
 
         for it in range(num_iters):
             if grid is not None:

@@ -152,10 +152,7 @@ def _pagerank_iters(
         if grid is not None:
             contrib = spmv_grid(e_norm, ranks, grid, PLUS_TIMES)
         else:
-            contrib = spmv(
-                e_norm, ranks, PLUS_TIMES,
-                broadcast_x=True if bb else (None if broadcast_vectors else False),
-            )
+            contrib = spmv(e_norm, ranks, PLUS_TIMES, broadcast_x=bb)
             if bb:
                 contrib = F.broadcast(contrib)
         base = (1.0 - alpha) / n + alpha * dang_mass / n

@@ -66,13 +66,11 @@ def _sssp_loop(spark, edges, source, num_iters, max_iter, runner, bb):
     iters = num_iters if num_iters is not None else max_iter
     for it in range(iters):
         gated = bb and n_dist <= BROADCAST_MAX_ROWS
-        relax = spmv(
-            edges, dist, MIN_PLUS,
-            broadcast_x=True if gated else (None if bb else False),
-        )
+        relax = spmv(edges, dist, MIN_PLUS, broadcast_x=gated)
         new = ewise_apply_vec(
             dist, relax, F.least, how="full",
             x_fill=F.col("val_y"), y_fill=F.col("val_x"),
+            broadcast_y=gated,
         )
         new = runner.truncate(new)
         if bb:

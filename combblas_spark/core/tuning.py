@@ -11,17 +11,8 @@ this limit (or the kernel runs in ``mode='grid'`` and broadcasts nothing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
-import pyspark.sql.functions as F
-
 #: 4M rows of (long, double) ~ 64 MB serialized — comfortably under
 #: executor/driver headroom at 1000 executors, far under it locally.
+#: Kernels gate inline (`bb = ... and n <= BROADCAST_MAX_ROWS`) because the
+#: same flag also parameterizes operator arguments, not just F.broadcast.
 BROADCAST_MAX_ROWS = 4_000_000
-
-
-def gate_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
-    """``F.broadcast(df)`` iff ``n_rows`` is known and small; untouched
-    otherwise (Catalyst/AQE then picks the strategy from runtime stats)."""
-    if n_rows is not None and n_rows <= BROADCAST_MAX_ROWS:
-        return F.broadcast(df)
-    return df

@@ -48,7 +48,9 @@ def spmv(
     (/root/reference/include/CombBLAS/ParFriends.h:2179).
 
     ``broadcast_x=True`` forces a broadcast join (frontier known small);
-    ``None`` leaves the choice to Catalyst/AQE; ``False`` forces shuffle.
+    anything else (None/False) leaves the choice to Catalyst/AQE — there is
+    deliberately no force-shuffle mode, AQE's runtime sizes beat a static
+    veto.
     """
     join_key, out_key = ("src", "dst") if not reverse else ("dst", "src")
     xr = x.select(F.col("id"), F.col("val"))
