@@ -514,6 +514,46 @@ def _matching_sql(prefix: str, edges_cte: str, rounds: int) -> str:
     return f"WITH {prefix},\n{body}\nSELECT src, dst FROM ({acc}) m"""
 
 
+def _ktips_sql(prefix: str, edges_cte: str, l: int) -> str:
+    """Unrolled k-tips detection (KTipsTest.cpp analog): per level one
+    boolean expansion (DISTINCT join), per-column visited EXCEPT, frontier
+    counts, tip extraction at branch columns (MAX src on the two previous
+    frontiers), and pruning of finished columns."""
+    parts = [
+        f"""kt_tips AS MATERIALIZED (
+  SELECT dst AS id FROM {edges_cte} GROUP BY dst HAVING COUNT(*) = 1)""",
+        "f0_0 AS MATERIALIZED (SELECT id AS src, id AS col FROM kt_tips)",
+        f"""f1_0 AS MATERIALIZED (
+  SELECT DISTINCT e.src, f.col FROM {edges_cte} e JOIN f0_0 f ON e.dst = f.src)""",
+        """v_0 AS MATERIALIZED (
+  SELECT src, col FROM f0_0 UNION SELECT src, col FROM f1_0)""",
+    ]
+    founds = []
+    for k in range(l):
+        parts.append(f"""f2_{k} AS MATERIALIZED (
+  SELECT DISTINCT e.src, f.col FROM {edges_cte} e JOIN f1_{k} f ON e.dst = f.src
+  WHERE NOT EXISTS (SELECT 1 FROM v_{k} v WHERE v.src = e.src AND v.col = f.col))""")
+        parts.append(f"""v_{k + 1} AS MATERIALIZED (
+  SELECT src, col FROM v_{k} UNION SELECT src, col FROM f2_{k})""")
+        parts.append(f"""ns_{k} AS MATERIALIZED (
+  SELECT col, COUNT(*) AS n FROM f2_{k} GROUP BY col)""")
+        parts.append(f"""found_{k} AS MATERIALIZED (
+  SELECT t.col AS tip, s.source, d.dest
+  FROM (SELECT col FROM ns_{k} WHERE n >= 2) t
+  JOIN (SELECT col, MAX(src) AS source FROM f0_{k} GROUP BY col) s ON s.col = t.col
+  JOIN (SELECT col, MAX(src) AS dest   FROM f1_{k} GROUP BY col) d ON d.col = t.col)""")
+        founds.append(f"SELECT tip, source, dest FROM found_{k}")
+        parts.append(f"""keep_{k} AS MATERIALIZED (
+  SELECT col FROM ns_{k} WHERE n = 1)""")
+        parts.append(f"""f0_{k + 1} AS (
+  SELECT f.src, f.col FROM f1_{k} f JOIN keep_{k} u ON f.col = u.col)""")
+        parts.append(f"""f1_{k + 1} AS MATERIALIZED (
+  SELECT f.src, f.col FROM f2_{k} f JOIN keep_{k} u ON f.col = u.col)""")
+    body = ",\n".join(parts)
+    allf = " UNION ALL ".join(founds)
+    return f"WITH {prefix},\n{body}\nSELECT tip, source, dest FROM ({allf}) r"
+
+
 def _embed_dups_sql(planes: list[list[float]], threshold: float,
                     max_bucket: int = 10_000) -> str:
     """Embedding-cosine near-dup pairs: same machinery as _ann_sql (seeded
@@ -794,6 +834,20 @@ def q_cc_lacc_ps(spark, sf):
     from combblas_spark.algorithms.cc import cc_lacc
 
     return cc_lacc(spark, part_supplier_graph(spark, sf))
+
+
+KTIPS_L = 2
+
+
+def q_ktips_star(spark, sf):
+    """K-tips detection (KTipsTest.cpp analog) on the nation-star graph:
+    every customer/supplier is a degree-1 tip whose level-1 frontier is its
+    nation hub's other children (>= 2), so each tip resolves with the hub
+    as the branch vertex — expansion, per-column visited masking and column
+    pruning all exercised (the ps graph has no degree-1 vertices)."""
+    from combblas_spark.algorithms import k_tips
+
+    return k_tips(spark, nation_star_graph(spark, sf), l=KTIPS_L)
 
 
 def q_triangles_ev(spark, sf):
@@ -1286,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_ps": q_cc_ps,
         "cc_fastsv_ps": q_cc_fastsv_ps,
         "cc_lacc_ps": q_cc_lacc_ps,
+        "ktips_star": q_ktips_star,
         "triangles_ev": q_triangles_ev,
         "mcl_nation": q_mcl_nation,
         "simhash_docs": q_simhash_docs,
@@ -1370,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_ps": _minlabel_sql(PS_CTES, "edges", CC_ORACLE_ITERS),
         "cc_fastsv_ps": _minlabel_sql(PS_CTES, "edges", CC_ORACLE_ITERS),
         "cc_lacc_ps": _minlabel_sql(PS_CTES, "edges", CC_ORACLE_ITERS),
+        "ktips_star": _ktips_sql(STAR_CTES, "sedges", KTIPS_L),
         "triangles_ev": f"""WITH {EV_CTES},
             sym AS MATERIALIZED (
               SELECT src, dst, SUM(w) AS w FROM (
