@@ -106,3 +106,67 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_images(
+    media: DataFrame, out_h: int, out_w: int, fake: bool = False
+) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas transform: BMP24 rows
+    decode for REAL (pure-numpy codec), nearest-neighbor resample to
+    (out_h, out_w), and re-encode as BMP24; compressed image formats raise
+    the declared NotImplementedError (no codec libraries in this
+    environment) unless ``fake=True``, which passes the payload through
+    with only the metadata rewritten — keeping the plumbing (schema,
+    modality partitioning, batch shape) testable end-to-end.
+
+    Returns (media_id, modality, payload, meta{h, w}) — same layout as the
+    input image rows, so resize composes with extract_features.
+    """
+    from combblas_spark.functions.codecs import decode_bmp24, encode_bmp24
+
+    def run(batches):
+        for pdf in batches:
+            out_payloads, hs, ws = [], [], []
+            for modality, payload in zip(pdf["modality"], pdf["payload"]):
+                if modality == "image/bmp":
+                    px = decode_bmp24(bytes(payload))
+                    ri = np.clip(
+                        (np.arange(out_h) * px.shape[0] / out_h).astype(np.int64),
+                        0, px.shape[0] - 1,
+                    )
+                    ci = np.clip(
+                        (np.arange(out_w) * px.shape[1] / out_w).astype(np.int64),
+                        0, px.shape[1] - 1,
+                    )
+                    out_payloads.append(encode_bmp24(px[ri][:, ci]))
+                elif fake:
+                    out_payloads.append(bytes(payload))
+                else:
+                    raise NotImplementedError(
+                        f"no image codec for modality {modality!r}"
+                    )
+                hs.append(out_h)
+                ws.append(out_w)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": out_payloads,
+                    "h": hs,
+                    "w": ws,
+                }
+            )
+
+    imgs = media.filter(F.col("modality").startswith("image/"))
+    return (
+        imgs.select("media_id", "modality", "payload")
+        .repartition("modality")
+        .mapInPandas(
+            run,
+            schema="media_id long, modality string, payload binary, h int, w int",
+        )
+        .select(
+            "media_id", "modality", "payload",
+            F.struct(F.col("h"), F.col("w")).alias("meta"),
+        )
+    )

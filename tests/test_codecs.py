@@ -65,3 +65,45 @@ def test_extract_features_real_codecs(spark):
     )
     with pytest.raises(Exception, match="no codec|NotImplemented"):
         extract_features(vid, dim=4).collect()
+
+
+def test_resize_images_real_bmp(spark):
+    """Real nearest-neighbor resize through the BMP24 codec: a 4x4 block
+    image downsampled 2x must keep one pixel per block; compressed formats
+    stay declared stubs."""
+    from combblas_spark.functions.multimodal import resize_images
+
+    # 4x4 image of 2x2 constant blocks with distinct colors
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    colors = {(0, 0): 10, (0, 1): 60, (1, 0): 110, (1, 1): 210}
+    for (bi, bj), v in colors.items():
+        img[2 * bi:2 * bi + 2, 2 * bj:2 * bj + 2, :] = v
+    rows = [(0, "image/bmp", bytearray(encode_bmp24(img)), (4, 4, 0, 0))]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = resize_images(media, out_h=2, out_w=2).collect()
+    assert len(out) == 1 and out[0]["meta"]["h"] == 2 and out[0]["meta"]["w"] == 2
+    small = decode_bmp24(bytes(out[0]["payload"]))
+    assert small.shape == (2, 2, 3)
+    for (bi, bj), v in colors.items():
+        assert int(small[bi, bj, 0]) == v
+    # upsample back: every pixel must come from the block palette
+    big = resize_images(
+        spark.createDataFrame(
+            [(1, "image/bmp", bytearray(out[0]["payload"]), (2, 2, 0, 0))],
+            media.schema,
+        ),
+        out_h=6, out_w=6,
+    ).collect()
+    up = decode_bmp24(bytes(big[0]["payload"]))
+    assert up.shape == (6, 6, 3)
+    assert set(np.unique(up)) <= {10, 60, 110, 210}
+    # compressed image format -> declared NotImplementedError
+    png = spark.createDataFrame(
+        [(2, "image/png", bytearray(b"xx"), (1, 1, 0, 0))], media.schema
+    )
+    with pytest.raises(Exception, match="no image codec|NotImplemented"):
+        resize_images(png, out_h=2, out_w=2).collect()
