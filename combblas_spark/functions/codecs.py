@@ -1,19 +1,21 @@
-"""Real pure-numpy media codecs for uncompressed container formats.
+"""Real pure-numpy/stdlib media codecs.
 
 No external decode libraries exist in this environment, but WAV/PCM audio
 and 24-bit BMP images are plain headers + raw sample/pixel planes — numpy
-decodes them exactly. These register in the codec registry that
-``multimodal.extract_features`` dispatches on, upgrading the media path
-from "stub" to "real codec for uncompressed formats; compressed formats
-(png/jpeg/mp3/mp4) remain declared stubs".
+decodes them exactly — and PNG needs only stdlib ``zlib``: a from-scratch
+reader handles 8-bit RGB/RGBA with all five scanline filters. These
+register in the codec registry that ``multimodal.extract_features``
+dispatches on; the remaining compressed formats (jpeg/mp3/mp4) genuinely
+need entropy/DCT/codec libraries and stay declared stubs.
 
-Both encoders exist too, so tests round-trip: synth -> encode -> decode ->
-features, all deterministic.
+Encoders exist for every decoder, so tests round-trip: synth -> encode ->
+decode -> features, all deterministic.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -91,6 +93,95 @@ def decode_bmp24(payload: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+# ----------------------------------------------------------------------- PNG
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 -> PNG (8-bit RGB/RGBA, filter-0 rows, one IDAT,
+    stdlib zlib). Minimal but spec-valid."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    color_type = {3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """-> (h, w, 3|4) uint8. From-scratch PNG reader: 8-bit depth, color
+    types 2 (RGB) / 6 (RGBA), no interlace, ALL five scanline filters
+    (None/Sub/Up/Average/Paeth) unfiltered per the spec. Palette/16-bit/
+    interlaced PNGs raise NotImplementedError (declared subset)."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h, ct = 8, b"", None, None, None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ct not in (2, 6) or inter or comp or filt:
+                raise NotImplementedError(
+                    f"PNG subset is 8-bit RGB/RGBA non-interlaced "
+                    f"(depth={depth}, color_type={ct}, interlace={inter})"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    nch = 3 if ct == 2 else 4
+    stride = w * nch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).astype(np.int32)
+        p += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: + left
+            for i in range(nch, stride):
+                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
+        elif f == 2:  # Up: + above
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, nch)
+
+
 # ------------------------------------------------------------------ features
 
 def wav_features(payload: bytes, dim: int) -> np.ndarray:
@@ -120,10 +211,29 @@ def bmp_features(payload: bytes, dim: int) -> np.ndarray:
     return v[:dim]
 
 
-#: modality -> featurizer(payload, dim). Compressed formats are ABSENT on
-#: purpose: requesting them raises the declared NotImplementedError in
+def png_features(payload: bytes, dim: int) -> np.ndarray:
+    """Same grid-mean featurizer as BMP, through the real PNG decode
+    (alpha dropped so RGB/RGBA featurize identically)."""
+    img = decode_png(payload)[:, :, :3].astype(np.float64) / 255.0
+    g = max(1, int(np.sqrt(dim / 3)))
+    h, w, _ = img.shape
+    out = []
+    for r in range(g):
+        for c in range(g):
+            cell = img[r * h // g: (r + 1) * h // g or h, c * w // g: (c + 1) * w // g or w]
+            out.extend(cell.reshape(-1, 3).mean(axis=0) if cell.size else (0.0, 0.0, 0.0))
+    v = np.asarray(out, dtype=np.float32)
+    if len(v) < dim:
+        v = np.pad(v, (0, dim - len(v)))
+    return v[:dim]
+
+
+#: modality -> featurizer(payload, dim). jpeg/mp3/mp4 are ABSENT on
+#: purpose (they need entropy/DCT libraries this environment lacks):
+#: requesting them raises the declared NotImplementedError in
 #: multimodal.extract_features.
 CODECS = {
     "audio/wav": wav_features,
     "image/bmp": bmp_features,
+    "image/png": png_features,
 }

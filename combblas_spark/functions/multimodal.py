@@ -3,11 +3,13 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side machinery (schema, Arrow batch shape, mapInPandas signatures,
 partitioning by modality) is real and tested. Decode dispatches on the
-codec registry (functions/codecs.py): WAV/PCM16 audio and 24-bit BMP images
-decode for REAL (pure numpy — no external libraries needed); compressed
-formats (png/jpeg/mp3/mp4) are declared stubs that raise
-NotImplementedError, and ``fake=True`` substitutes a deterministic
-payload-derived vector for tests that don't care about pixels.
+codec registry (functions/codecs.py): WAV/PCM16 audio, 24-bit BMP and
+8-bit RGB/RGBA PNG images decode for REAL (pure numpy + stdlib zlib — no
+external libraries needed); the remaining compressed formats
+(jpeg/mp3/mp4, which need entropy/DCT codec libraries) are declared stubs
+that raise NotImplementedError, and ``fake=True`` substitutes a
+deterministic payload-derived vector for tests that don't care about
+pixels.
 """
 
 from __future__ import annotations
@@ -111,25 +113,34 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
 def resize_images(
     media: DataFrame, out_h: int, out_w: int, fake: bool = False
 ) -> DataFrame:
-    """Image resize as an Arrow-batched mapInPandas transform: BMP24 rows
-    decode for REAL (pure-numpy codec), nearest-neighbor resample to
-    (out_h, out_w), and re-encode as BMP24; compressed image formats raise
-    the declared NotImplementedError (no codec libraries in this
-    environment) unless ``fake=True``, which passes the payload through
-    with only the metadata rewritten — keeping the plumbing (schema,
-    modality partitioning, batch shape) testable end-to-end.
+    """Image resize as an Arrow-batched mapInPandas transform: BMP24 and
+    PNG (8-bit RGB/RGBA) rows decode for REAL (pure-numpy/stdlib codecs),
+    nearest-neighbor resample to (out_h, out_w), and re-encode in the same
+    format; other image formats raise the declared NotImplementedError
+    (jpeg needs DCT libraries this environment lacks) unless ``fake=True``,
+    which passes the payload through with only the metadata rewritten —
+    keeping the plumbing (schema, modality partitioning, batch shape)
+    testable end-to-end.
 
     Returns (media_id, modality, payload, meta{h, w}) — same layout as the
     input image rows, so resize composes with extract_features.
     """
-    from combblas_spark.functions.codecs import decode_bmp24, encode_bmp24
+    from combblas_spark.functions.codecs import (
+        decode_bmp24, encode_bmp24, decode_png, encode_png,
+    )
+
+    pair = {
+        "image/bmp": (decode_bmp24, encode_bmp24),
+        "image/png": (decode_png, encode_png),
+    }
 
     def run(batches):
         for pdf in batches:
             out_payloads, hs, ws = [], [], []
             for modality, payload in zip(pdf["modality"], pdf["payload"]):
-                if modality == "image/bmp":
-                    px = decode_bmp24(bytes(payload))
+                if modality in pair:
+                    dec, enc = pair[modality]
+                    px = dec(bytes(payload))
                     ri = np.clip(
                         (np.arange(out_h) * px.shape[0] / out_h).astype(np.int64),
                         0, px.shape[0] - 1,
@@ -138,7 +149,7 @@ def resize_images(
                         (np.arange(out_w) * px.shape[1] / out_w).astype(np.int64),
                         0, px.shape[1] - 1,
                     )
-                    out_payloads.append(encode_bmp24(px[ri][:, ci]))
+                    out_payloads.append(enc(px[ri][:, ci]))
                 elif fake:
                     out_payloads.append(bytes(payload))
                 else:

@@ -101,9 +101,108 @@ def test_resize_images_real_bmp(spark):
     up = decode_bmp24(bytes(big[0]["payload"]))
     assert up.shape == (6, 6, 3)
     assert set(np.unique(up)) <= {10, 60, 110, 210}
-    # compressed image format -> declared NotImplementedError
-    png = spark.createDataFrame(
-        [(2, "image/png", bytearray(b"xx"), (1, 1, 0, 0))], media.schema
+    # an image format with no codec -> declared NotImplementedError
+    jpg = spark.createDataFrame(
+        [(2, "image/jpeg", bytearray(b"xx"), (1, 1, 0, 0))], media.schema
     )
     with pytest.raises(Exception, match="no image codec|NotImplemented"):
-        resize_images(png, out_h=2, out_w=2).collect()
+        resize_images(jpg, out_h=2, out_w=2).collect()
+
+
+def _png_forward_filter(img, ftype):
+    """Spec forward-filtering (the encoder side of filters 1-4) to exercise
+    the decoder's unfiltering paths."""
+    import struct as _s
+    import zlib as _z
+
+    h, w, c = img.shape
+    stride = w * c
+    arr = img.reshape(h, stride).astype(int)
+    raw = b""
+    prev = np.zeros(stride, dtype=int)
+    for y in range(h):
+        cur = arr[y]
+        enc = np.zeros(stride, dtype=int)
+        for i in range(stride):
+            a = int(cur[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # paeth
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(enc.tolist())
+        prev = cur
+
+    def chunk(tag, data):
+        return _s.pack(">I", len(data)) + tag + data + _s.pack(
+            ">I", _z.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_rgb_rgba():
+    from combblas_spark.functions.codecs import encode_png, decode_png, png_features
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+    f = png_features(encode_png(rgb), dim=12)
+    assert f.shape == (12,)
+    assert f.mean() == pytest.approx(rgb.mean() / 255.0, abs=0.15)
+
+
+def test_png_decoder_handles_all_filters():
+    from combblas_spark.functions.codecs import decode_png
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for ftype in (1, 2, 3, 4):
+        assert np.array_equal(decode_png(_png_forward_filter(img, ftype)), img), ftype
+
+
+def test_png_declared_subset():
+    import struct as _s
+    import zlib as _z
+    from combblas_spark.functions.codecs import decode_png
+
+    def chunk(tag, data):
+        return _s.pack(">I", len(data)) + tag + data + _s.pack(
+            ">I", _z.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    ihdr16 = _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit depth
+    payload = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(payload)
+
+
+def test_resize_images_real_png(spark):
+    from combblas_spark.functions.codecs import encode_png, decode_png
+    from combblas_spark.functions.multimodal import resize_images
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = 10
+    img[:2, 2:] = 60
+    img[2:, :2] = 110
+    img[2:, 2:] = 210
+    media = spark.createDataFrame(
+        [(0, "image/png", bytearray(encode_png(img)), (4, 4, 0, 0))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = resize_images(media, out_h=2, out_w=2).collect()
+    small = decode_png(bytes(out[0]["payload"]))
+    assert small.shape == (2, 2, 3)
+    assert [int(small[i, j, 0]) for i in range(2) for j in range(2)] == [10, 60, 110, 210]
