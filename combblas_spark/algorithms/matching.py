@@ -105,10 +105,23 @@ def _augment_phase(
         # dl is the only per-level materialization: it feeds the next level,
         # the visited set, and the traceback
         dl = runner.truncate(prop.groupBy("dst").agg(F.min("src").alias("ps")))
-        # fixed mode skips every per-level action: an empty level just
-        # propagates empty frames through the flip (a no-op on m)
-        if not fixed and dl.limit(1).count() == 0:
-            return None
+        # ONE driver action per level: (level size, free-column count) in a
+        # single aggregate over the already-checkpointed dl. m.dst is unique
+        # (it is a matching), so the left join cannot duplicate rows.
+        stats = (
+            dl.join(m.select("dst").withColumn("_m", F.lit(1)), on="dst", how="left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("_m").isNull(), True)).alias("n_free"),
+            )
+            .first()
+        )
+        if stats["n"] == 0:
+            # no vertices reached at this level: no augmenting path of this
+            # (or any greater) length exists — skip the remaining scheduled
+            # levels AND the traceback. Fixed mode returns m unchanged,
+            # identical to propagating empty frames through the flip.
+            return None if not fixed else (m, 0)
         parents[level] = dl
         visited = (
             dl.select("dst")
@@ -116,10 +129,7 @@ def _augment_phase(
             else visited.unionByName(dl.select("dst"))
         )  # union of truncated levels — bounded plan, no extra job
         if not fixed:
-            has_free = (
-                dl.join(m.select("dst"), on="dst", how="left_anti").limit(1).count()
-            )
-            if has_free:
+            if stats["n_free"] > 0:
                 found_level = level
                 break
         elif level == depth:

@@ -158,23 +158,34 @@ def decode_png(payload: bytes) -> np.ndarray:
         p += 1 + stride
         if f == 0:
             pass
-        elif f == 1:  # Sub: + left
-            for i in range(nch, stride):
-                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
-        elif f == 2:  # Up: + above
+        elif f == 1:  # Sub: per-channel cumsum mod 256 — fully vectorized
+            cur = (
+                np.cumsum(cur.reshape(-1, nch), axis=0, dtype=np.int64)
+                .reshape(-1) & 0xFF
+            ).astype(np.int32)
+        elif f == 2:  # Up: + above — fully vectorized
             cur = (cur + prev) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = cur[i - nch] if i >= nch else 0
-                cur[i] = (cur[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(cur[i - nch]) if i >= nch else 0
-                b = int(prev[i])
-                c = int(prev[i - nch]) if i >= nch else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+        elif f == 3:  # Average: left-dependent in x; loop pixels, vector channels
+            px2 = cur.reshape(-1, nch)
+            pr2 = prev.reshape(-1, nch)
+            left = np.zeros(nch, dtype=np.int32)
+            for x in range(px2.shape[0]):
+                left = (px2[x] + ((left + pr2[x]) >> 1)) & 0xFF
+                px2[x] = left
+            cur = px2.reshape(-1)
+        elif f == 4:  # Paeth: left-dependent in x; loop pixels, vector channels
+            px2 = cur.reshape(-1, nch)
+            pr2 = prev.reshape(-1, nch)
+            a = np.zeros(nch, dtype=np.int32)
+            c = np.zeros(nch, dtype=np.int32)
+            for x in range(px2.shape[0]):
+                b = pr2[x]
+                pa, pb, pc = np.abs(b - c), np.abs(a - c), np.abs(a + b - 2 * c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                a = (px2[x] + pred) & 0xFF
+                px2[x] = a
+                c = b
+            cur = px2.reshape(-1)
         else:
             raise ValueError(f"bad PNG filter {f}")
         prev = cur

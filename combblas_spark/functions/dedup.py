@@ -177,10 +177,20 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 
 
 def simhash_near_dups(
-    sig: DataFrame, band_bits: int = 15, max_hamming: int = 3, bits: int = 60
+    sig: DataFrame,
+    band_bits: int = 15,
+    max_hamming: int = 3,
+    bits: int = 60,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate pairs whose simhashes agree on >=1 of the bits/band_bits
-    bands, verified to Hamming distance <= max_hamming."""
+    bands, verified to Hamming distance <= max_hamming.
+
+    Band buckets larger than ``max_bucket`` (degenerate boilerplate hubs)
+    are dropped before the self-join — the same guard as
+    ``lsh_candidate_pairs`` — so the (band, key) self-join is never
+    |bucket|^2 on a pathological bucket at corpus scale.
+    """
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(
@@ -196,8 +206,14 @@ def simhash_near_dups(
             ])
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select("band", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = banded.select("band", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    # banded feeds 3 plan branches (size agg + both join sides)
+    banded = banded.persist()
+    sized = banded.join(
+        banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bsz")),
+        on=["band", "key"],
+    ).filter(F.col("_bsz") <= max_bucket)
+    a = sized.select("band", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sized.select("band", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     pairs = (
         a.join(b, on=["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -66,7 +66,8 @@ def extract_features(
     the driver plan; the pandas function vectorizes per batch.
 
     Dispatch is on the ``modality`` column against codecs.CODECS
-    ('audio/wav' and 'image/bmp' decode for real); unknown modalities raise
+    ('audio/wav', 'image/bmp' and 'image/png' decode for real); unknown
+    modalities raise
     NotImplementedError at executor time unless ``fake=True``, which
     substitutes the deterministic payload-derived stand-in.
     """
@@ -122,8 +123,10 @@ def resize_images(
     keeping the plumbing (schema, modality partitioning, batch shape)
     testable end-to-end.
 
-    Returns (media_id, modality, payload, meta{h, w}) — same layout as the
-    input image rows, so resize composes with extract_features.
+    Returns (media_id, modality, payload, meta) with the SAME meta struct
+    shape as MEDIA_SCHEMA — width/height rewritten to (out_w, out_h),
+    sample_rate/n_frames carried through unchanged — so resized rows feed
+    any meta-reading consumer (extract_features, frame_sample) directly.
     """
     from combblas_spark.functions.codecs import (
         decode_bmp24, encode_bmp24, decode_png, encode_png,
@@ -136,7 +139,7 @@ def resize_images(
 
     def run(batches):
         for pdf in batches:
-            out_payloads, hs, ws = [], [], []
+            out_payloads = []
             for modality, payload in zip(pdf["modality"], pdf["payload"]):
                 if modality in pair:
                     dec, enc = pair[modality]
@@ -156,28 +159,36 @@ def resize_images(
                     raise NotImplementedError(
                         f"no image codec for modality {modality!r}"
                     )
-                hs.append(out_h)
-                ws.append(out_w)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "payload": out_payloads,
-                    "h": hs,
-                    "w": ws,
+                    "sample_rate": pdf["sample_rate"],
+                    "n_frames": pdf["n_frames"],
                 }
             )
 
     imgs = media.filter(F.col("modality").startswith("image/"))
     return (
-        imgs.select("media_id", "modality", "payload")
+        imgs.select(
+            "media_id", "modality", "payload",
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_frames").alias("n_frames"),
+        )
         .repartition("modality")
         .mapInPandas(
             run,
-            schema="media_id long, modality string, payload binary, h int, w int",
+            schema="media_id long, modality string, payload binary, "
+                   "sample_rate int, n_frames int",
         )
         .select(
             "media_id", "modality", "payload",
-            F.struct(F.col("h"), F.col("w")).alias("meta"),
+            F.struct(
+                F.lit(out_w).cast("int").alias("width"),
+                F.lit(out_h).cast("int").alias("height"),
+                F.col("sample_rate"),
+                F.col("n_frames"),
+            ).alias("meta"),
         )
     )

@@ -77,7 +77,24 @@ class SuperstepRunner:
                 jdf.queryExecution().toRdd(), jdf.schema(), False
             )
             return DataFrame(fresh, self.spark)
-        except Exception:  # internal API moved — stats may then compound
+        except Exception as exc:  # internal API moved — stats may then compound
+            # Falling back to the bare localCheckpoint re-enables the
+            # exponential Catalyst-stats compounding this method exists to
+            # prevent (see docstring). Warn LOUDLY, once, so the operator
+            # sees why supersteps are suddenly slowing down.
+            if not getattr(SuperstepRunner, "_warned_stats_fallback", False):
+                SuperstepRunner._warned_stats_fallback = True
+                import warnings
+
+                warnings.warn(
+                    "SuperstepRunner.truncate: internalCreateDataFrame re-wrap "
+                    f"failed ({exc!r}); falling back to bare localCheckpoint. "
+                    "Catalyst size stats will COMPOUND across supersteps — "
+                    "expect per-iteration driver slowdown in multi-join "
+                    "kernels. Check Spark version compatibility.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             return cp
 
     # -- durable checkpoint --------------------------------------------------

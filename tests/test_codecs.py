@@ -85,7 +85,10 @@ def test_resize_images_real_bmp(spark):
         "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
     )
     out = resize_images(media, out_h=2, out_w=2).collect()
-    assert len(out) == 1 and out[0]["meta"]["h"] == 2 and out[0]["meta"]["w"] == 2
+    assert len(out) == 1
+    # full MEDIA_SCHEMA meta shape: width/height rewritten, rest carried
+    assert out[0]["meta"]["height"] == 2 and out[0]["meta"]["width"] == 2
+    assert out[0]["meta"]["sample_rate"] == 0 and out[0]["meta"]["n_frames"] == 0
     small = decode_bmp24(bytes(out[0]["payload"]))
     assert small.shape == (2, 2, 3)
     for (bi, bj), v in colors.items():

@@ -77,6 +77,21 @@ def test_simhash(spark, docs):
     assert (0, 3) in pairs
 
 
+def test_simhash_degenerate_bucket_capped(spark):
+    # 1000 identical docs share every band bucket; with max_bucket below the
+    # bucket size the self-join must emit ZERO pairs instead of ~10^6.
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    sig = simhash(docs)
+    capped = simhash_near_dups(sig, band_bits=15, max_hamming=3, max_bucket=100)
+    assert capped.count() == 0
+    # a healthy cap still lets small buckets through
+    ok = simhash_near_dups(sig, band_bits=15, max_hamming=3, max_bucket=2000)
+    assert ok.count() == 1000 * 999 // 2
+
+
 def _np_cosine_topk(vecs, k):
     v = np.asarray(vecs, dtype=np.float64)
     nrm = np.linalg.norm(v, axis=1)
