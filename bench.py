@@ -33,6 +33,8 @@ HEADLINE = [
     # track the scale path, not only the broadcast path
     "pagerank_grid_ps",
     "cc_grid_ps",
+    "labelprop_grid_ps",
+    "sssp_ps",
     # matching family (augmenting-phase + locally-dominant rounds)
     "max_matching_ps",
     "wmatch_ps",

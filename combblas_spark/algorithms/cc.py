@@ -34,7 +34,7 @@ from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.ewise import ewise_apply_vec
 from combblas_spark.operators.indexing import vec_gather, vec_assign
-from combblas_spark.plans.grid import Grid2D, spmv_grid
+from combblas_spark.plans.grid import Grid2D, auto_grid_shape, spmv_grid
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
@@ -55,7 +55,7 @@ def cc_minlabel(
     broadcast_vectors: bool = True,
     check_every: int = 1,
     mode: str = "broadcast",
-    grid_shape: tuple[int, int] = (16, 4),
+    grid_shape: Optional[tuple[int, int]] = None,
 ) -> DataFrame:
     """(id, val) with val = min vertex id in the component (canonical).
 
@@ -76,7 +76,8 @@ def cc_minlabel(
     edges = edges.select("src", "dst", F.col("w").cast("double")).unionByName(diag)
     grid = None
     if mode == "grid":
-        grid = Grid2D(spark, *grid_shape)
+        shape = grid_shape or auto_grid_shape(spark, edges.count())
+        grid = Grid2D(spark, *shape)
         # select2nd ignores w — drop it from the cached layout
         edges = grid.partition_edges(edges, with_w=False)
     else:

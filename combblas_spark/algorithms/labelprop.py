@@ -32,7 +32,7 @@ from combblas_spark.operators.transform import (
     symmetrize,
 )
 from combblas_spark.operators.kselect import prune_recovery_select
-from combblas_spark.plans.grid import Grid2D
+from combblas_spark.plans.grid import Grid2D, auto_grid_shape
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
@@ -51,7 +51,7 @@ def label_propagation(
     runner: Optional[SuperstepRunner] = None,
     broadcast_vectors: bool = True,
     mode: str = "broadcast",
-    grid_shape: tuple[int, int] = (16, 4),
+    grid_shape: Optional[tuple[int, int]] = None,
 ) -> DataFrame:
     """Synchronous weighted LP, deterministic tie-break (max weight-sum,
     then min label). Returns (id, val=label). Expects symmetric edges.
@@ -69,7 +69,8 @@ def label_propagation(
     runner = runner or SuperstepRunner(spark)
     grid = None
     if mode == "grid":
-        grid = Grid2D(spark, *grid_shape)
+        shape = grid_shape or auto_grid_shape(spark, edges.count())
+        grid = Grid2D(spark, *shape)
         edges = grid.partition_edges(edges.select("src", "dst", "w"))
     else:
         edges = edges.select("src", "dst", "w").repartition(

@@ -32,7 +32,7 @@ from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.reduce import reduce_dim
 from combblas_spark.operators.transform import dimapply
-from combblas_spark.plans.grid import Grid2D, spmv_grid
+from combblas_spark.plans.grid import Grid2D, auto_grid_shape, spmv_grid
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
@@ -56,13 +56,14 @@ def pagerank(
     broadcast_vectors: bool = True,
     check_every: int = 1,
     mode: str = "broadcast",
-    grid_shape: tuple[int, int] = (16, 4),
+    grid_shape: Optional[tuple[int, int]] = None,
 ) -> DataFrame:
     """Returns (id, val) with val = PageRank score, sum(val) == 1.
 
     ``mode='grid'`` switches the per-superstep vector exchange to the 2D
     band grid (plans/grid.py) — use when the rank vector is too large to
-    broadcast; ``grid_shape=(R, C)`` sizes the grid (R*C partitions).
+    broadcast; ``grid_shape=(R, C)`` sizes the grid (R*C partitions),
+    default None auto-sizes from the edge count (plans/grid.auto_grid_shape).
 
     ``num_iters`` set -> run exactly that many iterations with no
     convergence action per step (oracle-parity / benchmark mode);
@@ -101,7 +102,8 @@ def _pagerank_loop(
     e_norm = dimapply(edges, outdeg, dim="row", binop=lambda w, d: w / d)
     grid = None
     if mode == "grid":
-        grid = Grid2D(spark, *grid_shape)
+        shape = grid_shape or auto_grid_shape(spark, edges.count())
+        grid = Grid2D(spark, *shape)
         e_norm = grid.partition_edges(e_norm).persist()
     else:
         e_norm = e_norm.repartition(

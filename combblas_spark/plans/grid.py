@@ -63,6 +63,27 @@ def _partition_tokens(spark: SparkSession, num_partitions: int) -> list[int]:
     return [int(tok[b]) for b in range(num_partitions)]
 
 
+def auto_grid_shape(
+    spark: SparkSession, n_edges: int, rows_per_task: int = 150_000
+) -> tuple[int, int]:
+    """(R, C) sized from the edge count: R*C ≈ clamp(|E|/rows_per_task, 4,
+    2*defaultParallelism), aspect ratio R ≈ 4C (replication C stays low).
+
+    Rationale: the grid's per-superstep cost has a fixed component per
+    partition (task launch, C-fold vector replication), so a toy input on a
+    64-partition grid pays 64 partitions of overhead for microseconds of
+    work. Large inputs clamp to 2x parallelism — at RMAT scale 24 on 32
+    cores this returns the protocol (16, 4) grid unchanged, while the sf0.1
+    ps graph (1.18M edges) gets (8, 1): measured 10.1s vs 22.9s on the
+    fixed (16, 4) grid for pagerank_grid_ps.
+    """
+    p_max = max(4, 2 * spark.sparkContext.defaultParallelism)
+    p = max(4, min(p_max, -(-n_edges // rows_per_task)))
+    c = max(1, int((p / 4) ** 0.5))
+    r = max(1, p // c)
+    return (r, c)
+
+
 @dataclass
 class Grid2D:
     """R x C band grid; one band-pair per Spark partition."""

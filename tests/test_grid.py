@@ -99,3 +99,30 @@ def test_labelprop_grid_mode_parity(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_auto_grid_shape(spark):
+    from combblas_spark.plans.grid import auto_grid_shape
+
+    par = spark.sparkContext.defaultParallelism
+    # toy inputs: minimum 4 partitions, replication C stays 1
+    r, c = auto_grid_shape(spark, 1_000)
+    assert r * c == 4 and c == 1
+    # sf0.1-class input: small grid, C = 1
+    r, c = auto_grid_shape(spark, 1_200_000)
+    assert 4 <= r * c <= 2 * par and c == 1
+    # RMAT scale-24-class input clamps to 2x parallelism with R ~ 4C —
+    # on 32 cores this is the protocol (16, 4) grid
+    r, c = auto_grid_shape(spark, 529_600_000)
+    assert r * c == max(4, 2 * par)
+    if par == 32:
+        assert (r, c) == (16, 4)
+    # auto default equals explicit default path on a real kernel
+    from combblas_spark.algorithms import cc_minlabel
+    from combblas_spark.operators.transform import symmetrize
+    from combblas_spark.sources.fixtures import weighted_digraph
+
+    edges = symmetrize(weighted_digraph(spark, n=120, avg_deg=3, seed=5))
+    a = {r_["id"]: r_["val"] for r_ in cc_minlabel(spark, edges, mode="grid").collect()}
+    b = {r_["id"]: r_["val"] for r_ in cc_minlabel(spark, edges, mode="broadcast").collect()}
+    assert a == b
