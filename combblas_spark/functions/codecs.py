@@ -2,11 +2,13 @@
 
 No external decode libraries exist in this environment, but WAV/PCM audio
 and 24-bit BMP images are plain headers + raw sample/pixel planes — numpy
-decodes them exactly — and PNG needs only stdlib ``zlib``: a from-scratch
-reader handles 8-bit RGB/RGBA with all five scanline filters. These
-register in the codec registry that ``multimodal.extract_features``
-dispatches on; the remaining compressed formats (jpeg/mp3/mp4) genuinely
-need entropy/DCT/codec libraries and stay declared stubs.
+decodes them exactly — PNG needs only stdlib ``zlib`` (a from-scratch
+reader handles 8-bit RGB/RGBA with all five scanline filters), and
+baseline JPEG is decoded by the from-scratch Huffman + dequant + IDCT
+pipeline in functions/jpeg.py. These register in the codec registry that
+``multimodal.extract_features`` dispatches on; the remaining compressed
+formats (mp3/mp4) genuinely need audio/video codec libraries and stay
+declared stubs.
 
 Encoders exist for every decoder, so tests round-trip: synth -> encode ->
 decode -> features, all deterministic.
@@ -239,12 +241,17 @@ def png_features(payload: bytes, dim: int) -> np.ndarray:
     return v[:dim]
 
 
-#: modality -> featurizer(payload, dim). jpeg/mp3/mp4 are ABSENT on
-#: purpose (they need entropy/DCT libraries this environment lacks):
-#: requesting them raises the declared NotImplementedError in
-#: multimodal.extract_features.
+from combblas_spark.functions.jpeg import jpeg_features  # noqa: E402
+
+#: modality -> featurizer(payload, dim). mp3/mp4 are ABSENT on purpose
+#: (they genuinely need audio/video codec libraries this environment
+#: lacks): requesting them raises the declared NotImplementedError in
+#: multimodal.extract_features. JPEG decodes for REAL via the from-scratch
+#: baseline decoder in functions/jpeg.py (Huffman + dequant + IDCT, pure
+#: numpy + stdlib).
 CODECS = {
     "audio/wav": wav_features,
     "image/bmp": bmp_features,
     "image/png": png_features,
+    "image/jpeg": jpeg_features,
 }

@@ -3,13 +3,13 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side machinery (schema, Arrow batch shape, mapInPandas signatures,
 partitioning by modality) is real and tested. Decode dispatches on the
-codec registry (functions/codecs.py): WAV/PCM16 audio, 24-bit BMP and
-8-bit RGB/RGBA PNG images decode for REAL (pure numpy + stdlib zlib — no
-external libraries needed); the remaining compressed formats
-(jpeg/mp3/mp4, which need entropy/DCT codec libraries) are declared stubs
-that raise NotImplementedError, and ``fake=True`` substitutes a
-deterministic payload-derived vector for tests that don't care about
-pixels.
+codec registry (functions/codecs.py): WAV/PCM16 audio, 24-bit BMP, 8-bit
+RGB/RGBA PNG and baseline JPEG images decode for REAL (pure numpy +
+stdlib — PNG via zlib, JPEG via the from-scratch Huffman/IDCT pipeline in
+functions/jpeg.py); the remaining compressed formats (mp3/mp4, which need
+audio/video codec libraries) are declared stubs that raise
+NotImplementedError, and ``fake=True`` substitutes a deterministic
+payload-derived vector for tests that don't care about pixels.
 """
 
 from __future__ import annotations
@@ -66,8 +66,8 @@ def extract_features(
     the driver plan; the pandas function vectorizes per batch.
 
     Dispatch is on the ``modality`` column against codecs.CODECS
-    ('audio/wav', 'image/bmp' and 'image/png' decode for real); unknown
-    modalities raise
+    ('audio/wav', 'image/bmp', 'image/png' and 'image/jpeg' decode for
+    real); unknown modalities raise
     NotImplementedError at executor time unless ``fake=True``, which
     substitutes the deterministic payload-derived stand-in.
     """
@@ -102,7 +102,9 @@ def extract_features(
 
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Metadata-level frame sampling plan: one output row per sampled frame
-    index (decode of the frame itself is the stubbed step above)."""
+    index (decode of the frame itself is the stubbed step above). For real
+    MP4 payloads use ``frame_ranges`` — it reads the container's sample
+    table and returns actual byte ranges."""
     return media.filter(F.col("modality") == "video").select(
         "media_id",
         F.explode(
@@ -111,14 +113,101 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+def frame_ranges(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling over video/mp4 rows: parse the ISO-BMFF sample
+    table (stsz x stsc x stco, functions/containers.py) inside an
+    Arrow-batched mapInPandas and emit one row per sampled frame with its
+    exact (offset, size) byte range into the payload — what a frame
+    decoder (the declared-stub step) would be handed at scale. Only the
+    container METADATA is parsed; no bitstream decode happens."""
+    from combblas_spark.functions.containers import mp4_sample_ranges
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, offs, szs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, (off, sz) in enumerate(mp4_sample_ranges(bytes(payload))):
+                    if i % every_n:
+                        continue
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(off)
+                    szs.append(sz)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "offset": offs, "size": szs}
+            )
+
+    return (
+        media.filter(F.col("modality") == "video/mp4")
+        .select("media_id", "payload")
+        .repartition("media_id")
+        .mapInPandas(
+            run, schema="media_id long, frame_idx int, offset long, size long"
+        )
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Real container metadata extraction: video/mp4 via the BMFF box walk,
+    audio/mp3 via the frame-header scan, audio/wav via the PCM decode —
+    all pure-stdlib parses (functions/containers.py, codecs.py). Unknown
+    modalities yield nulls rather than erroring (metadata extraction is a
+    best-effort scan step in a pipeline). Returns (media_id, modality,
+    duration_s, sample_rate, n_frames, width, height)."""
+    from combblas_spark.functions.codecs import decode_wav_pcm16
+    from combblas_spark.functions.containers import parse_mp3_meta, parse_mp4_meta
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                dur = rate = nfr = w = h = None
+                try:
+                    if modality == "video/mp4":
+                        m = parse_mp4_meta(bytes(payload))
+                        vids = [t for t in m["tracks"] if t["handler"] == "vide"]
+                        if vids:
+                            t = vids[0]
+                            w, h, nfr = t["width"], t["height"], t["n_samples"]
+                            dur = t["duration_s"]
+                        else:
+                            dur = m["duration_s"]
+                    elif modality == "audio/mp3":
+                        m = parse_mp3_meta(bytes(payload))
+                        dur, rate, nfr = m["duration_s"], m["sample_rate"], m["n_frames"]
+                    elif modality == "audio/wav":
+                        pcm, rate = decode_wav_pcm16(bytes(payload))
+                        dur, nfr = len(pcm) / rate if rate else None, len(pcm)
+                except (ValueError, NotImplementedError):
+                    pass  # best-effort: unparseable payload -> nulls
+                rows.append((mid, modality, dur, rate, nfr, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "modality", "duration_s", "sample_rate",
+                    "n_frames", "width", "height",
+                ],
+            )
+
+    return media.select("media_id", "modality", "payload").repartition(
+        "modality"
+    ).mapInPandas(
+        run,
+        schema="media_id long, modality string, duration_s double, "
+               "sample_rate int, n_frames int, width int, height int",
+    )
+
+
 def resize_images(
     media: DataFrame, out_h: int, out_w: int, fake: bool = False
 ) -> DataFrame:
-    """Image resize as an Arrow-batched mapInPandas transform: BMP24 and
-    PNG (8-bit RGB/RGBA) rows decode for REAL (pure-numpy/stdlib codecs),
-    nearest-neighbor resample to (out_h, out_w), and re-encode in the same
-    format; other image formats raise the declared NotImplementedError
-    (jpeg needs DCT libraries this environment lacks) unless ``fake=True``,
+    """Image resize as an Arrow-batched mapInPandas transform: BMP24,
+    PNG (8-bit RGB/RGBA) and baseline JPEG rows decode for REAL
+    (pure-numpy/stdlib codecs), nearest-neighbor resample to
+    (out_h, out_w), and re-encode in the same format; other image formats
+    raise the declared NotImplementedError unless ``fake=True``,
     which passes the payload through with only the metadata rewritten —
     keeping the plumbing (schema, modality partitioning, batch shape)
     testable end-to-end.
@@ -131,10 +220,12 @@ def resize_images(
     from combblas_spark.functions.codecs import (
         decode_bmp24, encode_bmp24, decode_png, encode_png,
     )
+    from combblas_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
     pair = {
         "image/bmp": (decode_bmp24, encode_bmp24),
         "image/png": (decode_png, encode_png),
+        "image/jpeg": (decode_jpeg, encode_jpeg),
     }
 
     def run(batches):

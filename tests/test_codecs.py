@@ -105,11 +105,11 @@ def test_resize_images_real_bmp(spark):
     assert up.shape == (6, 6, 3)
     assert set(np.unique(up)) <= {10, 60, 110, 210}
     # an image format with no codec -> declared NotImplementedError
-    jpg = spark.createDataFrame(
-        [(2, "image/jpeg", bytearray(b"xx"), (1, 1, 0, 0))], media.schema
+    tif = spark.createDataFrame(
+        [(2, "image/tiff", bytearray(b"xx"), (1, 1, 0, 0))], media.schema
     )
     with pytest.raises(Exception, match="no image codec|NotImplemented"):
-        resize_images(jpg, out_h=2, out_w=2).collect()
+        resize_images(tif, out_h=2, out_w=2).collect()
 
 
 def _png_forward_filter(img, ftype):
@@ -209,3 +209,43 @@ def test_resize_images_real_png(spark):
     small = decode_png(bytes(out[0]["payload"]))
     assert small.shape == (2, 2, 3)
     assert [int(small[i, j, 0]) for i in range(2) for j in range(2)] == [10, 60, 110, 210]
+
+
+def test_resize_images_real_jpeg(spark):
+    """Real resize through the from-scratch JPEG codec: lossy, so assert
+    block colors within JPEG tolerance rather than exact pixels."""
+    from combblas_spark.functions.jpeg import encode_jpeg, decode_jpeg
+    from combblas_spark.functions.multimodal import resize_images
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8, :8] = 40
+    img[:8, 8:] = 90
+    img[8:, :8] = 140
+    img[8:, 8:] = 220
+    media = spark.createDataFrame(
+        [(0, "image/jpeg", bytearray(encode_jpeg(img, quality=90)), (16, 16, 0, 0))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = resize_images(media, out_h=8, out_w=8).collect()
+    assert len(out) == 1
+    assert out[0]["meta"]["height"] == 8 and out[0]["meta"]["width"] == 8
+    small = decode_jpeg(bytes(out[0]["payload"]))
+    assert small.shape == (8, 8, 3)
+    for (bi, bj), v in {(1, 1): 40, (1, 6): 90, (6, 1): 140, (6, 6): 220}.items():
+        assert abs(int(small[bi, bj, 0]) - v) <= 12
+
+
+def test_extract_features_real_jpeg(spark):
+    from combblas_spark.functions.jpeg import encode_jpeg
+    from combblas_spark.functions.multimodal import extract_features
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image/jpeg", bytearray(encode_jpeg(img, quality=90)), (16, 16, 0, 0))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    got = extract_features(media, dim=6).collect()
+    assert len(got) == 1
+    assert got[0]["feature"][0] == pytest.approx(128 / 255.0, abs=0.02)

@@ -1,0 +1,203 @@
+"""From-scratch baseline JPEG codec (combblas_spark/functions/jpeg.py).
+
+Validation strategy (no external JPEG library exists here to produce
+goldens): the transform stages are verified INDEPENDENTLY against their
+mathematical definitions (DCT vs the O(N^4) textbook sum, Huffman decode
+vs a hand-built canonical bitstream, zigzag involution), then the full
+encoder->decoder loop is checked for the bounded-error property lossy
+JPEG guarantees on smooth/flat content. Structural decoding (markers,
+byte stuffing, restart intervals, grayscale/4:4:4) is exercised on
+encoder output plus hand-mutated streams.
+"""
+
+import numpy as np
+import pytest
+
+from combblas_spark.functions.jpeg import (
+    ZIGZAG,
+    _BitReader,
+    _Huff,
+    _extend,
+    decode_jpeg,
+    dct2_blocks,
+    encode_jpeg,
+    idct2_blocks,
+    jpeg_features,
+)
+
+
+def test_zigzag_is_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec spot checks: the first diagonal walk
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert ZIGZAG[63] == 63
+
+
+def test_dct_matches_textbook_definition():
+    """F(u,v) = 1/4 c(u)c(v) sum_x sum_y f(x,y) cos((2x+1)u pi/16) cos(...)"""
+    rng = np.random.default_rng(7)
+    f = rng.uniform(-128, 127, (8, 8))
+    want = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = np.sqrt(0.5) if u == 0 else 1.0
+            cv = np.sqrt(0.5) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        f[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            want[u, v] = 0.25 * cu * cv * s
+    got = dct2_blocks(f[None])[0]
+    assert np.allclose(got, want, atol=1e-9)
+    # and IDCT inverts it
+    assert np.allclose(idct2_blocks(got[None])[0], f, atol=1e-9)
+
+
+def test_huffman_decode_hand_built_stream():
+    # canonical table: 'A' -> 0 (1 bit), 'B' -> 10, 'C' -> 11 0... wait —
+    # counts = 1 code of length 1, 2 codes of length 2: A=0, B=10, C=11
+    h = _Huff([1, 2] + [0] * 14, bytes([65, 66, 67]))
+    # bitstream: 0 10 11 0 -> A B C A, padded to a byte: 0101 1001
+    br = _BitReader(bytes([0b01011001]), 0)
+    assert [h.decode(br) for _ in range(4)] == [65, 66, 67, 65]
+
+
+def test_extend_sign():
+    # F.12: s-bit magnitude v maps to v if high bit set else v - 2^s + 1
+    assert _extend(0, 0) == 0
+    assert _extend(1, 1) == 1 and _extend(0, 1) == -1
+    assert _extend(5, 3) == 5 and _extend(2, 3) == -5
+    assert _extend(1023, 10) == 1023 and _extend(0, 10) == -1023
+
+
+def test_bitreader_byte_stuffing():
+    # 0xFF 0x00 is a stuffed literal 0xFF data byte
+    br = _BitReader(bytes([0xFF, 0x00, 0xAB]), 0)
+    assert br.read_bits(8) == 0xFF
+    assert br.read_bits(8) == 0xAB
+
+
+def test_roundtrip_flat_and_smooth():
+    img = np.full((16, 24, 3), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == (16, 24, 3)
+    assert np.abs(out.astype(int) - 200).max() <= 2
+
+    x = np.linspace(0, 255, 32)
+    grad = np.stack([np.tile(x, (32, 1))] * 3, axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 12
+
+
+def test_roundtrip_non_multiple_of_8_and_colors():
+    img = np.zeros((20, 28, 3), dtype=np.uint8)
+    img[:10, :14] = [255, 0, 0]
+    img[10:, 14:] = [0, 255, 0]
+    img[:10, 14:] = [0, 0, 255]
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    # block interiors keep their color (edges may ring)
+    assert np.abs(out[2, 2].astype(int) - [255, 0, 0]).max() <= 16
+    assert np.abs(out[15, 20].astype(int) - [0, 255, 0]).max() <= 16
+    assert np.abs(out[2, 20].astype(int) - [0, 0, 255]).max() <= 16
+
+
+def test_roundtrip_grayscale():
+    g = (np.arange(16 * 16).reshape(16, 16) % 200).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (16, 16, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 10
+
+
+def test_quality_monotonic_size():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    lo = len(encode_jpeg(img, quality=20))
+    hi = len(encode_jpeg(img, quality=95))
+    assert lo < hi
+
+
+def test_declared_subset_raises():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nope")
+    # progressive SOF2: take a valid stream and rewrite its SOF0 marker
+    payload = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = payload.find(bytes([0xFF, 0xC0]))
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_features_shape():
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    v = jpeg_features(encode_jpeg(img, quality=90), dim=12)
+    assert v.shape == (12,) and v.dtype == np.float32
+    assert np.all((v >= 0) & (v <= 1))
+    assert abs(float(v[0]) - 128 / 255) < 0.02
+
+
+def test_restart_markers_decode():
+    """Hand-splice DRI + RSTn markers into an encoder stream: re-encode
+    per-MCU-run segments independently and verify the decoder resyncs."""
+    import struct as _s
+
+    from combblas_spark.functions.jpeg import (
+        _AC_COUNTS, _AC_SYMS, _DC_COUNTS, _DC_SYMS,
+    )
+
+    # Build a 2-MCU-wide grayscale image where each 8x8 block is flat, so
+    # each MCU's entropy data is byte-alignable independently.
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, 8:] = 180
+    base = encode_jpeg(img, quality=90)
+    # decode of the unmodified stream (control)
+    ctrl = decode_jpeg(base)
+
+    # Re-encode by hand with restart_interval=1: MCU0, RST0, MCU1 — with
+    # DC pred reset at the restart (the spec behavior the decoder must
+    # implement). Reuse the codec's own tables via a quality-90 DQT.
+    from combblas_spark.functions.jpeg import (
+        _BitWriter, _canonical_codes, _quality_tables, dct2_blocks as _d,
+    )
+
+    ql, _ = _quality_tables(90)
+    dc = _canonical_codes(_DC_COUNTS, _DC_SYMS)
+    ac = _canonical_codes(_AC_COUNTS, _AC_SYMS)
+
+    def mcu_bits(block: np.ndarray) -> bytes:
+        bw = _BitWriter()
+        f = _d((block.astype(np.float64) - 128.0)[None])[0]
+        q = np.round(f / ql.reshape(8, 8)).astype(np.int64).reshape(64)[ZIGZAG]
+        diff = int(q[0])  # pred reset to 0 at each restart
+        s = abs(diff).bit_length()
+        ln, code = dc[s]
+        bw.write(ln, code)
+        if s:
+            bw.write(s, diff if diff >= 0 else diff + (1 << s) - 1)
+        ln, code = ac[0x00]
+        bw.write(ln, code)  # flat block -> EOB immediately
+        bw.flush()
+        return bytes(bw.out)
+
+    def seg(marker, body):
+        return _s.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    hdr = bytearray(b"\xff\xd8")
+    hdr += seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    hdr += seg(0xC0, _s.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    hdr += seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
+    hdr += seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
+    hdr += seg(0xDD, _s.pack(">H", 1))  # DRI: restart every MCU
+    hdr += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    hdr += mcu_bits(img[:, :8]) + bytes([0xFF, 0xD0]) + mcu_bits(img[:, 8:])
+    hdr += b"\xff\xd9"
+
+    out = decode_jpeg(bytes(hdr))
+    assert out.shape == ctrl.shape == (8, 16, 3)
+    assert np.abs(out[:, :8].astype(int)).max() <= 4
+    assert np.abs(out[:, 8:, 0].astype(int) - 180).max() <= 4
