@@ -945,6 +945,57 @@ def q_simhash_docs(spark, sf):
     return simhash(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
+def q_simhash_pairs(spark, sf):
+    """Banded simhash near-dup candidate pairs, Hamming-verified — the
+    bucket-capped band self-join (functions/dedup.simhash_near_dups)."""
+    from combblas_spark.functions.dedup import simhash, simhash_near_dups
+
+    sig = simhash(spark.read.parquet(f"{sf}/documents.parquet"))
+    nd = simhash_near_dups(sig, band_bits=15, max_hamming=10, max_bucket=1000)
+    return nd.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_pairs_sql(band_bits: int = 15, n_bands: int = 4,
+                       max_hamming: int = 10, max_bucket: int = 1000) -> str:
+    mask = (1 << band_bits) - 1
+    bands = ", ".join(str(b) for b in range(n_bands))
+    return f"""WITH sig AS MATERIALIZED ({_simhash_sql(60)}),
+banded AS MATERIALIZED (
+  SELECT id, simhash, b.band AS band,
+         (simhash >> (b.band * {band_bits})) & {mask} AS key
+  FROM sig, (SELECT unnest([{bands}]) AS band) b),
+sized AS (SELECT band, key, COUNT(*) AS bsz FROM banded GROUP BY band, key),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  JOIN sized s ON s.band = a.band AND s.key = a.key AND s.bsz <= {max_bucket})
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+def q_split_docs(spark, sf):
+    """Deterministic hash-bucketed train/test split (functions/sampling.py):
+    assignment is a pure function of doc_id, reproducible across engines."""
+    from combblas_spark.functions.sampling import split_by_hash
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return split_by_hash(docs, test_permille=100).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf):
+    """Per-stratum deterministic downsample: strata = doc length mod 5,
+    ~30% kept per stratum, selection a pure function of (stratum, doc_id)."""
+    from combblas_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
+        "stratum", (F.length("text") % 5).cast("long")
+    )
+    return stratified_sample(docs, "stratum", frac_permille=300).select(
+        "doc_id", "stratum"
+    )
+
+
 def q_corpus_edges(spark, sf):
     """Co-occurrence clique projection over the documents-as-corpus with
     dense vertex ids (the ReadGeneralizedTuples + DistEdgeList build)."""
@@ -1336,6 +1387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wmatch_ps": q_wmatch_ps,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "split_docs": q_split_docs,
+        "stratified_sample": q_stratified_sample,
         "edges_build_ps": q_edges_build,
         "degree_ps": q_degree,
         "spmv_plus_times_ps": q_spmv_plus_times,
@@ -1604,4 +1658,15 @@ FROM verts""",
         "ivf_topk": _ivf_sql(IVF_CELLS, IVF_PROBE, IVF_ITERS, IVF_K, IVF_MAX_QID),
         "mcl_nation": _mcl_sql(NATION_CTES, "nedges", MCL_ORACLE_ITERS, MCL_CC_ITERS),
         "simhash_docs": _simhash_sql(60),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "split_docs": """SELECT doc_id,
+            CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 1000 < 100
+                 THEN 'test' ELSE 'train' END AS split
+            FROM documents""",
+        "stratified_sample": """WITH s AS (
+              SELECT doc_id, CAST(LENGTH(text) % 5 AS BIGINT) AS stratum FROM documents)
+            SELECT doc_id, stratum FROM s
+            WHERE CAST(('0x' || substr(md5('sample|' || CAST(stratum AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1000 < 300""",
     }

@@ -142,3 +142,43 @@ def test_bpe_token_stats_hand_computed(spark):
     # 1: ['Hello', ',', ' world', '!', ' 42'] -> 5 pieces, all distinct, 3 ws
     # 2: ['aa', ' aa', ' aa']                 -> 3 pieces, 2 distinct, 3 ws
     assert got == {1: (5, 5, 3), 2: (3, 2, 3), 3: (0, 0, 0)}
+
+
+def test_split_by_hash_deterministic_and_stable(spark):
+    from combblas_spark.functions.sampling import split_by_hash
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["split"] for r in split_by_hash(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_by_hash(docs).collect()}
+    assert a == b
+    n_test = sum(1 for v in a.values() if v == "test")
+    assert 25 <= n_test <= 175  # ~10% of 500; +-5 sd of binomial noise
+    # stability: adding rows never moves an existing row between splits
+    more = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(800)], "doc_id long, text string"
+    )
+    c = {r["doc_id"]: r["split"] for r in split_by_hash(more).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    import pyspark.sql.functions as F
+    from combblas_spark.functions.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, i % 3) for i in range(3000)], "doc_id long, stratum long"
+    )
+    kept = stratified_sample(docs, "stratum", frac_permille=200)
+    rows = kept.collect()
+    again = stratified_sample(docs, "stratum", frac_permille=200).collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again}
+    by = {}
+    for r in rows:
+        by[r["stratum"]] = by.get(r["stratum"], 0) + 1
+    for s in (0, 1, 2):
+        assert 140 <= by[s] <= 260  # ~20% of 1000 per stratum
+    # monotone: a higher threshold keeps a superset
+    bigger = {r["doc_id"] for r in stratified_sample(docs, "stratum", frac_permille=400).collect()}
+    assert {r["doc_id"] for r in rows} <= bigger
