@@ -18,3 +18,7 @@ from combblas_spark.sources.corpus import (  # noqa: F401
     build_edges_cooccurrence,
     synth_repo_files,
 )
+from combblas_spark.sources.clusters import (  # noqa: F401
+    read_clusters,
+    write_clusters,
+)

@@ -150,3 +150,37 @@ def test_streaming_dedup_exact_stateful(spark, tmp_path):
     q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM dedup_state_t").collect()
     assert sorted(r["doc_id"] for r in rows) == [0, 1, 4]
+
+
+def test_write_clusters_roundtrip(spark, tmp_path):
+    """WriteMCLClusters analog (WriteMCLClusters.h:44-120): one line per
+    cluster, members space-separated; name-keyed via the vertex table."""
+    from combblas_spark.sources.clusters import read_clusters, write_clusters
+
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2), (4, 4)], "id long, val long"
+    )
+    verts = spark.createDataFrame(
+        [(i, f"v{i:02d}") for i in range(5)], "id long, key string"
+    )
+    p = str(tmp_path / "clusters")
+    write_clusters(labels, p, vertices=verts)
+    import glob
+
+    [f] = glob.glob(p + "/part-*")
+    lines = [ln.strip() for ln in open(f) if ln.strip()]
+    assert lines == ["v00 v01", "v02 v03", "v04"]
+
+    back = read_clusters(spark, p)
+    got = {(r["member"], r["cluster_key"]) for r in back.collect()}
+    assert got == {
+        ("v00", "v00"), ("v01", "v00"),
+        ("v02", "v02"), ("v03", "v02"),
+        ("v04", "v04"),
+    }
+
+    # id-keyed overload (no vertex table)
+    p2 = str(tmp_path / "clusters_ids")
+    write_clusters(labels, p2)
+    [f2] = glob.glob(p2 + "/part-*")
+    assert [ln.strip() for ln in open(f2) if ln.strip()] == ["0 1", "2 3", "4"]
