@@ -1,6 +1,6 @@
 from combblas_spark.algorithms.pagerank import pagerank  # noqa: F401
 from combblas_spark.algorithms.cc import cc_minlabel, cc_fastsv, cc_lacc, canonical_labels  # noqa: F401
-from combblas_spark.algorithms.bfs import bfs  # noqa: F401
+from combblas_spark.algorithms.bfs import bfs, single_child_frontier  # noqa: F401
 from combblas_spark.algorithms.triangles import triangle_count, triangles_per_edge  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
 from combblas_spark.algorithms.sssp import sssp  # noqa: F401

@@ -47,6 +47,8 @@ def bfs(
     runner: Optional[SuperstepRunner] = None,
     mode: str = "auto",
     bottom_up_cutoff: float = 4.0,
+    parent_select: str = "min",
+    seed: int = 17,
 ) -> DataFrame:
     """Returns (id, parent, depth) for every reached vertex.
 
@@ -56,9 +58,19 @@ def bfs(
     ``n_frontier * bottom_up_cutoff > n_unvisited`` (the Beamer-style
     vertex-count heuristic the reference drives with edge counts).
     Frontier/unvisited broadcasts are size-gated, never forced at O(V).
+
+    ``parent_select``: 'min' (Select2nd-min semiring, the deterministic
+    default) or 'rand' — each discovered vertex picks a parent uniformly
+    among its frontier in-neighbors via a per-(edge, level) hash priority,
+    the SelectRandSRing semantics of
+    /root/reference/Applications/RandomParentBFS.cpp:92-115 made
+    replayable (same ``seed`` -> same tree). Depth labels are identical
+    under either rule; only the tree edges differ.
     """
     if mode not in ("auto", "topdown", "bottomup"):
         raise ValueError(mode)
+    if parent_select not in ("min", "rand"):
+        raise ValueError(parent_select)
     runner = runner or SuperstepRunner(spark)
     edges = edges.select("src", "dst", "w").repartition(
         spark.sparkContext.defaultParallelism, "dst"
@@ -90,27 +102,39 @@ def bfs(
             bottom_up = mode == "bottomup" or (
                 mode == "auto" and n_frontier * bottom_up_cutoff > n_unvisited
             )
+            # parent choice among this level's proposing in-neighbors:
+            # 'min' = min src id; 'rand' = argmin of a per-(edge, level)
+            # hash priority (RandomParentBFS.cpp's GlobalMT.rand() per
+            # multiply, made deterministic)
+            def _pick(grouped):
+                if parent_select == "min":
+                    return grouped.agg(F.min("src").alias("val"))
+                pri = F.xxhash64(F.col("src"), F.col("dst"), F.lit(depth), F.lit(seed))
+                return grouped.agg(F.min_by("src", pri).alias("val"))
+
             if not bottom_up:
-                # top-down: probe edges with the frontier; broadcast only
-                # while the frontier is genuinely small
-                cand = spmv(
-                    edges, frontier, SELECT2ND_MIN,
-                    broadcast_x=True if n_frontier <= BROADCAST_MAX_ROWS else None,
-                )
+                if parent_select == "min":
+                    # top-down: probe edges with the frontier; broadcast
+                    # only while the frontier is genuinely small
+                    cand = spmv(
+                        edges, frontier, SELECT2ND_MIN,
+                        broadcast_x=True if n_frontier <= BROADCAST_MAX_ROWS else None,
+                    )
+                else:
+                    fr = frontier.select(F.col("id").alias("src"))
+                    if n_frontier <= BROADCAST_MAX_ROWS:
+                        fr = F.broadcast(fr)
+                    cand = _pick(edges.join(fr, on="src").groupBy(F.col("dst").alias("id")))
                 new = cand.join(visited.select("id"), on="id", how="left_anti")
             else:
                 # bottom-up: keep only edges INTO unvisited vertices, then
-                # require the source to be on the frontier; min src = parent
+                # require the source to be on the frontier
                 unv = unvisited.select(F.col("id").alias("dst"))
                 if n_unvisited <= BROADCAST_MAX_ROWS:
                     unv = F.broadcast(unv)
                 cand_e = edges.join(unv, on="dst")
                 fr = frontier.select(F.col("id").alias("src"))
-                new = (
-                    cand_e.join(fr, on="src")
-                    .groupBy(F.col("dst").alias("id"))
-                    .agg(F.min("src").alias("val"))
-                )
+                new = _pick(cand_e.join(fr, on="src").groupBy(F.col("dst").alias("id")))
             new = runner.truncate(new)
             n_new = new.count()
             if n_new == 0:
@@ -133,3 +157,17 @@ def bfs(
         return visited
     finally:
         edges.unpersist()
+
+
+def single_child_frontier(new: DataFrame, seed: int = 17) -> DataFrame:
+    """One (id, val=parent) row per distinct parent, chosen by hash
+    priority — the ``fringe.Uniq(RandReduce)`` projection of
+    /root/reference/Applications/SingleChildBFS.cpp:282 (SpVec Uniq with a
+    random selector over entries sharing a VALUE), deterministic here so a
+    replay reproduces the same child set."""
+    pri = F.xxhash64(F.col("id"), F.lit(seed))
+    return (
+        new.groupBy(F.col("val"))
+        .agg(F.min_by("id", pri).alias("id"))
+        .select("id", "val")
+    )

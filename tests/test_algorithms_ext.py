@@ -407,3 +407,49 @@ def test_k_tips_no_tips_on_cycle(spark):
         [(s, d, 1.0) for s, d in cyc], "src long, dst long, w double"
     ))
     assert k_tips(spark, edges, l=4).count() == 0
+
+
+def test_bfs_random_parent_variant(spark):
+    """RandomParentBFS.cpp parity: depth labels are identical to the
+    min-parent tree; parents are genuine depth-(d-1) in-neighbors; the
+    seeded tree is reproducible and a different seed changes some choice
+    on a graph with parent ambiguity."""
+    from combblas_spark.algorithms import bfs
+
+    from combblas_spark.operators.transform import symmetrize
+    from combblas_spark.sources.fixtures import weighted_digraph
+
+    edges = symmetrize(weighted_digraph(spark, n=120, avg_deg=4, seed=9))
+    base = {r["id"]: r for r in bfs(spark, edges, root=0).collect()}
+    rnd = {r["id"]: r for r in bfs(spark, edges, root=0, parent_select="rand").collect()}
+    assert set(base) == set(rnd)
+    for i in base:
+        assert base[i]["depth"] == rnd[i]["depth"]
+    adj = {}
+    for r in edges.collect():
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    for i, r in rnd.items():
+        if i != 0:
+            assert r["parent"] in adj[i]
+            assert base[r["parent"]]["depth"] == r["depth"] - 1
+    again = {r["id"]: r["parent"] for r in bfs(spark, edges, root=0, parent_select="rand").collect()}
+    assert again == {i: r["parent"] for i, r in rnd.items()}
+    other = {r["id"]: r["parent"] for r in bfs(spark, edges, root=0, parent_select="rand", seed=99).collect()}
+    assert any(other[i] != rnd[i]["parent"] for i in other)
+
+
+def test_single_child_frontier(spark):
+    """SingleChildBFS.cpp:282 Uniq(RandReduce) analog: one child per
+    parent, children drawn from the input rows, deterministic."""
+    from combblas_spark.algorithms import single_child_frontier
+
+    new = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (20, 2), (30, 3), (31, 3)],
+        "id long, val long",
+    )
+    got = {(r["id"], r["val"]) for r in single_child_frontier(new).collect()}
+    assert len(got) == 3
+    assert {v for _, v in got} == {1, 2, 3}
+    assert got <= {(10, 1), (11, 1), (12, 1), (20, 2), (30, 3), (31, 3)}
+    again = {(r["id"], r["val"]) for r in single_child_frontier(new).collect()}
+    assert got == again
