@@ -996,6 +996,219 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """End-to-end near-dup dedup (the keep-one-per-cluster production
+    shape): MinHash-LSH candidates -> exact shingle-Jaccard verify (>= 1/2)
+    -> connected components over verified pairs -> canonical = min doc id.
+    Every document gets a row; singletons map to themselves."""
+    from combblas_spark.functions.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return near_dup_clusters(docs, k=3, num_hashes=4, bands=2, rows_per_band=2)
+
+
+#: unrolled CC depth for the dedup-cluster oracle — near-dup clusters are
+#: tiny (band-mates), so 8 min-label rounds safely covers the diameter the
+#: Spark side converges to
+DEDUP_CC_ITERS = 8
+
+
+def _dedup_clusters_sql(iters: int, tau_num: int = 1, tau_den: int = 2) -> str:
+    """LSH pairs -> integer-exact Jaccard >= tau filter -> symmetrized pair
+    edges -> unrolled min-label CC -> every doc joined to its component min."""
+    parts = [
+        f"""jsizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+ver AS MATERIALIZED (
+  SELECT c.id_a, c.id_b FROM (
+    SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+    FROM pairs p
+    JOIN sh a ON a.id = p.id_a
+    JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+    GROUP BY p.id_a, p.id_b) c
+  JOIN jsizes sa ON sa.id = c.id_a
+  JOIN jsizes sb ON sb.id = c.id_b
+  WHERE c.n_common * {tau_den + tau_num} >= (sa.n + sb.n) * {tau_num}),
+cedges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM ver),
+l0 AS MATERIALIZED (
+  SELECT id, id AS val FROM (SELECT DISTINCT src AS id FROM cedges) v)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT l.id,
+         CASE WHEN m.mn IS NOT NULL AND m.mn < l.val THEN m.mn ELSE l.val END AS val
+  FROM l{k-1} l LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.val) AS mn
+    FROM cedges e JOIN l{k-1} p ON e.src = p.id GROUP BY e.dst) m
+  ON l.id = m.id)"""
+        )
+    return (
+        f"WITH {LSH_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(l.val, d.doc_id) AS BIGINT) AS canonical_id
+FROM documents d LEFT JOIN l{iters} l ON d.doc_id = l.id"""
+    )
+
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality signals: most-frequent token /
+    bigram counts and their x1e6 floor-scaled fractions."""
+    from combblas_spark.functions.text import repetition_stats
+
+    return repetition_stats(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
+def q_bpe_pair_counts(spark, sf):
+    """Corpus-global adjacent BPE-piece pair counts, deterministic top-100
+    (count DESC, pieces ASC) — the first merge scan of tokenizer training."""
+    from combblas_spark.functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(spark.read.parquet(f"{sf}/documents.parquet"), top_k=100)
+
+
+PPR_SEEDS = [0, 1, 2, 3, 4]  # five part-key vertices, present at every SF
+
+
+def q_ppr_ps(spark, sf):
+    """Personalized PageRank: restart mass uniform over a 5-seed part set,
+    zero elsewhere — same per-superstep plan as pagerank_ps (the reset is a
+    folded Column expression, algorithms/pagerank.py seeds=...)."""
+    e = part_supplier_graph(spark, sf)
+    r = pagerank(spark, e, alpha=0.85, num_iters=PR_ITERS, seeds=PPR_SEEDS)
+    return r.select("id", F.round("val", 6).alias("val"))
+
+
+def _ppr_sql(prefix: str, edges_cte: str, iters: int, seeds: list,
+             alpha: float = 0.85) -> str:
+    """Unrolled personalized PageRank. The reset scalar folds dangling
+    mass = 0 (the ps graph is symmetric, no dangling vertices) and is
+    injected as the exact Python double the Spark side multiplies with —
+    same IEEE product, so ROUND(.,6) hashes match."""
+    a = repr(alpha)
+    pseed = repr(1.0 / len(seeds))
+    rs = repr((1.0 - alpha + alpha * 0.0) * (1.0 / len(seeds)))
+    inlist = ", ".join(str(s) for s in seeds)
+    parts = [
+        f"""verts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM {edges_cte}
+  UNION SELECT DISTINCT dst FROM {edges_cte}),
+enorm AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / d.wd AS w
+  FROM {edges_cte} e JOIN (
+    SELECT src, SUM(w) AS wd FROM {edges_cte} GROUP BY src) d ON e.src = d.src),
+p0 AS (SELECT id, CASE WHEN id IN ({inlist}) THEN {pseed} ELSE 0.0 END AS val
+       FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id IN ({inlist}) THEN {rs} ELSE 0.0 END
+           + {a} * COALESCE(c.contrib, 0.0) AS val
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.w * p.val) AS contrib
+    FROM enorm e JOIN p{k-1} p ON e.src = p.id GROUP BY e.dst) c
+  ON v.id = c.id)"""
+        )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(val, 6) AS val FROM p{iters}"
+    )
+
+
+WALKS_MAX_SEED = 50
+WALKS_LEN = 4
+
+
+def q_walks_ps(spark, sf):
+    """Deterministic random walks (algorithms/walks.py): one walk per seed
+    vertex (id < WALKS_MAX_SEED), hash-priority neighbor choice replayable
+    byte-for-byte in the SQL oracle."""
+    from combblas_spark.algorithms.walks import random_walks
+
+    e = part_supplier_graph(spark, sf)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("id") < WALKS_MAX_SEED)
+    return random_walks(spark, e, seeds, length=WALKS_LEN)
+
+
+def _walks_sql(prefix: str, edges_cte: str, max_seed: int, length: int,
+               salt: str = "walk") -> str:
+    """Unrolled hash-priority walk: step s picks ROW_NUMBER()=1 ordered by
+    (md5(salt|walk_id|s|dst), dst) — identical to the Spark side's
+    MIN(struct(md5 priority, dst)) per walk."""
+    parts = [
+        f"""wverts AS (SELECT DISTINCT src AS id FROM {edges_cte}
+           UNION SELECT DISTINCT dst FROM {edges_cte}),
+w0 AS MATERIALIZED (
+  SELECT id AS walk_id, id AS vertex FROM wverts WHERE id < {max_seed})"""
+    ]
+    for s in range(1, length + 1):
+        parts.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT walk_id, dst AS vertex FROM (
+    SELECT c.walk_id, c.dst,
+           ROW_NUMBER() OVER (PARTITION BY c.walk_id
+             ORDER BY md5('{salt}|' || CAST(c.walk_id AS VARCHAR)
+                          || '|{s}|' || CAST(c.dst AS VARCHAR)), c.dst) AS rn
+    FROM (SELECT w.walk_id, e.dst
+          FROM w{s-1} w JOIN {edges_cte} e ON e.src = w.vertex) c) x
+  WHERE rn = 1)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, vertex FROM w{s}"
+        for s in range(0, length + 1)
+    )
+    return f"WITH {prefix},\n" + ",\n".join(parts) + "\n" + sel
+
+
+KCORE_K = 30
+KCORE_ORACLE_ROUNDS = 8  # peeling converges in 2-3 rounds on the ps graph
+
+
+def q_kcore_ps(spark, sf):
+    """k-core peel (algorithms/kcore.py) of the part—supplier graph:
+    (id, in_kcore) for every vertex, k=KCORE_K."""
+    from combblas_spark.algorithms.kcore import kcore
+
+    return kcore(spark, part_supplier_graph(spark, sf), k=KCORE_K)
+
+
+def _kcore_sql(prefix: str, edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled peel: round r keeps vertices with degree >= k in d{r-1},
+    then drops edges touching a removed vertex. ``rounds`` must be >= the
+    peel fixpoint depth (extra rounds are no-ops, matching the Spark side's
+    converged early exit)."""
+    parts = [f"d0 AS MATERIALIZED (SELECT src, dst FROM {edges_cte})"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""kp{r} AS MATERIALIZED (
+  SELECT dst AS id FROM d{r-1} GROUP BY dst HAVING COUNT(*) >= {k}),
+d{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM d{r-1} e
+  JOIN kp{r} a ON e.src = a.id JOIN kp{r} b ON e.dst = b.id)"""
+        )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f""",
+kverts AS (SELECT DISTINCT src AS id FROM d0 UNION SELECT DISTINCT dst FROM d0),
+ksurv AS (SELECT DISTINCT dst AS id FROM d{rounds})
+SELECT v.id,
+       CAST(CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_kcore
+FROM kverts v LEFT JOIN ksurv s ON v.id = s.id"""
+    )
+
+
 def q_corpus_edges(spark, sf):
     """Co-occurrence clique projection over the documents-as-corpus with
     dense vertex ids (the ReadGeneralizedTuples + DistEdgeList build)."""
@@ -1390,6 +1603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "split_docs": q_split_docs,
         "stratified_sample": q_stratified_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "repetition_stats": q_repetition_stats,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "kcore_ps": q_kcore_ps,
+        "ppr_ps": q_ppr_ps,
+        "walks_ps": q_walks_ps,
         "edges_build_ps": q_edges_build,
         "degree_ps": q_degree,
         "spmv_plus_times_ps": q_spmv_plus_times,
@@ -1669,4 +1888,45 @@ FROM verts""",
             SELECT doc_id, stratum FROM s
             WHERE CAST(('0x' || substr(md5('sample|' || CAST(stratum AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   % 1000 < 300""",
+        "dedup_clusters": _dedup_clusters_sql(DEDUP_CC_ITERS),
+        "kcore_ps": _kcore_sql(PS_CTES, "edges", KCORE_K, KCORE_ORACLE_ROUNDS),
+        "ppr_ps": _ppr_sql(PS_CTES, "edges", PR_ITERS, PPR_SEEDS),
+        "walks_ps": _walks_sql(PS_CTES, "edges", WALKS_MAX_SEED, WALKS_LEN),
+        "bpe_pair_counts": """WITH pp AS (
+              SELECT doc_id, unnest(p) AS piece, generate_subscripts(p, 1) AS ord
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text,
+                             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS p
+                    FROM documents) x),
+            adj AS (
+              SELECT a.piece AS piece_a, b.piece AS piece_b
+              FROM pp a JOIN pp b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1)
+            SELECT piece_a, piece_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+            FROM adj GROUP BY piece_a, piece_b
+            ORDER BY n_pair DESC, piece_a, piece_b LIMIT 100""",
+        "repetition_stats": f"""WITH {TOKS_CTES},
+            rtoks AS (
+              SELECT doc_id AS id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS ord
+              FROM toklists),
+            tt AS (SELECT id, MAX(c) AS top_token_n FROM (
+                     SELECT id, tok, COUNT(*) AS c FROM rtoks GROUP BY id, tok)
+                   GROUP BY id),
+            bgrams AS (
+              SELECT a.id, a.tok || ' ' || b.tok AS bg
+              FROM rtoks a JOIN rtoks b ON b.id = a.id AND b.ord = a.ord + 1),
+            tb AS (SELECT id, MAX(c) AS top_bigram_n FROM (
+                     SELECT id, bg, COUNT(*) AS c FROM bgrams GROUP BY id, bg)
+                   GROUP BY id)
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(tt.top_token_n, 0) AS BIGINT) AS top_token_n,
+                   CAST(COALESCE(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                   CAST(FLOOR(COALESCE(tt.top_token_n, 0) * 1000000
+                              / GREATEST(len(t.toks), 1)) AS BIGINT) AS top_token_e6,
+                   CAST(FLOOR(COALESCE(tb.top_bigram_n, 0) * 1000000
+                              / GREATEST(len(t.toks) - 1, 1)) AS BIGINT) AS top_bigram_e6
+            FROM toklists t
+            LEFT JOIN tt ON tt.id = t.doc_id
+            LEFT JOIN tb ON tb.id = t.doc_id""",
     }

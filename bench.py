@@ -48,6 +48,12 @@ HEADLINE = [
     "matching_ps",
     "ann_topk",
     "simhash_docs",
+    # training-data pipeline: end-to-end keep-one-per-cluster dedup,
+    # repetition quality signals, tokenizer-training pair scan
+    "dedup_clusters",
+    "repetition_stats",
+    "bpe_pair_counts",
+    "kcore_ps",
 ]
 
 

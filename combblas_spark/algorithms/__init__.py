@@ -13,6 +13,8 @@ from combblas_spark.algorithms.matching import (  # noqa: F401
     auction_matching,
 )
 from combblas_spark.algorithms.filtered import filtered_bfs  # noqa: F401
+from combblas_spark.algorithms.kcore import kcore  # noqa: F401
+from combblas_spark.algorithms.walks import random_walks  # noqa: F401
 from combblas_spark.algorithms.ktips import k_tips  # noqa: F401
 from combblas_spark.algorithms.ordering import (  # noqa: F401
     rcm_order,

@@ -1,0 +1,73 @@
+"""k-core decomposition by iterative peeling.
+
+The classic web-graph cleaning kernel: repeatedly delete vertices of degree
+< k until every survivor has degree >= k inside the surviving subgraph.
+Expressed entirely in the SURVEY §2 operator set — Reduce(dim) for degrees
+(operators/reduce.py), semi-join Prune for vertex deletion (the
+SubsRef/PruneColumn idiom, operators/indexing.py) — no new primitives; this
+module is the composition. CombBLAS ships no dedicated k-core Application;
+the peel loop is the standard formulation (Matula & Beck 1983).
+
+Scale shape: each round is ONE hash aggregation on the edge table plus two
+semi-joins against the (small, shrinking) keep-set; the edge table shrinks
+monotonically, and lineage is truncated per round (plans/superstep.py) so
+Catalyst stats never compound. Rounds to fixpoint on power-law graphs are
+few (2-3 on the testdata ps graph); max_rounds bounds adversarial chains.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from combblas_spark.plans.superstep import SuperstepRunner
+
+
+def kcore(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """(id, in_kcore): 1 if the vertex survives peeling to the k-core of the
+    SYMMETRIC graph ``edges`` (src, dst, ...), else 0. Every vertex of the
+    input graph gets a row.
+
+    Degree is computed as the dst-side count, which equals the vertex degree
+    because the caller passes a symmetrized edge list (the same contract as
+    cc_minlabel / bfs).
+    """
+    runner = runner or SuperstepRunner(spark)
+    e0 = edges.select("src", "dst")
+    verts = (
+        e0.select(F.col("src").alias("id"))
+        .union(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    e = runner.truncate(e0.repartition(spark.sparkContext.defaultParallelism, "dst"))
+    n_prev = e.count()
+    for _ in range(max_rounds):
+        keep = (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= k)
+            .select("dst")
+        )
+        e2 = (
+            e.join(keep.select(F.col("dst").alias("src")), on="src", how="leftsemi")
+            .join(keep, on="dst", how="leftsemi")
+            .select("src", "dst")
+        )
+        e2 = runner.truncate(e2)
+        n = e2.count()
+        e = e2
+        if n == n_prev:
+            break
+        n_prev = n
+    survivors = e.select(F.col("dst").alias("id")).distinct()
+    return verts.join(
+        survivors.withColumn("f", F.lit(1)), on="id", how="left"
+    ).select("id", F.coalesce(F.col("f"), F.lit(0)).cast("long").alias("in_kcore"))

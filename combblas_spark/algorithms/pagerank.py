@@ -57,8 +57,17 @@ def pagerank(
     check_every: int = 1,
     mode: str = "broadcast",
     grid_shape: Optional[tuple[int, int]] = None,
+    seeds: Optional[list] = None,
 ) -> DataFrame:
     """Returns (id, val) with val = PageRank score, sum(val) == 1.
+
+    ``seeds`` set -> personalized PageRank: the restart mass (and the
+    dangling redistribution) goes only to the seed set, uniformly —
+    p[v] = 1/|seeds| on seeds, 0 elsewhere — and the iteration starts at
+    p instead of the uniform vector. The per-superstep plan is identical
+    to global PageRank (the reset vector is a Column expression folded
+    into the rank update); seed sets are assumed driver-small (an `isin`
+    literal), the standard PPR regime.
 
     ``mode='grid'`` switches the per-superstep vector exchange to the 2D
     band grid (plans/grid.py) — use when the rank vector is too large to
@@ -78,7 +87,7 @@ def pagerank(
     try:
         return _pagerank_loop(
             spark, edges, verts, alpha, tol, max_iter, num_iters, runner,
-            broadcast_vectors, check_every, mode, grid_shape,
+            broadcast_vectors, check_every, mode, grid_shape, seeds,
         )
     finally:
         verts.unpersist()
@@ -86,7 +95,7 @@ def pagerank(
 
 def _pagerank_loop(
     spark, edges, verts, alpha, tol, max_iter, num_iters, runner,
-    broadcast_vectors, check_every, mode, grid_shape,
+    broadcast_vectors, check_every, mode, grid_shape, seeds=None,
 ):
     n = verts.count()
 
@@ -118,7 +127,7 @@ def _pagerank_loop(
     try:
         return _pagerank_iters(
             spark, e_norm, verts, dangling, grid, n, alpha, tol, max_iter,
-            num_iters, runner, broadcast_vectors, check_every,
+            num_iters, runner, broadcast_vectors, check_every, seeds,
         )
     finally:
         e_norm.unpersist()
@@ -127,7 +136,7 @@ def _pagerank_loop(
 
 def _pagerank_iters(
     spark, e_norm, verts, dangling, grid, n, alpha, tol, max_iter,
-    num_iters, runner, broadcast_vectors, check_every,
+    num_iters, runner, broadcast_vectors, check_every, seeds=None,
 ):
     n_dangling = dangling.count()  # symmetric graphs have none -> skip the
     # per-iteration dangling-mass action entirely
@@ -135,8 +144,17 @@ def _pagerank_iters(
     # on it once (past the gate AQE decides; 'grid' mode broadcasts nothing)
     bb = broadcast_vectors and n <= BROADCAST_MAX_ROWS
 
+    # personalized restart vector p: uniform over seeds, else uniform over
+    # all vertices. A Column expression — no extra join anywhere in the loop.
+    if seeds is not None:
+        p_col = F.when(
+            F.col("id").isin(list(seeds)), F.lit(1.0 / len(seeds))
+        ).otherwise(F.lit(0.0))
+    else:
+        p_col = F.lit(1.0 / n)
+
     start_iter = 0
-    ranks = verts.select("id", F.lit(1.0 / n).alias("val"))
+    ranks = verts.select("id", p_col.alias("val"))
     resumed = runner.resume() if runner.dir else None
     if resumed is not None:
         start_iter, states, _ = resumed
@@ -157,12 +175,19 @@ def _pagerank_iters(
             contrib = spmv(e_norm, ranks, PLUS_TIMES, broadcast_x=bb)
             if bb:
                 contrib = F.broadcast(contrib)
-        base = (1.0 - alpha) / n + alpha * dang_mass / n
+        # restart + dangling mass both redistribute along p. The uniform
+        # case keeps the EXACT scalar expression (1-a)/n + a*dang/n — same
+        # IEEE op order as the SQL oracle — rather than (1-a+a*dang)*(1/n),
+        # which rounds differently by an ulp.
+        if seeds is not None:
+            reset = F.lit(1.0 - alpha + alpha * dang_mass) * p_col
+        else:
+            reset = F.lit((1.0 - alpha) / n + alpha * dang_mass / n)
         new_ranks = (
             verts.join(contrib, on="id", how="left")
             .select(
                 "id",
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("val"), F.lit(0.0))).alias(
+                (reset + F.lit(alpha) * F.coalesce(F.col("val"), F.lit(0.0))).alias(
                     "val"
                 ),
             )

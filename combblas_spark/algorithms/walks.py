@@ -1,0 +1,86 @@
+"""Deterministic random walks — graph sampling for embedding / GNN
+training pipelines (DeepWalk-style corpus generation).
+
+The per-step "random" choice is an argmin over an engine-portable hash
+priority md5(salt|walk_id|step|candidate), the same seeded-replayable idiom
+as BFS parent_select='rand' (algorithms/bfs.py, RandomParentBFS.cpp's
+SelectRandSRing analog): uniform over the distinct neighbor set, yet every
+engine replays the identical walk — which is what makes the contract query
+oracle-checkable in DuckDB.
+
+Scale shape: one join + one hash aggregation per step (the frontier is
+|walks| rows, edges are pre-partitioned by src once); lineage truncated per
+step. Dead-end vertices terminate their walk (no row emitted at that step)
+— the standard DeepWalk behavior for directed graphs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from combblas_spark.plans.superstep import SuperstepRunner
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int,
+    salt: str = "walk",
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """(walk_id, step, vertex): one walk per seed row (walk_id = seed id),
+    step 0 = the seed itself, up to ``length`` hash-priority steps.
+
+    ``seeds`` is a (id) DataFrame; ``edges`` (src, dst, ...) is used as the
+    directed neighbor relation (pass a symmetrized table for undirected
+    walks, the repo's build_graph default).
+    """
+    runner = runner or SuperstepRunner(spark)
+    e = edges.select("src", "dst").repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    )
+    e.persist()
+    try:
+        cur = seeds.select(
+            F.col("id").alias("walk_id"), F.col("id").alias("vertex")
+        )
+        cur = runner.truncate(cur)
+        levels = [cur.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")]
+        for step in range(1, length + 1):
+            cand = cur.join(
+                e, on=cur["vertex"] == e["src"], how="inner"
+            ).select("walk_id", "dst")
+            prio = F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(salt),
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(step)),
+                    F.col("dst").cast("string"),
+                )
+            )
+            nxt = (
+                cand.groupBy("walk_id")
+                .agg(
+                    F.min(
+                        F.struct(prio.alias("k"), F.col("dst").alias("d"))
+                    ).alias("m")
+                )
+                .select("walk_id", F.col("m.d").alias("vertex"))
+            )
+            cur = runner.truncate(nxt)
+            levels.append(
+                cur.select(
+                    "walk_id", F.lit(step).cast("long").alias("step"), "vertex"
+                )
+            )
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        return out
+    finally:
+        e.unpersist()

@@ -4,6 +4,7 @@ from combblas_spark.functions.text import (  # noqa: F401
     quality_score,
     language_id,
     fingerprint,
+    repetition_stats,
 )
 from combblas_spark.functions.dedup import (  # noqa: F401
     exact_dedup,
@@ -13,6 +14,7 @@ from combblas_spark.functions.dedup import (  # noqa: F401
     jaccard_pairs,
     simhash,
     simhash_near_dups,
+    near_dup_clusters,
 )
 from combblas_spark.functions.similarity import (  # noqa: F401
     with_norm,

@@ -223,3 +223,58 @@ def simhash_near_dups(
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 4,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end near-dup clustering — the keep-one-per-cluster shape every
+    web-scale dedup pipeline runs: MinHash-LSH candidates -> exact shingle-
+    Jaccard verification (jaccard >= tau_num/tau_den, pure integer
+    arithmetic: (tau_den+tau_num)*n_common >= tau_num*(n_a+n_b)) ->
+    connected components over verified pairs -> canonical = min doc id per
+    component. Returns (doc_id, canonical_id) for EVERY input document;
+    singletons map to themselves. Keep rule downstream: doc_id ==
+    canonical_id.
+
+    Scale shape: every stage is a bounded bucket join or a hash groupBy
+    (see lsh_candidate_pairs for the degenerate-bucket cap); the CC runs on
+    the verified-pair edge set only — orders of magnitude smaller than the
+    corpus — with cc_minlabel's superstep machinery (lineage truncation,
+    size-gated broadcast).
+    """
+    from combblas_spark.algorithms.cc import cc_minlabel
+
+    spark = docs.sparkSession
+    sh = shingles(docs, k=k, id_col=id_col, text_col=text_col)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(
+        sig, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
+    )
+    jp = jaccard_pairs(sh, cand)
+    ver = jp.filter(
+        F.col("n_common") * (tau_den + tau_num)
+        >= (F.col("n_a") + F.col("n_b")) * tau_num
+    ).select("id_a", "id_b")
+    edges = (
+        ver.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(ver.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .withColumn("w", F.lit(1.0))
+    )
+    labels = cc_minlabel(spark, edges)
+    out = docs.select(F.col(id_col).cast("long").alias("doc_id")).join(
+        labels.select(F.col("id").alias("doc_id"), "val"), on="doc_id", how="left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("val"), F.col("doc_id")).cast("long").alias("canonical_id"),
+    )

@@ -82,6 +82,67 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    (doc_id, n_tokens, top_token_n, top_bigram_n, top_token_e6,
+    top_bigram_e6) — the most-frequent-token count, the most-frequent-
+    bigram count, and their integer-scaled (x1e6, floor) fractions of the
+    token / bigram slots. High top_*_e6 = boilerplate/repetitive text, the
+    classic pre-training quality filter signal.
+
+    Scale shape: two explode -> groupBy counts (map-side combinable), one
+    narrow max per doc, then a left join back onto the doc table — no UDF,
+    no driver collect. Bigrams are built with the same slice/array_join
+    idiom as ``dedup.shingles`` (non-distinct: repetition is the signal).
+    """
+    spark = docs.sparkSession
+    t = tokens_col(F.col(text_col))
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"), t.alias("t")
+    )
+    ex = base.select("id", F.explode("t").alias("tok"))
+    top_tok = (
+        ex.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_token_n"))
+    )
+    n = F.size(F.col("t"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(F.col("t"), i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select("id", F.explode(bigrams).alias("bg"))
+    top_bg = (
+        bg.groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    sizes = base.select("id", F.size("t").cast("long").alias("n_tokens"))
+    out = sizes.join(top_tok, on="id", how="left").join(top_bg, on="id", how="left")
+    tt = F.coalesce(F.col("top_token_n"), F.lit(0)).cast("long")
+    tb = F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        tt.alias("top_token_n"),
+        tb.alias("top_bigram_n"),
+        F.floor(tt * F.lit(1_000_000) / F.greatest(F.col("n_tokens"), F.lit(1)))
+        .cast("long")
+        .alias("top_token_e6"),
+        F.floor(tb * F.lit(1_000_000) / F.greatest(F.col("n_tokens") - 1, F.lit(1)))
+        .cast("long")
+        .alias("top_bigram_e6"),
+    )
+
+
 #: GPT-2-style pretokenizer shape, ASCII-safe subset shared verbatim with
 #: the DuckDB oracle (both engines treat these classes identically):
 #: optional leading space + a letter run, digit run, or punctuation run.
@@ -102,4 +163,42 @@ def bpe_token_stats(
         F.size(pieces).cast("long").alias("n_bpe_pieces"),
         F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, top_k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The first merge-candidate scan of BPE tokenizer training, corpus-wide:
+    pretokenize with BPE_SPLIT_RE, count every adjacent (piece_a, piece_b)
+    occurrence globally, return the deterministic top-k (count DESC, then
+    piece_a/piece_b ASC — the tie-break makes the result engine-exact).
+
+    100-TB shape: explode + one hash groupBy (map-side combinable: distinct
+    pair count << corpus token count), then a global sort-limit over the
+    AGGREGATED pair table, which Spark executes as TakeOrderedAndProject —
+    never a full sort of the raw pairs.
+    """
+    spark = docs.sparkSession
+    p = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+    n = F.size(p)
+    adj = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(F.get(p, i).alias("a"), F.get(p, i + 1).alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(adj).alias("pr"))
+        .select(F.col("pr.a").alias("piece_a"), F.col("pr.b").alias("piece_b"))
+    )
+    counted = pairs.groupBy("piece_a", "piece_b").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    return (
+        counted.orderBy(F.col("n_pair").desc(), "piece_a", "piece_b")
+        .limit(top_k)
+        .select("piece_a", "piece_b", F.col("n_pair").cast("long").alias("n_pair"))
     )

@@ -453,3 +453,95 @@ def test_single_child_frontier(spark):
     assert got <= {(10, 1), (11, 1), (12, 1), (20, 2), (30, 3), (31, 3)}
     again = {(r["id"], r["val"]) for r in single_child_frontier(new).collect()}
     assert got == again
+
+
+# ------------------------------------------------------------------- k-core
+
+def test_kcore_triangle_pendant(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle; the
+    pendant path peels away over two rounds (depth > 1 exercises the loop)."""
+    from combblas_spark.algorithms.kcore import kcore
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs],
+        EDGE_SCHEMA,
+    )
+    got = {r["id"]: r["in_kcore"] for r in kcore(spark, e, k=2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0}
+    # k above the max degree: empty core, every vertex still reported
+    got4 = {r["id"]: r["in_kcore"] for r in kcore(spark, e, k=4).collect()}
+    assert got4 == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
+# ------------------------------------------------- personalized PageRank
+
+def test_personalized_pagerank_vs_numpy(spark):
+    """PPR on a small weighted digraph WITH a dangling vertex: restart and
+    dangling mass both land on the seed set only; oracle = dense numpy
+    replay of the exact same recurrence."""
+    from combblas_spark.algorithms import pagerank
+
+    rows = [(0, 1, 1.0), (0, 2, 2.0), (1, 2, 1.0), (2, 3, 1.0)]  # 3 dangles
+    e = spark.createDataFrame(rows, EDGE_SCHEMA)
+    seeds, alpha, iters, n = [0], 0.85, 15, 4
+    got = {
+        r["id"]: r["val"]
+        for r in pagerank(spark, e, alpha=alpha, num_iters=iters, seeds=seeds).collect()
+    }
+
+    import numpy as np
+
+    p = np.zeros(n)
+    p[seeds] = 1.0 / len(seeds)
+    w = np.zeros((n, n))
+    for s, d, wt in rows:
+        w[s, d] = wt
+    out = w.sum(axis=1)
+    pn = np.divide(w, out[:, None], out=np.zeros_like(w), where=out[:, None] > 0)
+    x = p.copy()
+    for _ in range(iters):
+        dang = x[out == 0].sum()
+        x = (1.0 - alpha + alpha * dang) * p + alpha * (pn.T @ x)
+    for v in range(n):
+        assert got[v] == pytest.approx(x[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # mass concentrates at the seed vs the uniform-restart ranks
+    glob = {
+        r["id"]: r["val"]
+        for r in pagerank(spark, e, alpha=alpha, num_iters=iters).collect()
+    }
+    assert got[0] > glob[0]
+
+
+# --------------------------------------------------------- random walks
+
+def test_random_walks_hash_priority(spark):
+    """Walks replay the md5 hash priority exactly (python oracle), and a
+    dead-end vertex terminates its walk early."""
+    import hashlib
+
+    from combblas_spark.algorithms import random_walks
+
+    rows = [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (1, 4, 1.0)]  # 2,3,4 dead-end
+    e = spark.createDataFrame(rows, EDGE_SCHEMA)
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        (r["walk_id"], r["step"]): r["vertex"]
+        for r in random_walks(spark, e, seeds, length=3).collect()
+    }
+
+    def pick(walk_id, step, cands):
+        return min(
+            cands,
+            key=lambda d: (hashlib.md5(f"walk|{walk_id}|{step}|{d}".encode()).hexdigest(), d),
+        )
+
+    v1 = pick(0, 1, [1, 2])
+    assert got[(0, 0)] == 0 and got[(0, 1)] == v1
+    if v1 == 1:
+        v2 = pick(0, 2, [3, 4])
+        assert got[(0, 2)] == v2
+        assert (0, 3) not in got  # 3/4 are dead ends
+    else:
+        assert (0, 2) not in got  # 2 is a dead end

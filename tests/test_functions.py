@@ -92,6 +92,65 @@ def test_simhash_degenerate_bucket_capped(spark):
     assert ok.count() == 1000 * 999 // 2
 
 
+def test_near_dup_clusters(spark, docs):
+    from combblas_spark.functions.dedup import near_dup_clusters
+
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(docs, k=3, num_hashes=8, bands=4).collect()
+    }
+    assert len(out) == 5  # every doc has a row, singletons included
+    assert out[0] == 0 and out[3] == 0  # exact dups cluster to the min id
+    assert out[2] == 2 and out[4] == 4  # dissimilar docs keep themselves
+    assert out[1] in (0, 1)  # near-dup joins 0's cluster iff LSH surfaced it
+
+
+def test_repetition_stats(spark):
+    from combblas_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x y x y x"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert len(got) == 4
+    # doc0: bigrams 'a a','a a','a b' -> top 2 of 3 slots
+    assert got[0]["n_tokens"] == 4 and got[0]["top_token_n"] == 3
+    assert got[0]["top_token_e6"] == 750_000
+    assert got[0]["top_bigram_n"] == 2 and got[0]["top_bigram_e6"] == 666_666
+    # doc1: 'x y' twice of 4 slots
+    assert got[1]["top_token_n"] == 3 and got[1]["top_bigram_n"] == 2
+    assert got[1]["top_bigram_e6"] == 500_000
+    # single-token and empty docs: zero bigrams, no NULLs
+    assert got[2]["top_token_n"] == 1 and got[2]["top_bigram_n"] == 0
+    assert got[2]["top_token_e6"] == 1_000_000 and got[2]["top_bigram_e6"] == 0
+    assert got[3]["n_tokens"] == 0 and got[3]["top_token_n"] == 0
+    assert got[3]["top_token_e6"] == 0 and got[3]["top_bigram_e6"] == 0
+
+
+def test_bpe_pair_counts(spark):
+    from combblas_spark.functions.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "ab cd")], "doc_id long, text string"
+    )
+    # doc0 pieces: ['ab', ' ab', ' ab'] -> ('ab',' ab'), (' ab',' ab')
+    # doc1 pieces: ['ab', ' cd'] -> ('ab',' cd'); all counts 1, tie-broken
+    got = [
+        (r["piece_a"], r["piece_b"], r["n_pair"])
+        for r in bpe_pair_counts(docs, top_k=10).collect()
+    ]
+    assert got == [(" ab", " ab", 1), ("ab", " ab", 1), ("ab", " cd", 1)]
+    # dominant pair rises to the top across docs
+    docs2 = docs.union(
+        docs.sparkSession.createDataFrame(
+            [(2, "x y x y x y")], "doc_id long, text string"
+        )
+    )
+    top = bpe_pair_counts(docs2, top_k=1).collect()[0]
+    assert (top["piece_a"], top["piece_b"], top["n_pair"]) == (" x", " y", 2)
+
+
 def _np_cosine_topk(vecs, k):
     v = np.asarray(vecs, dtype=np.float64)
     nrm = np.linalg.norm(v, axis=1)
