@@ -1209,6 +1209,152 @@ FROM kverts v LEFT JOIN ksurv s ON v.id = s.id"""
     )
 
 
+HITS_ITERS = 8
+
+
+def q_hits_ps(spark, sf):
+    """HITS hubs & authorities (algorithms/hits.py) on the DIRECTED
+    part->supplier table: hubs live on parts, authorities on suppliers —
+    the canonical link-graph dual to pagerank_ps."""
+    from combblas_spark.algorithms.hits import hits
+
+    r = hits(spark, _ps_directed(spark, sf), num_iters=HITS_ITERS)
+    return r.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _hits_sql(prefix: str, edges_cte: str, iters: int) -> str:
+    """Unrolled weighted HITS with per-half-step L2 normalization — the
+    norm is a scalar subquery, mirroring the Spark side's broadcast 1-row
+    aggregate; hub0 = 1.0 on every vertex."""
+    parts = [
+        f"""hverts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM {edges_cte}
+  UNION SELECT DISTINCT dst FROM {edges_cte}),
+h0 AS (SELECT id, 1.0 AS val FROM hverts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(c.s, 0.0) AS val
+  FROM hverts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.w * h.val) AS s
+    FROM {edges_cte} e JOIN h{k-1} h ON e.src = h.id GROUP BY e.dst) c
+  ON v.id = c.id),
+a{k} AS MATERIALIZED (
+  SELECT id, CASE WHEN (SELECT SQRT(SUM(val*val)) FROM ar{k}) > 0.0
+                  THEN val / (SELECT SQRT(SUM(val*val)) FROM ar{k})
+                  ELSE val END AS val FROM ar{k}),
+hr{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(c.s, 0.0) AS val
+  FROM hverts v LEFT JOIN (
+    SELECT e.src AS id, SUM(e.w * a.val) AS s
+    FROM {edges_cte} e JOIN a{k} a ON e.dst = a.id GROUP BY e.src) c
+  ON v.id = c.id),
+h{k} AS MATERIALIZED (
+  SELECT id, CASE WHEN (SELECT SQRT(SUM(val*val)) FROM hr{k}) > 0.0
+                  THEN val / (SELECT SQRT(SUM(val*val)) FROM hr{k})
+                  ELSE val END AS val FROM hr{k})"""
+        )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT h.id, ROUND(h.val, 6) AS hub, ROUND(a.val, 6) AS auth
+FROM h{iters} h JOIN a{iters} a ON a.id = h.id"""
+    )
+
+
+KTRUSS_K = 40
+KTRUSS_ORACLE_ROUNDS = 10  # peel fixpoint is 4 rounds on the sf0.01 graph
+
+
+def q_ktruss_ev(spark, sf):
+    """k-truss peel (algorithms/ktruss.py) of the symmetrized events graph:
+    (src, dst, in_ktruss) per canonical edge, k=KTRUSS_K. The ps graph is
+    bipartite (no triangles) so the truss lives on the events graph, like
+    triangles_ev."""
+    from combblas_spark.algorithms.ktruss import ktruss
+
+    return ktruss(spark, symmetrize_ev(spark, sf), k=KTRUSS_K)
+
+
+def _ktruss_sql(prefix: str, edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled support peel: round r enumerates (a<b<c) triangles of
+    d{r-1} with a wedge join + closing join, explodes each into its three
+    edges, and keeps edges with count >= k-2. Extra rounds are no-ops,
+    matching the Spark side's converged early exit."""
+    parts = [
+        f"""d0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM {edges_cte} WHERE src <> dst)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM d{r-1} e1 JOIN d{r-1} e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN d{r-1} e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+s{r} AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS c FROM (
+    SELECT a AS src, b AS dst FROM t{r}
+    UNION ALL SELECT a, c FROM t{r}
+    UNION ALL SELECT b, c FROM t{r}) u GROUP BY src, dst),
+d{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM d{r-1} e
+  JOIN s{r} s ON s.src = e.src AND s.dst = e.dst WHERE s.c >= {k - 2})"""
+        )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT e.src, e.dst,
+       CAST(CASE WHEN s.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_ktruss
+FROM d0 e LEFT JOIN d{rounds} s ON s.src = e.src AND s.dst = e.dst"""
+    )
+
+
+NBR_FANOUT = 3
+
+
+def q_neighbor_sample(spark, sf):
+    """Deterministic GraphSAGE-style fanout sampling (algorithms/walks.py
+    neighbor_sample) over the symmetric ps graph: <= NBR_FANOUT neighbors
+    per vertex by md5 hash priority."""
+    from combblas_spark.algorithms.walks import neighbor_sample
+
+    return neighbor_sample(part_supplier_graph(spark, sf), fanout=NBR_FANOUT)
+
+
+def q_decontaminate(spark, sf):
+    """Train/eval contamination audit (functions/dedup.decontaminate):
+    per-train-doc distinct-shingle count and how many of those shingles
+    also appear in the held-out eval split (same md5-60bit split as
+    split_docs)."""
+    from combblas_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return decontaminate(docs, k=3, test_permille=100)
+
+
+def q_token_entropy(spark, sf):
+    """Unigram token entropy per document (functions/text.token_entropy) —
+    the full-distribution repetition/quality signal."""
+    from combblas_spark.functions.text import token_entropy
+
+    return token_entropy(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
+def q_corpus_filter(spark, sf):
+    """Assembled keep/drop verdict (functions/text.corpus_filter):
+    quality + repetition + language signals fused into a per-doc reason
+    bitmask (0 = keep)."""
+    from combblas_spark.functions.text import corpus_filter
+
+    return corpus_filter(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
 def q_corpus_edges(spark, sf):
     """Co-occurrence clique projection over the documents-as-corpus with
     dense vertex ids (the ReadGeneralizedTuples + DistEdgeList build)."""
@@ -1609,6 +1755,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_ps": q_kcore_ps,
         "ppr_ps": q_ppr_ps,
         "walks_ps": q_walks_ps,
+        "hits_ps": q_hits_ps,
+        "ktruss_ev": q_ktruss_ev,
+        "neighbor_sample_ps": q_neighbor_sample,
+        "decontaminate": q_decontaminate,
+        "token_entropy": q_token_entropy,
+        "corpus_filter": q_corpus_filter,
         "edges_build_ps": q_edges_build,
         "degree_ps": q_degree,
         "spmv_plus_times_ps": q_spmv_plus_times,
@@ -1825,6 +1977,31 @@ FROM verts""",
                    CAST(FLOOR(nd * 1000000 / n_tokens) AS BIGINT) AS distinct_ratio_e6,
                    CAST(FLOOR(ns * 1000000 / GREATEST(nd, 1)) AS BIGINT) AS stopword_ratio_e6
             FROM qstats""",
+        "corpus_filter": f"""WITH {_QUALITY_CTES},
+            rtoks AS (SELECT doc_id AS id, unnest(toks) AS tok FROM toklists),
+            tt AS (SELECT id, MAX(c) AS top_token_n FROM (
+                     SELECT id, tok, COUNT(*) AS c FROM rtoks GROUP BY id, tok)
+                   GROUP BY id),
+            fsig AS (
+              SELECT q.doc_id, q.n_tokens,
+                     FLOOR(q.nd * 1000000 / q.n_tokens) AS dr,
+                     FLOOR(COALESCE(t.top_token_n, 0) * 1000000
+                           / GREATEST(q.n_tokens, 1)) AS tte,
+                     CASE WHEN CAST(FLOOR(q.ns * 1000000 / GREATEST(q.nd, 1)) AS BIGINT) >= 50000
+                          THEN 'en' ELSE 'other' END AS lang_pred
+              FROM qstats q LEFT JOIN tt t ON t.id = q.doc_id),
+            fres AS (
+              SELECT doc_id,
+                     (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END
+                      + CASE WHEN n_tokens > 100000 THEN 2 ELSE 0 END
+                      + CASE WHEN dr < 200000 THEN 4 ELSE 0 END
+                      + CASE WHEN tte > 200000 THEN 8 ELSE 0 END
+                      + CASE WHEN lang_pred <> 'en' THEN 16 ELSE 0 END) AS reasons
+              FROM fsig)
+            SELECT doc_id,
+                   CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+                   CAST(reasons AS BIGINT) AS reasons
+            FROM fres""",
         "lang_id": f"""WITH {_QUALITY_CTES}
             SELECT doc_id,
                    CASE WHEN CAST(FLOOR(ns * 1000000 / GREATEST(nd, 1)) AS BIGINT) >= 50000
@@ -1889,6 +2066,61 @@ FROM verts""",
             WHERE CAST(('0x' || substr(md5('sample|' || CAST(stratum AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   % 1000 < 300""",
         "dedup_clusters": _dedup_clusters_sql(DEDUP_CC_ITERS),
+        "hits_ps": _hits_sql(PS_CTES, "ps_dedup", HITS_ITERS),
+        "ktruss_ev": _ktruss_sql(
+            EV_CTES + """,
+            evsym AS MATERIALIZED (
+              SELECT src, dst, SUM(w) AS w FROM (
+                SELECT src, dst, w FROM evedges
+                UNION ALL
+                SELECT dst AS src, src AS dst, w FROM evedges
+              ) u GROUP BY src, dst)""",
+            "evsym", KTRUSS_K, KTRUSS_ORACLE_ROUNDS,
+        ),
+        "neighbor_sample_ps": f"""WITH {PS_CTES},
+            dedges AS (SELECT DISTINCT src, dst FROM edges)
+            SELECT src, dst FROM (
+              SELECT src, dst,
+                     ROW_NUMBER() OVER (PARTITION BY src
+                       ORDER BY md5('nbr|' || CAST(src AS VARCHAR)
+                                    || '|' || CAST(dst AS VARCHAR)), dst) AS rn
+              FROM dedges) x
+            WHERE rn <= {NBR_FANOUT}""",
+        "decontaminate": f"""WITH {SHINGLE_CTES},
+            spl AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                               % 1000 < 100
+                          THEN 'test' ELSE 'train' END AS split
+              FROM documents),
+            esh AS MATERIALIZED (
+              SELECT DISTINCT s.shingle FROM sh s
+              JOIN spl p ON p.doc_id = s.id WHERE p.split = 'test'),
+            tsh AS MATERIALIZED (
+              SELECT s.id, s.shingle FROM sh s
+              JOIN spl p ON p.doc_id = s.id WHERE p.split = 'train'),
+            tot AS (SELECT id, COUNT(*) AS n FROM tsh GROUP BY id),
+            ov AS (SELECT id, COUNT(*) AS n FROM tsh
+                   WHERE shingle IN (SELECT shingle FROM esh) GROUP BY id)
+            SELECT p.doc_id,
+                   CAST(COALESCE(t.n, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap
+            FROM spl p
+            LEFT JOIN tot t ON t.id = p.doc_id
+            LEFT JOIN ov o ON o.id = p.doc_id
+            WHERE p.split = 'train'""",
+        "token_entropy": f"""WITH {TOKS_CTES},
+            rt AS (SELECT doc_id AS id, unnest(toks) AS tok FROM toklists),
+            cnt AS (SELECT id, tok, COUNT(*) AS c FROM rt GROUP BY id, tok),
+            sz AS (SELECT doc_id AS id, len(toks) AS n FROM toklists),
+            ent AS (
+              SELECT c.id,
+                     SUM(-(c.c / CAST(s.n AS DOUBLE))
+                         * ln(c.c / CAST(s.n AS DOUBLE))) AS e
+              FROM cnt c JOIN sz s ON s.id = c.id GROUP BY c.id)
+            SELECT s.id AS doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+                   ROUND(COALESCE(e.e, 0.0), 6) AS entropy
+            FROM sz s LEFT JOIN ent e ON e.id = s.id""",
         "kcore_ps": _kcore_sql(PS_CTES, "edges", KCORE_K, KCORE_ORACLE_ROUNDS),
         "ppr_ps": _ppr_sql(PS_CTES, "edges", PR_ITERS, PPR_SEEDS),
         "walks_ps": _walks_sql(PS_CTES, "edges", WALKS_MAX_SEED, WALKS_LEN),

@@ -54,6 +54,9 @@ HEADLINE = [
     "repetition_stats",
     "bpe_pair_counts",
     "kcore_ps",
+    "hits_ps",
+    "ktruss_ev",
+    "decontaminate",
 ]
 
 

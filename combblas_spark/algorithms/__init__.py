@@ -1,6 +1,6 @@
 from combblas_spark.algorithms.pagerank import pagerank  # noqa: F401
 from combblas_spark.algorithms.cc import cc_minlabel, cc_fastsv, cc_lacc, canonical_labels  # noqa: F401
-from combblas_spark.algorithms.bfs import bfs, single_child_frontier  # noqa: F401
+from combblas_spark.algorithms.bfs import bfs, bfs_validate, single_child_frontier  # noqa: F401
 from combblas_spark.algorithms.triangles import triangle_count, triangles_per_edge  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
 from combblas_spark.algorithms.sssp import sssp  # noqa: F401
@@ -14,7 +14,9 @@ from combblas_spark.algorithms.matching import (  # noqa: F401
 )
 from combblas_spark.algorithms.filtered import filtered_bfs  # noqa: F401
 from combblas_spark.algorithms.kcore import kcore  # noqa: F401
-from combblas_spark.algorithms.walks import random_walks  # noqa: F401
+from combblas_spark.algorithms.ktruss import ktruss  # noqa: F401
+from combblas_spark.algorithms.hits import hits  # noqa: F401
+from combblas_spark.algorithms.walks import random_walks, neighbor_sample  # noqa: F401
 from combblas_spark.algorithms.ktips import k_tips  # noqa: F401
 from combblas_spark.algorithms.ordering import (  # noqa: F401
     rcm_order,

@@ -171,3 +171,64 @@ def single_child_frontier(new: DataFrame, seed: int = 17) -> DataFrame:
         .agg(F.min_by("id", pri).alias("id"))
         .select("id", "val")
     )
+
+
+def bfs_validate(edges, tree):
+    """Graph500 result-validation kernel
+    (/root/reference/Applications/TopDownBFS.cpp's Graph500-spec checks,
+    distributed): given the SYMMETRIC edge table and a BFS ``tree``
+    (id, parent, depth), verify
+
+      1. the root is its own parent at depth 0, and exactly one root exists;
+      2. every non-root (parent, id) tree link is a graph edge;
+      3. every tree link spans exactly one level (depth[id] ==
+         depth[parent] + 1);
+      4. no graph edge connects a visited and an unvisited vertex (the
+         visited set is edge-closed = a whole component was traversed);
+      5. no graph edge spans more than one BFS level.
+
+    Returns a 1-row DataFrame of violation counts (all-zero = valid) —
+    an aggregate, so the validation itself runs as three hash joins +
+    map-side counts, never a collect of the tree.
+    """
+    import pyspark.sql.functions as F
+
+    t = tree.select("id", "parent", F.col("depth").cast("long").alias("depth"))
+    e = edges.select("src", "dst")
+
+    roots = t.filter(F.col("id") == F.col("parent"))
+    n_bad_root = roots.filter(F.col("depth") != 0).count() + abs(
+        roots.count() - 1
+    )
+
+    nonroot = t.filter(F.col("id") != F.col("parent"))
+    links = nonroot.select(
+        F.col("parent").alias("src"), F.col("id").alias("dst"), "depth"
+    )
+    n_phantom = links.join(e, on=["src", "dst"], how="left_anti").count()
+
+    pd = t.select(F.col("id").alias("parent"), F.col("depth").alias("pdepth"))
+    n_bad_level = (
+        nonroot.join(pd, on="parent", how="left")
+        .filter(
+            F.col("pdepth").isNull() | (F.col("depth") != F.col("pdepth") + 1)
+        )
+        .count()
+    )
+
+    ds = t.select(F.col("id").alias("src"), F.col("depth").alias("d_src"))
+    dd = t.select(F.col("id").alias("dst"), F.col("depth").alias("d_dst"))
+    ej = e.join(ds, on="src", how="left").join(dd, on="dst", how="left")
+    n_cross = ej.filter(F.col("d_src").isNull() != F.col("d_dst").isNull()).count()
+    n_skip = ej.filter(
+        F.col("d_src").isNotNull()
+        & F.col("d_dst").isNotNull()
+        & (F.abs(F.col("d_src") - F.col("d_dst")) > 1)
+    ).count()
+
+    spark = tree.sparkSession
+    return spark.createDataFrame(
+        [(n_bad_root, n_phantom, n_bad_level, n_cross, n_skip)],
+        "n_bad_root long, n_phantom_link long, n_bad_level long, "
+        "n_cross_edge long, n_skip_edge long",
+    )

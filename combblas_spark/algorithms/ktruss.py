@@ -1,0 +1,89 @@
+"""k-truss decomposition — iterative triangle-support peel.
+
+The GraphChallenge kernel CombBLAS-style engines run right next to
+triangle counting: repeatedly delete edges contained in fewer than k-2
+triangles until every survivor has support >= k-2. Each round is the
+masked-SpGEMM triangle pattern of algorithms/triangles.py
+(L·L ⊙ L, /root/reference/include/CombBLAS/Friends.h:1020-1044 +
+ParFriends.h:1447) widened to per-edge TOTAL support: enumerate (a,b,c)
+a<b<c triples with one wedge join + one closing semi-join, explode each
+triple into its three edges, hash-count.
+
+Scale shape: the wedge join is the expensive stage (same bound as triangle
+counting — degree orientation keeps wedge counts manageable on skewed
+graphs); the edge table shrinks monotonically across rounds and lineage is
+truncated per round. Rounds to fixpoint are few on real graphs; max_rounds
+bounds adversarial chains.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from combblas_spark.plans.superstep import SuperstepRunner
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(src, dst, support) — number of triangles containing each canonical
+    (src<dst) edge of ``e``. Edges in no triangle are ABSENT (support 0)."""
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, on="a").filter(F.col("c") > F.col("b"))
+    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, on=["b", "c"], how="leftsemi")
+    sides = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        .unionByName(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+    )
+    return sides.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("support"))
+
+
+def ktruss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 30,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """(src, dst, in_ktruss) over the canonical (src<dst, distinct, no-loop)
+    edge set of the undirected graph ``edges``: 1 if the edge survives
+    peeling to the k-truss, else 0. k >= 3 (k-2 = minimum triangle support).
+    """
+    runner = runner or SuperstepRunner(spark)
+    e0 = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    e0 = runner.truncate(
+        e0.repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+    )
+    if k <= 2:  # support >= 0: every edge is trivially in the 2-truss
+        return e0.select("src", "dst", F.lit(1).cast("long").alias("in_ktruss"))
+    e = e0
+    n_prev = e.count()
+    for _ in range(max_rounds):
+        sup = _edge_support(e)
+        e2 = (
+            e.join(sup, on=["src", "dst"], how="inner")
+            .filter(F.col("support") >= k - 2)
+            .select("src", "dst")
+        )
+        e2 = runner.truncate(e2)
+        n = e2.count()
+        e = e2
+        if n == n_prev:
+            break
+        n_prev = n
+    return e0.join(
+        e.withColumn("f", F.lit(1)), on=["src", "dst"], how="left"
+    ).select(
+        "src", "dst", F.coalesce(F.col("f"), F.lit(0)).cast("long").alias("in_ktruss")
+    )

@@ -24,6 +24,39 @@ import pyspark.sql.functions as F
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
+def neighbor_sample(
+    edges: DataFrame,
+    fanout: int,
+    salt: str = "nbr",
+) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling: keep at most
+    ``fanout`` out-neighbors per vertex, chosen by the engine-portable hash
+    priority md5(salt|src|dst) (ties by dst) — the mini-batch fanout cap
+    every GNN training pipeline applies before feature gather. Returns
+    (src, dst).
+
+    Scale shape: one shuffle (window by src); per-key work is bounded by
+    max degree — for web-scale hub vertices the same two-phase salted
+    pattern as operators/kselect.py applies, but the plain window is the
+    right default (Spark spills window groups; no driver state).
+    """
+    prio = F.md5(
+        F.concat_ws(
+            "|", F.lit(salt), F.col("src").cast("string"), F.col("dst").cast("string")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(prio.asc(), F.col("dst").asc())
+    return (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= fanout)
+        .select("src", "dst")
+    )
+
+
 def random_walks(
     spark: SparkSession,
     edges: DataFrame,

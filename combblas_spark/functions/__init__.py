@@ -5,6 +5,8 @@ from combblas_spark.functions.text import (  # noqa: F401
     language_id,
     fingerprint,
     repetition_stats,
+    token_entropy,
+    corpus_filter,
 )
 from combblas_spark.functions.dedup import (  # noqa: F401
     exact_dedup,
@@ -15,6 +17,7 @@ from combblas_spark.functions.dedup import (  # noqa: F401
     simhash,
     simhash_near_dups,
     near_dup_clusters,
+    decontaminate,
 )
 from combblas_spark.functions.similarity import (  # noqa: F401
     with_norm,

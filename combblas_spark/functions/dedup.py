@@ -278,3 +278,53 @@ def near_dup_clusters(
         "doc_id",
         F.coalesce(F.col("val"), F.col("doc_id")).cast("long").alias("canonical_id"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    k: int = 3,
+    test_permille: int = 100,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination audit — the pre-training hygiene pass that
+    keeps benchmark (eval) text out of the training split: hash-split the
+    corpus (functions/sampling.split_by_hash, same md5-60bit bucket as the
+    split_docs contract), collect the eval side's distinct k-token shingle
+    set, and count per TRAIN document how many of its distinct shingles
+    also occur in eval. Returns (doc_id, n_shingles, n_overlap) for every
+    train document; downstream drops (or scrubs) docs with n_overlap above
+    a threshold.
+
+    Scale shape: shingling is the same explode pipeline as MinHash; the
+    audit itself is one hash semi-join on the shingle string (broadcastable
+    when the eval split is small — AQE decides) plus two map-side-combinable
+    counts. No all-pairs anything.
+    """
+    from combblas_spark.functions.sampling import split_by_hash
+
+    s = split_by_hash(docs, key_col=id_col, test_permille=test_permille, salt=salt)
+    sh = shingles(s, k=k, id_col=id_col, text_col=text_col)
+    splits = s.select(F.col(id_col).alias("id"), "split")
+    shs = sh.join(splits, on="id")
+    eval_sh = (
+        shs.filter(F.col("split") == "test").select("shingle").distinct()
+    )
+    train_sh = shs.filter(F.col("split") == "train").select("id", "shingle")
+    totals = train_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlaps = (
+        train_sh.join(eval_sh, on="shingle", how="leftsemi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    train_ids = splits.filter(F.col("split") == "train").select("id")
+    return (
+        train_ids.join(totals, on="id", how="left")
+        .join(overlaps, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )

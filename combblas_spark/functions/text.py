@@ -202,3 +202,108 @@ def bpe_pair_counts(
         .limit(top_k)
         .select("piece_a", "piece_b", F.col("n_pair").cast("long").alias("n_pair"))
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram token entropy per document (nats): H = -Σ (c/n)·ln(c/n) over
+    the document's token histogram — the information-density quality signal
+    (low H = repetitive/boilerplate, complements repetition_stats' top-1
+    counts with the full-distribution view).
+
+    Returns (doc_id, n_tokens, entropy) with entropy ROUND(.,6) so the
+    DuckDB oracle hash-matches (both engines' ln agree well inside 1e-6).
+
+    Scale shape: one explode -> (id, tok) count (map-side combinable), a
+    window-free second agg per id, and a left join back — all Column
+    expressions, no UDF, no collect.
+    """
+    spark = docs.sparkSession
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    counts = (
+        base.select("id", F.explode("t").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = base.select("id", F.size("t").cast("long").alias("n_tokens"))
+    ent = (
+        counts.join(sizes, on="id")
+        .select(
+            "id",
+            (
+                -(F.col("c") / F.col("n_tokens"))
+                * F.log(F.col("c") / F.col("n_tokens"))
+            ).alias("term"),
+        )
+        .groupBy("id")
+        .agg(F.sum("term").alias("entropy"))
+    )
+    return (
+        sizes.join(ent, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(F.coalesce(F.col("entropy"), F.lit(0.0)), 6).alias("entropy"),
+        )
+    )
+
+
+#: corpus_filter reason bits — a doc is KEPT iff reasons == 0
+FILTER_TOO_SHORT = 1        # n_tokens < min_tokens
+FILTER_TOO_LONG = 2         # n_tokens > max_tokens
+FILTER_LOW_DISTINCT = 4     # distinct_ratio_e6 < min_distinct_e6
+FILTER_REPETITIVE = 8       # top_token_e6 > max_top_token_e6
+FILTER_WRONG_LANG = 16      # lang_pred != keep_lang
+
+
+def corpus_filter(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_distinct_e6: int = 200_000,
+    max_top_token_e6: int = 200_000,
+    keep_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The assembled pre-training keep/drop decision — quality_score +
+    repetition_stats + language_id fused into one verdict per document:
+    (doc_id, keep, reasons) where ``reasons`` is a bitmask of FILTER_*
+    flags (0 = clean = keep). The bitmask — rather than a bare boolean —
+    is what production pipelines log: per-reason drop rates are the
+    monitoring signal that catches a filter regression at 100 TB.
+
+    Scale shape: all three signal passes are Column-only (the repetition
+    pass is the one with shuffles, two map-side-combinable counts); the
+    final verdict is two hash joins on doc_id. No UDF, no collect.
+    """
+    q = quality_score(docs, id_col, text_col)
+    r = repetition_stats(docs, id_col, text_col).select(
+        id_col, "top_token_e6"
+    )
+    l = language_id(docs, id_col, text_col).select(id_col, "lang_pred")
+    j = q.join(r, on=id_col).join(l, on=id_col)
+    reasons = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit(FILTER_TOO_SHORT)).otherwise(F.lit(0))
+        + F.when(F.col("n_tokens") > max_tokens, F.lit(FILTER_TOO_LONG)).otherwise(F.lit(0))
+        + F.when(
+            F.col("distinct_ratio_e6") < min_distinct_e6, F.lit(FILTER_LOW_DISTINCT)
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("top_token_e6") > max_top_token_e6, F.lit(FILTER_REPETITIVE)
+        ).otherwise(F.lit(0))
+        + F.when(F.col("lang_pred") != keep_lang, F.lit(FILTER_WRONG_LANG)).otherwise(
+            F.lit(0)
+        )
+    )
+    return j.select(
+        F.col(id_col),
+        reasons.cast("long").alias("reasons"),
+    ).select(
+        id_col,
+        (F.col("reasons") == 0).cast("long").alias("keep"),
+        "reasons",
+    )

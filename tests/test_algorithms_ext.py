@@ -545,3 +545,137 @@ def test_random_walks_hash_priority(spark):
         assert (0, 3) not in got  # 3/4 are dead ends
     else:
         assert (0, 2) not in got  # 2 is a dead end
+
+
+# --------------------------------------------------------------------- HITS
+
+def test_hits_vs_numpy(spark):
+    """Weighted HITS on a small directed graph vs a dense numpy replay of
+    the exact recurrence (L2-normalized half-steps, hub0 = 1)."""
+    import numpy as np
+    from combblas_spark.algorithms.hits import hits
+
+    rows = [(0, 2, 1.0), (0, 3, 2.0), (1, 2, 1.0), (3, 2, 1.0), (4, 0, 1.0)]
+    e = spark.createDataFrame(rows, EDGE_SCHEMA)
+    iters = 6
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(spark, e, num_iters=iters).collect()
+    }
+    n = 5
+    A = np.zeros((n, n))
+    for s, d, w in rows:
+        A[s, d] = w
+    h = np.ones(n)
+    for _ in range(iters):
+        a = A.T @ h
+        na = np.sqrt((a * a).sum())
+        a = a / na if na > 0 else a
+        h = A @ a
+        nh = np.sqrt((h * h).sum())
+        h = h / nh if nh > 0 else h
+    for v in range(n):
+        gh, ga = got[v]
+        assert abs(gh - h[v]) < 1e-9 and abs(ga - a[v]) < 1e-9, (v, got[v])
+
+
+# ------------------------------------------------------------------- k-truss
+
+def test_ktruss_k4_plus_tail(spark):
+    """K4 plus a pendant triangle sharing one vertex: the 4-truss is exactly
+    the K4's six edges (every K4 edge sits in 2 triangles); the pendant
+    triangle (support 1) peels — and its removal must NOT cascade into K4."""
+    from combblas_spark.algorithms.ktruss import ktruss
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pend = [(3, 4), (3, 5), (4, 5)]
+    pairs = k4 + pend
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs],
+        EDGE_SCHEMA,
+    )
+    got = {(r["src"], r["dst"]): r["in_ktruss"] for r in ktruss(spark, e, k=4).collect()}
+    assert got == {**{p: 1 for p in k4}, **{p: 0 for p in pend}}
+    # k=3: every edge is in >=1 triangle here, nothing peels
+    got3 = {(r["src"], r["dst"]): r["in_ktruss"] for r in ktruss(spark, e, k=3).collect()}
+    assert got3 == {p: 1 for p in pairs}
+    # k=5 cascades to empty (K4 edges have support 2 < 3)
+    got5 = {(r["src"], r["dst"]): r["in_ktruss"] for r in ktruss(spark, e, k=5).collect()}
+    assert got5 == {p: 0 for p in pairs}
+
+
+def test_ktruss_cascade_depth(spark):
+    """Chained triangles sharing edges: peeling one triangle lowers its
+    neighbor's support below threshold — a multi-round cascade."""
+    from combblas_spark.algorithms.ktruss import ktruss
+
+    # strip of triangles: (0,1,2), (1,2,3), (2,3,4) — inner edge (1,2) and
+    # (2,3) have support 2, outer edges support 1. k=4 (support>=2): round 1
+    # drops outer edges, which strands (1,2)/(2,3) -> empty at fixpoint.
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs],
+        EDGE_SCHEMA,
+    )
+    got = {(r["src"], r["dst"]): r["in_ktruss"] for r in ktruss(spark, e, k=4).collect()}
+    assert got == {p: 0 for p in pairs}
+
+
+# --------------------------------------------------------- neighbor sampling
+
+def test_neighbor_sample(spark):
+    """Fanout cap holds per src, result is deterministic across calls and
+    repartitionings, and is replayed exactly by the hashlib priority."""
+    import hashlib
+    from combblas_spark.algorithms.walks import neighbor_sample
+
+    pairs = [(0, d) for d in range(10)] + [(1, 11), (1, 12), (2, 13)]
+    e = spark.createDataFrame([(a, b, 1.0) for a, b in pairs], EDGE_SCHEMA)
+    got = {(r["src"], r["dst"]) for r in neighbor_sample(e, fanout=3).collect()}
+    per_src = {}
+    for s, d in got:
+        per_src.setdefault(s, set()).add(d)
+    assert len(per_src[0]) == 3
+    assert per_src[1] == {11, 12} and per_src[2] == {13}
+    # hashlib replay of src=0's choice
+    pri = sorted(
+        (hashlib.md5(f"nbr|0|{d}".encode()).hexdigest(), d) for d in range(10)
+    )
+    assert per_src[0] == {d for _, d in pri[:3]}
+    again = {
+        (r["src"], r["dst"])
+        for r in neighbor_sample(e.repartition(7), fanout=3).collect()
+    }
+    assert got == again
+
+
+# ------------------------------------------------------------ BFS validation
+
+def test_bfs_validate(spark):
+    """Graph500-spec validation: the real BFS tree validates clean; a
+    corrupted parent / depth / cross-component tree trips each counter."""
+    from combblas_spark.algorithms.bfs import bfs, bfs_validate
+
+    rows = [(i, i + 1, 1.0) for i in range(8)]              # path 0..8
+    rows += [(3, 100 + i, 1.0) for i in range(20)]          # star at 3
+    rows += [(500, 501, 1.0)]                               # unreached comp
+    e = symmetrize(spark.createDataFrame(rows, EDGE_SCHEMA))
+    tree = bfs(spark, e, root=0)
+    ok = bfs_validate(e, tree).collect()[0]
+    assert all(v == 0 for v in ok.asDict().values()), ok
+
+    # corrupt one non-root parent to a non-adjacent vertex: phantom link
+    rows = tree.collect()
+    bad = [
+        (r["id"], r["id"] + 1000, r["depth"]) if r["depth"] == 2 else
+        (r["id"], r["parent"], r["depth"])
+        for r in rows
+    ]
+    baddf = spark.createDataFrame(bad, "id long, parent long, depth int")
+    v = bfs_validate(e, baddf).collect()[0]
+    assert v["n_phantom_link"] > 0 and v["n_bad_level"] > 0
+
+    # drop one visited vertex: its edges become cross edges
+    part = tree.filter(F.col("depth") != 1)
+    v2 = bfs_validate(e, part).collect()[0]
+    assert v2["n_cross_edge"] > 0

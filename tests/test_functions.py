@@ -217,3 +217,86 @@ def test_multimodal_plumbing(spark):
     # non-fake path raises (decode libs absent) at execution time
     with pytest.raises(Exception):
         extract_features(media, dim=16, fake=False).collect()
+
+
+def test_token_entropy(spark):
+    import math
+    from combblas_spark.functions.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b c d"), (2, "a a b b"), (3, ""), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"])
+        for r in token_entropy(docs).collect()
+    }
+    assert got[0] == (4, 0.0)                       # all same token
+    assert got[1] == (4, round(math.log(4), 6))     # uniform over 4
+    assert got[2] == (4, round(math.log(2), 6))     # two tokens, 2/2
+    assert got[3] == (0, 0.0) and got[4] == (1, 0.0)
+
+
+def test_decontaminate(spark):
+    """Hand-built corpus where the split is forced via salt choice is
+    brittle; instead verify the structural contract on a real-ish corpus:
+    only train docs are returned, n_overlap <= n_shingles, and a train doc
+    sharing its full text with a test doc reports full overlap."""
+    from combblas_spark.functions.dedup import decontaminate
+    from combblas_spark.functions.sampling import split_by_hash
+
+    base = [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4}") for i in range(40)]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    split = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(docs, test_permille=300).collect()
+    }
+    test_ids = {i for i, s in split.items() if s == "test"}
+    assert test_ids, "salt must put some docs in test at 30%"
+    # clone one test doc's text onto a train doc -> that train doc is fully
+    # contaminated
+    donor = min(test_ids)
+    train_ids = [i for i in split if split[i] == "train"]
+    victim = train_ids[0]
+    rows = [(i, dict(base)[donor] if i == victim else t) for i, t in base]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"])
+        for r in decontaminate(docs2, k=3, test_permille=300).collect()
+    }
+    assert set(got) == set(train_ids)
+    for i, (n, o) in got.items():
+        assert 0 <= o <= n
+    n, o = got[victim]
+    assert n == 3 and o == 3  # 5 tokens -> 3 shingles, all in the eval set
+
+
+def test_corpus_filter(spark):
+    from combblas_spark.functions.text import (
+        corpus_filter,
+        FILTER_TOO_SHORT,
+        FILTER_LOW_DISTINCT,
+        FILTER_REPETITIVE,
+        FILTER_WRONG_LANG,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # clean: long enough, distinct, the+a+of stopwords -> 'en'
+            (0, "the quick brown fox jumps over a lazy dog of the meadow now"),
+            # too short AND wrong lang (no stopwords)
+            (1, "tiny doc"),
+            # repetitive + low distinct: one token dominates
+            (2, " ".join(["spam"] * 40) + " the a of in is"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reasons"]) for r in corpus_filter(docs).collect()}
+    assert got[0] == (1, 0)
+    # 2 tokens: too short, no stopwords, and top-token ratio 1/2 trips the
+    # repetition bit too (short docs always look "repetitive" — the length
+    # filter is what drops them)
+    assert got[1][0] == 0
+    assert got[1][1] & FILTER_TOO_SHORT and got[1][1] & FILTER_WRONG_LANG
+    assert got[2][0] == 0
+    assert got[2][1] & (FILTER_LOW_DISTINCT | FILTER_REPETITIVE)
