@@ -590,17 +590,41 @@ SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM (
 WHERE cos >= {threshold!r}"""
 
 
-def _maxmatch_sql(prefix: str, edges_cte: str, schedule: list[int]) -> str:
+def _maxmatch_sql(
+    prefix: str, edges_cte: str, schedule: list[int], init_rounds: int = 0
+) -> str:
     """Unrolled maximum-cardinality matching (BPMaximumMatching.cpp analog):
     replays algorithms.matching.maximum_matching(schedule=...) phase-for-
     phase — per phase an alternating BFS to the fixed odd depth (min-src
     parents, visited-dst exclusion), free column vertices traced back
     through (matched-edge, parent) hops, one winner (min dst) per free root,
-    matched edges flipped along the chosen vertex-disjoint paths."""
-    parts = [
-        "m0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS src, "
-        "CAST(NULL AS BIGINT) AS dst WHERE FALSE)"
-    ]
+    matched edges flipped along the chosen vertex-disjoint paths.
+
+    ``init_rounds > 0`` replays the greedy maximal-matching initialization
+    (the reference driver's greedy init; same round CTEs as _matching_sql)
+    as m0 — the Spark side passes init=maximal_matching(...)."""
+    if init_rounds > 0:
+        parts = [f"ia0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_cte})"]
+        for r in range(init_rounds):
+            parts.append(
+                f"iprop{r} AS (SELECT src, MIN(dst) AS dst FROM ia{r} GROUP BY src)"
+            )
+            parts.append(
+                f"iacc{r} AS MATERIALIZED (SELECT MIN(src) AS src, dst FROM iprop{r} GROUP BY dst)"
+            )
+            parts.append(f"""ia{r+1} AS MATERIALIZED (
+  SELECT src, dst FROM ia{r}
+  WHERE src NOT IN (SELECT src FROM iacc{r})
+    AND dst NOT IN (SELECT dst FROM iacc{r}))""")
+        acc = " UNION ALL ".join(
+            f"SELECT src, dst FROM iacc{r}" for r in range(init_rounds)
+        )
+        parts.append(f"m0 AS MATERIALIZED (SELECT src, dst FROM ({acc}) im)")
+    else:
+        parts = [
+            "m0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS src, "
+            "CAST(NULL AS BIGINT) AS dst WHERE FALSE)"
+        ]
     for p, d in enumerate(schedule):
         assert d % 2 == 1
         parts.append(f"""fs{p} AS MATERIALIZED (
@@ -766,7 +790,12 @@ MATCH_ROUNDS = 6   # greedy matching proposal rounds, shared
 # maximum-matching phase schedule (exact odd path lengths, Spark + oracle):
 # the ps graphs saturate through depth-1 augments (12 phases at sf0.1); the
 # depth-3 tail phases exercise the traceback machinery and re-converge
-MAXM_SCHEDULE = [1] * 14 + [3, 1, 3]
+#: post-greedy probe phases: greedy init saturates the supplier side at the
+#: graded SFs (dynamic mode finds NO augmenting path), so the schedule is
+#: two exact-length probes proving no length-3/5 path remains — dynamic-
+#: equality guarded by tests/test_matching.py::
+#: test_maxm_schedule_matches_dynamic_at_graded_sf
+MAXM_SCHEDULE = [3, 5]
 WM_ROUNDS = 6      # locally-dominant weighted rounds (converges in <= 4)
 
 
@@ -1475,7 +1504,11 @@ def q_max_matching_ps(spark, sf):
     (asserted in pytest on fixtures; saturates the supplier side here)."""
     from combblas_spark.algorithms import maximum_matching
 
-    return maximum_matching(spark, _ps_directed(spark, sf), schedule=MAXM_SCHEDULE)
+    from combblas_spark.algorithms import maximal_matching
+
+    g = _ps_directed(spark, sf)
+    m0 = maximal_matching(spark, g, max_rounds=MATCH_ROUNDS)
+    return maximum_matching(spark, g, schedule=MAXM_SCHEDULE, init=m0)
 
 
 def q_wmatch_ps(spark, sf):
@@ -2037,7 +2070,7 @@ FROM verts""",
         "betwcent_star": _betweenness_sql(STAR_CTES, "sedges", BC_DEPTH, BC_SOURCES),
         "mis_ps": _mis_sql(PS_CTES, "edges", MIS_ROUNDS, MIS_SEED),
         "matching_ps": _matching_sql(PS_CTES, "ps_dedup", MATCH_ROUNDS),
-        "max_matching_ps": _maxmatch_sql(PS_CTES, "ps_dedup", MAXM_SCHEDULE),
+        "max_matching_ps": _maxmatch_sql(PS_CTES, "ps_dedup", MAXM_SCHEDULE, init_rounds=MATCH_ROUNDS),
         "wmatch_ps": _wmatch_sql(PS_CTES, "ps_dedup", WM_ROUNDS),
         "ann_topk": _ann_sql(_ANN_PLANES, k=5, max_bucket=10_000),
         "embed_dups": _embed_dups_sql(_ANN_PLANES, EMBED_DUP_THRESHOLD, 10_000),

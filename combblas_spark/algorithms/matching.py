@@ -181,10 +181,18 @@ def maximum_matching(
     schedule: Optional[list[int]] = None,
     max_phases: int = 10_000,
     max_depth: int = 200,
+    init: Optional[DataFrame] = None,
     runner: Optional[SuperstepRunner] = None,
 ) -> DataFrame:
     """Maximum-cardinality bipartite matching via augmenting-path phases
     (BPMaximumMatching.cpp driver loop). Returns (src, dst) matched pairs.
+
+    ``init``: starting matching (src, dst) to augment from — pass
+    maximal_matching(...) output to mirror the reference driver, which
+    greedy-initializes before the augmenting loop
+    (BPMaximumMatching.cpp's WeightedGreedy init); phases then only close
+    the gap to maximum, collapsing the per-level driver round-trips the
+    depth-1 phases would otherwise spend re-deriving the greedy matching.
 
     Default mode runs shortest-length phases until NO augmenting path of any
     length remains — a true maximum by Berge's theorem (pytest checks
@@ -204,6 +212,8 @@ def maximum_matching(
     try:
         m = runner.truncate(
             spark.createDataFrame([], "src long, dst long")
+            if init is None
+            else init.select("src", "dst")
         )
         if schedule is not None:
             for ph, d in enumerate(schedule):

@@ -84,7 +84,10 @@ def test_maxm_schedule_matches_dynamic_at_graded_sf(spark):
 
     g = se._ps_directed(spark, sf)
     dyn = maximum_matching(spark, g).count()
-    sched = maximum_matching(spark, g, schedule=se.MAXM_SCHEDULE).count()
+    m0 = maximal_matching(spark, g, max_rounds=se.MATCH_ROUNDS)
+    sched = maximum_matching(
+        spark, g, schedule=se.MAXM_SCHEDULE, init=m0
+    ).count()
     assert sched == dyn
 
 
