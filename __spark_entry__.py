@@ -1384,6 +1384,14 @@ def q_corpus_filter(spark, sf):
     return corpus_filter(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
+def q_mixture_stats(spark, sf):
+    """Per-(source, lang) mixture table (functions/text.mixture_stats):
+    doc/token/char totals + corpus share x1e6 — the re-weighting input."""
+    from combblas_spark.functions.text import mixture_stats
+
+    return mixture_stats(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
 def q_corpus_edges(spark, sf):
     """Co-occurrence clique projection over the documents-as-corpus with
     dense vertex ids (the ReadGeneralizedTuples + DistEdgeList build)."""
@@ -1794,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "token_entropy": q_token_entropy,
         "corpus_filter": q_corpus_filter,
+        "mixture_stats": q_mixture_stats,
         "edges_build_ps": q_edges_build,
         "degree_ps": q_degree,
         "spmv_plus_times_ps": q_spmv_plus_times,
@@ -2035,6 +2044,19 @@ FROM verts""",
                    CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
                    CAST(reasons AS BIGINT) AS reasons
             FROM fres""",
+        "mixture_stats": f"""WITH {TOKS_CTES},
+            per AS (
+              SELECT d.source, d.lang, COUNT(*) AS n_docs,
+                     SUM(len(t.toks)) AS n_tokens,
+                     SUM(LENGTH(d.text)) AS n_chars
+              FROM documents d JOIN toklists t ON t.doc_id = d.doc_id
+              GROUP BY d.source, d.lang)
+            SELECT source, lang,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(FLOOR(n_docs * 1000000 / (SELECT SUM(n_docs) FROM per)) AS BIGINT) AS share_e6
+            FROM per""",
         "lang_id": f"""WITH {_QUALITY_CTES}
             SELECT doc_id,
                    CASE WHEN CAST(FLOOR(ns * 1000000 / GREATEST(nd, 1)) AS BIGINT) >= 50000

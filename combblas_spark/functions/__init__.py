@@ -7,6 +7,7 @@ from combblas_spark.functions.text import (  # noqa: F401
     repetition_stats,
     token_entropy,
     corpus_filter,
+    mixture_stats,
 )
 from combblas_spark.functions.dedup import (  # noqa: F401
     exact_dedup,

@@ -307,3 +307,36 @@ def corpus_filter(
         (F.col("reasons") == 0).cast("long").alias("keep"),
         "reasons",
     )
+
+
+def mixture_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata: tuple = ("source", "lang"),
+) -> DataFrame:
+    """The mixture re-weighting table every pretraining run starts from:
+    per stratum (default source x lang) — document count, token and char
+    totals, and the stratum's corpus share x1e6 (floor). Sampling weights /
+    temperature schedules are computed downstream from exactly this table.
+
+    Scale shape: one map-side-combinable groupBy over pure Column
+    aggregates; the corpus total arrives via a broadcast 1-row aggregate
+    (no second scan — Spark reuses the cached partial), no UDF, no collect.
+    """
+    t = tokens_col(F.col(text_col))
+    per = docs.groupBy(*[F.col(c) for c in strata]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(t)).cast("long").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        *strata,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        "n_chars",
+        F.floor(F.col("n_docs") * F.lit(1_000_000) / F.col("tot"))
+        .cast("long")
+        .alias("share_e6"),
+    )

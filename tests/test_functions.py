@@ -300,3 +300,24 @@ def test_corpus_filter(spark):
     assert got[1][1] & FILTER_TOO_SHORT and got[1][1] & FILTER_WRONG_LANG
     assert got[2][0] == 0
     assert got[2][1] & (FILTER_LOW_DISTINCT | FILTER_REPETITIVE)
+
+
+def test_mixture_stats(spark):
+    from combblas_spark.functions.text import mixture_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "web"),
+            (1, "d e", "en", "web"),
+            (2, "f", "fr", "web"),
+            (3, "g h i j", "en", "book"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["share_e6"])
+        for r in mixture_stats(docs).collect()
+    }
+    assert got[("web", "en")] == (2, 5, 500_000)
+    assert got[("web", "fr")] == (1, 1, 250_000)
+    assert got[("book", "en")] == (1, 4, 250_000)

@@ -1,0 +1,103 @@
+"""Physical-plan shape assertions — the 100-TB properties the SURVEY
+promises, checked against Spark's actual plans rather than trusted:
+
+- parquet scans prune columns and push filters (Catalyst reaches the scan)
+- top-k executes as TakeOrderedAndProject, never a full global sort
+- LSH candidate generation contains no cartesian product (the capped
+  bucket join is the whole point); brute-force cosine rerank is the ONE
+  deliberate cartesian and stays flagged as such
+- spmv(broadcast_x=True) really broadcasts (BroadcastHashJoin), so the
+  frontier side never shuffles the edge table
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="testdata not present"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_parquet_scan_prunes_and_pushes(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+    # projection reaches the scan: text/lang/source/n_chars never read
+    rs = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in rs and "text" not in rs and "n_chars" not in rs
+
+
+def test_graph_build_scans_two_columns(spark):
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    plan = _plan(part_supplier_graph(spark, SF))
+    rs = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_partkey" in rs and "l_suppkey" in rs
+    assert "l_quantity" not in rs and "l_comment" not in rs
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    from combblas_spark.functions.text import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bpe_pair_counts(docs, top_k=100))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_lsh_has_no_cartesian(spark):
+    from combblas_spark.functions.dedup import (
+        shingles,
+        minhash_signatures,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(shingles(docs), num_hashes=4), bands=2, rows_per_band=2
+    )
+    assert "CartesianProduct" not in _plan(pairs)
+
+
+def test_cosine_rerank_is_the_one_deliberate_cartesian(spark):
+    from combblas_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    ).limit(4)
+    plan = _optimized(cosine_topk(emb, q, k=3))
+    assert "Join Cross" in plan or "CartesianProduct" in _plan(
+        cosine_topk(emb, q, k=3)
+    )
+
+
+def test_spmv_broadcasts_the_vector(spark):
+    from combblas_spark.operators.multiply import spmv
+    from combblas_spark.core.semiring import PLUS_TIMES
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    e = part_supplier_graph(spark, SF)
+    x = e.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(1.0).alias("val")
+    )
+    plan = _plan(spmv(e, x, PLUS_TIMES, broadcast_x=True))
+    assert "BroadcastHashJoin" in plan
+    # and the aggregation is partial-then-final (map-side combine)
+    assert plan.count("HashAggregate") >= 2
