@@ -184,3 +184,61 @@ def test_write_clusters_roundtrip(spark, tmp_path):
     write_clusters(labels, p2)
     [f2] = glob.glob(p2 + "/part-*")
     assert [ln.strip() for ln in open(f2) if ln.strip()] == ["0 1", "2 3", "4"]
+
+
+def test_streaming_near_dups_stateful(spark, tmp_path):
+    """Stateful LSH near-dup candidates: bucket state carries ACROSS
+    micro-batches (the cross-batch pair 0-10 only exists because batch 1's
+    members persist), and the emitted pair set equals the batch
+    lsh_candidate_pairs oracle on the same corpus."""
+    from combblas_spark.streaming.stateful import streaming_near_dups
+    from combblas_spark.functions.dedup import (
+        shingles,
+        minhash_signatures,
+        lsh_candidate_pairs,
+    )
+
+    rows1 = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "completely different text about spark engines and semirings"),
+        (2, "another unrelated document mentioning hash joins and shuffles"),
+    ]
+    rows2 = [
+        (10, "the quick brown fox jumps over the lazy dog"),   # dup of 0
+        (11, "completely different text about spark engines and semirings"),
+        (12, "short"),                                          # no 3-shingle... has none? 1 token
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_near_dups(stream, k=3, num_hashes=4, bands=2, rows_per_band=2)
+        .writeStream.format("memory")
+        .queryName("lsh_state_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT * FROM lsh_state_t").collect()
+    }
+
+    batch_docs = spark.createDataFrame(rows1 + rows2, schema)
+    sig = minhash_signatures(shingles(batch_docs, k=3), num_hashes=4)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sig, bands=2, rows_per_band=2).collect()
+    }
+    assert got == want
+    assert (0, 10) in got  # the cross-batch duplicate was caught
