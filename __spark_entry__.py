@@ -1384,6 +1384,18 @@ def q_corpus_filter(spark, sf):
     return corpus_filter(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
+PACK_SEQ_LEN = 512
+
+
+def q_pack_sequences(spark, sf):
+    """Concat-then-chunk sequence packing (functions/sampling.pack_sequences):
+    shuffle-ordered global token prefix sum -> (seq_id, seq_offset) per doc."""
+    from combblas_spark.functions.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pack_sequences(docs, seq_len=PACK_SEQ_LEN)
+
+
 def q_mixture_stats(spark, sf):
     """Per-(source, lang) mixture table (functions/text.mixture_stats):
     doc/token/char totals + corpus share x1e6 — the re-weighting input."""
@@ -1803,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "corpus_filter": q_corpus_filter,
         "mixture_stats": q_mixture_stats,
+        "pack_sequences": q_pack_sequences,
         "edges_build_ps": q_edges_build,
         "degree_ps": q_degree,
         "spmv_plus_times_ps": q_spmv_plus_times,
@@ -2044,6 +2057,21 @@ FROM verts""",
                    CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
                    CAST(reasons AS BIGINT) AS reasons
             FROM fres""",
+        "pack_sequences": f"""WITH {TOKS_CTES},
+            po AS (
+              SELECT doc_id, len(toks) AS n,
+                     CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM toklists),
+            pp AS (
+              SELECT doc_id, n,
+                     COALESCE(SUM(n) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM po)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(prefix AS BIGINT) AS prefix,
+                   CAST(FLOOR(prefix / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+                   CAST(prefix % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+            FROM pp""",
         "mixture_stats": f"""WITH {TOKS_CTES},
             per AS (
               SELECT d.source, d.lang, COUNT(*) AS n_docs,

@@ -26,3 +26,8 @@ from combblas_spark.functions.similarity import (  # noqa: F401
     lsh_buckets,
     lsh_ann_topk,
 )
+from combblas_spark.functions.sampling import (  # noqa: F401
+    split_by_hash,
+    stratified_sample,
+    pack_sequences,
+)

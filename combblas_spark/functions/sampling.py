@@ -56,3 +56,66 @@ def stratified_sample(
         salt, F.col(strata_col).cast("string"), F.col(key_col).cast("string")
     )
     return df.filter(b < frac_permille)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """The concat-then-chunk packing step that turns a shuffled corpus into
+    fixed-length training sequences: documents are ordered by the
+    engine-portable shuffle key md5(salt|id) (ties by id), token counts are
+    prefix-summed GLOBALLY, and each document is assigned the sequence
+    containing its first token. Returns (doc_id, n_tokens, prefix, seq_id,
+    seq_offset) — prefix = total tokens before this doc, seq_id =
+    prefix // seq_len, seq_offset = prefix % seq_len.
+
+    Scale shape: the global prefix sum is two-phase — a range-partitioned
+    sample sort pins the order, per-partition token totals are ONE tiny
+    driver collect (#partitions rows, the operators/indexing._global_ranks
+    idiom), and the within-partition running sum is a window PARTITIONED BY
+    the physical partition id, so no single-task global window ever exists.
+    """
+    from pyspark.sql import Window
+    from combblas_spark.functions.text import tokens_col
+
+    h = md5_60bit(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    base = docs.select(
+        F.col(key_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    s = base.orderBy(F.col("_h").asc(), F.col(key_col).asc()).localCheckpoint()
+    counts = {
+        r["p"]: r["tok"]
+        for r in s.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    n_parts = (max(counts) + 1) if counts else 1
+    offsets, acc = [], 0
+    for p in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+    pid = F.spark_partition_id()
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.element_at(off_arr, pid + 1) + F.coalesce(
+        F.sum("n_tokens").over(w), F.lit(0)
+    )
+    return s.select(
+        key_col,
+        "n_tokens",
+        prefix.alias("prefix"),
+        F.floor(prefix / F.lit(seq_len)).cast("long").alias("seq_id"),
+        F.pmod(prefix, F.lit(seq_len)).cast("long").alias("seq_offset"),
+    )

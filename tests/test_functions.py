@@ -321,3 +321,29 @@ def test_mixture_stats(spark):
     assert got[("web", "en")] == (2, 5, 500_000)
     assert got[("web", "fr")] == (1, 1, 250_000)
     assert got[("book", "en")] == (1, 4, 250_000)
+
+
+def test_pack_sequences(spark):
+    """Prefix sums follow the md5-60bit shuffle order exactly (python
+    replay), seq assignment = prefix // L, and the result is invariant to
+    input partitioning."""
+    import hashlib
+    from combblas_spark.functions.sampling import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}" for j in range(i % 7 + 1))) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["prefix"], r["seq_id"], r["seq_offset"])
+           for r in pack_sequences(docs, seq_len=10).collect()}
+
+    def h60(i):
+        return int(hashlib.md5(f"pack|{i}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(range(50), key=lambda i: (h60(i), i))
+    acc = 0
+    for i in order:
+        n = i % 7 + 1
+        assert got[i] == (acc, acc // 10, acc % 10), i
+        acc += n
+    again = {r["doc_id"]: (r["prefix"], r["seq_id"], r["seq_offset"])
+             for r in pack_sequences(docs.repartition(13), seq_len=10).collect()}
+    assert got == again
