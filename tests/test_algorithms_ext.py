@@ -679,3 +679,67 @@ def test_bfs_validate(spark):
     part = tree.filter(F.col("depth") != 1)
     v2 = bfs_validate(e, part).collect()[0]
     assert v2["n_cross_edge"] > 0
+
+
+# ----------------------------------------------------------------------- SCC
+
+def test_scc_vs_tarjan(spark):
+    """Coloring-peel SCC vs an iterative-Tarjan python oracle on a digraph
+    with a 3-cycle, a 2-cycle feeding it, and acyclic tails."""
+    from combblas_spark.algorithms.scc import scc
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0),          # 3-cycle {0,1,2}
+        (3, 4), (4, 3),                  # 2-cycle {3,4}
+        (4, 0),                          # bridge (one-way)
+        (5, 0), (2, 6),                  # tails in/out
+        (7, 8),                          # acyclic pair
+    ]
+    e = spark.createDataFrame([(a, b, 1.0) for a, b in pairs], EDGE_SCHEMA)
+    got = {r["id"]: r["scc_id"] for r in scc(spark, e).collect()}
+
+    # python oracle: iterative Tarjan
+    import collections
+    adj = collections.defaultdict(list)
+    vs = set()
+    for a, b in pairs:
+        adj[a].append(b)
+        vs |= {a, b}
+    index, low, onstk, stk, out = {}, {}, set(), [], {}
+    counter = [0]
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]; counter[0] += 1
+                stk.append(v); onstk.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop(); onstk.discard(w); comp.append(w)
+                    if w == v:
+                        break
+                m = max(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    for v in sorted(vs):
+        if v not in index:
+            strongconnect(v)
+    assert got == out
