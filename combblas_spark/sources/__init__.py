@@ -22,3 +22,7 @@ from combblas_spark.sources.clusters import (  # noqa: F401
     read_clusters,
     write_clusters,
 )
+from combblas_spark.sources.bucketed import (  # noqa: F401
+    write_bucketed,
+    read_bucketed,
+)

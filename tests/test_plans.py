@@ -101,3 +101,47 @@ def test_spmv_broadcasts_the_vector(spark):
     assert "BroadcastHashJoin" in plan
     # and the aggregation is partial-then-final (map-side combine)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key: the equi-join plan must
+    contain NO Exchange and NO Sort on either side — the co-located join
+    that makes iterative work affordable at 100 TB (the static-distribution
+    analog of the reference's 2D block layout)."""
+    from combblas_spark.sources.bucketed import write_bucketed, read_bucketed
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    e = part_supplier_graph(spark, SF)
+    deg = e.groupBy("src").count()
+    write_bucketed(e, "tp_edges_b", str(tmp_path / "e"), ["src"], n_buckets=8)
+    write_bucketed(deg, "tp_deg_b", str(tmp_path / "d"), ["src"], n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "tp_edges_b").join(
+            read_bucketed(spark, "tp_deg_b"), on="src"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == e.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS tp_edges_b")
+        spark.sql("DROP TABLE IF EXISTS tp_deg_b")
+
+
+def test_bucketed_aggregation_is_exchange_free(spark, tmp_path):
+    """groupBy on the bucket key of a bucketed table: one HashAggregate
+    pair, zero Exchange — map-side-only aggregation."""
+    from combblas_spark.sources.bucketed import write_bucketed, read_bucketed
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    e = part_supplier_graph(spark, SF)
+    write_bucketed(e, "tp_edges_b2", str(tmp_path / "e2"), ["dst"], n_buckets=8)
+    try:
+        agg = read_bucketed(spark, "tp_edges_b2").groupBy("dst").count()
+        plan = _plan(agg)
+        assert "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tp_edges_b2")
