@@ -1853,7 +1853,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the round-3 driver graded only the first 50
-    # entries, so the four queries that missed a CORRECTNESS_r03 row lead here.
+    # entries, so every query without a prior driver-graded CORRECTNESS row
+    # (the 4 that missed r03 + everything added in round 4) sits inside the
+    # first 50 positions; long-green queries fill the tail.
     return {
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
