@@ -35,24 +35,34 @@ def neighbor_sample(
     every GNN training pipeline applies before feature gather. Returns
     (src, dst).
 
-    Scale shape: one shuffle (window by src); per-key work is bounded by
-    max degree — for web-scale hub vertices the same two-phase salted
-    pattern as operators/kselect.py applies, but the plain window is the
-    right default (Spark spills window groups; no driver state).
+    Scale shape: the same salted two-phase top-k as operators/kselect.py —
+    a local window keyed by (src, hash-salt) bounds any single task's group
+    to ~degree/SALT rows even at web-hub vertices, then a global window
+    ranks at most SALT*fanout survivors per src. The result is identical to
+    a plain per-src window (the global phase picks the true top-fanout) and
+    deterministic across partitionings.
     """
+    from pyspark.sql import Window
+
     prio = F.md5(
         F.concat_ws(
             "|", F.lit(salt), F.col("src").cast("string"), F.col("dst").cast("string")
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("src").orderBy(prio.asc(), F.col("dst").asc())
+    d = edges.select("src", "dst").distinct().withColumn("_p", prio)
+    salted = d.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(16)))
+    w_local = Window.partitionBy("src", "_salt").orderBy(
+        F.col("_p").asc(), F.col("dst").asc()
+    )
+    survivors = (
+        salted.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= fanout)
+        .drop("_salt", "_rn")
+    )
+    w_glob = Window.partitionBy("src").orderBy(F.col("_p").asc(), F.col("dst").asc())
     return (
-        edges.select("src", "dst")
-        .distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= fanout)
+        survivors.withColumn("_rn", F.row_number().over(w_glob))
+        .filter(F.col("_rn") <= fanout)
         .select("src", "dst")
     )
 
