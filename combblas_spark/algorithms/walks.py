@@ -73,10 +73,14 @@ def random_walks(
     seeds: DataFrame,
     length: int,
     salt: str = "walk",
+    walks_per_seed: int = 1,
     runner: Optional[SuperstepRunner] = None,
 ) -> DataFrame:
-    """(walk_id, step, vertex): one walk per seed row (walk_id = seed id),
-    step 0 = the seed itself, up to ``length`` hash-priority steps.
+    """(walk_id, step, vertex): ``walks_per_seed`` walks per seed row
+    (walk_id = seed_id * walks_per_seed + rep — DeepWalk corpora run many
+    walks per vertex), step 0 = the seed itself, up to ``length``
+    hash-priority steps; the rep index participates in the hash via
+    walk_id, so every replica walks an independent deterministic path.
 
     ``seeds`` is a (id) DataFrame; ``edges`` (src, dst, ...) is used as the
     directed neighbor relation (pass a symmetrized table for undirected
@@ -91,6 +95,18 @@ def random_walks(
         cur = seeds.select(
             F.col("id").alias("walk_id"), F.col("id").alias("vertex")
         )
+        if walks_per_seed > 1:
+            cur = seeds.select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(walks_per_seed - 1))
+                ).alias("rep"),
+                F.col("id"),
+            ).select(
+                (F.col("id") * walks_per_seed + F.col("rep")).cast("long").alias(
+                    "walk_id"
+                ),
+                F.col("id").alias("vertex"),
+            )
         cur = runner.truncate(cur)
         levels = [cur.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")]
         for step in range(1, length + 1):

@@ -743,3 +743,42 @@ def test_scc_vs_tarjan(spark):
         if v not in index:
             strongconnect(v)
     assert got == out
+
+
+def test_random_walks_per_seed(spark):
+    """walks_per_seed=3: replicas take independent deterministic paths
+    (different walk_ids hash differently) and each is byte-replayable."""
+    import hashlib
+    from combblas_spark.algorithms.walks import random_walks
+
+    pairs = [(0, d) for d in range(1, 6)] + [(d, d + 10) for d in range(1, 6)]
+    e = spark.createDataFrame([(a, b, 1.0) for a, b in pairs], EDGE_SCHEMA)
+    seeds = spark.createDataFrame([(0,)], "id long")
+    rows = random_walks(spark, e, seeds, length=2, walks_per_seed=3).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    assert set(by_walk) == {0, 1, 2}
+    # hashlib replay per walk
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    for wid, path in by_walk.items():
+        assert path[0] == 0
+        cur = 0
+        for step in (1, 2):
+            cands = adj.get(cur, [])
+            if not cands:
+                assert step not in path
+                break
+            pick = min(
+                cands,
+                key=lambda d: (
+                    hashlib.md5(f"walk|{wid}|{step}|{d}".encode()).hexdigest(),
+                    d,
+                ),
+            )
+            assert path[step] == pick
+            cur = pick
+    # replicas diverge somewhere at step 1 (5 neighbors, 3 independent picks)
+    assert len({p[1] for p in by_walk.values()}) > 1
