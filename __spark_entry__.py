@@ -1410,12 +1410,9 @@ def q_scc_ev(spark, sf):
     return scc(spark, events_digraph(spark, sf))
 
 
-def _scc_sql(prefix: str, edges_cte: str, peels: int, fw: int, bw: int) -> str:
-    """Unrolled coloring SCC: per peel a fixed-depth forward MAX-color
-    propagation (extra rounds are no-ops past the fixpoint, matching the
-    Spark side's checksum early exit), a fixed-depth backward closure from
-    the color roots within their color class, then the peel. Labels union
-    across peels; scc_id = max member id (canonical)."""
+def _scc_parts(edges_cte: str, peels: int, fw: int, bw: int):
+    """Shared CTE builder for the unrolled coloring SCC (see _scc_sql);
+    returns (parts, label_union_sql) so _bowtie_sql can extend it."""
     parts = [
         f"""sd AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_cte}),
 rem0 AS MATERIALIZED (
@@ -1449,11 +1446,71 @@ c{p}_0 AS MATERIALIZED (SELECT id, id AS col FROM rem{p})""")
     lab = " UNION ALL ".join(
         f"SELECT id, root AS scc_id FROM b{p}_{bw}" for p in range(peels)
     )
+    return parts, lab
+
+
+def _scc_sql(prefix: str, edges_cte: str, peels: int, fw: int, bw: int) -> str:
+    """Unrolled coloring SCC: per peel a fixed-depth forward MAX-color
+    propagation (extra rounds are no-ops past the fixpoint, matching the
+    Spark side's checksum early exit), a fixed-depth backward closure from
+    the color roots within their color class, then the peel. Labels union
+    across peels; scc_id = max member id (canonical)."""
+    parts, lab = _scc_parts(edges_cte, peels, fw, bw)
     return (
         f"WITH {prefix},\n"
         + ",\n".join(parts)
         + f"\nSELECT id, CAST(scc_id AS BIGINT) AS scc_id FROM ({lab}) u"
     )
+
+
+def _bowtie_sql(
+    prefix: str, edges_cte: str, peels: int, fw: int, bw: int, reach: int
+) -> str:
+    """Bow-tie decomposition oracle: the SCC CTEs, the giant component
+    (max size, ties min scc_id), then two fixed-depth reachability closures
+    from the core over sd (extra rounds no-op at the fixpoint) and the
+    core/in/out/tendril classification."""
+    parts, lab = _scc_parts(edges_cte, peels, fw, bw)
+    parts.append(f"sccl AS MATERIALIZED (SELECT id, scc_id FROM ({lab}) u)")
+    parts.append("""giant AS (
+  SELECT scc_id FROM (
+    SELECT scc_id, COUNT(*) AS c FROM sccl GROUP BY scc_id
+    ORDER BY c DESC, scc_id ASC LIMIT 1)),
+core AS MATERIALIZED (SELECT id FROM sccl WHERE scc_id = (SELECT scc_id FROM giant)),
+fw_0 AS MATERIALIZED (SELECT id FROM core),
+bw_0 AS MATERIALIZED (SELECT id FROM core)""")
+    for k in range(1, reach + 1):
+        parts.append(f"""fw_{k} AS MATERIALIZED (
+  SELECT id FROM fw_{k-1}
+  UNION SELECT e.dst AS id FROM sd e JOIN fw_{k-1} v ON e.src = v.id),
+bw_{k} AS MATERIALIZED (
+  SELECT id FROM bw_{k-1}
+  UNION SELECT e.src AS id FROM sd e JOIN bw_{k-1} v ON e.dst = v.id)""")
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT l.id,
+       CASE WHEN c.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'in'
+            WHEN f.id IS NOT NULL THEN 'out'
+            ELSE 'tendril' END AS region
+FROM sccl l
+LEFT JOIN core c ON c.id = l.id
+LEFT JOIN fw_{reach} f ON f.id = l.id
+LEFT JOIN bw_{reach} b ON b.id = l.id"""
+    )
+
+
+SCC_REACH_DEPTH = 10
+
+
+def q_bowtie_ev(spark, sf):
+    """Web bow-tie decomposition (algorithms/scc.bowtie) of the directed
+    events graph: core / in / out / tendril per vertex."""
+    from combblas_spark.algorithms.scc import bowtie
+
+    return bowtie(spark, events_digraph(spark, sf))
 
 
 def q_mixture_stats(spark, sf):
@@ -1878,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "mixture_stats": q_mixture_stats,
         "scc_ev": q_scc_ev,
+        "bowtie_ev": q_bowtie_ev,
         "pack_sequences": q_pack_sequences,
         "edges_build_ps": q_edges_build,
         "degree_ps": q_degree,
@@ -2121,6 +2179,10 @@ FROM verts""",
                    CAST(reasons AS BIGINT) AS reasons
             FROM fres""",
         "scc_ev": _scc_sql(EV_CTES, "evedges", SCC_PEELS, SCC_FW_DEPTH, SCC_BW_DEPTH),
+        "bowtie_ev": _bowtie_sql(
+            EV_CTES, "evedges", SCC_PEELS, SCC_FW_DEPTH, SCC_BW_DEPTH,
+            SCC_REACH_DEPTH,
+        ),
         "pack_sequences": f"""WITH {TOKS_CTES},
             po AS (
               SELECT doc_id, len(toks) AS n,

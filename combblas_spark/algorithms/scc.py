@@ -114,3 +114,78 @@ def scc(
         return labels
     finally:
         e_all.unpersist()
+
+
+def bowtie(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_depth: int = 200,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Web bow-tie decomposition (Broder et al. 2000) of the DIRECTED graph
+    ``edges``: (id, region) with region in {'core', 'in', 'out', 'tendril'}
+    — core = the largest SCC (ties: min scc_id), in = reaches the core but
+    is not reachable from it, out = reachable from the core but cannot
+    reach it, tendril = everything else. The classic large-scale link-graph
+    structure report.
+
+    Built by composition: scc() for the core, then two boolean reachability
+    closures (forward and backward frontier supersteps over the cached edge
+    table — the BFS visited-set idiom without depths), one count per
+    superstep for convergence.
+    """
+    runner = runner or SuperstepRunner(spark)
+    e = edges.select("src", "dst").distinct().repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    )
+    e.persist()
+    try:
+        labels = scc(spark, e)
+        giant = (
+            labels.groupBy("scc_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("scc_id").asc())
+            .limit(1)
+            .collect()[0]["scc_id"]
+        )
+        core = runner.truncate(
+            labels.filter(F.col("scc_id") == giant).select("id")
+        )
+
+        def closure(seed: DataFrame, forward: bool) -> DataFrame:
+            vis = seed
+            n = vis.count()
+            for _ in range(max_depth):
+                if forward:
+                    nxt = e.join(
+                        vis.withColumnRenamed("id", "src"), on="src"
+                    ).select(F.col("dst").alias("id"))
+                else:
+                    nxt = e.join(
+                        vis.withColumnRenamed("id", "dst"), on="dst"
+                    ).select(F.col("src").alias("id"))
+                vis = runner.truncate(vis.unionByName(nxt).distinct())
+                n2 = vis.count()
+                if n2 == n:
+                    break
+                n = n2
+            return vis
+
+        fwd = closure(core, True)    # core + OUT
+        bwd = closure(core, False)   # core + IN
+        return (
+            labels.select("id")
+            .join(core.withColumn("_c", F.lit(1)), on="id", how="left")
+            .join(fwd.withColumn("_f", F.lit(1)), on="id", how="left")
+            .join(bwd.withColumn("_b", F.lit(1)), on="id", how="left")
+            .select(
+                "id",
+                F.when(F.col("_c").isNotNull(), F.lit("core"))
+                .when(F.col("_b").isNotNull(), F.lit("in"))
+                .when(F.col("_f").isNotNull(), F.lit("out"))
+                .otherwise(F.lit("tendril"))
+                .alias("region"),
+            )
+        )
+    finally:
+        e.unpersist()

@@ -782,3 +782,26 @@ def test_random_walks_per_seed(spark):
             cur = pick
     # replicas diverge somewhere at step 1 (5 neighbors, 3 independent picks)
     assert len({p[1] for p in by_walk.values()}) > 1
+
+
+def test_bowtie_regions(spark):
+    """Hand-built bow-tie: 3-cycle core, an IN tail feeding it, an OUT tail
+    fed by it, and a disconnected tendril pair."""
+    from combblas_spark.algorithms.scc import bowtie
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0),    # core cycle
+        (10, 0),                   # in
+        (11, 10),                  # in (two hops)
+        (2, 20),                   # out
+        (20, 21),                  # out chain
+        (30, 31),                  # tendril (disconnected)
+    ]
+    e = spark.createDataFrame([(a, b, 1.0) for a, b in pairs], EDGE_SCHEMA)
+    got = {r["id"]: r["region"] for r in bowtie(spark, e).collect()}
+    assert got == {
+        0: "core", 1: "core", 2: "core",
+        10: "in", 11: "in",
+        20: "out", 21: "out",
+        30: "tendril", 31: "tendril",
+    }
