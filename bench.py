@@ -57,6 +57,7 @@ HEADLINE = [
     "hits_ps",
     "ktruss_ev",
     "scc_ev",
+    "bowtie_ev",
     "decontaminate",
 ]
 
