@@ -54,7 +54,14 @@ def hits(
     hub[s] = Σ w·auth[d], each L2-normalized — weighted HITS, hub0 = 1.
 
     Vertices with no out-edges get hub 0; no in-edges get auth 0.
+
+    The loop iterates SPARSE: absent ids are exact zeros, which change
+    neither the L2 norm nor the next SpMV (they contribute nothing to
+    either sum), so values are bit-identical to the dense iteration — the
+    O(V) re-densify join runs ONCE after the loop, not twice per iteration.
     """
+    if num_iters < 1:
+        raise ValueError(f"num_iters must be >= 1, got {num_iters}")
     runner = runner or SuperstepRunner(spark)
     e = edges.select("src", "dst", "w").repartition(
         spark.sparkContext.defaultParallelism, "dst"
@@ -70,18 +77,22 @@ def hits(
         hub = runner.truncate(verts.select("id", F.lit(1.0).alias("val")))
         auth = None
         for _ in range(num_iters):
-            a_raw = verts.join(
-                spmv(e, hub, PLUS_TIMES), on="id", how="left"
-            ).select("id", F.coalesce(F.col("val"), F.lit(0.0)).alias("val"))
-            auth = runner.truncate(_l2_normalize(a_raw))
-            h_raw = verts.join(
-                spmv(e, auth, PLUS_TIMES, reverse=True), on="id", how="left"
-            ).select("id", F.coalesce(F.col("val"), F.lit(0.0)).alias("val"))
-            hub = runner.truncate(_l2_normalize(h_raw))
+            # sparse half-steps: spmv output only has ids with in-(resp.
+            # out-)edges; missing ids are exact zeros and affect neither the
+            # norm nor the next multiply, so no per-iteration verts join.
+            auth = runner.truncate(_l2_normalize(spmv(e, hub, PLUS_TIMES)))
+            hub = runner.truncate(
+                _l2_normalize(spmv(e, auth, PLUS_TIMES, reverse=True))
+            )
+        # densify ONCE: every input vertex gets a row, absent scores are 0
         return (
-            hub.select("id", F.col("val").alias("hub"))
-            .join(auth.select("id", F.col("val").alias("auth")), on="id")
-            .select("id", "hub", "auth")
+            verts.join(hub.select("id", F.col("val").alias("hub")), on="id", how="left")
+            .join(auth.select("id", F.col("val").alias("auth")), on="id", how="left")
+            .select(
+                "id",
+                F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+            )
         )
     finally:
         e.unpersist()

@@ -17,6 +17,7 @@ few (2-3 on the testdata ps graph); max_rounds bounds adversarial chains.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +50,7 @@ def kcore(
     )
     e = runner.truncate(e0.repartition(spark.sparkContext.defaultParallelism, "dst"))
     n_prev = e.count()
+    converged = False
     for _ in range(max_rounds):
         keep = (
             e.groupBy("dst")
@@ -65,8 +67,18 @@ def kcore(
         n = e2.count()
         e = e2
         if n == n_prev:
+            converged = True
             break
         n_prev = n
+    if not converged:
+        warnings.warn(
+            "kcore: max_rounds exhausted before the peel reached its "
+            "fixpoint — the returned vertex set is a SUPERSET of the "
+            "k-core. Raise max_rounds (long path-like graphs can need "
+            "~|V|/2 rounds).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     survivors = e.select(F.col("dst").alias("id")).distinct()
     return verts.join(
         survivors.withColumn("f", F.lit(1)), on="id", how="left"

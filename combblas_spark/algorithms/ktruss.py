@@ -9,15 +9,21 @@ ParFriends.h:1447) widened to per-edge TOTAL support: enumerate (a,b,c)
 a<b<c triples with one wedge join + one closing semi-join, explode each
 triple into its three edges, hash-count.
 
-Scale shape: the wedge join is the expensive stage (same bound as triangle
-counting — degree orientation keeps wedge counts manageable on skewed
-graphs); the edge table shrinks monotonically across rounds and lineage is
-truncated per round. Rounds to fixpoint are few on real graphs; max_rounds
-bounds adversarial chains.
+Scale shape: the FULL wedge join runs ONCE (same bound as triangle counting
+— degree orientation keeps wedge counts manageable on skewed graphs); every
+subsequent peel round recounts INCREMENTALLY — only the triangles destroyed
+by that round's deleted edges are enumerated (per deleted edge, common
+neighbors of its lower-degree endpoint), deduped by triple, and their
+surviving sides decremented. Round cost is proportional to the deleted
+edges' neighborhoods, not the whole graph. The edge table shrinks
+monotonically across rounds and lineage is truncated per round. Rounds to
+fixpoint are few on real graphs; max_rounds bounds adversarial chains (a
+warning fires if it truncates before the fixpoint).
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,21 +105,87 @@ def ktruss(
     )
     if k <= 2:  # support >= 0: every edge is trivially in the 2-truss
         return e0.select("src", "dst", F.lit(1).cast("long").alias("in_ktruss"))
-    e = e0
-    n_prev = e.count()
+
+    # round 0: one full support computation. Edges in no triangle have no
+    # sup row (support 0 < k-2), so survivors are exactly the filtered rows.
+    sup = runner.truncate(_edge_support(e0).filter(F.col("support") >= k - 2))
+    e = runner.truncate(sup.select("src", "dst"))
+    deleted = runner.truncate(
+        e0.join(e, on=["src", "dst"], how="left_anti")
+    )
+    # triangles destroyed by this round's deletions live in the PRE-deletion
+    # edge set: pre-deletion = e (survivors) + deleted.
+    nd = deleted.count()
+    converged = nd == 0
     for _ in range(max_rounds):
-        sup = _edge_support(e)
-        e2 = (
-            e.join(sup, on=["src", "dst"], how="inner")
-            .filter(F.col("support") >= k - 2)
-            .select("src", "dst")
-        )
-        e2 = runner.truncate(e2)
-        n = e2.count()
-        e = e2
-        if n == n_prev:
+        if nd == 0:
+            converged = True
             break
-        n_prev = n
+        pre = e.unionByName(deleted)
+        adj = pre.select(F.col("src").alias("x"), F.col("dst").alias("y")).unionByName(
+            pre.select(F.col("dst").alias("x"), F.col("src").alias("y"))
+        )
+        deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+        # per deleted edge, enumerate common neighbors from the LOWER-degree
+        # endpoint (the compact-forward bound, per-edge work = min-degree)
+        dd = (
+            deleted.join(deg.withColumnRenamed("x", "src").withColumnRenamed("d", "ds"), "src")
+            .join(deg.withColumnRenamed("x", "dst").withColumnRenamed("d", "dt"), "dst")
+        )
+        piv = (F.col("ds") < F.col("dt")) | (
+            (F.col("ds") == F.col("dt")) & (F.col("src") < F.col("dst"))
+        )
+        dpiv = dd.select(
+            F.when(piv, F.col("src")).otherwise(F.col("dst")).alias("p"),
+            F.when(piv, F.col("dst")).otherwise(F.col("src")).alias("o"),
+        )
+        tri = (
+            dpiv.join(adj.withColumnRenamed("x", "p").withColumnRenamed("y", "w"), "p")
+            .filter(F.col("w") != F.col("o"))
+            .join(
+                adj.withColumnRenamed("x", "o").withColumnRenamed("y", "w"),
+                on=["o", "w"],
+                how="leftsemi",
+            )
+            # canonical sorted triple so a triangle with 2-3 deleted edges
+            # is counted ONCE
+            .select(
+                F.least(F.least("p", "o"), F.col("w")).alias("a"),
+                F.greatest(
+                    F.least("p", "o"), F.least(F.greatest("p", "o"), F.col("w"))
+                ).alias("b"),
+                F.greatest(F.greatest("p", "o"), F.col("w")).alias("c"),
+            )
+            .distinct()
+        )
+        sides = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+            .unionByName(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        )
+        dec = sides.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("dec"))
+        sup = runner.truncate(
+            sup.join(deleted, on=["src", "dst"], how="left_anti")
+            .join(dec, on=["src", "dst"], how="left")
+            .select(
+                "src",
+                "dst",
+                (F.col("support") - F.coalesce(F.col("dec"), F.lit(0))).alias("support"),
+            )
+            .filter(F.col("support") >= k - 2)
+        )
+        e2 = runner.truncate(sup.select("src", "dst"))
+        deleted = runner.truncate(e.join(e2, on=["src", "dst"], how="left_anti"))
+        e = e2
+        nd = deleted.count()
+    if not converged and nd != 0:
+        warnings.warn(
+            "ktruss: max_rounds exhausted before the peel reached its "
+            "fixpoint — the returned edge set is a SUPERSET of the k-truss. "
+            "Raise max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return e0.join(
         e.withColumn("f", F.lit(1)), on=["src", "dst"], how="left"
     ).select(

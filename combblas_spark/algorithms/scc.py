@@ -9,16 +9,21 @@ subgraph (the same SpMV-shaped max-aggregation superstep as cc_minlabel,
 directed edges), (2) a backward closure from the color roots restricted to
 their color class, (3) peel the finished SCCs and repeat.
 
-Scale shape: every inner step is one hash join + one aggregation on the
-(shrinking) remaining edge table; fixpoints are detected with ONE driver
-aggregate per superstep (a monotone checksum for the forward pass, a count
-for the closure); lineage is truncated per superstep. Peels needed in
-practice are few (real graphs: the giant SCC plus singleton tails go in
-peel 1-2).
+Scale shape: the forward fixpoint is one hash join + one aggregation on the
+(shrinking) remaining edge table per superstep; the backward closure is a
+FRONTIER-DELTA walk (bfs.py idiom) — each step joins the edge table against
+only the newly reached vertices and anti-joins the visited set, so a
+depth-D closure costs sum-of-frontier-indegrees total, not D full edge
+passes + D full-set distincts. Fixpoints are detected with ONE driver
+aggregate per superstep (a monotone checksum for the forward pass, a
+frontier count for the closure); lineage is truncated per superstep. Peels
+needed in practice are few (real graphs: the giant SCC plus singleton
+tails go in peel 1-2).
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,28 +83,46 @@ def scc(
                 if s2 == csum:
                     break
                 csum = s2
-            # backward closure from roots, restricted to the root's color
+            # backward closure from roots, restricted to the root's color.
+            # FRONTIER-DELTA idiom (same as bfs.py): each step joins the
+            # edge table against only the NEWLY reached vertices, anti-joins
+            # the visited set, and unions WITHOUT a distinct — the visited
+            # set stays distinct by construction (the frontier is distinct
+            # and disjoint from it). Per-step work is sum-of-frontier-
+            # indegrees, not O(E) + O(|visited|) distinct.
             b = runner.truncate(
                 c.filter(F.col("col") == F.col("id")).select(
                     "id", F.col("id").alias("root")
                 )
             )
-            nb = b.count()
+            frontier = b
+            nf = frontier.count()
             for _ in range(max_depth):
+                if nf == 0:
+                    break
                 add = (
-                    er.join(b.withColumnRenamed("id", "dst"), on="dst")
+                    er.join(frontier.withColumnRenamed("id", "dst"), on="dst")
                     .select(F.col("src").alias("id"), "root")
                     .join(
                         c.select("id", F.col("col").alias("root")),
                         on=["id", "root"],
                         how="leftsemi",
                     )
+                    .distinct()
+                    .join(b.select("id"), on="id", how="left_anti")
                 )
-                b = runner.truncate(b.unionByName(add).distinct())
-                n2 = b.count()
-                if n2 == nb:
+                frontier = runner.truncate(add)
+                nf = frontier.count()
+                if nf == 0:
                     break
-                nb = n2
+                b = runner.truncate(b.unionByName(frontier))
+            if nf != 0:
+                warnings.warn(
+                    "scc: backward closure hit max_depth before the frontier "
+                    "emptied — result may merge distinct SCCs; raise max_depth.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             lab = b.select("id", F.col("root").alias("scc_id"))
             labels = lab if labels is None else runner.truncate(
                 labels.unionByName(lab)
@@ -107,6 +130,18 @@ def scc(
             rem = runner.truncate(
                 rem.join(b.select("id"), on="id", how="left_anti")
             )
+        if rem.limit(1).count() != 0:
+            # max_peels exhausted with vertices left: emit them with the
+            # sentinel label -1 (never a valid max-vertex-id root) instead of
+            # silently dropping them, and say so.
+            warnings.warn(
+                "scc: max_peels exhausted before all vertices were labeled; "
+                "leftover vertices get sentinel scc_id=-1. Raise max_peels.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            leftover = rem.select("id", F.lit(-1).cast(rem.schema["id"].dataType).alias("scc_id"))
+            labels = leftover if labels is None else labels.unionByName(leftover)
         if labels is None:
             return verts.select("id", F.col("id").alias("scc_id")).filter(
                 F.lit(False)
@@ -153,22 +188,39 @@ def bowtie(
         )
 
         def closure(seed: DataFrame, forward: bool) -> DataFrame:
+            # frontier-delta closure (bfs.py idiom): join edges against only
+            # the newly reached frontier, anti-join visited, union without
+            # distinct — per-step cost is sum-of-frontier-degrees, never a
+            # full edge pass + full-set distinct.
             vis = seed
-            n = vis.count()
+            frontier = seed
+            nf = frontier.count()
             for _ in range(max_depth):
+                if nf == 0:
+                    break
                 if forward:
                     nxt = e.join(
-                        vis.withColumnRenamed("id", "src"), on="src"
+                        frontier.withColumnRenamed("id", "src"), on="src"
                     ).select(F.col("dst").alias("id"))
                 else:
                     nxt = e.join(
-                        vis.withColumnRenamed("id", "dst"), on="dst"
+                        frontier.withColumnRenamed("id", "dst"), on="dst"
                     ).select(F.col("src").alias("id"))
-                vis = runner.truncate(vis.unionByName(nxt).distinct())
-                n2 = vis.count()
-                if n2 == n:
+                frontier = runner.truncate(
+                    nxt.distinct().join(vis, on="id", how="left_anti")
+                )
+                nf = frontier.count()
+                if nf == 0:
                     break
-                n = n2
+                vis = runner.truncate(vis.unionByName(frontier))
+            if nf != 0:
+                warnings.warn(
+                    "bowtie: reachability closure hit max_depth before the "
+                    "frontier emptied — region labels may be incomplete; "
+                    "raise max_depth.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             return vis
 
         fwd = closure(core, True)    # core + OUT

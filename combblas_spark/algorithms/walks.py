@@ -24,6 +24,12 @@ import pyspark.sql.functions as F
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
+# adaptive-salt sizing: bound any single local-window task's group to about
+# this many rows; the salt modulus is derived from the observed max degree.
+_TARGET_LOCAL_GROUP = 4096
+_MAX_SALT = 4096
+
+
 def neighbor_sample(
     edges: DataFrame,
     fanout: int,
@@ -35,12 +41,17 @@ def neighbor_sample(
     every GNN training pipeline applies before feature gather. Returns
     (src, dst).
 
-    Scale shape: the same salted two-phase top-k as operators/kselect.py —
-    a local window keyed by (src, hash-salt) bounds any single task's group
-    to ~degree/SALT rows even at web-hub vertices, then a global window
-    ranks at most SALT*fanout survivors per src. The result is identical to
-    a plain per-src window (the global phase picks the true top-fanout) and
-    deterministic across partitionings.
+    Scale shape: the same salted two-phase top-k as operators/kselect.py,
+    with the salt modulus DERIVED FROM THE DATA — one exact max-degree
+    aggregate sizes it to ceil(max_degree / 4096), capped at 4096, so a
+    web-hub vertex of degree 10^8 lands ~24k rows per local-window task
+    instead of degree/16. A local window keyed by (src, hash-salt) keeps
+    top-fanout per bucket, then a global window ranks the at most
+    salt*fanout survivors per src. The result is identical to a plain
+    per-src window (the global phase picks the true top-fanout; every
+    bucket keeps its own top-fanout, a superset of the global winners) and
+    deterministic across partitionings (salt is a pure hash of dst, the
+    modulus a pure function of the degree distribution).
     """
     from pyspark.sql import Window
 
@@ -50,18 +61,23 @@ def neighbor_sample(
         )
     )
     d = edges.select("src", "dst").distinct().withColumn("_p", prio)
-    salted = d.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(16)))
-    w_local = Window.partitionBy("src", "_salt").orderBy(
-        F.col("_p").asc(), F.col("dst").asc()
+    max_deg = (
+        d.groupBy("src").agg(F.count(F.lit(1)).alias("c")).agg(F.max("c")).collect()[0][0]
     )
-    survivors = (
-        salted.withColumn("_rn", F.row_number().over(w_local))
-        .filter(F.col("_rn") <= fanout)
-        .drop("_salt", "_rn")
-    )
+    n_salt = max(1, min(_MAX_SALT, -(-int(max_deg or 0) // _TARGET_LOCAL_GROUP)))
+    if n_salt > 1:
+        salted = d.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(n_salt)))
+        w_local = Window.partitionBy("src", "_salt").orderBy(
+            F.col("_p").asc(), F.col("dst").asc()
+        )
+        d = (
+            salted.withColumn("_rn", F.row_number().over(w_local))
+            .filter(F.col("_rn") <= fanout)
+            .drop("_salt", "_rn")
+        )
     w_glob = Window.partitionBy("src").orderBy(F.col("_p").asc(), F.col("dst").asc())
     return (
-        survivors.withColumn("_rn", F.row_number().over(w_glob))
+        d.withColumn("_rn", F.row_number().over(w_glob))
         .filter(F.col("_rn") <= fanout)
         .select("src", "dst")
     )

@@ -579,6 +579,29 @@ def test_hits_vs_numpy(spark):
         assert abs(gh - h[v]) < 1e-9 and abs(ga - a[v]) < 1e-9, (v, got[v])
 
 
+def test_hits_rejects_nonpositive_iters(spark):
+    import pytest
+    from combblas_spark.algorithms.hits import hits
+
+    e = spark.createDataFrame([(0, 1, 1.0)], EDGE_SCHEMA)
+    with pytest.raises(ValueError, match="num_iters"):
+        hits(spark, e, num_iters=0)
+
+
+def test_scc_warns_and_sentinels_on_peel_exhaustion(spark):
+    """max_peels exhausted with vertices left must warn and label the
+    leftovers with the -1 sentinel, never silently drop them (ADVICE r4).
+    Descending path 2->1->0 needs one peel per vertex (only the max-id color
+    root's singleton SCC completes per round), so max_peels=1 leaves {0,1}."""
+    import pytest
+    from combblas_spark.algorithms.scc import scc
+
+    e = spark.createDataFrame([(2, 1, 1.0), (1, 0, 1.0)], EDGE_SCHEMA)
+    with pytest.warns(RuntimeWarning, match="scc: max_peels"):
+        got = {r["id"]: r["scc_id"] for r in scc(spark, e, max_peels=1).collect()}
+    assert got == {2: 2, 1: -1, 0: -1}
+
+
 # ------------------------------------------------------------------- k-truss
 
 def test_ktruss_k4_plus_tail(spark):
@@ -621,6 +644,69 @@ def test_ktruss_cascade_depth(spark):
     assert got == {p: 0 for p in pairs}
 
 
+def test_ktruss_incremental_matches_bruteforce(spark):
+    """The incremental per-round support decrement must equal a from-scratch
+    peel on a graph with multi-round cascades and triangles sharing edges
+    (including triangles destroyed by 2 deleted edges at once)."""
+    import itertools
+    from combblas_spark.algorithms.ktruss import ktruss
+
+    # deterministic pseudo-random graph: 14 vertices, edge iff hash parity
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(range(14), 2)
+        if (a * 37 + b * 61 + (a * b) % 29) % 3 != 0
+    ]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs],
+        EDGE_SCHEMA,
+    )
+    for k in (3, 4, 5):
+        # pure-python from-scratch peel oracle
+        es = set(pairs)
+        while True:
+            sup = {p: 0 for p in es}
+            for a, b, c in itertools.combinations(range(14), 3):
+                if (a, b) in es and (a, c) in es and (b, c) in es:
+                    sup[(a, b)] += 1
+                    sup[(a, c)] += 1
+                    sup[(b, c)] += 1
+            keep = {p for p in es if sup[p] >= k - 2}
+            if keep == es:
+                break
+            es = keep
+        got = {
+            (r["src"], r["dst"]): r["in_ktruss"]
+            for r in ktruss(spark, e, k=k).collect()
+        }
+        assert got == {p: (1 if p in es else 0) for p in pairs}, f"k={k}"
+
+
+def test_kcore_ktruss_warn_on_round_exhaustion(spark):
+    """Exiting the peel loop on the round bound without a fixpoint must warn
+    (ADVICE r4): a path at k=2 needs ~|V|/2 k-core rounds; the triangle
+    strip needs 2 k-truss rounds."""
+    import pytest
+    from combblas_spark.algorithms.kcore import kcore
+    from combblas_spark.algorithms.ktruss import ktruss
+
+    path = [(i, i + 1) for i in range(12)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in path] + [(b, a, 1.0) for a, b in path],
+        EDGE_SCHEMA,
+    )
+    with pytest.warns(RuntimeWarning, match="kcore: max_rounds"):
+        kcore(spark, e, k=2, max_rounds=2)
+
+    strip = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    e2 = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in strip] + [(b, a, 1.0) for a, b in strip],
+        EDGE_SCHEMA,
+    )
+    with pytest.warns(RuntimeWarning, match="ktruss: max_rounds"):
+        ktruss(spark, e2, k=4, max_rounds=1)
+
+
 # --------------------------------------------------------- neighbor sampling
 
 def test_neighbor_sample(spark):
@@ -645,6 +731,30 @@ def test_neighbor_sample(spark):
     again = {
         (r["src"], r["dst"])
         for r in neighbor_sample(e.repartition(7), fanout=3).collect()
+    }
+    assert got == again
+
+
+def test_neighbor_sample_skew_adaptive_salt(spark):
+    """A web-hub vertex with degree >> the 4096 local-group target triggers
+    the adaptive salt (n_salt > 1); the result must still equal the plain
+    per-src top-fanout by hash priority and stay partition-invariant."""
+    import hashlib
+    from combblas_spark.algorithms.walks import neighbor_sample
+
+    hub_deg = 9000  # -> n_salt = ceil(9000/4096) = 3
+    pairs = [(0, d) for d in range(1, hub_deg + 1)] + [(1, 2), (1, 3)]
+    e = spark.createDataFrame([(a, b, 1.0) for a, b in pairs], EDGE_SCHEMA)
+    got = {(r["src"], r["dst"]) for r in neighbor_sample(e, fanout=5).collect()}
+    pri = sorted(
+        (hashlib.md5(f"nbr|0|{d}".encode()).hexdigest(), d)
+        for d in range(1, hub_deg + 1)
+    )
+    expect = {(0, d) for _, d in pri[:5]} | {(1, 2), (1, 3)}
+    assert got == expect
+    again = {
+        (r["src"], r["dst"])
+        for r in neighbor_sample(e.repartition(13), fanout=5).collect()
     }
     assert got == again
 
