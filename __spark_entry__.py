@@ -1909,11 +1909,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE: dict order matters — the round-3 driver graded only the first 50
-    # entries, so every query without a prior driver-graded CORRECTNESS row
-    # (the 4 that missed r03 + everything added in round 4) sits inside the
-    # first 50 positions; long-green queries fill the tail.
+    # ROTATION RULE: dict order matters — the driver grades only the first
+    # 50 entries per round. Each round, move the LEAST-RECENTLY-GRADED
+    # queries (last round's tail) plus everything newly added to the FRONT;
+    # last round's graded 50 fill the tail. This keeps every query within
+    # one round of a fresh driver CORRECTNESS row.
+    # Round 5 front block: the 23 queries whose latest driver row is r03
+    # (graded positions 51-73 in r04's ordering), then round-5 additions,
+    # then the r04-graded 50.
     return {
+        # --- r03-tail: least recently driver-graded, refresh in r05 -------
+        "ewise_union_ev": q_ewise_union_ev,
+        "prune_column_ps": q_prune_column_ps,
+        "mcl_expand_nation": q_mcl_expand_nation,
+        "subsref_ps": q_subsref_ps,
+        "transpose_ev": q_transpose_ev,
+        "ewise_intersect_ev": q_ewise_intersect_ev,
+        "setdiff_ev": q_setdiff_ev,
+        "vertices_corpus": q_vertices_corpus,
+        "dedup_exact": q_dedup_exact,
+        "minhash": q_minhash,
+        "lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_jaccard,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "embed_norms": q_embed_norms,
+        "embed_dups": q_embed_dups,
+        "bpe_token_stats": q_bpe_stats,
+        "betwcent_star": q_betwcent_star,
+        "mis_ps": q_mis_ps,
+        "matching_ps": q_matching_ps,
+        # --- new in round 5 ------------------------------------------------
+        # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
         "ann_topk": q_ann_topk,
@@ -1964,29 +1994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kselect_ps": q_kselect_ps,
         "sssp_ps": q_sssp_ps,
         "masked_reduce_ps": q_masked_reduce_ps,
-        "ewise_union_ev": q_ewise_union_ev,
-        "prune_column_ps": q_prune_column_ps,
-        "mcl_expand_nation": q_mcl_expand_nation,
-        "subsref_ps": q_subsref_ps,
-        "transpose_ev": q_transpose_ev,
-        "ewise_intersect_ev": q_ewise_intersect_ev,
-        "setdiff_ev": q_setdiff_ev,
-        "vertices_corpus": q_vertices_corpus,
-        "dedup_exact": q_dedup_exact,
-        "minhash": q_minhash,
-        "lsh_pairs": q_lsh_pairs,
-        "ngram_jaccard": q_jaccard,
-        "token_stats": q_token_stats,
-        "quality_score": q_quality,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_fingerprint,
-        "cosine_topk": q_cosine_topk,
-        "embed_norms": q_embed_norms,
-        "embed_dups": q_embed_dups,
-        "bpe_token_stats": q_bpe_stats,
-        "betwcent_star": q_betwcent_star,
-        "mis_ps": q_mis_ps,
-        "matching_ps": q_matching_ps,
     }
 
 

@@ -132,9 +132,19 @@ def mp4_sample_ranges(payload: bytes, handler: str = "vide") -> list[tuple[int, 
         hdlr = _find(payload, *mdia, "hdlr") if mdia else None
         if hdlr is None or payload[hdlr[0] + 8: hdlr[0] + 12].decode("latin1") != handler:
             continue
-        stbl = _find(payload, *_find(payload, *mdia, "minf"), "stbl")
+        # every required box must exist — raise the documented ValueError on
+        # malformed payloads (media_metadata catches it and yields nulls)
+        # rather than a TypeError that would fail the whole executor batch.
+        minf = _find(payload, *mdia, "minf")
+        if minf is None:
+            raise ValueError("missing minf box")
+        stbl = _find(payload, *minf, "stbl")
+        if stbl is None:
+            raise ValueError("missing stbl box")
         # sample sizes
         stsz = _find(payload, *stbl, "stsz")
+        if stsz is None:
+            raise ValueError("missing stsz box")
         fixed, cnt = struct.unpack_from(">II", payload, stsz[0] + 4)
         if fixed:
             sizes = [fixed] * cnt
@@ -147,10 +157,14 @@ def mp4_sample_ranges(payload: bytes, handler: str = "vide") -> list[tuple[int, 
             offs = list(struct.unpack_from(f">{nch}I", payload, stco[0] + 8))
         else:
             co64 = _find(payload, *stbl, "co64")
+            if co64 is None:
+                raise ValueError("missing stco/co64 box")
             (nch,) = struct.unpack_from(">I", payload, co64[0] + 4)
             offs = list(struct.unpack_from(f">{nch}Q", payload, co64[0] + 8))
         # samples-per-chunk runs
         stsc = _find(payload, *stbl, "stsc")
+        if stsc is None:
+            raise ValueError("missing stsc box")
         (nruns,) = struct.unpack_from(">I", payload, stsc[0] + 4)
         runs = [
             struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]

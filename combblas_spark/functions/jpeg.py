@@ -190,12 +190,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     scan = None
 
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # spec-legal 0xFF fill bytes may pad before any marker (T.81 B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         m = payload[pos + 1]
         if m == 0xD9:  # EOI
             break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RSTn: no length field
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError(f"truncated marker segment at {pos}")
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4: pos + 2 + ln]
         if m == 0xDB:  # DQT

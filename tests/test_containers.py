@@ -157,3 +157,19 @@ def test_media_metadata_spark(spark):
     assert got[2]["sample_rate"] == 16000 and got[2]["n_frames"] == 8000
     assert got[2]["duration_s"] == pytest.approx(0.5)
     assert got[3]["duration_s"] is None  # best-effort nulls, no error
+
+
+def test_mp4_sample_ranges_missing_boxes_raise_valueerror():
+    """Tracks missing minf/stbl/stsz/stsc/stco must raise the documented
+    ValueError (caught by media_metadata -> nulls), never TypeError
+    (ADVICE r4)."""
+    import pytest
+
+    # a moov with a vide trak whose mdia has hdlr but NO minf
+    hdlr = _box(b"hdlr", _full(0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12))
+    mdia = _box(b"mdia", hdlr)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    payload = _box(b"ftyp", b"isom" + struct.pack(">I", 512)) + moov
+    with pytest.raises(ValueError, match="missing minf"):
+        mp4_sample_ranges(payload, handler="vide")

@@ -201,3 +201,16 @@ def test_restart_markers_decode():
     assert out.shape == ctrl.shape == (8, 16, 3)
     assert np.abs(out[:, :8].astype(int)).max() <= 4
     assert np.abs(out[:, 8:, 0].astype(int) - 180).max() <= 4
+
+
+def test_fill_bytes_and_standalone_markers_skipped():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker, and TEM /
+    stray RSTn markers carry no length field — the header scan must skip
+    both instead of parsing garbage lengths (ADVICE r4)."""
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    base = encode_jpeg(img, quality=90)
+    ref = decode_jpeg(base)
+    # insert a TEM marker and two fill bytes right after SOI
+    padded = base[:2] + b"\xff\x01" + b"\xff\xff" + base[2:]
+    out = decode_jpeg(padded)
+    assert np.array_equal(out, ref)
