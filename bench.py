@@ -59,6 +59,12 @@ HEADLINE = [
     "scc_ev",
     "bowtie_ev",
     "decontaminate",
+    # r4 kernels that previously missed the regression signal
+    "ppr_ps",
+    "walks_ps",
+    "neighbor_sample_ps",
+    "pack_sequences",
+    "simhash_pairs",
 ]
 
 
