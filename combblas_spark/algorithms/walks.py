@@ -21,6 +21,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
@@ -124,10 +125,22 @@ def random_walks(
                 F.col("id").alias("vertex"),
             )
         cur = runner.truncate(cur)
+        # truncate() deliberately drops Catalyst stats (see SuperstepRunner),
+        # so a bare join would default the frontier to "huge" and sort-merge
+        # the full edge table every step. The walk count is fixed for the
+        # whole run (walks only terminate, never split), so gate the
+        # broadcast ONCE on it — the bfs.py frontier idiom. Past the gate
+        # (DeepWalk-scale O(V*replicas) corpora) the frontier shuffles to
+        # the edge layout instead and AQE decides locally.
+        n_walks = cur.count()
+        bcast = n_walks <= BROADCAST_MAX_ROWS
         levels = [cur.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")]
         for step in range(1, length + 1):
-            cand = cur.join(
-                e, on=cur["vertex"] == e["src"], how="inner"
+            fr = F.broadcast(cur) if bcast else cur.repartition(
+                spark.sparkContext.defaultParallelism, "vertex"
+            )
+            cand = fr.join(
+                e, on=fr["vertex"] == e["src"], how="inner"
             ).select("walk_id", "dst")
             prio = F.md5(
                 F.concat_ws(
