@@ -65,6 +65,11 @@ HEADLINE = [
     "neighbor_sample_ps",
     "pack_sequences",
     "simhash_pairs",
+    # round-5 additions
+    "clustering_coeff",
+    "sessionize",
+    "kmv_distinct",
+    "dup_ngrams",
 ]
 
 
@@ -79,6 +84,11 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "20g")
+        # Lazy heap growth causes random multi-10s page-fault stalls
+        # mid-query on this VM (see CLAUDE.md / scripts/bench_scaling.py);
+        # pre-touch the whole heap up front so timings measure the plan,
+        # not the allocator.
+        .config("spark.driver.extraJavaOptions", "-Xms20g -XX:+AlwaysPreTouch")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -86,18 +96,37 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+
+    # JIT warmup: run a cheap iterative kernel at the smallest SF so the
+    # first timed query doesn't absorb whole-stage-codegen compilation
+    # (~20-30s of C2 work measured on a cold JVM).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for wname in ("pagerank_ps", "dedup_exact"):
+            try:
+                qs[wname](spark, warm_dir).count()
+            except Exception as exc:  # warmup must never fail the bench
+                print(f"# warmup {wname} skipped: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
     times = {}
     total = 0.0
+    # Two timed passes per query, min reported: this VM shows one-sided
+    # multi-10s CPU-steal stalls (a kernel measured 4s warm can read 50s
+    # in a single pass); min-of-2 is the same one-sided-noise estimator
+    # scripts/bench_scaling.py uses (stall-trimmed median there).
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # materialize the full result
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
-        spark.catalog.clearCache()  # queries persist intermediates; drop
-        # them so later queries aren't squeezed by earlier caches
+        best, rows = None, 0
+        for _pass in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            rows = df.count()  # materialize the full result
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()  # queries persist intermediates;
+            # drop them so later queries aren't squeezed by earlier caches
+        times[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.2f}s rows={rows}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

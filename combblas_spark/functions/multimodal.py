@@ -10,6 +10,25 @@ functions/jpeg.py); the remaining compressed formats (mp3/mp4, which need
 audio/video codec libraries) are declared stubs that raise
 NotImplementedError, and ``fake=True`` substitutes a deterministic
 payload-derived vector for tests that don't care about pixels.
+
+Why the mp3/mp4 bitstreams stay stubs (considered and rejected, round 5):
+a spec-exact MP3 Layer-III decoder needs two large blocks of NORMATIVE,
+non-derivable table data from ISO/IEC 11172-3 — the Annex B.7 Huffman code
+tables (32 tables, ~2000 (value, codeword) entries) and the Table C.1
+synthesis-filterbank window (512 coefficients given only as printed
+decimals). JPEG was implementable from scratch because its tables are
+either formulaic (zigzag order) or tiny and universally reproduced
+(Annex-K quant matrices), and Huffman tables ride inside the file itself
+(DHT segments); MP3's tables do not ride in the stream and cannot be
+derived, and this sandbox has no network to fetch the standard. A
+from-memory reconstruction would round-trip against its own encoder while
+silently mis-decoding every real-world file — strictly worse than the
+honestly-declared NotImplementedError boundary. H.264-in-MP4 is out of
+scope outright. The CONTAINER layer (frame boundaries, sample byte
+ranges, duration/rate metadata — functions/containers.py) is real,
+spec-tested, and is what a 100-TB ingest pipeline needs from Spark; the
+inner bitstream decode is exactly the piece you delegate to a codec
+library on a real cluster.
 """
 
 from __future__ import annotations

@@ -340,3 +340,44 @@ def mixture_stats(
         .cast("long")
         .alias("share_e6"),
     )
+
+
+def dup_ngram_fraction(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-n-gram share per document — the global
+    dedup quality signal (Gopher / RefinedWeb style): for each doc, the
+    fraction of its DISTINCT k-gram shingles that also occur in at least
+    one OTHER document. High dup_frac marks boilerplate / template pages
+    that per-doc repetition stats (repetition_stats) cannot see.
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_frac) — BIGINT counts,
+    dup_frac rounded to 6. Docs shorter than k tokens emit no row (they
+    have no k-grams), matching the shingle semantics in dedup.shingles.
+
+    Scale shape: explode to distinct (doc, gram) pairs, one
+    map-side-combinable count per gram (shingles() already dedups per
+    doc, so COUNT(*) per gram == distinct-doc frequency), one shuffle
+    join back on the gram key, one final per-doc agg. The gram->count
+    table is the only global state and it shrinks with Zipf: no
+    windows, no UDFs, no driver state.
+    """
+    from combblas_spark.functions.dedup import shingles
+
+    sh = shingles(docs, k=k, id_col=id_col, text_col=text_col)
+    gcnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        sh.join(gcnt, "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("ndocs") >= 2).cast("long")).cast("long").alias("n_dup_grams"),
+            F.round(
+                F.sum((F.col("ndocs") >= 2).cast("double")) / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
