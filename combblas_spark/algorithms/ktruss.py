@@ -15,7 +15,11 @@ subsequent peel round recounts INCREMENTALLY — only the triangles destroyed
 by that round's deleted edges are enumerated (per deleted edge, common
 neighbors of its lower-degree endpoint), deduped by triple, and their
 surviving sides decremented. Round cost is proportional to the deleted
-edges' neighborhoods, not the whole graph. The edge table shrinks
+edges' neighborhoods, not the whole graph. HYBRID gate: an early avalanche
+round that deletes >= full_recount_frac of the pre-deletion set recounts
+support fully on the (smaller) survivor set instead — per-deleted-edge
+enumeration over half the graph costs more than one full pass over the
+other half; the incremental path serves the long convergence tail. The edge table shrinks
 monotonically across rounds and lineage is truncated per round. Rounds to
 fixpoint are few on real graphs; max_rounds bounds adversarial chains (a
 warning fires if it truncates before the fixpoint).
@@ -86,6 +90,7 @@ def ktruss(
     k: int,
     max_rounds: int = 30,
     runner: Optional[SuperstepRunner] = None,
+    full_recount_frac: float = 0.25,
 ) -> DataFrame:
     """(src, dst, in_ktruss) over the canonical (src<dst, distinct, no-loop)
     edge set of the undirected graph ``edges``: 1 if the edge survives
@@ -117,10 +122,27 @@ def ktruss(
     # edge set: pre-deletion = e (survivors) + deleted.
     nd = deleted.count()
     converged = nd == 0
+    n = e.count()
     for _ in range(max_rounds):
         if nd == 0:
             converged = True
             break
+        # Hybrid recount gate: when a round deletes a large share of the
+        # pre-deletion edge set (early avalanche rounds peel 50-70% here),
+        # per-deleted-edge triangle enumeration touches MORE wedges than
+        # simply recounting support on the (smaller) survivor set — so
+        # recount fully; the incremental path is for the long tail of
+        # rounds that delete a few edges each.
+        if nd >= full_recount_frac * (n + nd):
+            sup = runner.truncate(
+                _edge_support(e).filter(F.col("support") >= k - 2)
+            )
+            e2 = runner.truncate(sup.select("src", "dst"))
+            deleted = runner.truncate(e.join(e2, on=["src", "dst"], how="left_anti"))
+            e = e2
+            nd = deleted.count()
+            n = n - nd
+            continue
         pre = e.unionByName(deleted)
         adj = pre.select(F.col("src").alias("x"), F.col("dst").alias("y")).unionByName(
             pre.select(F.col("dst").alias("x"), F.col("src").alias("y"))
@@ -178,6 +200,7 @@ def ktruss(
         deleted = runner.truncate(e.join(e2, on=["src", "dst"], how="left_anti"))
         e = e2
         nd = deleted.count()
+        n = n - nd
     if not converged and nd != 0:
         warnings.warn(
             "ktruss: max_rounds exhausted before the peel reached its "
