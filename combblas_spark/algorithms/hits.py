@@ -80,10 +80,17 @@ def hits(
             # sparse half-steps: spmv output only has ids with in-(resp.
             # out-)edges; missing ids are exact zeros and affect neither the
             # norm nor the next multiply, so no per-iteration verts join.
-            auth = runner.truncate(_l2_normalize(spmv(e, hub, PLUS_TIMES)))
+            # ONE lineage cut per full iteration (not per half-step): auth
+            # stays a lazy plan inside hub's job — halves the checkpoint
+            # job count; the 4-join intra-iteration chain is cut before
+            # Catalyst stats can compound across iterations.
+            auth = _l2_normalize(spmv(e, hub, PLUS_TIMES))
             hub = runner.truncate(
                 _l2_normalize(spmv(e, auth, PLUS_TIMES, reverse=True))
             )
+        # the final auth is a lazy 2-shuffle plan over the last
+        # checkpointed hub — evaluated once in the output join below
+        auth = runner.truncate(auth)
         # densify ONCE: every input vertex gets a row, absent scores are 0
         return (
             verts.join(hub.select("id", F.col("val").alias("hub")), on="id", how="left")
