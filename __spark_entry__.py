@@ -1945,6 +1945,85 @@ def q_dup_ngrams(spark, sf):
     return dup_ngram_fraction(spark.read.parquet(f"{sf}/documents.parquet"), k=3)
 
 
+ADAMIC_ADAR_K = 200
+MSBFS_SOURCES = 4
+
+
+def q_msbfs_ps(spark, sf):
+    """Batched multi-source BFS (algorithms/bfs.msbfs — the BetwCent
+    batched-fringe / SpMM shape): 4 sources, ONE edge probe per level."""
+    from combblas_spark.algorithms.bfs import msbfs
+
+    e = part_supplier_graph(spark, sf)
+    roots = [
+        r["src"]
+        for r in e.select("src").distinct().orderBy("src").limit(MSBFS_SOURCES).collect()
+    ]
+    return msbfs(spark, e, roots=roots, max_iter=BFS_DEPTH).select(
+        "s", "id", F.col("depth").cast("long").alias("depth")
+    )
+
+
+def q_spmm_ps(spark, sf):
+    """SpMM — one join+shuffle amortized over three dense vectors
+    (operators/multiply.spmm; the BetwCent batched-fringe shape)."""
+    from combblas_spark.operators.multiply import spmm
+
+    e = part_supplier_graph(spark, sf)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    x = verts.select(
+        "id",
+        (F.col("id") % 97).cast("double").alias("x0"),
+        (F.col("id") % 89).cast("double").alias("x1"),
+        (F.col("id") % 83).cast("double").alias("x2"),
+    )
+    return spmm(e, x, PLUS_TIMES)
+
+
+def q_kron_nation(spark, sf):
+    """Kronecker product of the nation-clique matrix with itself
+    (operators/multiply.kron — the explicit RMAT/Graph500 generator step)."""
+    from combblas_spark.operators.multiply import kron
+
+    a = nation_clique_graph(spark, sf)
+    return kron(a, a, 25, 25, PLUS_TIMES)
+
+
+def q_graph_stats_ev(spark, sf):
+    """One-row reciprocity + degree-assortativity summary of the events
+    digraph (algorithms/stats.graph_stats)."""
+    from combblas_spark.algorithms.stats import graph_stats
+
+    return graph_stats(events_digraph(spark, sf))
+
+
+def q_adamic_adar_ev(spark, sf):
+    """Top-k Adamic-Adar link-prediction pairs on the events graph
+    (algorithms/linkpred.adamic_adar — inverted-mask wedge SpGEMM)."""
+    from combblas_spark.algorithms.linkpred import adamic_adar
+
+    return adamic_adar(events_digraph(spark, sf), k=ADAMIC_ADAR_K)
+
+
+def q_degree_hist_ps(spark, sf):
+    """Log2-bucket degree histogram of the part—supplier graph
+    (operators/reduce.degree_histogram — integer-exact bucket edges)."""
+    from combblas_spark.operators.reduce import degree_histogram
+
+    return degree_histogram(part_supplier_graph(spark, sf), dim="row")
+
+
+def q_tfidf_topk(spark, sf):
+    """Top-5 TF-IDF terms per document (functions/text.tfidf_topk)."""
+    from combblas_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(spark.read.parquet(f"{sf}/documents.parquet"), k=5)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1993,6 +2072,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "kmv_distinct": q_kmv_distinct,
         "dup_ngrams": q_dup_ngrams,
+        "spmm_ps": q_spmm_ps,
+        "kron_nation": q_kron_nation,
+        "graph_stats_ev": q_graph_stats_ev,
+        "adamic_adar_ev": q_adamic_adar_ev,
+        "degree_hist_ps": q_degree_hist_ps,
+        "tfidf_topk": q_tfidf_topk,
+        "msbfs_ps": q_msbfs_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2140,6 +2226,115 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*), 6) AS dup_frac
             FROM sh JOIN g USING (shingle)
             GROUP BY sh.id""",
+        "spmm_ps": f"""WITH {PS_CTES}
+            SELECT dst AS id,
+                   SUM(w * CAST(src % 97 AS DOUBLE)) AS x0,
+                   SUM(w * CAST(src % 89 AS DOUBLE)) AS x1,
+                   SUM(w * CAST(src % 83 AS DOUBLE)) AS x2
+            FROM edges GROUP BY dst""",
+        "kron_nation": f"""WITH {NATION_CTES}
+            SELECT a.src * 25 + b.src AS src,
+                   a.dst * 25 + b.dst AS dst,
+                   a.w * b.w AS w
+            FROM nedges a CROSS JOIN nedges b""",
+        "graph_stats_ev": f"""WITH {EV_CTES},
+            e AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM evedges WHERE src <> dst),
+            und AS MATERIALIZED (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM e),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+            deg AS MATERIALIZED (
+              SELECT a AS id, CAST(COUNT(*) AS DOUBLE) AS deg
+              FROM sym GROUP BY a),
+            inc AS (
+              SELECT da.deg AS dx, db.deg AS dy
+              FROM sym JOIN deg da ON da.id = sym.a
+              JOIN deg db ON db.id = sym.b),
+            mom AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                     SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dy) AS sxy,
+                     SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+              FROM inc),
+            nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg),
+            ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+            nr AS (
+              SELECT COUNT(*) AS n_recip FROM e
+              WHERE EXISTS (SELECT 1 FROM e r
+                            WHERE r.src = e.dst AND r.dst = e.src))
+            SELECT nv.n_vertices, ne.n_edges,
+                   ROUND(nr.n_recip / CAST(ne.n_edges AS DOUBLE), 6)
+                     AS reciprocity,
+                   ROUND(CASE WHEN (sxx/m - (sx/m)*(sx/m))
+                                   * (syy/m - (sy/m)*(sy/m)) > 0
+                         THEN (sxy/m - (sx/m)*(sy/m))
+                              / SQRT((sxx/m - (sx/m)*(sx/m))
+                                     * (syy/m - (sy/m)*(sy/m)))
+                         ELSE 0.0 END, 6) AS assortativity
+            FROM mom, nv, ne, nr""",
+        "adamic_adar_ev": f"""WITH {EV_CTES},
+            e AS (SELECT DISTINCT src, dst FROM evedges WHERE src <> dst),
+            und AS MATERIALIZED (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM e),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+            deg AS MATERIALIZED (
+              SELECT a AS z, COUNT(*) AS deg FROM sym GROUP BY a),
+            inc AS MATERIALIZED (
+              SELECT sym.a AS z, sym.b AS v,
+                     1.0 / LN(CAST(deg.deg AS DOUBLE)) AS wz
+              FROM sym JOIN deg ON deg.z = sym.a WHERE deg.deg >= 2),
+            pairs AS MATERIALIZED (
+              SELECT l.v AS a, r.v AS b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common, SUM(l.wz) AS aa
+              FROM inc l JOIN inc r ON r.z = l.z AND l.v < r.v
+              GROUP BY l.v, r.v)
+            SELECT p.a, p.b, p.n_common, ROUND(p.aa, 6) AS aa_score
+            FROM pairs p LEFT JOIN und u ON u.a = p.a AND u.b = p.b
+            WHERE u.a IS NULL
+            ORDER BY ROUND(p.aa, 6) DESC, p.a, p.b
+            LIMIT {ADAMIC_ADAR_K}""",
+        "degree_hist_ps": f"""WITH {PS_CTES},
+            deg AS (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM edges GROUP BY src)
+            SELECT CAST(LENGTH(LTRIM(bin(deg), '0')) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                   MIN(deg) AS min_deg, MAX(deg) AS max_deg
+            FROM deg GROUP BY 1""",
+        "msbfs_ps": f"""WITH RECURSIVE {PS_CTES},
+            srcs AS MATERIALIZED (
+              SELECT src AS s FROM (
+                SELECT DISTINCT src FROM edges ORDER BY src
+                LIMIT {MSBFS_SOURCES})),
+            reach(s, id, depth) AS (
+              SELECT s, s, 0 FROM srcs
+              UNION
+              SELECT r.s, e.dst, r.depth + 1
+              FROM reach r JOIN edges e ON e.src = r.id
+              WHERE r.depth < {BFS_DEPTH}
+            )
+            SELECT s, id, CAST(MIN(depth) AS BIGINT) AS depth
+            FROM reach GROUP BY s, id""",
+        "tfidf_topk": f"""WITH {TOKS_CTES},
+            tf AS MATERIALIZED (
+              SELECT doc_id AS id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM toklists) t
+              GROUP BY doc_id, tok),
+            dfreq AS MATERIALIZED (
+              SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM toklists),
+            scored AS MATERIALIZED (
+              SELECT id, term, tf, ROUND(tf * LN(n_docs / df), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY tfidf DESC, term) AS rank
+              FROM scored)
+            SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, term, tf, tfidf
+            FROM ranked WHERE rank <= 5""",
         "edges_build_ps": f"WITH {PS_CTES} SELECT src, dst, w FROM edges",
         "degree_ps": f"""WITH {PS_CTES}
             SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg, SUM(w) AS wdeg

@@ -70,6 +70,12 @@ HEADLINE = [
     "sessionize",
     "kmv_distinct",
     "dup_ngrams",
+    # round-5 second wave (kron/graph_stats/degree_hist are sub-second
+    # fixed-size or O(log V) outputs — not regression-informative)
+    "spmm_ps",
+    "adamic_adar_ev",
+    "tfidf_topk",
+    "msbfs_ps",
 ]
 
 

@@ -159,6 +159,70 @@ def bfs(
         edges.unpersist()
 
 
+def msbfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    roots: list[int],
+    max_iter: int = 10_000,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Batched multi-source BFS: (s, id, depth) for every (source, reached
+    vertex) pair, ALL sources advancing in one frontier join per superstep —
+    the reference's batched-fringe pattern
+    (/root/reference/Applications/BetwCent.cpp:185: fringe is a
+    |V| x n_sources matrix and one PSpGEMM advances every source at once;
+    the SpMM shape of operators/multiply.spmm).
+
+    Scale design: the per-superstep work is ONE edges-join keyed on the
+    vertex id regardless of how many sources run — k separate bfs() calls
+    would pay k full edge-table probes per level. The frontier carries the
+    source tag s, so the groupBy key is (s, dst) and per-source visited
+    sets stay independent through one anti-join on (s, id). Frontier
+    broadcast is size-gated on TOTAL rows across sources (the k-times-
+    bigger frontier crosses the gate k times sooner — by design). No
+    bottom-up flip: the unvisited remainder differs per source, so the
+    flip has no single pivot; batched BFS is the many-small-traversals
+    tool (centrality sampling), not the one-giant-traversal tool.
+    """
+    runner = runner or SuperstepRunner(spark)
+    edges = edges.select("src", "dst").repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    )
+    edges.persist()
+    try:
+        visited = spark.createDataFrame(
+            [(int(r), int(r), 0) for r in roots], "s long, id long, depth int"
+        )
+        frontier = visited.select("s", "id")
+        depth = 0
+        visited = runner.truncate(visited)
+        frontier = runner.truncate(frontier)
+        n_frontier = frontier.count()
+        while depth < max_iter and n_frontier > 0:
+            fr = frontier.select("s", F.col("id").alias("src"))
+            if n_frontier <= BROADCAST_MAX_ROWS:
+                fr = F.broadcast(fr)
+            cand = (
+                edges.join(fr, on="src")
+                .select("s", F.col("dst").alias("id"))
+                .distinct()
+            )
+            new = runner.truncate(
+                cand.join(visited.select("s", "id"), on=["s", "id"], how="left_anti")
+            )
+            n_frontier = new.count()
+            if n_frontier == 0:
+                break
+            depth += 1
+            visited = runner.truncate(
+                visited.unionByName(new.select("s", "id", F.lit(depth).alias("depth")))
+            )
+            frontier = new
+        return visited
+    finally:
+        edges.unpersist()
+
+
 def single_child_frontier(new: DataFrame, seed: int = 17) -> DataFrame:
     """One (id, val=parent) row per distinct parent, chosen by hash
     priority — the ``fringe.Uniq(RandReduce)`` projection of

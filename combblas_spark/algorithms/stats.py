@@ -1,0 +1,100 @@
+"""Global graph-structure summary: reciprocity and degree assortativity.
+
+Reference semantics: the reference reports whole-graph structural scalars
+as reductions over the distributed triple store (load imbalance
+/root/reference/include/CombBLAS/SpParMat.cpp:761-770, bandwidth/profile
+SpParMat.cpp:1742+); the web-graph literature's two standard link-structure
+scalars — edge reciprocity and Newman's degree assortativity — are the same
+shape: per-edge expressions reduced by one global aggregate.
+
+Definitions (computed exactly, no sampling):
+* reciprocity   = |{(s,d) in E : (d,s) in E}| / |E| over the directed
+  simple loop-free edge set E.
+* assortativity = Pearson correlation of (deg(u), deg(v)) over the
+  directed incidences of the UNDIRECTED simple support (each unordered
+  edge counted once in each direction, the standard symmetric estimator),
+  with deg = distinct-neighbor degree.
+
+Scale design (100 TB): degree is one hash aggregation; attaching deg to
+both edge endpoints is two shuffle hash joins keyed on vertex id (the
+degree table is O(V) — never broadcast); reciprocity is one self-join of
+E on the reversed key; everything then collapses through a single
+map-side-combinable global aggregate to ONE row. No windows, no UDFs,
+no driver-side iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row structural summary of a directed edge table (src, dst[, w]).
+
+    -> (n_vertices BIGINT, n_edges BIGINT, reciprocity, assortativity)
+    with the two ratios rounded to 6 decimals (oracle-portable). n_edges
+    counts the directed simple loop-free edges; assortativity is NULL-safe:
+    a degree-regular graph (zero variance) yields 0.0.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    # reciprocity: semi-join E against its own reverse
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = e.join(rev, ["src", "dst"], "leftsemi").select(
+        F.count(F.lit(1)).alias("n_recip")
+    )
+    n_edges = e.select(F.count(F.lit(1)).alias("n_edges"))
+
+    # undirected support, both directions, distinct-neighbor degree
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    # attach degree to both endpoints of every directed incidence
+    dx = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    dy = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    inc = sym.join(dx, "a").join(dy, "b")
+    mom = inc.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("deg_a").alias("sx"),
+        F.sum("deg_b").alias("sy"),
+        F.sum(F.col("deg_a") * F.col("deg_b")).alias("sxy"),
+        F.sum(F.col("deg_a") * F.col("deg_a")).alias("sxx"),
+        F.sum(F.col("deg_b") * F.col("deg_b")).alias("syy"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+
+    cov = F.col("sxy") / F.col("m") - (F.col("sx") / F.col("m")) * (
+        F.col("sy") / F.col("m")
+    )
+    # plain multiplies, not **2: POWER(x, 2) is not guaranteed bit-identical
+    # to x*x across engines, and the oracle squares by multiplication
+    vx = F.col("sxx") / F.col("m") - (F.col("sx") / F.col("m")) * (
+        F.col("sx") / F.col("m")
+    )
+    vy = F.col("syy") / F.col("m") - (F.col("sy") / F.col("m")) * (
+        F.col("sy") / F.col("m")
+    )
+    return (
+        mom.crossJoin(nv)
+        .crossJoin(n_edges)
+        .crossJoin(n_recip)
+        .select(
+            F.col("n_vertices"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.round(
+                F.col("n_recip") / F.col("n_edges").cast("double"), 6
+            ).alias("reciprocity"),
+            F.round(
+                F.when(vx * vy > 0, cov / F.sqrt(vx * vy)).otherwise(F.lit(0.0)),
+                6,
+            ).alias("assortativity"),
+        )
+    )

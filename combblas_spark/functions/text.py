@@ -381,3 +381,55 @@ def dup_ngram_fraction(
             ).alias("dup_frac"),
         )
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword/topic signal a
+    training-data pipeline uses for domain tagging and mixture audits.
+
+    tfidf(d, t) = tf(d, t) * ln(N / df(t)) with tf the raw in-document
+    count, df the distinct-document frequency and N the corpus size.
+    Output: (doc_id, rank, term, tf BIGINT, tfidf) with rank 1..k ordered
+    by (ROUND(tfidf, 6) DESC, term ASC). Ranking on the ROUNDED score is
+    deliberate: mathematically-equal products computed differently
+    (2*ln(10) vs ln(100)) can differ in the last ulp and differently so
+    across engines — rounding first makes the order engine-portable, and
+    the term tiebreak settles the rounded ties.
+
+    Scale shape: one explode -> (doc, term) count (map-side combinable),
+    one term-keyed df aggregation joined back on the term key, N as a
+    broadcast one-row cross join, and the per-doc top-k as a window over
+    doc_id — the window key is the highest-cardinality column in the
+    corpus, so partitions stay balanced at any scale. No UDFs.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
+    tf = (
+        base.select("id", F.explode("t").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
+        "id", "term", "tf",
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "tf",
+            "tfidf",
+        )
+    )

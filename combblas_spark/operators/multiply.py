@@ -64,6 +64,75 @@ def spmv(
     )
 
 
+def spmm(
+    edges: DataFrame,
+    x: DataFrame,
+    sr: Semiring = PLUS_TIMES,
+    reverse: bool = False,
+    broadcast_x: bool | None = None,
+) -> DataFrame:
+    """Y = A^T X for a k-column dense block X(id, <k value columns>) —
+    the multi-vector SpMV (SpMM). Every column of ``x`` other than ``id``
+    is treated as one dense vector; the result carries the same columns.
+
+    Reference semantics: batched fringe expansion in Brandes betweenness,
+    /root/reference/Applications/BetwCent.cpp:185 (fringe =
+    PSpGEMM(AT, fringe) with a |V| x batchsize fringe), and the SpMM
+    driver /root/reference/Applications/SpMMError.cpp.
+
+    Scale shape: ONE join + ONE shuffle amortized over all k vectors —
+    the whole point of SpMM vs k SpMV passes; the k sums ride the same
+    partial/final hash aggregation (map-side combine per column).
+    """
+    join_key, out_key = ("src", "dst") if not reverse else ("dst", "src")
+    val_cols = [c for c in x.columns if c != "id"]
+    if not val_cols:
+        raise ValueError("spmm needs at least one value column besides id")
+    xr = x
+    if broadcast_x is True:
+        xr = F.broadcast(xr)
+    j = edges.join(xr, on=edges[join_key] == xr["id"], how="inner")
+    return j.groupBy(edges[out_key].alias("id")).agg(
+        *[sr.add(sr.mult(edges["w"], xr[c])).alias(c) for c in val_cols]
+    )
+
+
+def kron(
+    a: DataFrame,
+    b: DataFrame,
+    b_rows: int,
+    b_cols: int,
+    sr: Semiring = PLUS_TIMES,
+) -> DataFrame:
+    """Kronecker product C = A (x) B over semiring ``sr``:
+    C[sa*b_rows + sb, da*b_cols + db] = mult(w_a, w_b).
+
+    Reference semantics: the Graph500 R-MAT generator IS an iterated
+    Kronecker product of a 2x2 initiator
+    (/root/reference/include/CombBLAS/RefGen21.h:80 cites the stochastic
+    Kronecker-graph construction); this is the explicit one-step operator.
+
+    Scale shape: a pure cross join of two nonzero lists — nnz(C) =
+    nnz(A) * nnz(B), no aggregation, embarrassingly parallel. Keep one
+    operand small (the generator pattern: a bounded initiator replicated
+    across the big operand); Spark broadcasts the small side
+    (BroadcastNestedLoopJoin) so the big side never moves.
+    """
+    aa = a.select(
+        F.col("src").alias("a_src"), F.col("dst").alias("a_dst"),
+        F.col("w").alias("a_w"),
+    )
+    bb = b.select(
+        F.col("src").alias("b_src"), F.col("dst").alias("b_dst"),
+        F.col("w").alias("b_w"),
+    )
+    return aa.crossJoin(bb).select(
+        (F.col("a_src") * b_rows + F.col("b_src")).alias("src"),
+        (F.col("a_dst") * b_cols + F.col("b_dst")).alias("dst"),
+        sr.mult(F.col("a_w"), F.col("b_w")).alias("w"),
+    )
+
+
 def spgemm(
     a: DataFrame,
     b: DataFrame,

@@ -76,3 +76,34 @@ def load_imbalance(df: DataFrame) -> float:
     if not counts["av"]:
         return 1.0
     return float(counts["mx"]) / float(counts["av"])
+
+
+def degree_histogram(edges: DataFrame, dim: str = "row") -> DataFrame:
+    """Log2-bucketed degree distribution — the Graph500 kernel-1 summary
+    (the reference prints per-run nnz/row statistics from the same
+    reduction: SpParMat::Reduce row counts, SpParMat.cpp:886-1116).
+
+    -> (bucket BIGINT, n_vertices BIGINT, min_deg BIGINT, max_deg BIGINT)
+    with bucket = floor(log2(deg)) — i.e. bucket b covers degrees
+    [2^b, 2^(b+1)). Computed as bit_length(deg)-1 via bin() so the bucket
+    boundary at exact powers of two is integer-exact in every engine (a
+    float log2(8) can land at 2.9999... and mis-bucket). Two
+    map-side-combinable hash aggregations; output is O(log V) rows
+    regardless of scale.
+    """
+    key = "src" if dim == "row" else "dst"
+    deg = edges.groupBy(F.col(key).alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return (
+        deg.select(
+            (F.length(F.bin(F.col("deg"))) - 1).cast("long").alias("bucket"),
+            "deg",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+    )

@@ -179,3 +179,250 @@ def test_dup_ngram_fraction(spark):
     assert got[1]["n_grams"] == 5 and got[1]["n_dup_grams"] == 3
     assert got[1]["dup_frac"] == round(3 / 5, 6)
     assert got[3]["n_dup_grams"] == 0 and got[3]["dup_frac"] == 0.0
+
+
+# ---------------------------------------------------- spmm / kron (round 5b)
+
+
+def test_spmm_equals_columnwise_spmv(spark):
+    """Metamorphic: SpMM == k independent SpMV passes, column by column."""
+    from combblas_spark.core.semiring import PLUS_TIMES
+    from combblas_spark.operators.multiply import spmm, spmv
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 1), (4, 2)]
+    e = _edges_df(spark, pairs)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    x = verts.select(
+        "id",
+        (F.col("id") % 7).cast("double").alias("x0"),
+        (F.col("id") * 2 % 5).cast("double").alias("x1"),
+    )
+    got = {r["id"]: (r["x0"], r["x1"]) for r in spmm(e, x, PLUS_TIMES).collect()}
+    for i, c in enumerate(["x0", "x1"]):
+        xi = x.select("id", F.col(c).alias("val"))
+        want = {r["id"]: r["val"] for r in spmv(e, xi, PLUS_TIMES).collect()}
+        assert {k: v[i] for k, v in got.items()} == want
+
+
+def test_kron_known_product(spark):
+    """Kron of two explicit small matrices vs a pure-python oracle."""
+    from combblas_spark.operators.multiply import kron
+
+    a_nnz = [(0, 1, 2.0), (1, 0, 3.0)]          # 2x2
+    b_nnz = [(0, 0, 5.0), (1, 2, 7.0)]          # 2x3
+    a = spark.createDataFrame(a_nnz, "src long, dst long, w double")
+    b = spark.createDataFrame(b_nnz, "src long, dst long, w double")
+    got = {(r["src"], r["dst"]): r["w"] for r in kron(a, b, 2, 3).collect()}
+    want = {
+        (sa * 2 + sb, da * 3 + db): wa * wb
+        for sa, da, wa in a_nnz
+        for sb, db, wb in b_nnz
+    }
+    assert got == want
+    # identity (x) B == block-diagonal B replicas
+    eye = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 1, 1.0)], "src long, dst long, w double"
+    )
+    got2 = {(r["src"], r["dst"]): r["w"] for r in kron(eye, b, 2, 3).collect()}
+    assert got2 == {
+        (i * 2 + sb, i * 3 + db): wb for i in (0, 1) for sb, db, wb in b_nnz
+    }
+
+
+# ------------------------------------------------- graph stats / adamic-adar
+
+
+def _py_graph_stats(dir_pairs):
+    e = {(s, d) for s, d in dir_pairs if s != d}
+    recip = sum(1 for s, d in e if (d, s) in e) / len(e)
+    und = {(min(s, d), max(s, d)) for s, d in e}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    xs, ys = [], []
+    for a, b in und:
+        for u, v in ((a, b), (b, a)):
+            xs.append(len(adj[u]))
+            ys.append(len(adj[v]))
+    m = len(xs)
+    mx, my = sum(xs) / m, sum(ys) / m
+    cov = sum(x * y for x, y in zip(xs, ys)) / m - mx * my
+    vx = sum(x * x for x in xs) / m - mx * mx
+    vy = sum(y * y for y in ys) / m - my * my
+    r = cov / (vx * vy) ** 0.5 if vx * vy > 0 else 0.0
+    return len(adj), len(e), round(recip, 6), round(r, 6)
+
+
+def test_graph_stats_known_graphs(spark):
+    from combblas_spark.algorithms.stats import graph_stats
+
+    # star digraph 0->{1,2,3} plus one reciprocal arc 1->0: hub-leaf
+    # structure = strongly disassortative; reciprocity = 2/4
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 0)]
+    row = graph_stats(_edges_df(spark, pairs)).collect()[0]
+    nv, ne, rec, assort = _py_graph_stats(pairs)
+    assert (row["n_vertices"], row["n_edges"]) == (nv, ne)
+    assert row["reciprocity"] == rec == 0.5
+    assert row["assortativity"] == assort
+    assert row["assortativity"] < 0  # hub-leaf graphs are disassortative
+    # 4-cycle: degree-regular => zero variance => defined as 0.0
+    cyc = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    row = graph_stats(_edges_df(spark, cyc)).collect()[0]
+    assert row["reciprocity"] == 0.0
+    assert row["assortativity"] == 0.0
+
+
+def _py_adamic_adar(dir_pairs, k):
+    und = {(min(s, d), max(s, d)) for s, d in dir_pairs if s != d}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    import math
+
+    scores = {}
+    for z, nb in adj.items():
+        if len(nb) < 2:
+            continue
+        wz = 1.0 / math.log(len(nb))
+        for a, b in combinations(sorted(nb), 2):
+            if (a, b) in und:
+                continue
+            n, s = scores.get((a, b), (0, 0.0))
+            scores[(a, b)] = (n + 1, s + wz)
+    rows = [
+        (a, b, n, round(s, 6)) for (a, b), (n, s) in scores.items()
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:k]
+
+
+def test_adamic_adar_known_graph(spark):
+    from combblas_spark.algorithms.linkpred import adamic_adar
+
+    # path 1-2-3-4-5 plus chord 2-4: candidate pairs via common neighbors
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 4)]
+    got = [
+        (r["a"], r["b"], r["n_common"], r["aa_score"])
+        for r in adamic_adar(_edges_df(spark, pairs), k=10).collect()
+    ]
+    assert got == _py_adamic_adar(pairs, 10)
+    # 1 and 5 share no neighbor -> never a candidate pair
+    assert (1, 5) not in {(a, b) for a, b, *_ in got}
+
+
+def test_adamic_adar_max_degree_cap(spark):
+    from combblas_spark.algorithms.linkpred import adamic_adar
+
+    # hub 0 connected to 1..5; capping max_degree=4 removes ALL wedges
+    pairs = [(0, i) for i in range(1, 6)]
+    assert adamic_adar(_edges_df(spark, pairs), k=10, max_degree=4).count() == 0
+    full = adamic_adar(_edges_df(spark, pairs), k=100).collect()
+    assert len(full) == 10  # C(5,2) leaf pairs through the hub
+
+
+# --------------------------------------------------------- degree histogram
+
+
+def test_degree_histogram_power_of_two_edges(spark):
+    """Bucket boundaries at exact powers of two must be integer-exact —
+    the float-log2 failure mode this implementation avoids by bin()."""
+    from combblas_spark.operators.reduce import degree_histogram
+
+    # vertex 1: deg 8 (bucket 3), vertex 2: deg 7 (bucket 2),
+    # vertex 3: deg 1 (bucket 0), vertex 4: deg 2 (bucket 1)
+    pairs = (
+        [(1, 100 + i) for i in range(8)]
+        + [(2, 200 + i) for i in range(7)]
+        + [(3, 300)]
+        + [(4, 400), (4, 401)]
+    )
+    got = {
+        r["bucket"]: (r["n_vertices"], r["min_deg"], r["max_deg"])
+        for r in degree_histogram(_edges_df(spark, pairs), dim="row").collect()
+    }
+    assert got == {3: (1, 8, 8), 2: (1, 7, 7), 0: (1, 1, 1), 1: (1, 2, 2)}
+
+
+# ------------------------------------------------------------------- tf-idf
+
+
+def test_tfidf_topk_known_corpus(spark):
+    import math
+
+    from combblas_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"])
+        for r in tfidf_topk(docs, k=2).collect()
+    }
+    ln = math.log
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert got[(1, 1)] == ("apple", 2, round(2 * ln(3), 6))
+    assert got[(1, 2)] == ("banana", 1, round(ln(3 / 2), 6))
+    # doc 3: cherry tf=2 df=2 -> 2*ln(1.5); durian tf=1 df=1 -> ln(3)
+    assert got[(3, 1)] == ("durian", 1, round(ln(3), 6))
+    assert got[(3, 2)] == ("cherry", 2, round(2 * ln(3 / 2), 6))
+
+
+def test_tfidf_equal_scores_rank_by_term(spark):
+    """Rounded-score ties order by term — the engine-portable tiebreak."""
+    from combblas_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "zzz aaa"), (2, "other words")],
+        "doc_id long, text string",
+    )
+    # both terms in doc 1: tf=1, df=1 -> identical tfidf; rank by term asc
+    got = [
+        r["term"]
+        for r in tfidf_topk(docs, k=2).filter(F.col("doc_id") == 1)
+        .orderBy("rank").collect()
+    ]
+    assert got == ["aaa", "zzz"]
+
+
+# ------------------------------------------------------- multi-source BFS
+
+
+def test_msbfs_equals_per_source_bfs(spark):
+    """Metamorphic: batched msbfs == k independent bfs depth tables."""
+    from combblas_spark.algorithms.bfs import bfs, msbfs
+
+    # two components: a 5-path and a triangle
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e = _edges_df(spark, sym)
+    roots = [1, 3, 10]
+    got = {
+        (r["s"], r["id"]): r["depth"]
+        for r in msbfs(spark, e, roots=roots).collect()
+    }
+    want = {}
+    for r in roots:
+        for row in bfs(spark, e, root=r).collect():
+            want[(r, row["id"])] = row["depth"]
+    assert got == want
+    # cross-component isolation: source 1 never reaches the triangle
+    assert (1, 10) not in got and (10, 1) not in got
+
+
+def test_msbfs_depth_cap(spark):
+    from combblas_spark.algorithms.bfs import msbfs
+
+    pairs = [(i, i + 1) for i in range(6)]  # directed 7-chain
+    got = msbfs(spark, _edges_df(spark, pairs), roots=[0], max_iter=3)
+    assert {r["depth"] for r in got.collect()} == {0, 1, 2, 3}
