@@ -1947,6 +1947,63 @@ def q_dup_ngrams(spark, sf):
 
 ADAMIC_ADAR_K = 200
 MSBFS_SOURCES = 4
+JP_COLORS = 6  # nation 5-cliques color in exactly 5 rounds; +1 slack
+
+
+def q_coloring_nation(spark, sf):
+    """Luby/Jones-Plassmann distance-1 coloring (algorithms/coloring.py):
+    one md5-priority independent set per round = one color class."""
+    from combblas_spark.algorithms.coloring import jp_coloring
+
+    return jp_coloring(spark, nation_clique_graph(spark, sf), max_colors=JP_COLORS)
+
+
+def q_transitivity_ev(spark, sf):
+    """Global transitivity 3*triangles/wedges (algorithms/clustering.py)."""
+    from combblas_spark.algorithms.clustering import transitivity
+
+    return transitivity(events_digraph(spark, sf))
+
+
+def q_edge_jaccard_ev(spark, sf):
+    """Per-edge neighborhood Jaccard (tie embeddedness) on the events
+    graph (algorithms/clustering.edge_jaccard)."""
+    from combblas_spark.algorithms.clustering import edge_jaccard
+
+    return edge_jaccard(events_digraph(spark, sf))
+
+
+def _jp_coloring_sql(edges_cte: str, rounds: int) -> str:
+    """Unrolled Jones-Plassmann rounds replaying the md5-60bit priority:
+    round c's winners are the strict local priority maxima among
+    still-uncolored neighbors (priorities are unique, so > is exact)."""
+    pri = ("CAST(('0x' || substr(md5('jp' || '|' || CAST(id AS VARCHAR)), 1, 15)) "
+           "AS BIGINT)")
+    parts = [
+        f"""csym AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM {edges_cte} WHERE src <> dst)""",
+        "csym2 AS MATERIALIZED (SELECT a, b FROM csym UNION ALL SELECT b, a FROM csym)",
+        f"""rem0 AS MATERIALIZED (
+  SELECT id, {pri} AS pri FROM (SELECT DISTINCT a AS id FROM csym2))""",
+    ]
+    for c in range(1, rounds + 1):
+        parts.append(f"""win{c} AS MATERIALIZED (
+  SELECT r.id FROM rem{c-1} r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM csym2 s JOIN rem{c-1} n ON n.id = s.b
+    WHERE s.a = r.id AND n.pri > r.pri))""")
+        parts.append(f"""rem{c} AS MATERIALIZED (
+  SELECT r.id, r.pri FROM rem{c-1} r
+  WHERE NOT EXISTS (SELECT 1 FROM win{c} w WHERE w.id = r.id))""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT id, CAST({c} AS BIGINT) AS color FROM win{c}"
+        for c in range(1, rounds + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"\n{union}\nUNION ALL\nSELECT id, CAST(0 AS BIGINT) AS color FROM rem{rounds}"
+    )
 
 
 def q_msbfs_ps(spark, sf):
@@ -2079,6 +2136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_hist_ps": q_degree_hist_ps,
         "tfidf_topk": q_tfidf_topk,
         "msbfs_ps": q_msbfs_ps,
+        "coloring_nation": q_coloring_nation,
+        "transitivity_ev": q_transitivity_ev,
+        "edge_jaccard_ev": q_edge_jaccard_ev,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2304,6 +2364,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_vertices,
                    MIN(deg) AS min_deg, MAX(deg) AS max_deg
             FROM deg GROUP BY 1""",
+        "coloring_nation": f"WITH {NATION_CTES},\n"
+            + _jp_coloring_sql("nedges", JP_COLORS),
+        "transitivity_ev": f"""WITH {EV_CTES},
+            evsym AS MATERIALIZED (
+              SELECT src, dst FROM evedges
+              UNION
+              SELECT dst AS src, src AS dst FROM evedges),
+            can AS MATERIALIZED (
+              SELECT DISTINCT src AS a, dst AS b FROM evsym WHERE src < dst),
+            tris AS MATERIALIZED (
+              SELECT x.a AS a, x.b AS b, y.b AS c
+              FROM can x JOIN can y ON y.a = x.b
+              JOIN can z ON z.a = x.a AND z.b = y.b),
+            deg AS (
+              SELECT src AS id, COUNT(DISTINCT dst) AS deg
+              FROM evsym WHERE src <> dst GROUP BY src),
+            nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tris),
+            nw AS (
+              SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+              FROM deg)
+            SELECT nt.n_triangles, nw.n_wedges,
+                   ROUND(CASE WHEN nw.n_wedges > 0
+                         THEN 3.0 * nt.n_triangles / nw.n_wedges
+                         ELSE 0.0 END, 6) AS transitivity
+            FROM nt, nw""",
+        "edge_jaccard_ev": f"""WITH {EV_CTES},
+            evsym AS MATERIALIZED (
+              SELECT src, dst FROM evedges
+              UNION
+              SELECT dst AS src, src AS dst FROM evedges),
+            can AS MATERIALIZED (
+              SELECT DISTINCT src AS a, dst AS b FROM evsym WHERE src < dst),
+            tris AS MATERIALIZED (
+              SELECT x.a AS a, x.b AS b, y.b AS c
+              FROM can x JOIN can y ON y.a = x.b
+              JOIN can z ON z.a = x.a AND z.b = y.b),
+            te AS (
+              SELECT a, b FROM tris
+              UNION ALL SELECT b AS a, c AS b FROM tris
+              UNION ALL SELECT a, c AS b FROM tris),
+            common AS MATERIALIZED (
+              SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM te GROUP BY a, b),
+            deg AS MATERIALIZED (
+              SELECT src AS id, CAST(COUNT(DISTINCT dst) AS BIGINT) AS deg
+              FROM evsym WHERE src <> dst GROUP BY src)
+            SELECT c0.a, c0.b,
+                   CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+                   ROUND(CASE WHEN da.deg + db.deg - 2 - COALESCE(cm.n_common, 0) > 0
+                         THEN COALESCE(cm.n_common, 0)
+                              / CAST(da.deg + db.deg - 2
+                                     - COALESCE(cm.n_common, 0) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS jac
+            FROM can c0
+            LEFT JOIN common cm ON cm.a = c0.a AND cm.b = c0.b
+            JOIN deg da ON da.id = c0.a
+            JOIN deg db ON db.id = c0.b""",
         "msbfs_ps": f"""WITH RECURSIVE {PS_CTES},
             srcs AS MATERIALIZED (
               SELECT src AS s FROM (

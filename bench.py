@@ -76,6 +76,7 @@ HEADLINE = [
     "adamic_adar_ev",
     "tfidf_topk",
     "msbfs_ps",
+    "edge_jaccard_ev",
 ]
 
 

@@ -81,3 +81,120 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).alias("lcc"),
         )
     )
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """One-row global transitivity ratio: 3 * triangles / wedges — the
+    whole-graph companion of the per-vertex lcc (same masked-SpGEMM
+    enumeration, one more aggregate).
+
+    -> (n_triangles BIGINT, n_wedges BIGINT, transitivity) with
+    n_wedges = sum_v deg(v)*(deg(v)-1)/2 (integer-exact) and the ratio
+    rounded to 6 decimals; 0.0 on wedge-free graphs.
+    """
+    from combblas_spark.algorithms.triangles import triangles_per_edge
+
+    tri = triangles_per_edge(edges).agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_triangles")
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    wedges = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0)
+            ).cast("long").alias("n_wedges")
+        )
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("transitivity"),
+    )
+
+
+def edge_jaccard(edges: DataFrame) -> DataFrame:
+    """Per-edge neighborhood Jaccard similarity — the tie-strength signal
+    (Easley-Kleinberg embeddedness): for each undirected edge (a, b),
+    jac = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over OPEN neighborhoods with the
+    endpoints excluded, i.e. union = (deg(a)-1) + (deg(b)-1) - common.
+
+    -> (a, b, n_common BIGINT, jac) per undirected simple edge, a < b,
+    jac rounded to 6 (0.0 when the union is empty — an isolated edge).
+
+    Scale shape: triangles enumerated ONCE on the degree-ordered DAG (the
+    compact-forward hub bound), each credited to its three edges by one
+    explode; degrees attach by two O(V)-keyed hash joins. No windows.
+    """
+    from combblas_spark.algorithms.triangles import _oriented
+
+    L = _oriented(edges, degree_ordered=True).select("src", "dst")
+    ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = L.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("a"), F.greatest("b", "c").alias("b")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("a"), F.greatest("a", "c").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    common = tri_edges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    j = (
+        und.join(common, ["a", "b"], "left")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a", "b",
+            F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias("n_common"),
+            (F.col("deg_a") + F.col("deg_b") - 2).alias("un_base"),
+        )
+    )
+    union = F.col("un_base") - F.col("n_common")
+    return j.select(
+        "a", "b", "n_common",
+        F.round(
+            F.when(union > 0, F.col("n_common") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("jac"),
+    )

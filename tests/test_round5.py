@@ -426,3 +426,64 @@ def test_msbfs_depth_cap(spark):
     pairs = [(i, i + 1) for i in range(6)]  # directed 7-chain
     got = msbfs(spark, _edges_df(spark, pairs), roots=[0], max_iter=3)
     assert {r["depth"] for r in got.collect()} == {0, 1, 2, 3}
+
+
+# ------------------------------------------------- coloring / transitivity
+
+
+def test_jp_coloring_proper_on_clique_and_path(spark):
+    from combblas_spark.algorithms.coloring import jp_coloring
+
+    # K5: one vertex per round -> exactly colors 1..5, all distinct
+    k5 = [(a, b) for a, b in combinations(range(5), 2)]
+    got = {r["id"]: r["color"] for r in jp_coloring(spark, _edges_df(spark, k5), max_colors=6).collect()}
+    assert sorted(got.values()) == [1, 2, 3, 4, 5]
+    # path P6: proper coloring, few colors, nothing left uncolored
+    p6 = [(i, i + 1) for i in range(5)]
+    cols = {r["id"]: r["color"] for r in jp_coloring(spark, _edges_df(spark, p6), max_colors=6).collect()}
+    assert all(c >= 1 for c in cols.values())
+    for a, b in p6:
+        assert cols[a] != cols[b]
+
+
+def test_jp_coloring_round_budget_warns(spark):
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.coloring import jp_coloring
+
+    k5 = [(a, b) for a, b in combinations(range(5), 2)]
+    with _pytest.warns(UserWarning, match="max_colors exhausted"):
+        got = {
+            r["id"]: r["color"]
+            for r in jp_coloring(spark, _edges_df(spark, k5), max_colors=2).collect()
+        }
+    assert sorted(got.values()) == [0, 0, 0, 1, 2]
+
+
+def test_transitivity_known_graphs(spark):
+    from combblas_spark.algorithms.clustering import transitivity
+
+    # K4: 4 triangles, 12 wedges -> 1.0
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    row = transitivity(_edges_df(spark, k4)).collect()[0]
+    assert (row["n_triangles"], row["n_wedges"], row["transitivity"]) == (4, 12, 1.0)
+    # path 1-2-3: no triangle, one wedge
+    row = transitivity(_edges_df(spark, [(1, 2), (2, 3)])).collect()[0]
+    assert (row["n_triangles"], row["n_wedges"], row["transitivity"]) == (0, 1, 0.0)
+
+
+def test_edge_jaccard_triangle_with_pendant(spark):
+    from combblas_spark.algorithms.clustering import edge_jaccard
+
+    # triangle 1-2-3, pendant 4 on 1
+    pairs = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    got = {(r["a"], r["b"]): (r["n_common"], r["jac"]) for r in edge_jaccard(_edges_df(spark, pairs)).collect()}
+    # edge (2,3): N(2)\{3}={1}, N(3)\{2}={1} -> jac 1/1
+    assert got[(2, 3)] == (1, 1.0)
+    # edge (1,2): common {3}; union (3-1)+(2-1)-1 = 2 -> 0.5
+    assert got[(1, 2)] == (1, 0.5)
+    # pendant edge (1,4): no common, union = (3-1)+(1-1)-0 = 2 -> 0.0
+    assert got[(1, 4)] == (0, 0.0)
+    # isolated edge: union empty -> 0.0
+    got2 = {(r["a"], r["b"]): r["jac"] for r in edge_jaccard(_edges_df(spark, [(8, 9)])).collect()}
+    assert got2 == {(8, 9): 0.0}
