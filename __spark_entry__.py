@@ -1973,6 +1973,19 @@ def q_edge_jaccard_ev(spark, sf):
     return edge_jaccard(events_digraph(spark, sf))
 
 
+def q_harmonic_ps(spark, sf):
+    """Sampled harmonic centrality from one batched multi-source BFS
+    (algorithms/stats.harmonic_centrality over bfs.msbfs)."""
+    from combblas_spark.algorithms.stats import harmonic_centrality
+
+    e = part_supplier_graph(spark, sf)
+    roots = [
+        r["src"]
+        for r in e.select("src").distinct().orderBy("src").limit(MSBFS_SOURCES).collect()
+    ]
+    return harmonic_centrality(spark, e, roots=roots, max_iter=BFS_DEPTH)
+
+
 def _jp_coloring_sql(edges_cte: str, rounds: int) -> str:
     """Unrolled Jones-Plassmann rounds replaying the md5-60bit priority:
     round c's winners are the strict local priority maxima among
@@ -2058,12 +2071,20 @@ def q_graph_stats_ev(spark, sf):
     return graph_stats(events_digraph(spark, sf))
 
 
+AA_MAX_DEGREE = 64  # wedge-center cap: the production anti-hub shape —
+# a degree-d center contributes d^2 candidate pairs and ~zero AA weight
+# (1/ln d); the oracle replays the same cap, so the query IS the capped op
+
+
 def q_adamic_adar_ev(spark, sf):
     """Top-k Adamic-Adar link-prediction pairs on the events graph
-    (algorithms/linkpred.adamic_adar — inverted-mask wedge SpGEMM)."""
+    (algorithms/linkpred.adamic_adar — inverted-mask wedge SpGEMM),
+    hub-capped exactly like a 100-TB run would be."""
     from combblas_spark.algorithms.linkpred import adamic_adar
 
-    return adamic_adar(events_digraph(spark, sf), k=ADAMIC_ADAR_K)
+    return adamic_adar(
+        events_digraph(spark, sf), k=ADAMIC_ADAR_K, max_degree=AA_MAX_DEGREE
+    )
 
 
 def q_degree_hist_ps(spark, sf):
@@ -2139,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_nation": q_coloring_nation,
         "transitivity_ev": q_transitivity_ev,
         "edge_jaccard_ev": q_edge_jaccard_ev,
+        "harmonic_ps": q_harmonic_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2345,7 +2367,8 @@ def oracle_sql() -> dict[str, str]:
             inc AS MATERIALIZED (
               SELECT sym.a AS z, sym.b AS v,
                      1.0 / LN(CAST(deg.deg AS DOUBLE)) AS wz
-              FROM sym JOIN deg ON deg.z = sym.a WHERE deg.deg >= 2),
+              FROM sym JOIN deg ON deg.z = sym.a
+              WHERE deg.deg >= 2 AND deg.deg <= {AA_MAX_DEGREE}),
             pairs AS MATERIALIZED (
               SELECT l.v AS a, r.v AS b,
                      CAST(COUNT(*) AS BIGINT) AS n_common, SUM(l.wz) AS aa
@@ -2435,6 +2458,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s, id, CAST(MIN(depth) AS BIGINT) AS depth
             FROM reach GROUP BY s, id""",
+        "harmonic_ps": f"""WITH RECURSIVE {PS_CTES},
+            srcs AS MATERIALIZED (
+              SELECT src AS s FROM (
+                SELECT DISTINCT src FROM edges ORDER BY src
+                LIMIT {MSBFS_SOURCES})),
+            reach(s, id, depth) AS (
+              SELECT s, s, 0 FROM srcs
+              UNION
+              SELECT r.s, e.dst, r.depth + 1
+              FROM reach r JOIN edges e ON e.src = r.id
+              WHERE r.depth < {BFS_DEPTH}
+            ),
+            d AS (
+              SELECT s, id, MIN(depth) AS depth FROM reach GROUP BY s, id)
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   ROUND(SUM(1.0 / depth), 6) AS harmonic
+            FROM d WHERE depth > 0 GROUP BY id""",
         "tfidf_topk": f"""WITH {TOKS_CTES},
             tf AS MATERIALIZED (
               SELECT doc_id AS id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf

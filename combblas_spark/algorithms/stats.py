@@ -98,3 +98,29 @@ def graph_stats(edges: DataFrame) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+def harmonic_centrality(
+    spark, edges: DataFrame, roots: list[int], max_iter: int = 24
+) -> DataFrame:
+    """Sampled harmonic centrality: h(v) = sum over sources s of
+    1/d(s, v) — the standard k-source estimator, computed from ONE batched
+    multi-source BFS (algorithms/bfs.msbfs, the BetwCent batched-fringe
+    shape) instead of k traversals.
+
+    -> (id, n_sources BIGINT, harmonic) over vertices reached by at least
+    one source (the source itself contributes nothing at distance 0);
+    harmonic rounded to 6. Scaling the source sample trades accuracy for
+    cost linearly — the 100-TB pattern for centrality screening.
+    """
+    from combblas_spark.algorithms.bfs import msbfs
+
+    depths = msbfs(spark, edges, roots=roots, max_iter=max_iter)
+    return (
+        depths.filter(F.col("depth") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.round(F.sum(1.0 / F.col("depth")), 6).alias("harmonic"),
+        )
+    )

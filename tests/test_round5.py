@@ -487,3 +487,22 @@ def test_edge_jaccard_triangle_with_pendant(spark):
     # isolated edge: union empty -> 0.0
     got2 = {(r["a"], r["b"]): r["jac"] for r in edge_jaccard(_edges_df(spark, [(8, 9)])).collect()}
     assert got2 == {(8, 9): 0.0}
+
+
+def test_harmonic_centrality_known_path(spark):
+    from combblas_spark.algorithms.stats import harmonic_centrality
+
+    # undirected path 1-2-3-4, sources {1, 3}
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    got = {
+        r["id"]: (r["n_sources"], r["harmonic"])
+        for r in harmonic_centrality(
+            spark, _edges_df(spark, sym), roots=[1, 3]
+        ).collect()
+    }
+    # d(1,.)=0,1,2,3; d(3,.)=2,1,0,1
+    assert got[2] == (2, 2.0)                       # 1/1 + 1/1
+    assert got[4] == (2, round(1 / 3 + 1, 6))       # 1/3 + 1/1
+    assert got[1] == (1, 0.5)                       # only from 3 (d=2)
+    assert got[3] == (1, 0.5)                       # only from 1 (d=2)
