@@ -145,3 +145,62 @@ def test_bucketed_aggregation_is_exchange_free(spark, tmp_path):
         assert "Exchange" not in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS tp_edges_b2")
+
+
+def test_spmm_single_join_single_shuffle_for_all_columns(spark):
+    """SpMM's whole point: k vectors ride ONE join + ONE aggregation pair.
+    The plan must contain exactly one join and no per-column extra
+    Exchange beyond the single groupBy shuffle."""
+    from combblas_spark.operators.multiply import spmm
+    from combblas_spark.core.semiring import PLUS_TIMES
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    e = part_supplier_graph(spark, SF)
+    x = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .select(
+            "id",
+            (F.col("id") % 7).cast("double").alias("x0"),
+            (F.col("id") % 5).cast("double").alias("x1"),
+            (F.col("id") % 3).cast("double").alias("x2"),
+        )
+    )
+    plan = _plan(spmm(e, x, PLUS_TIMES))
+    n_joins = sum(plan.count(j) for j in
+                  ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert n_joins == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final, all 3 columns
+
+
+def test_kron_is_broadcast_nested_loop_by_design(spark):
+    """Kron IS a cross join of nonzero lists — assert it broadcasts the
+    small side (never a shuffle cartesian) and stays flagged deliberate."""
+    from combblas_spark.operators.multiply import kron
+    from combblas_spark.sources.graphs import nation_clique_graph
+
+    a = nation_clique_graph(spark, SF)
+    plan = _plan(kron(a, a, 25, 25))
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # small side broadcast, big side never moves
+
+
+def test_adamic_adar_has_no_cartesian(spark):
+    """The wedge self-join is keyed on the center z — a cartesian would
+    mean the key got lost."""
+    from combblas_spark.algorithms.linkpred import adamic_adar
+    from combblas_spark.sources.graphs import events_digraph
+
+    plan = _plan(adamic_adar(events_digraph(spark, SF), k=50, max_degree=64))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_degree_histogram_is_two_hash_aggs_no_join(spark):
+    from combblas_spark.operators.reduce import degree_histogram
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    plan = _plan(degree_histogram(part_supplier_graph(spark, SF)))
+    assert plan.count("HashAggregate") >= 4  # partial+final per level
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
