@@ -1973,6 +1973,18 @@ def q_edge_jaccard_ev(spark, sf):
     return edge_jaccard(events_digraph(spark, sf))
 
 
+BF_MAX_DEGREE = 64  # wedge-center cap, same rationale (and oracle replay)
+# as AA_MAX_DEGREE: a degree-d center contributes C(d,2) wedge pair rows
+
+
+def q_butterflies_ps(spark, sf):
+    """Butterfly (bipartite 4-cycle) census of the part—supplier graph
+    (algorithms/butterflies.py), hub-capped like a 100-TB run."""
+    from combblas_spark.algorithms.butterflies import butterfly_count
+
+    return butterfly_count(part_supplier_graph(spark, sf), max_degree=BF_MAX_DEGREE)
+
+
 def q_harmonic_ps(spark, sf):
     """Sampled harmonic centrality from one batched multi-source BFS
     (algorithms/stats.harmonic_centrality over bfs.msbfs)."""
@@ -2161,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity_ev": q_transitivity_ev,
         "edge_jaccard_ev": q_edge_jaccard_ev,
         "harmonic_ps": q_harmonic_ps,
+        "butterflies_ps": q_butterflies_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2458,6 +2471,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s, id, CAST(MIN(depth) AS BIGINT) AS depth
             FROM reach GROUP BY s, id""",
+        "butterflies_ps": f"""WITH {PS_CTES},
+            und AS MATERIALIZED (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges WHERE src <> dst),
+            bsym AS MATERIALIZED (
+              SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+            bdeg AS MATERIALIZED (
+              SELECT a AS z, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM bsym GROUP BY a),
+            binc AS MATERIALIZED (
+              SELECT bsym.a AS z, bsym.b AS v
+              FROM bsym JOIN bdeg ON bdeg.z = bsym.a
+              WHERE bdeg.deg >= 2 AND bdeg.deg <= {BF_MAX_DEGREE}),
+            bpairs AS MATERIALIZED (
+              SELECT l.v AS u, r.v AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM binc l JOIN binc r ON r.z = l.z AND l.v < r.v
+              GROUP BY l.v, r.v)
+            SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_wedges,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(c * (c - 1) / 2), 0) / 2 AS BIGINT)
+                     AS n_butterflies
+            FROM bpairs""",
         "harmonic_ps": f"""WITH RECURSIVE {PS_CTES},
             srcs AS MATERIALIZED (
               SELECT src AS s FROM (

@@ -77,6 +77,7 @@ HEADLINE = [
     "tfidf_topk",
     "msbfs_ps",
     "edge_jaccard_ev",
+    "butterflies_ps",
 ]
 
 

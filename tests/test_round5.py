@@ -506,3 +506,33 @@ def test_harmonic_centrality_known_path(spark):
     assert got[4] == (2, round(1 / 3 + 1, 6))       # 1/3 + 1/1
     assert got[1] == (1, 0.5)                       # only from 3 (d=2)
     assert got[3] == (1, 0.5)                       # only from 1 (d=2)
+
+
+def test_butterfly_count_known_graphs(spark):
+    from combblas_spark.algorithms.butterflies import butterfly_count
+
+    # K2,3: parts {1,2} x {10,11,12} -> C(2,2)-side contributes one pair
+    # with c=3, C(3,2)-side three pairs with c=2; butterflies = 3
+    k23 = [(a, b) for a in (1, 2) for b in (10, 11, 12)]
+    row = butterfly_count(_edges_df(spark, k23)).collect()[0]
+    assert row["n_butterflies"] == 3
+    assert row["n_pairs"] == 4 and row["n_wedges"] == 3 + 3 * 2
+    # 6-cycle: wedges exist but no 4-cycle
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    row = butterfly_count(_edges_df(spark, c6)).collect()[0]
+    assert row["n_butterflies"] == 0
+    # 4-cycle: exactly one butterfly
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    row = butterfly_count(_edges_df(spark, c4)).collect()[0]
+    assert row["n_butterflies"] == 1
+
+
+def test_butterfly_max_degree_cap(spark):
+    from combblas_spark.algorithms.butterflies import butterfly_count
+
+    # star hub 0 with 5 leaves: capping centers below 5 removes all wedges
+    star = [(0, i) for i in range(1, 6)]
+    row = butterfly_count(_edges_df(spark, star), max_degree=4).collect()[0]
+    assert (row["n_wedges"], row["n_pairs"], row["n_butterflies"]) == (0, 0, 0)
+    full = butterfly_count(_edges_df(spark, star)).collect()[0]
+    assert full["n_wedges"] == 10 and full["n_butterflies"] == 0
