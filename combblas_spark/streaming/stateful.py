@@ -198,3 +198,114 @@ def streaming_near_dups(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 21600,
+) -> DataFrame:
+    """Stateful cross-batch sessionization — the streaming twin of
+    functions.sessions.sessionize, same rollup contract: emitted rows are
+    (user_id, session_id, n_events, start_us, end_us, n_types,
+    value_milli) for every session CLOSED by a later event; the newest
+    session per user stays open in state (a production pipeline closes
+    stragglers by watermark timeout — the batch-equality tests compare
+    against the batch output minus each user's final session).
+
+    State per user is ONE open-session summary (constant size: counters +
+    the distinct-type set), so the state store grows with active users,
+    not with events. Within a micro-batch the gap/boundary logic is the
+    same vectorized cumsum the batch operator uses (no per-row loop);
+    events are assumed in event-time order ACROSS micro-batches (enforce
+    upstream with a watermark — same in-order contract as the batch
+    window). Key by user_id: the same single-exchange shape as batch.
+    """
+    out_schema = (
+        "user_id long, session_id long, n_events long, start_us long, "
+        "end_us long, n_types long, value_milli long"
+    )
+    state_schema = (
+        "session_id long, start_us long, end_us long, n_events long, "
+        "value_milli long, types array<string>"
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def roll(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            # state untouched; nothing to emit
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        import numpy as np
+
+        vmilli = np.floor(pdf["value"].to_numpy() * 1000).astype("int64")
+        # vectorized boundary flags within the batch (same rule as batch)
+        brk = (us.diff().fillna(gap_us + 1) > gap_us).astype("int64")
+        local = brk.cumsum() - 1  # 0-based local session index
+        agg = pd.DataFrame(
+            {"local": local, "us": us, "vm": vmilli, "ty": pdf["event_type"]}
+        ).groupby("local", sort=True).agg(
+            n=("us", "size"),
+            start=("us", "min"),
+            end=("us", "max"),
+            vm=("vm", "sum"),
+            ty=("ty", lambda s: set(s)),
+        )
+        (uid,) = key
+        closed = []  # (sid, n, start, end, n_types, vm)
+        if state.exists:
+            sid0, st0, en0, n0, vm0, ty0 = state.get
+            first = agg.iloc[0]
+            if int(us.iloc[0]) - en0 <= gap_us:
+                # first local session continues the open one: merge
+                merged_ty = set(ty0) | first["ty"]
+                agg.iat[0, agg.columns.get_loc("n")] = n0 + first["n"]
+                agg.iat[0, agg.columns.get_loc("start")] = min(st0, first["start"])
+                agg.iat[0, agg.columns.get_loc("end")] = max(en0, first["end"])
+                agg.iat[0, agg.columns.get_loc("vm")] = vm0 + first["vm"]
+                agg.iat[0, agg.columns.get_loc("ty")] = merged_ty
+                base = sid0  # local 0 keeps the open session's id
+            else:
+                closed.append((sid0, n0, st0, en0, len(set(ty0)), vm0))
+                base = sid0 + 1
+        else:
+            base = 1
+        # every local session except the last closes within this batch
+        for loc, row in agg.iloc[:-1].iterrows():
+            closed.append(
+                (base + int(loc), int(row["n"]), int(row["start"]),
+                 int(row["end"]), len(row["ty"]), int(row["vm"]))
+            )
+        last_loc = int(agg.index[-1])
+        last = agg.iloc[-1]
+        state.update(
+            (base + last_loc, int(last["start"]), int(last["end"]),
+             int(last["n"]), int(last["vm"]), sorted(last["ty"]))
+        )
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": int(uid), "session_id": sid, "n_events": n,
+                        "start_us": st, "end_us": en, "n_types": nt,
+                        "value_milli": vm,
+                    }
+                    for sid, n, st, en, nt, vm in closed
+                ]
+            )
+
+    keyed = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts", "event_id", "event_type", "value",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        roll,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -242,3 +242,75 @@ def test_streaming_near_dups_stateful(spark, tmp_path):
     }
     assert got == want
     assert (0, 10) in got  # the cross-batch duplicate was caught
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """Cross-batch stateful sessionization: a session spanning the
+    micro-batch boundary merges in state; closed sessions equal the batch
+    operator's output minus each user's (still-open) final session."""
+    import datetime
+
+    from combblas_spark.functions.sessions import sessionize
+    from combblas_spark.streaming.stateful import streaming_sessionize
+
+    def ev(eid, uid, minute, etype, value):
+        return (
+            eid,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minute),
+            uid,
+            etype,
+            value,
+        )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double"
+    )
+    b1 = [ev(1, 7, 0, "a", 1.0), ev(2, 7, 10, "b", 2.25), ev(5, 8, 0, "c", 0.5)]
+    b2 = [ev(3, 7, 20, "a", 3.0), ev(4, 7, 500, "b", 4.0), ev(6, 8, 400, "c", 1.5)]
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_sessionize(stream, gap_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("sess_state_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT user_id, session_id, n_events, start_us, end_us, "
+            "n_types, value_milli FROM sess_state_t"
+        ).collect()
+    }
+
+    batch = sessionize(spark.createDataFrame(b1 + b2, schema), gap_seconds=3600)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    last = Window.partitionBy("user_id")
+    want = {
+        tuple(r)
+        for r in batch.withColumn(
+            "mx", F.max("session_id").over(last)
+        ).filter(F.col("session_id") < F.col("mx"))
+        .select(
+            "user_id", "session_id", "n_events", "start_us", "end_us",
+            "n_types", "value_milli",
+        ).collect()
+    }
+    assert got == want
+    # the boundary-spanning session merged: user 7 session 1 has 3 events
+    u7s1 = [r for r in got if r[0] == 7 and r[1] == 1]
+    assert u7s1 and u7s1[0][2] == 3 and u7s1[0][6] == 1000 + 2250 + 3000
