@@ -1,7 +1,17 @@
 from combblas_spark.algorithms.pagerank import pagerank  # noqa: F401
 from combblas_spark.algorithms.cc import cc_minlabel, cc_fastsv, cc_lacc, canonical_labels  # noqa: F401
-from combblas_spark.algorithms.bfs import bfs, bfs_validate, single_child_frontier  # noqa: F401
+from combblas_spark.algorithms.bfs import bfs, msbfs, bfs_validate, single_child_frontier  # noqa: F401
 from combblas_spark.algorithms.triangles import triangle_count, triangles_per_edge  # noqa: F401
+from combblas_spark.algorithms.clustering import (  # noqa: F401
+    clustering_coefficient,
+    per_vertex_triangles,
+    transitivity,
+    edge_jaccard,
+)
+from combblas_spark.algorithms.stats import graph_stats, harmonic_centrality  # noqa: F401
+from combblas_spark.algorithms.linkpred import adamic_adar  # noqa: F401
+from combblas_spark.algorithms.coloring import jp_coloring  # noqa: F401
+from combblas_spark.algorithms.butterflies import butterfly_count  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
 from combblas_spark.algorithms.sssp import sssp  # noqa: F401
 from combblas_spark.algorithms.betweenness import betweenness  # noqa: F401

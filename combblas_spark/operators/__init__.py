@@ -1,4 +1,4 @@
-from combblas_spark.operators.multiply import spmv, spgemm, square, galerkin  # noqa: F401
+from combblas_spark.operators.multiply import spmv, spmm, spgemm, square, galerkin, kron  # noqa: F401
 from combblas_spark.operators.ewise import (  # noqa: F401
     ewise_mult,
     ewise_apply,
@@ -8,6 +8,7 @@ from combblas_spark.operators.ewise import (  # noqa: F401
 from combblas_spark.operators.reduce import (  # noqa: F401
     reduce_dim,
     masked_reduce,
+    degree_histogram,
     bandwidth,
     profile,
     load_imbalance,
