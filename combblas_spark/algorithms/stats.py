@@ -124,3 +124,52 @@ def harmonic_centrality(
             F.round(F.sum(1.0 / F.col("depth")), 6).alias("harmonic"),
         )
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex partition over a SYMMETRIC weighted
+    edge table (each undirected edge present in both directions, the shape
+    the graph builders emit):
+
+        Q = sum over communities c of [ w_in(c)/2m - (d(c)/2m)^2 ]
+
+    with 2m = total symmetric edge weight, w_in(c) the symmetric
+    intra-community weight and d(c) the community's weighted degree —
+    the standard partition-quality score for label-propagation/MCL output.
+
+    ``labels`` is (id, val = community). -> one row
+    (n_communities BIGINT, modularity ROUND 6).
+
+    Scale shape: two O(V)-keyed hash joins to attach labels to edge
+    endpoints, two map-side-combinable aggregations to (community) keys —
+    the community table is orders smaller than V — and a one-row final
+    aggregate. No windows, no UDFs, no collect.
+    """
+    lab_s = labels.select(F.col("id").alias("src"), F.col("val").alias("c_src"))
+    lab_d = labels.select(F.col("id").alias("dst"), F.col("val").alias("c_dst"))
+    two_m = edges.agg(F.sum("w").alias("m2"))
+    w_in = (
+        edges.join(lab_s, "src")
+        .join(lab_d, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("c"))
+        .agg(F.sum("w").alias("w_in"))
+    )
+    d_c = (
+        edges.groupBy("src")
+        .agg(F.sum("w").alias("wd"))
+        .join(lab_s, "src")
+        .groupBy(F.col("c_src").alias("c"))
+        .agg(F.sum("wd").alias("d_c"))
+    )
+    term = F.coalesce(F.col("w_in"), F.lit(0.0)) / F.col("m2") - (
+        F.col("d_c") / F.col("m2")
+    ) * (F.col("d_c") / F.col("m2"))
+    return (
+        d_c.join(w_in, "c", "left")
+        .crossJoin(F.broadcast(two_m))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.round(F.sum(term), 6).alias("modularity"),
+        )
+    )

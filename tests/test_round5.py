@@ -536,3 +536,30 @@ def test_butterfly_max_degree_cap(spark):
     assert (row["n_wedges"], row["n_pairs"], row["n_butterflies"]) == (0, 0, 0)
     full = butterfly_count(_edges_df(spark, star)).collect()[0]
     assert full["n_wedges"] == 10 and full["n_butterflies"] == 0
+
+
+def test_modularity_known_partitions(spark):
+    from combblas_spark.algorithms.stats import modularity
+
+    # two disjoint triangles, symmetric unit weights
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    pairs = tri1 + tri2
+    sym = pairs + [(b, a) for a, b in pairs]
+    e = _edges_df(spark, sym)
+    # perfect partition: each triangle its own community ->
+    # Q = 2 * (6/12 - (6/12)^2) = 0.5
+    good = spark.createDataFrame(
+        [(i, 1) for i in (1, 2, 3)] + [(i, 2) for i in (4, 5, 6)],
+        "id long, val long",
+    )
+    row = modularity(e, good).collect()[0]
+    assert (row["n_communities"], row["modularity"]) == (2, 0.5)
+    # everything in one community -> Q = 1 - 1 = 0
+    allone = spark.createDataFrame([(i, 1) for i in range(1, 7)], "id long, val long")
+    row = modularity(e, allone).collect()[0]
+    assert (row["n_communities"], row["modularity"]) == (1, 0.0)
+    # singletons -> Q = sum(0 - (2/12)^2) = -6/36
+    singles = spark.createDataFrame([(i, i) for i in range(1, 7)], "id long, val long")
+    row = modularity(e, singles).collect()[0]
+    assert (row["n_communities"], row["modularity"]) == (6, round(-6 / 36, 6))
