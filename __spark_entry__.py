@@ -196,6 +196,14 @@ def _minlabel_sql(prefix: str, edges_cte: str, iters: int) -> str:
     return f"WITH {prefix},\n" + ",\n".join(parts) + f"\nSELECT id, val FROM l{iters}"
 
 
+def _minlabel_ctes(edges_cte: str, iters: int) -> str:
+    """The CTE body of _minlabel_sql, for oracles that post-process the
+    converged labels (component-size histogram)."""
+    full = _minlabel_sql("__P__", edges_cte, iters)
+    body = full[len("WITH __P__,\n"):]
+    return body[: body.rindex("\nSELECT id, val FROM")]
+
+
 def _pagerank_sql(prefix: str, edges_cte: str, iters: int, alpha: float = 0.85) -> str:
     a = repr(alpha)
     parts = [
@@ -1993,6 +2001,18 @@ def q_butterflies_ps(spark, sf):
     return butterfly_count(part_supplier_graph(spark, sf), max_degree=BF_MAX_DEGREE)
 
 
+def q_cc_sizes_ps(spark, sf):
+    """Component-size log2 histogram of the cc_ps labeling
+    (algorithms/stats.component_histogram) — the giant-component +
+    power-law-tail connectivity report."""
+    from combblas_spark.algorithms.stats import component_histogram
+
+    labels = cc_minlabel(
+        spark, part_supplier_graph(spark, sf), max_iter=CC_ORACLE_ITERS
+    )
+    return component_histogram(labels)
+
+
 def q_modularity_ps(spark, sf):
     """Newman modularity of the labelprop_ps partition
     (algorithms/stats.modularity) — the partition-quality score; the
@@ -2195,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_ps": q_harmonic_ps,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
+        "cc_sizes_ps": q_cc_sizes_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2492,6 +2513,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s, id, CAST(MIN(depth) AS BIGINT) AS depth
             FROM reach GROUP BY s, id""",
+        "cc_sizes_ps": f"WITH {PS_CTES},\n"
+            + _minlabel_ctes("edges", CC_ORACLE_ITERS)
+            + f""",
+            csz AS MATERIALIZED (
+              SELECT val, CAST(COUNT(*) AS BIGINT) AS size
+              FROM l{CC_ORACLE_ITERS} GROUP BY val)
+            SELECT CAST(LENGTH(LTRIM(bin(size), '0')) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_components,
+                   MIN(size) AS min_size, MAX(size) AS max_size,
+                   CAST(SUM(size) AS BIGINT) AS n_vertices
+            FROM csz GROUP BY 1""",
         "modularity_ps": f"WITH {PS_CTES},\n"
             + _labelprop_ctes("edges", LP_ITERS)
             + f""",

@@ -173,3 +173,32 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             F.round(F.sum(term), 6).alias("modularity"),
         )
     )
+
+
+def component_histogram(labels: DataFrame) -> DataFrame:
+    """Log2-bucket histogram of component sizes — the standard web-graph
+    connectivity report (one giant component + a power-law tail) computed
+    from any (id, val = component label) table, e.g. cc_minlabel output.
+
+    -> (bucket BIGINT, n_components BIGINT, min_size BIGINT,
+    max_size BIGINT, n_vertices BIGINT) with bucket = bit_length(size)-1
+    (integer-exact at power-of-two boundaries, same bin() trick as
+    degree_histogram). Output is O(log V) rows; two map-side-combinable
+    aggregations.
+    """
+    sizes = labels.groupBy("val").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return (
+        sizes.select(
+            (F.length(F.bin(F.col("size"))) - 1).cast("long").alias("bucket"),
+            "size",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.min("size").alias("min_size"),
+            F.max("size").alias("max_size"),
+            F.sum("size").cast("long").alias("n_vertices"),
+        )
+    )

@@ -563,3 +563,21 @@ def test_modularity_known_partitions(spark):
     singles = spark.createDataFrame([(i, i) for i in range(1, 7)], "id long, val long")
     row = modularity(e, singles).collect()[0]
     assert (row["n_communities"], row["modularity"]) == (6, round(-6 / 36, 6))
+
+
+def test_component_histogram_known_components(spark):
+    from combblas_spark.algorithms.stats import component_histogram
+
+    # components of sizes 1(x2 labels? no: labels per vertex): sizes 3, 2, 8
+    rows = (
+        [(i, 100) for i in range(3)]
+        + [(10 + i, 200) for i in range(2)]
+        + [(20 + i, 300) for i in range(8)]
+    )
+    labels = spark.createDataFrame(rows, "id long, val long")
+    got = {
+        r["bucket"]: (r["n_components"], r["min_size"], r["max_size"], r["n_vertices"])
+        for r in component_histogram(labels).collect()
+    }
+    # size 3 -> bucket 1, size 2 -> bucket 1, size 8 -> bucket 3 (exact pow2)
+    assert got == {1: (2, 2, 3, 5), 3: (1, 8, 8, 8)}
