@@ -2038,6 +2038,19 @@ def q_harmonic_ps(spark, sf):
     return harmonic_centrality(spark, e, roots=roots, max_iter=BFS_DEPTH)
 
 
+def q_hop_hist_ps(spark, sf):
+    """Hop-count distribution + p90 effective diameter from one batched
+    multi-source BFS (algorithms/stats.distance_histogram over bfs.msbfs)."""
+    from combblas_spark.algorithms.stats import distance_histogram
+
+    e = part_supplier_graph(spark, sf)
+    roots = [
+        r["src"]
+        for r in e.select("src").distinct().orderBy("src").limit(MSBFS_SOURCES).collect()
+    ]
+    return distance_histogram(spark, e, roots=roots, max_iter=BFS_DEPTH)
+
+
 def _jp_coloring_sql(edges_cte: str, rounds: int) -> str:
     """Unrolled Jones-Plassmann rounds replaying the md5-60bit priority:
     round c's winners are the strict local priority maxima among
@@ -2213,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity_ev": q_transitivity_ev,
         "edge_jaccard_ev": q_edge_jaccard_ev,
         "harmonic_ps": q_harmonic_ps,
+        "hop_hist_ps": q_hop_hist_ps,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "cc_sizes_ps": q_cc_sizes_ps,
@@ -2583,6 +2597,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sources,
                    ROUND(SUM(1.0 / depth), 6) AS harmonic
             FROM d WHERE depth > 0 GROUP BY id""",
+        "hop_hist_ps": f"""WITH RECURSIVE {PS_CTES},
+            srcs AS MATERIALIZED (
+              SELECT src AS s FROM (
+                SELECT DISTINCT src FROM edges ORDER BY src
+                LIMIT {MSBFS_SOURCES})),
+            reach(s, id, depth) AS (
+              SELECT s, s, 0 FROM srcs
+              UNION
+              SELECT r.s, e.dst, r.depth + 1
+              FROM reach r JOIN edges e ON e.src = r.id
+              WHERE r.depth < {BFS_DEPTH}
+            ),
+            d AS (
+              SELECT s, id, MIN(depth) AS depth FROM reach GROUP BY s, id),
+            h AS MATERIALIZED (
+              SELECT CAST(depth AS BIGINT) AS depth,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM d WHERE depth > 0 GROUP BY depth),
+            c AS MATERIALIZED (
+              SELECT depth, n_pairs,
+                     CAST(SUM(n_pairs) OVER (ORDER BY depth) AS BIGINT) AS cum
+              FROM h),
+            t AS (SELECT MAX(cum) AS total FROM c),
+            eff AS (
+              SELECT CAST(MIN(depth) AS BIGINT) AS eff_diameter
+              FROM c CROSS JOIN t WHERE 10 * cum >= 9 * total)
+            SELECT depth, n_pairs,
+                   ROUND(CAST(cum AS DOUBLE) / total, 6) AS cum_frac,
+                   eff_diameter
+            FROM c CROSS JOIN t CROSS JOIN eff""",
         "tfidf_topk": f"""WITH {TOKS_CTES},
             tf AS MATERIALIZED (
               SELECT doc_id AS id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf

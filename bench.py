@@ -78,6 +78,7 @@ HEADLINE = [
     "msbfs_ps",
     "edge_jaccard_ev",
     "butterflies_ps",
+    "hop_hist_ps",
 ]
 
 

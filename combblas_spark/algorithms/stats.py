@@ -175,6 +175,55 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def distance_histogram(
+    spark, edges: DataFrame, roots: list[int], max_iter: int = 24
+) -> DataFrame:
+    """Hop-count distribution + effective diameter from a k-source sample —
+    the Graph500 kernel-2 output analysis / web-graph "effective diameter"
+    report (reference: the reference validates BFS levels as a distance
+    table per run, /root/reference/Applications/TopDownBFS.cpp:442-449; the
+    multi-source batching is the BetwCent batched-fringe shape).
+
+    All k sources advance through ONE batched msbfs (one edge probe per
+    level regardless of k), then the (source, vertex) min-distance pairs
+    collapse to a per-depth histogram. Effective diameter is the standard
+    p90 rule — the smallest depth d with cum(d) >= 0.9 * total — computed
+    INTEGER-exactly as 10*cum >= 9*total (no float threshold, so the same
+    depth wins in every engine).
+
+    -> (depth BIGINT, n_pairs BIGINT, cum_frac DOUBLE round 6,
+    eff_diameter BIGINT), one row per depth >= 1. Scale shape: the
+    histogram is O(diameter) rows, so the cumulative window and the
+    broadcast one-row total are driver-trivial no matter the graph size;
+    the sampled-source design keeps cost k * O(E) total like harmonic
+    centrality.
+    """
+    from pyspark.sql import Window
+
+    from combblas_spark.algorithms.bfs import msbfs
+
+    depths = msbfs(spark, edges, roots=roots, max_iter=max_iter)
+    hist = (
+        depths.filter(F.col("depth") > 0)
+        .groupBy(F.col("depth").cast("long").alias("depth"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    # O(diameter) rows: a single-partition ordered window is fine here.
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n_pairs").over(w))
+    total = cum.agg(F.max("cum").alias("total"))
+    joined = cum.crossJoin(F.broadcast(total))
+    eff = (
+        joined.filter(F.lit(10) * F.col("cum") >= F.lit(9) * F.col("total"))
+        .agg(F.min("depth").alias("eff_diameter"))
+    )
+    return joined.select(
+        "depth",
+        "n_pairs",
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_frac"),
+    ).crossJoin(F.broadcast(eff))
+
+
 def component_histogram(labels: DataFrame) -> DataFrame:
     """Log2-bucket histogram of component sizes — the standard web-graph
     connectivity report (one giant component + a power-law tail) computed

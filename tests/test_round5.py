@@ -508,6 +508,41 @@ def test_harmonic_centrality_known_path(spark):
     assert got[3] == (1, 0.5)                       # only from 1 (d=2)
 
 
+def test_distance_histogram_known_path(spark):
+    from combblas_spark.algorithms.stats import distance_histogram
+
+    # undirected path 1-2-3-4-5, sources {1, 3}:
+    # depth 1: (1,2) (3,2) (3,4); depth 2: (1,3) (3,1) (3,5);
+    # depth 3: (1,4); depth 4: (1,5) -> total 8 pairs
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    got = {
+        r["depth"]: (r["n_pairs"], r["cum_frac"], r["eff_diameter"])
+        for r in distance_histogram(
+            spark, _edges_df(spark, sym), roots=[1, 3]
+        ).collect()
+    }
+    assert got == {
+        1: (3, 0.375, 4),
+        2: (3, 0.75, 4),
+        3: (1, 0.875, 4),   # cum 7: 70 < 72 = 9*total, not yet p90
+        4: (1, 1.0, 4),
+    }
+
+
+def test_distance_histogram_p90_boundary(spark):
+    from combblas_spark.algorithms.stats import distance_histogram
+
+    # hub 0 with 9 leaves + one depth-2 vertex: from source {0} the
+    # depth-1 cum is exactly 90% of 10 pairs (10*9 == 9*10) -> eff = 1
+    star = [(0, i) for i in range(1, 10)] + [(1, 10)]
+    sym = star + [(b, a) for a, b in star]
+    rows = distance_histogram(spark, _edges_df(spark, sym), roots=[0]).collect()
+    assert all(r["eff_diameter"] == 1 for r in rows)
+    got = {r["depth"]: r["n_pairs"] for r in rows}
+    assert got == {1: 9, 2: 1}
+
+
 def test_butterfly_count_known_graphs(spark):
     from combblas_spark.algorithms.butterflies import butterfly_count
 
