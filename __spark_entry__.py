@@ -2025,6 +2025,18 @@ def q_modularity_ps(spark, sf):
     return modularity(e, labels)
 
 
+def q_conductance_ps(spark, sf):
+    """Per-community conductance of the labelprop_ps partition
+    (algorithms/stats.conductance) — the cut-quality complement to
+    modularity_ps; the oracle replays the SAME unrolled label
+    propagation then the same per-community cut/volume sums."""
+    from combblas_spark.algorithms.stats import conductance
+
+    e = part_supplier_graph(spark, sf)
+    labels = label_propagation(spark, e, num_iters=LP_ITERS)
+    return conductance(e, labels)
+
+
 def q_harmonic_ps(spark, sf):
     """Sampled harmonic centrality from one batched multi-source BFS
     (algorithms/stats.harmonic_centrality over bfs.msbfs)."""
@@ -2227,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_jaccard_ev": q_edge_jaccard_ev,
         "harmonic_ps": q_harmonic_ps,
         "hop_hist_ps": q_hop_hist_ps,
+        "conductance_ps": q_conductance_ps,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "cc_sizes_ps": q_cc_sizes_ps,
@@ -2558,6 +2571,28 @@ def oracle_sql() -> dict[str, str]:
                              - (dc.d_c / tm.m2) * (dc.d_c / tm.m2)), 6)
                      AS modularity
             FROM dc LEFT JOIN win ON win.c = dc.c CROSS JOIN tm""",
+        "conductance_ps": f"WITH {PS_CTES},\n"
+            + _labelprop_ctes("edges", LP_ITERS)
+            + f""",
+            lab AS MATERIALIZED (SELECT id, val AS c FROM l{LP_ITERS}),
+            tm AS (SELECT SUM(w) AS m2 FROM edges),
+            per AS MATERIALIZED (
+              SELECT ls.c AS c, SUM(e.w) AS vol,
+                     SUM(CASE WHEN ld.c <> ls.c THEN e.w ELSE 0 END) AS cut
+              FROM edges e
+              JOIN lab ls ON ls.id = e.src
+              JOIN lab ld ON ld.id = e.dst
+              GROUP BY ls.c),
+            mem AS (
+              SELECT c, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM lab GROUP BY c)
+            SELECT per.c AS c, mem.n_members,
+                   CAST(per.vol AS BIGINT) AS vol,
+                   CAST(per.cut AS BIGINT) AS cut,
+                   ROUND(CASE WHEN LEAST(per.vol, tm.m2 - per.vol) > 0
+                         THEN per.cut / LEAST(per.vol, tm.m2 - per.vol)
+                         ELSE 0.0 END, 6) AS conductance
+            FROM per JOIN mem ON mem.c = per.c CROSS JOIN tm""",
         "butterflies_ps": f"""WITH {PS_CTES},
             und AS MATERIALIZED (
               SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b

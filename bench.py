@@ -79,6 +79,7 @@ HEADLINE = [
     "edge_jaccard_ev",
     "butterflies_ps",
     "hop_hist_ps",
+    "conductance_ps",
 ]
 
 

@@ -175,6 +175,63 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over a SYMMETRIC weighted edge table —
+    the cut-quality complement to modularity():
+
+        phi(c) = cut(c) / min(vol(c), 2m - vol(c))
+
+    with vol(c) = sum of w over edges whose src is in c (the weighted
+    community volume on the symmetric table), cut(c) = sum of w over
+    edges leaving c (src in c, dst not), and 2m the total symmetric
+    weight. A whole-graph community has min(vol, 2m - vol) = 0 and is
+    reported as phi = 0.0 (no cut exists by definition).
+
+    ``labels`` is (id, val = community). -> one row per community
+    (c, n_members BIGINT, vol BIGINT, cut BIGINT, conductance ROUND 6).
+    Edge weights are integer-valued counts in this engine, so the sums
+    are exact and the BIGINT casts / the ratio are engine-portable.
+
+    Scale shape: identical to modularity() — two O(V)-keyed hash joins
+    to attach labels to edge endpoints, map-side-combinable aggregation
+    to the (community) key, a broadcast one-row total. No windows, no
+    UDFs, no collect.
+    """
+    lab_s = labels.select(F.col("id").alias("src"), F.col("val").alias("c_src"))
+    lab_d = labels.select(F.col("id").alias("dst"), F.col("val").alias("c_dst"))
+    per = (
+        edges.join(lab_s, "src")
+        .join(lab_d, "dst")
+        .groupBy(F.col("c_src").alias("c"))
+        .agg(
+            F.sum("w").alias("vol"),
+            F.sum(
+                F.when(F.col("c_src") != F.col("c_dst"), F.col("w")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("cut"),
+        )
+    )
+    mem = labels.groupBy(F.col("val").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    two_m = edges.agg(F.sum("w").alias("m2"))
+    denom = F.least(F.col("vol"), F.col("m2") - F.col("vol"))
+    return (
+        per.join(mem, "c")
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "c",
+            "n_members",
+            F.col("vol").cast("long").alias("vol"),
+            F.col("cut").cast("long").alias("cut"),
+            F.round(
+                F.when(denom > 0, F.col("cut") / denom).otherwise(F.lit(0.0)), 6
+            ).alias("conductance"),
+        )
+    )
+
+
 def distance_histogram(
     spark, edges: DataFrame, roots: list[int], max_iter: int = 24
 ) -> DataFrame:

@@ -600,6 +600,34 @@ def test_modularity_known_partitions(spark):
     assert (row["n_communities"], row["modularity"]) == (6, round(-6 / 36, 6))
 
 
+def test_conductance_known_partitions(spark):
+    from combblas_spark.algorithms.stats import conductance
+
+    # two unit-weight triangles joined by one bridge edge 3-4, symmetric:
+    # 2m = 14; per triangle vol = 6 within + 1 bridge = 7, cut = 1
+    # -> phi = 1 / min(7, 7) = 1/7 for both communities
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sym], "src long, dst long, w double"
+    )
+    part = spark.createDataFrame(
+        [(i, 1) for i in (1, 2, 3)] + [(i, 2) for i in (4, 5, 6)],
+        "id long, val long",
+    )
+    got = {
+        r["c"]: (r["n_members"], r["vol"], r["cut"], r["conductance"])
+        for r in conductance(e, part).collect()
+    }
+    phi = round(1 / 7, 6)
+    assert got == {1: (3, 7, 1, phi), 2: (3, 7, 1, phi)}
+    # whole-graph community: no cut exists -> guard emits 0.0
+    allone = spark.createDataFrame([(i, 9) for i in range(1, 7)], "id long, val long")
+    row = conductance(e, allone).collect()[0]
+    assert (row["c"], row["n_members"], row["vol"], row["cut"]) == (9, 6, 14, 0)
+    assert row["conductance"] == 0.0
+
+
 def test_component_histogram_known_components(spark):
     from combblas_spark.algorithms.stats import component_histogram
 
