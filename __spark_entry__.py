@@ -1019,6 +1019,16 @@ SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM pairs WHERE hamming <= {max_hamming}"""
 
 
+def q_importance_sample(spark, sf):
+    """Deterministic weighted downsample (functions/sampling.py): inclusion
+    odds proportional to n_chars, expected ~25% of the corpus; the md5-60bit
+    coin makes the exact inclusion set engine-reproducible."""
+    from combblas_spark.functions.sampling import importance_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return importance_sample(docs, frac=0.25)
+
+
 def q_split_docs(spark, sf):
     """Deterministic hash-bucketed train/test split (functions/sampling.py):
     assignment is a pure function of doc_id, reproducible across engines."""
@@ -2240,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_ps": q_harmonic_ps,
         "hop_hist_ps": q_hop_hist_ps,
         "conductance_ps": q_conductance_ps,
+        "importance_sample": q_importance_sample,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "cc_sizes_ps": q_cc_sizes_ps,
@@ -2948,6 +2959,19 @@ FROM verts""",
             SELECT doc_id, stratum FROM s
             WHERE CAST(('0x' || substr(md5('sample|' || CAST(stratum AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   % 1000 < 300""",
+        "importance_sample": """WITH t AS (
+              SELECT CAST(SUM(n_chars) AS BIGINT) AS tw,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_chars,
+                     LEAST(CAST(1.0 AS DOUBLE),
+                           CAST(0.25 AS DOUBLE) * n * n_chars / tw) AS p,
+                     CAST(('0x' || substr(md5('imp|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM documents CROSS JOIN t)
+            SELECT doc_id, n_chars, ROUND(p, 6) AS incl_p
+            FROM s
+            WHERE h < CAST(FLOOR(p * 1152921504606846976.0) AS BIGINT)""",
         "dedup_clusters": _dedup_clusters_sql(DEDUP_CC_ITERS),
         "hits_ps": _hits_sql(PS_CTES, "ps_dedup", HITS_ITERS),
         "ktruss_ev": _ktruss_sql(

@@ -80,6 +80,7 @@ HEADLINE = [
     "butterflies_ps",
     "hop_hist_ps",
     "conductance_ps",
+    "importance_sample",
 ]
 
 

@@ -58,6 +58,49 @@ def stratified_sample(
     return df.filter(b < frac_permille)
 
 
+def importance_sample(
+    df: DataFrame,
+    frac: float,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    salt: str = "imp",
+) -> DataFrame:
+    """Deterministic weighted (importance / temperature) downsampling —
+    the resampling step that executes a mixture re-weighting plan: row i
+    survives with probability p_i = min(1, frac * n * w_i / total_w), so
+    the expected output is ~frac of the corpus with inclusion odds
+    proportional to the integer weight column (Poisson sampling).
+
+    The coin is the engine-portable md5-60bit hash of (salt, key): keep
+    iff hash < floor(p_i * 2^60) — a pure function of the row key, so the
+    selection is reproducible across runs/partitionings/engines and a new
+    document never flips an old one's decision. All probability math is
+    double-on-exact-integers (frac * n * w / total_w, evaluated left to
+    right on both engines), so the DuckDB oracle reproduces the exact
+    inclusion set, not an approximation.
+
+    -> (key_col, weight_col, incl_p ROUND 6) for the surviving rows.
+    Scale shape: one map-side-combinable one-row aggregate (n, total_w)
+    broadcast back, then a pure Column filter — one pass, no shuffle of
+    the data itself.
+    """
+    tot = df.agg(
+        F.sum(weight_col).cast("long").alias("_tw"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    h = md5_60bit(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    p = F.least(
+        F.lit(1.0),
+        F.lit(frac) * F.col("_n") * F.col(weight_col) / F.col("_tw"),
+    )
+    thr = F.floor(p * F.lit(float(1 << 60))).cast("long")
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .filter(h < thr)
+        .select(key_col, weight_col, F.round(p, 6).alias("incl_p"))
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 2048,

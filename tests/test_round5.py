@@ -600,6 +600,40 @@ def test_modularity_known_partitions(spark):
     assert (row["n_communities"], row["modularity"]) == (6, round(-6 / 36, 6))
 
 
+def test_importance_sample_python_replay(spark):
+    from combblas_spark.functions.sampling import importance_sample
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r["doc_id"]: (r["n_chars"], r["incl_p"])
+        for r in importance_sample(df, frac=0.3).collect()
+    }
+    tw = sum(w for _, w in rows)
+    n = len(rows)
+    expect = {}
+    for i, w in rows:
+        p = min(1.0, 0.3 * n * w / tw)
+        h = int(hashlib.md5(f"imp|{i}".encode()).hexdigest()[:15], 16)
+        if h < int(p * float(1 << 60)):
+            expect[i] = (w, round(p, 6))
+    assert got == expect
+    assert 0 < len(got) < n  # nondegenerate: some in, some out
+
+
+def test_importance_sample_weight_monotone(spark):
+    from combblas_spark.functions.sampling import importance_sample
+
+    # frac high enough that heavy rows saturate at p = 1.0 (0.6 * 50 *
+    # 1000 / 25025 > 1): every max-weight row must survive regardless of
+    # its hash coin, since h < 2^60 = floor(1.0 * 2^60) always
+    rows = [(i, 1 if i % 2 else 1000) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {r["doc_id"]: r["incl_p"] for r in importance_sample(df, frac=0.6).collect()}
+    heavy = [i for i, w in rows if w == 1000]
+    assert all(i in got and got[i] == 1.0 for i in heavy)
+
+
 def test_conductance_known_partitions(spark):
     from combblas_spark.algorithms.stats import conductance
 
