@@ -1238,6 +1238,48 @@ def q_kcore_ps(spark, sf):
     return kcore(spark, part_supplier_graph(spark, sf), k=KCORE_K)
 
 
+CORENESS_KS = (8, 16, 32)
+
+
+def q_coreness_ps(spark, sf):
+    """Sampled coreness decomposition (algorithms/kcore.coreness_profile):
+    (id, coreness_bucket) = largest sampled k whose k-core holds the
+    vertex; |ks| independent monotone peels, one MAX."""
+    from combblas_spark.algorithms.kcore import coreness_profile
+
+    return coreness_profile(spark, part_supplier_graph(spark, sf), ks=CORENESS_KS)
+
+
+def _coreness_sql(prefix: str, edges_cte: str, ks, rounds: int) -> str:
+    """|ks| unrolled peels (the _kcore_sql pattern, per-k CTE prefixes),
+    then coreness_bucket = MAX over sampled k of k * membership."""
+    parts = [f"c0 AS MATERIALIZED (SELECT src, dst FROM {edges_cte})"]
+    mems = []
+    for k in sorted(ks):
+        parts.append(f"c{k}d0 AS (SELECT src, dst FROM c0)")
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"""c{k}kp{r} AS MATERIALIZED (
+  SELECT dst AS id FROM c{k}d{r-1} GROUP BY dst HAVING COUNT(*) >= {k}),
+c{k}d{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM c{k}d{r-1} e
+  JOIN c{k}kp{r} a ON e.src = a.id JOIN c{k}kp{r} b ON e.dst = b.id)"""
+            )
+        mems.append(
+            f"SELECT DISTINCT dst AS id, CAST({k} AS BIGINT) AS kb FROM c{k}d{rounds}"
+        )
+    mem_union = "\nUNION ALL\n".join(mems)
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f""",
+cverts AS (SELECT DISTINCT src AS id FROM c0 UNION SELECT DISTINCT dst FROM c0),
+cmem AS ({mem_union})
+SELECT v.id, CAST(COALESCE(MAX(m.kb), 0) AS BIGINT) AS coreness_bucket
+FROM cverts v LEFT JOIN cmem m ON m.id = v.id GROUP BY v.id"""
+    )
+
+
 def _kcore_sql(prefix: str, edges_cte: str, k: int, rounds: int) -> str:
     """Unrolled peel: round r keeps vertices with degree >= k in d{r-1},
     then drops edges touching a removed vertex. ``rounds`` must be >= the
@@ -2251,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_hist_ps": q_hop_hist_ps,
         "conductance_ps": q_conductance_ps,
         "importance_sample": q_importance_sample,
+        "coreness_ps": q_coreness_ps,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "cc_sizes_ps": q_cc_sizes_ps,
@@ -3029,6 +3072,9 @@ FROM verts""",
                    ROUND(COALESCE(e.e, 0.0), 6) AS entropy
             FROM sz s LEFT JOIN ent e ON e.id = s.id""",
         "kcore_ps": _kcore_sql(PS_CTES, "edges", KCORE_K, KCORE_ORACLE_ROUNDS),
+        "coreness_ps": _coreness_sql(
+            PS_CTES, "edges", CORENESS_KS, KCORE_ORACLE_ROUNDS
+        ),
         "ppr_ps": _ppr_sql(PS_CTES, "edges", PR_ITERS, PPR_SEEDS),
         "walks_ps": _walks_sql(PS_CTES, "edges", WALKS_MAX_SEED, WALKS_LEN),
         "bpe_pair_counts": """WITH pp AS (

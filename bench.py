@@ -81,6 +81,7 @@ HEADLINE = [
     "hop_hist_ps",
     "conductance_ps",
     "importance_sample",
+    "coreness_ps",
 ]
 
 

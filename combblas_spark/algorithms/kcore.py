@@ -83,3 +83,33 @@ def kcore(
     return verts.join(
         survivors.withColumn("f", F.lit(1)), on="id", how="left"
     ).select("id", F.coalesce(F.col("f"), F.lit(0)).cast("long").alias("in_kcore"))
+
+
+def coreness_profile(
+    spark: SparkSession,
+    edges: DataFrame,
+    ks: tuple[int, ...] = (8, 16, 32),
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Sampled coreness decomposition: (id, coreness_bucket) where
+    coreness_bucket is the LARGEST k in ``ks`` whose k-core contains the
+    vertex (0 if none) — i.e. coreness(v) rounded down to the sampled
+    grid. The full peel-order decomposition is inherently sequential
+    (each removal changes the next degree); the sampled-k profile is the
+    parallel screen, the same accuracy-for-cost dial as the sampled-source
+    designs in harmonic_centrality / distance_histogram: each k is an
+    independent monotone peel (kcore()), so all |ks| peels could even run
+    concurrently, and doubling the grid doubles work, not depth.
+
+    Reference semantics: the k-core family on the symmetric graph
+    (/root/reference/include/CombBLAS/SpParMat.h Reduce/Prune idiom);
+    membership per k matches kcore() exactly, so the oracle is |ks|
+    unrolled peels + one MAX.
+    """
+    out = None
+    for k in sorted(ks):
+        m = kcore(spark, edges, k=k, max_rounds=max_rounds).select(
+            "id", (F.col("in_kcore") * F.lit(k)).cast("long").alias("kb")
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.groupBy("id").agg(F.max("kb").alias("coreness_bucket"))

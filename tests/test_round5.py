@@ -600,6 +600,24 @@ def test_modularity_known_partitions(spark):
     assert (row["n_communities"], row["modularity"]) == (6, round(-6 / 36, 6))
 
 
+def test_coreness_profile_known_graphs(spark):
+    from combblas_spark.algorithms.kcore import coreness_profile
+
+    # K9 (coreness 8 -> bucket 8) + path of 3 (coreness 1 -> bucket 0)
+    # + K17 (coreness 16 -> bucket 16), disjoint, symmetric
+    k9 = [(a, b) for a in range(9) for b in range(9) if a != b]
+    path = [(100, 101), (101, 100), (101, 102), (102, 101)]
+    k17 = [(200 + a, 200 + b) for a in range(17) for b in range(17) if a != b]
+    e = spark.createDataFrame(k9 + path + k17, "src long, dst long")
+    got = {
+        r["id"]: r["coreness_bucket"]
+        for r in coreness_profile(spark, e, ks=(8, 16, 32)).collect()
+    }
+    assert all(got[i] == 8 for i in range(9))
+    assert all(got[i] == 0 for i in (100, 101, 102))
+    assert all(got[200 + i] == 16 for i in range(17))
+
+
 def test_importance_sample_python_replay(spark):
     from combblas_spark.functions.sampling import importance_sample
 
