@@ -2205,6 +2205,18 @@ AA_MAX_DEGREE = 64  # wedge-center cap: the production anti-hub shape —
 # (1/ln d); the oracle replays the same cap, so the query IS the capped op
 
 
+COCITE_MAX_DEGREE = 64
+
+
+def q_cocite_ev(spark, sf):
+    """Co-citation strength on the directed events graph
+    (algorithms/linkpred.cocitation — Small's C = A^T A off-diagonal),
+    wedge centers hub-capped exactly like a 100-TB run would be."""
+    from combblas_spark.algorithms.linkpred import cocitation
+
+    return cocitation(events_digraph(spark, sf), max_degree=COCITE_MAX_DEGREE)
+
+
 def q_adamic_adar_ev(spark, sf):
     """Top-k Adamic-Adar link-prediction pairs on the events graph
     (algorithms/linkpred.adamic_adar — inverted-mask wedge SpGEMM),
@@ -2294,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_ps": q_conductance_ps,
         "importance_sample": q_importance_sample,
         "coreness_ps": q_coreness_ps,
+        "cocite_ev": q_cocite_ev,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "cc_sizes_ps": q_cc_sizes_ps,
@@ -2491,6 +2504,16 @@ def oracle_sql() -> dict[str, str]:
                                      * (syy/m - (sy/m)*(sy/m)))
                          ELSE 0.0 END, 6) AS assortativity
             FROM mom, nv, ne, nr""",
+        "cocite_ev": f"""WITH {EV_CTES},
+            cinc AS MATERIALIZED (
+              SELECT src AS z, dst AS x FROM evedges),
+            czdeg AS (SELECT z, COUNT(*) AS d FROM cinc GROUP BY z),
+            ccap AS MATERIALIZED (
+              SELECT i.z, i.x FROM cinc i
+              JOIN czdeg ON czdeg.z = i.z AND czdeg.d <= {COCITE_MAX_DEGREE})
+            SELECT l.x AS a, r.x AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM ccap l JOIN ccap r ON r.z = l.z AND l.x < r.x
+            GROUP BY l.x, r.x""",
         "adamic_adar_ev": f"""WITH {EV_CTES},
             e AS (SELECT DISTINCT src, dst FROM evedges WHERE src <> dst),
             und AS MATERIALIZED (

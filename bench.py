@@ -82,6 +82,7 @@ HEADLINE = [
     "conductance_ps",
     "importance_sample",
     "coreness_ps",
+    "cocite_ev",
 ]
 
 

@@ -600,6 +600,35 @@ def test_modularity_known_partitions(spark):
     assert (row["n_communities"], row["modularity"]) == (6, round(-6 / 36, 6))
 
 
+def test_cocitation_known_digraph(spark):
+    from combblas_spark.algorithms.linkpred import cocitation
+
+    # 1->10, 1->11, 2->10, 2->11, 3->10: (10,11) co-cited by {1,2}
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)], "src long, dst long"
+    )
+    got = {(r["a"], r["b"]): r["n_common"] for r in cocitation(e).collect()}
+    assert got == {(10, 11): 2}
+    # bibliographic coupling: citers {1,2} share target 10 AND 11; {1,3},
+    # {2,3} share only 10
+    got = {
+        (r["a"], r["b"]): r["n_common"]
+        for r in cocitation(e, coupling=True).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_cocitation_hub_cap(spark):
+    from combblas_spark.algorithms.linkpred import cocitation
+
+    # directory page 0 links to 5 targets; cap 4 removes all its wedges
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert cocitation(e, max_degree=4).count() == 0
+    assert cocitation(e).count() == 10  # C(5,2) uncapped
+
+
 def test_coreness_profile_known_graphs(spark):
     from combblas_spark.algorithms.kcore import coreness_profile
 
