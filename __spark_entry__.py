@@ -2102,6 +2102,14 @@ def q_harmonic_ps(spark, sf):
     return harmonic_centrality(spark, e, roots=roots, max_iter=BFS_DEPTH)
 
 
+def q_pseudo_diameter_ps(spark, sf):
+    """Double-sweep pseudo-diameter (algorithms/stats.pseudo_diameter):
+    two direction-optimized BFS traversals, deterministic tie-breaks."""
+    from combblas_spark.algorithms.stats import pseudo_diameter
+
+    return pseudo_diameter(spark, part_supplier_graph(spark, sf), max_iter=BFS_DEPTH)
+
+
 def q_hop_hist_ps(spark, sf):
     """Hop-count distribution + p90 effective diameter from one batched
     multi-source BFS (algorithms/stats.distance_histogram over bfs.msbfs)."""
@@ -2307,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": q_importance_sample,
         "coreness_ps": q_coreness_ps,
         "cocite_ev": q_cocite_ev,
+        "pseudo_diameter_ps": q_pseudo_diameter_ps,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "cc_sizes_ps": q_cc_sizes_ps,
@@ -2813,6 +2822,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT dst AS src, src AS dst, w FROM ded
             ) u GROUP BY src, dst""",
         "bfs_ps": _BFS_SQL,
+        "pseudo_diameter_ps": f"""WITH RECURSIVE {PS_CTES},
+            reach1(id, depth) AS (
+              SELECT (SELECT MIN(src) FROM edges), 0
+              UNION
+              SELECT e.dst, r.depth + 1
+              FROM reach1 r JOIN edges e ON e.src = r.id
+              WHERE r.depth < {BFS_DEPTH}
+            ),
+            pd1 AS MATERIALIZED (
+              SELECT id, MIN(depth) AS depth FROM reach1 GROUP BY id),
+            pper AS (SELECT id FROM pd1 ORDER BY depth DESC, id ASC LIMIT 1),
+            reach2(id, depth) AS (
+              SELECT (SELECT id FROM pper), 0
+              UNION
+              SELECT e.dst, r.depth + 1
+              FROM reach2 r JOIN edges e ON e.src = r.id
+              WHERE r.depth < {BFS_DEPTH}
+            ),
+            pd2 AS MATERIALIZED (
+              SELECT id, MIN(depth) AS depth FROM reach2 GROUP BY id),
+            pant AS (
+              SELECT id, depth FROM pd2 ORDER BY depth DESC, id ASC LIMIT 1)
+            SELECT CAST((SELECT MIN(src) FROM edges) AS BIGINT) AS start,
+                   CAST((SELECT id FROM pper) AS BIGINT) AS peripheral,
+                   CAST(pant.id AS BIGINT) AS antipode,
+                   CAST(pant.depth AS BIGINT) AS pseudo_diameter
+            FROM pant""",
         "filtered_bfs_ps": _FILTERED_BFS_SQL,
         "rcm_ps": _rcm_sql(PS_CTES, "edges", RCM_DEPTH),
         "randperm_ps": f"""WITH {PS_CTES},

@@ -83,6 +83,7 @@ HEADLINE = [
     "importance_sample",
     "coreness_ps",
     "cocite_ev",
+    "pseudo_diameter_ps",
 ]
 
 

@@ -175,6 +175,44 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def pseudo_diameter(
+    spark, edges: DataFrame, start: int | None = None, max_iter: int = 24
+) -> DataFrame:
+    """Double-sweep diameter lower bound — the classic two-BFS heuristic
+    (and the standard way to pick a peripheral start vertex for RCM-style
+    orderings): BFS from ``start`` (default: the minimum vertex id),
+    take the farthest vertex (ties broken by min id, deterministic),
+    BFS again from there, report that sweep's eccentricity.
+
+    -> one row (start BIGINT, peripheral BIGINT, antipode BIGINT,
+    pseudo_diameter BIGINT): peripheral = sweep-1 argmax, antipode =
+    sweep-2 argmax, pseudo_diameter = sweep-2 max depth (a lower bound
+    on, and on web-like graphs usually equal to, the true diameter).
+
+    Scale shape: exactly two direction-optimized BFS traversals
+    (algorithms/bfs.bfs — size-gated broadcasts, lineage cut per
+    superstep) plus two one-row driver collects for the argmax handoff.
+    """
+    from combblas_spark.algorithms.bfs import bfs
+
+    if start is None:
+        start = int(edges.agg(F.min("src")).collect()[0][0])
+    d1 = bfs(spark, edges, root=start, max_iter=max_iter)
+    far = d1.orderBy(F.desc("depth"), F.asc("id")).limit(1).collect()[0]
+    peripheral = int(far["id"])
+    d2 = bfs(spark, edges, root=peripheral, max_iter=max_iter)
+    return (
+        d2.orderBy(F.desc("depth"), F.asc("id"))
+        .limit(1)
+        .select(
+            F.lit(start).cast("long").alias("start"),
+            F.lit(peripheral).cast("long").alias("peripheral"),
+            F.col("id").cast("long").alias("antipode"),
+            F.col("depth").cast("long").alias("pseudo_diameter"),
+        )
+    )
+
+
 def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Per-community conductance over a SYMMETRIC weighted edge table —
     the cut-quality complement to modularity():

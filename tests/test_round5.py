@@ -600,6 +600,24 @@ def test_modularity_known_partitions(spark):
     assert (row["n_communities"], row["modularity"]) == (6, round(-6 / 36, 6))
 
 
+def test_pseudo_diameter_known_path(spark):
+    from combblas_spark.algorithms.stats import pseudo_diameter
+
+    # path 3-1-2-5-4 (ids chosen so min-id start is interior): start=1,
+    # sweep 1 farthest = 4 at depth 3; sweep 2 from 4 reaches 3 at depth 4
+    pairs = [(3, 1), (1, 2), (2, 5), (5, 4)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e = _edges_df(spark, sym)
+    row = pseudo_diameter(spark, e).collect()[0]
+    assert (row["start"], row["peripheral"]) == (1, 4)
+    assert (row["antipode"], row["pseudo_diameter"]) == (3, 4)
+    # cycle of 6: every eccentricity is 3, argmax tie -> min id
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    c6 = c6 + [(b, a) for a, b in c6]
+    row = pseudo_diameter(spark, _edges_df(spark, c6)).collect()[0]
+    assert (row["start"], row["peripheral"], row["pseudo_diameter"]) == (0, 3, 3)
+
+
 def test_cocitation_known_digraph(spark):
     from combblas_spark.algorithms.linkpred import cocitation
 
