@@ -2251,6 +2251,14 @@ def q_tfidf_topk(spark, sf):
     return tfidf_topk(spark.read.parquet(f"{sf}/documents.parquet"), k=5)
 
 
+def q_unigram_xent(spark, sf):
+    """Corpus-unigram cross-entropy per document
+    (functions/text.unigram_xent) — the CCNet-style LM quality filter."""
+    from combblas_spark.functions.text import unigram_xent
+
+    return unigram_xent(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2319,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "cc_sizes_ps": q_cc_sizes_ps,
+        "unigram_xent": q_unigram_xent,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3130,6 +3139,22 @@ FROM verts""",
             SELECT s.id AS doc_id, CAST(s.n AS BIGINT) AS n_tokens,
                    ROUND(COALESCE(e.e, 0.0), 6) AS entropy
             FROM sz s LEFT JOIN ent e ON e.id = s.id""",
+        "unigram_xent": f"""WITH {TOKS_CTES},
+            rt AS (SELECT doc_id AS id, unnest(toks) AS tok FROM toklists),
+            dc AS (SELECT id, tok, COUNT(*) AS c_doc FROM rt GROUP BY id, tok),
+            lm AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c_lm
+                   FROM rt GROUP BY tok),
+            tot AS (SELECT SUM(c_lm) AS c_tot FROM lm),
+            sz AS (SELECT doc_id AS id, len(toks) AS n FROM toklists),
+            ll AS (
+              SELECT d.id, SUM(-d.c_doc * ln(l.c_lm / t.c_tot)) AS nll
+              FROM dc d JOIN lm l ON l.tok = d.tok CROSS JOIN tot t
+              GROUP BY d.id)
+            SELECT s.id AS doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+                   ROUND(CASE WHEN s.n > 0
+                              THEN COALESCE(ll.nll, 0.0) / s.n
+                              ELSE 0.0 END, 6) AS xent
+            FROM sz s LEFT JOIN ll ON ll.id = s.id""",
         "kcore_ps": _kcore_sql(PS_CTES, "edges", KCORE_K, KCORE_ORACLE_ROUNDS),
         "coreness_ps": _coreness_sql(
             PS_CTES, "edges", CORENESS_KS, KCORE_ORACLE_ROUNDS

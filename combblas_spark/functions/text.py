@@ -433,3 +433,62 @@ def tfidf_topk(
             "tfidf",
         )
     )
+
+
+def unigram_xent(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross-entropy (nats/token) against the corpus unigram
+    language model — the CCNet-style "perplexity" quality filter signal:
+    xent(d) = -(1/|d|) * SUM over tokens w of d of ln(c(w) / C), where c(w)
+    is the corpus-wide count of w and C the corpus token total. Low xent =
+    the document looks like the corpus (common tokens); high xent =
+    rare-token-dense (often noise, ciphertext, or genuinely novel text).
+    No smoothing is needed: every scored token is by construction part of
+    the corpus LM, so c(w) >= 1.
+
+    Complements token_entropy (which is *within*-document information
+    density) with the *corpus-relative* view; the standard pretraining
+    pipeline thresholds on both.
+
+    Returns (doc_id, n_tokens BIGINT, xent ROUND(.,6)); empty docs get 0.0.
+
+    Scale shape (100 TB): one explode feeding BOTH the per-(doc, token)
+    count and the corpus-wide token count (two map-side-combinable hash
+    aggregations), a token-keyed shuffle hash join between them (the token
+    table is Zipf-skewed but the join key is the *type*, not the
+    occurrence, so no single key explodes), a one-row broadcast corpus
+    total, and one final per-doc aggregation. No windows, no UDFs, no
+    driver iteration — the same plan family as tfidf_topk minus its
+    window.
+    """
+    spark = docs.sparkSession
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    occ = base.select("id", F.explode("t").alias("tok"))
+    dc = occ.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
+    lm = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c_lm"))
+    tot = lm.agg(F.sum("c_lm").alias("c_tot"))
+    sizes = base.select("id", F.size("t").cast("long").alias("n_tokens"))
+    ll = (
+        dc.join(lm, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            (-F.col("c_doc") * F.log(F.col("c_lm") / F.col("c_tot"))).alias("nll"),
+        )
+        .groupBy("id")
+        .agg(F.sum("nll").alias("nll"))
+    )
+    return sizes.join(ll, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("nll"), F.lit(0.0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("xent"),
+    )

@@ -182,3 +182,27 @@ def test_stratified_sample_rates_and_determinism(spark):
     # monotone: a higher threshold keeps a superset
     bigger = {r["doc_id"] for r in stratified_sample(docs, "stratum", frac_permille=400).collect()}
     assert {r["doc_id"] for r in rows} <= bigger
+
+
+def test_unigram_xent_hand_computed(spark):
+    """Tiny corpus with a hand-derived unigram LM: corpus = {a:4, b:2, z:1},
+    C=7. Doc xent = mean of -ln(c(w)/7) over its tokens; the all-common doc
+    scores lower (more corpus-like) than the rare-token doc."""
+    import math
+    from combblas_spark.functions.text import unigram_xent
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b z"), (2, "a"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["xent"])
+        for r in unigram_xent(docs).collect()
+    }
+    def x(*cs):
+        return round(sum(-math.log(c / 7.0) for c in cs) / len(cs), 6)
+    assert got[0] == (3, x(4, 4, 2))
+    assert got[1] == (3, x(4, 2, 1))
+    assert got[2] == (1, x(4))
+    assert got[3] == (0, 0.0)
+    assert got[0][1] < got[1][1]  # common-token doc is more corpus-like
