@@ -2033,6 +2033,15 @@ def q_transitivity_ev(spark, sf):
     return transitivity(events_digraph(spark, sf))
 
 
+def q_tri_centrality_ev(spark, sf):
+    """Triangle centrality (Burkhardt 2021) on the events graph
+    (algorithms/clustering.triangle_centrality) — neighborhood triangle
+    density as an importance score."""
+    from combblas_spark.algorithms.clustering import triangle_centrality
+
+    return triangle_centrality(events_digraph(spark, sf))
+
+
 def q_edge_jaccard_ev(spark, sf):
     """Per-edge neighborhood Jaccard (tie embeddedness) on the events
     graph (algorithms/clustering.edge_jaccard)."""
@@ -2328,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_ps": q_modularity_ps,
         "cc_sizes_ps": q_cc_sizes_ps,
         "unigram_xent": q_unigram_xent,
+        "tri_centrality_ev": q_tri_centrality_ev,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2589,6 +2599,49 @@ def oracle_sql() -> dict[str, str]:
                          THEN 3.0 * nt.n_triangles / nw.n_wedges
                          ELSE 0.0 END, 6) AS transitivity
             FROM nt, nw""",
+        "tri_centrality_ev": f"""WITH {EV_CTES},
+            evsym AS MATERIALIZED (
+              SELECT src, dst FROM evedges
+              UNION
+              SELECT dst AS src, src AS dst FROM evedges),
+            can AS MATERIALIZED (
+              SELECT DISTINCT src AS a, dst AS b FROM evsym WHERE src < dst),
+            tris AS MATERIALIZED (
+              SELECT x.a AS a, x.b AS b, y.b AS c
+              FROM can x JOIN can y ON y.a = x.b
+              JOIN can z ON z.a = x.a AND z.b = y.b),
+            tv AS MATERIALIZED (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+                SELECT a AS v FROM tris
+                UNION ALL SELECT b AS v FROM tris
+                UNION ALL SELECT c AS v FROM tris) GROUP BY v),
+            tedge AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tris
+                UNION ALL SELECT b AS a, c AS b FROM tris
+                UNION ALL SELECT a, c AS b FROM tris)),
+            fl AS (
+              SELECT c0.a, c0.b,
+                     CASE WHEN te.a IS NOT NULL THEN 1 ELSE 0 END AS intri
+              FROM can c0
+              LEFT JOIN tedge te ON te.a = c0.a AND te.b = c0.b),
+            symf AS (
+              SELECT a AS v, b AS u, intri FROM fl
+              UNION ALL SELECT b AS v, a AS u, intri FROM fl),
+            tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM tris),
+            agg AS (
+              SELECT s.v,
+                     SUM(CASE WHEN s.intri = 1
+                              THEN COALESCE(tu.t, 0) ELSE 0 END) AS s_t,
+                     SUM(CASE WHEN s.intri = 0
+                              THEN COALESCE(tu.t, 0) ELSE 0 END) AS s_n
+              FROM symf s LEFT JOIN tv tu ON tu.v = s.u GROUP BY s.v)
+            SELECT a.v AS id, CAST(COALESCE(tv.t, 0) AS BIGINT) AS n_tri,
+                   ROUND(CASE WHEN tt.tot > 0
+                         THEN ((COALESCE(tv.t, 0) + a.s_t) / 3.0 + a.s_n)
+                              / tt.tot
+                         ELSE 0.0 END, 6) AS tc
+            FROM agg a LEFT JOIN tv ON tv.v = a.v CROSS JOIN tt""",
         "edge_jaccard_ev": f"""WITH {EV_CTES},
             evsym AS MATERIALIZED (
               SELECT src, dst FROM evedges

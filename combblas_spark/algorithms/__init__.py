@@ -7,6 +7,7 @@ from combblas_spark.algorithms.clustering import (  # noqa: F401
     per_vertex_triangles,
     transitivity,
     edge_jaccard,
+    triangle_centrality,
 )
 from combblas_spark.algorithms.stats import graph_stats, harmonic_centrality  # noqa: F401
 from combblas_spark.algorithms.linkpred import adamic_adar  # noqa: F401

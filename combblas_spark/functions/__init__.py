@@ -8,6 +8,7 @@ from combblas_spark.functions.text import (  # noqa: F401
     token_entropy,
     corpus_filter,
     mixture_stats,
+    unigram_xent,
 )
 from combblas_spark.functions.dedup import (  # noqa: F401
     exact_dedup,

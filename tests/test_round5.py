@@ -743,3 +743,30 @@ def test_component_histogram_known_components(spark):
     }
     # size 3 -> bucket 1, size 2 -> bucket 1, size 8 -> bucket 3 (exact pow2)
     assert got == {1: (2, 2, 3, 5), 3: (1, 8, 8, 8)}
+
+
+def test_triangle_centrality_hand_computed(spark):
+    """Burkhardt TC on hand-solved graphs. (1) lone triangle: every vertex
+    scores exactly 1. (2) triangle {0,1,2} + pendant 3-0: the pendant's
+    whole neighborhood triangle mass sits on its non-triangle edge, so it
+    also scores ((0+0)/3 + t(0)=1)/T=1 — the paper's point that TC rewards
+    triangle-DENSE NEIGHBORHOODS, not membership. (3) path: all 0.0."""
+    from combblas_spark.algorithms.clustering import triangle_centrality
+
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    got = {r["id"]: (r["n_tri"], r["tc"]) for r in triangle_centrality(tri).collect()}
+    assert got == {0: (1, 1.0), 1: (1, 1.0), 2: (1, 1.0)}
+
+    pend = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 0)], "src long, dst long"
+    )
+    got = {r["id"]: (r["n_tri"], r["tc"]) for r in triangle_centrality(pend).collect()}
+    # v=0: ((1 + t(1)+t(2)) / 3 + t(3)=0) / 1 = 1; v=1,2: ((1 + 1+1)/3 + 0)/1 = 1
+    # v=3: ((0 + 0)/3 + t(0)=1) / 1 = 1
+    assert got == {0: (1, 1.0), 1: (1, 1.0), 2: (1, 1.0), 3: (0, 1.0)}
+
+    path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["id"]: (r["n_tri"], r["tc"]) for r in triangle_centrality(path).collect()}
+    assert got == {0: (0, 0.0), 1: (0, 0.0), 2: (0, 0.0)}
