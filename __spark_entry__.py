@@ -2217,6 +2217,18 @@ def q_graph_stats_ev(spark, sf):
     return graph_stats(events_digraph(spark, sf))
 
 
+RICH_CLUB_KS = (1, 2, 4, 8, 16, 32)
+
+
+def q_rich_club_ev(spark, sf):
+    """Rich-club coefficient profile of the events graph
+    (algorithms/stats.rich_club) — hub-to-hub wiring density per degree
+    threshold."""
+    from combblas_spark.algorithms.stats import rich_club
+
+    return rich_club(events_digraph(spark, sf), ks=RICH_CLUB_KS)
+
+
 AA_MAX_DEGREE = 64  # wedge-center cap: the production anti-hub shape —
 # a degree-d center contributes d^2 candidate pairs and ~zero AA weight
 # (1/ln d); the oracle replays the same cap, so the query IS the capped op
@@ -2338,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes_ps": q_cc_sizes_ps,
         "unigram_xent": q_unigram_xent,
         "tri_centrality_ev": q_tri_centrality_ev,
+        "rich_club_ev": q_rich_club_ev,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2599,6 +2612,36 @@ def oracle_sql() -> dict[str, str]:
                          THEN 3.0 * nt.n_triangles / nw.n_wedges
                          ELSE 0.0 END, 6) AS transitivity
             FROM nt, nw""",
+        "rich_club_ev": f"""WITH {EV_CTES},
+            evsym AS MATERIALIZED (
+              SELECT src, dst FROM evedges
+              UNION
+              SELECT dst AS src, src AS dst FROM evedges),
+            can AS MATERIALIZED (
+              SELECT DISTINCT src AS a, dst AS b FROM evsym WHERE src < dst),
+            deg AS MATERIALIZED (
+              SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT a, b FROM can UNION ALL SELECT b AS a, a AS b FROM can)
+              GROUP BY a),
+            kl AS (SELECT CAST(unnest([{', '.join(str(k) for k in RICH_CLUB_KS)}]) AS BIGINT) AS k),
+            nk AS (
+              SELECT kl.k, CAST(COUNT(*) AS BIGINT) AS n_rich
+              FROM kl JOIN deg d ON d.deg > kl.k GROUP BY kl.k),
+            ek AS (
+              SELECT kl.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+              FROM kl JOIN (
+                SELECT LEAST(da.deg, db.deg) AS dmin
+                FROM can c JOIN deg da ON da.id = c.a
+                JOIN deg db ON db.id = c.b) e ON e.dmin > kl.k
+              GROUP BY kl.k)
+            SELECT kl.k,
+                   CAST(COALESCE(nk.n_rich, 0) AS BIGINT) AS n_rich,
+                   CAST(COALESCE(ek.e_rich, 0) AS BIGINT) AS e_rich,
+                   ROUND(CASE WHEN COALESCE(nk.n_rich, 0) >= 2
+                         THEN 2.0 * COALESCE(ek.e_rich, 0)
+                              / (nk.n_rich * CAST(nk.n_rich - 1 AS DOUBLE))
+                         ELSE 0.0 END, 6) AS phi
+            FROM kl LEFT JOIN nk ON nk.k = kl.k LEFT JOIN ek ON ek.k = kl.k""",
         "tri_centrality_ev": f"""WITH {EV_CTES},
             evsym AS MATERIALIZED (
               SELECT src, dst FROM evedges

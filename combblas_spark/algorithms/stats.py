@@ -346,3 +346,77 @@ def component_histogram(labels: DataFrame) -> DataFrame:
             F.sum("size").cast("long").alias("n_vertices"),
         )
     )
+
+
+def rich_club(edges: DataFrame, ks: list[int] = (1, 2, 4, 8, 16, 32)) -> DataFrame:
+    """Rich-club coefficient profile (Zhou & Mondragon 2004) of the
+    undirected simple support of ``edges``: for each degree threshold k,
+    phi(k) = 2*E_k / (N_k*(N_k-1)) where N_k = vertices with degree > k and
+    E_k = edges with BOTH endpoints in that set — do the hubs of the link
+    graph wire to each other more densely than chance? The standard
+    web/citation-graph structure report alongside assortativity
+    (graph_stats) and the degree histogram.
+
+    -> one row per k: (k BIGINT, n_rich BIGINT, e_rich BIGINT, phi
+    ROUND(.,6)); phi = 0.0 when N_k < 2. Thresholds are a fixed small
+    list, not data-dependent.
+
+    Scale shape (100 TB): degree is one hash aggregation; each edge picks
+    up its endpoint degrees via two O(V)-keyed hash joins; the per-k
+    membership tests are conditional-sum columns over ONE pass of the edge
+    and vertex tables (the k list is a constant ~6-entry explode, not a
+    join) — everything map-side combinable, no windows, no UDFs.
+    """
+    ks = sorted(set(int(k) for k in ks))
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    kdf = F.explode(F.array(*[F.lit(k).cast("long") for k in ks])).alias("k")
+    nk = (
+        deg.select("deg", kdf)
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("d_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("d_b"))
+    ek = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(F.least("d_a", "d_b").alias("dmin"), kdf)
+        .filter(F.col("dmin") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+    )
+    base = edges.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k long"
+    )
+    return (
+        base.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("n_rich"), F.lit(0).cast("long")).alias("n_rich"),
+            F.coalesce(F.col("e_rich"), F.lit(0).cast("long")).alias("e_rich"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_rich"), F.lit(0)) >= 2,
+                    2.0
+                    * F.coalesce(F.col("e_rich"), F.lit(0))
+                    / (
+                        F.col("n_rich")
+                        * (F.col("n_rich") - F.lit(1)).cast("double")
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("phi"),
+        )
+    )

@@ -770,3 +770,21 @@ def test_triangle_centrality_hand_computed(spark):
     path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     got = {r["id"]: (r["n_tri"], r["tc"]) for r in triangle_centrality(path).collect()}
     assert got == {0: (0, 0.0), 1: (0, 0.0), 2: (0, 0.0)}
+
+
+def test_rich_club_hand_computed(spark):
+    """K4 on {0..3} plus pendant 4-0: degrees {0:4, 1:3, 2:3, 3:3, 4:1}.
+    k=1: all of K4 rich (N=4, E=6 -> phi=1.0); k=2: same set; k=3: only
+    vertex 0 (N=1 -> phi=0.0); k=4+: empty."""
+    from combblas_spark.algorithms.stats import rich_club
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(4, 0)]
+    edges = spark.createDataFrame(k4, "src long, dst long")
+    got = {
+        r["k"]: (r["n_rich"], r["e_rich"], r["phi"])
+        for r in rich_club(edges, ks=[1, 2, 3, 4]).collect()
+    }
+    assert got[1] == (4, 6, 1.0)
+    assert got[2] == (4, 6, 1.0)
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
