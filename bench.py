@@ -84,6 +84,10 @@ HEADLINE = [
     "coreness_ps",
     "cocite_ev",
     "pseudo_diameter_ps",
+    # round-5 third wave (rich_club_ev is a 6-row fixed-size output —
+    # not regression-informative, like kron/graph_stats above)
+    "unigram_xent",
+    "tri_centrality_ev",
 ]
 
 
