@@ -13,6 +13,7 @@ from combblas_spark.algorithms.stats import graph_stats, harmonic_centrality, ri
 from combblas_spark.algorithms.linkpred import adamic_adar  # noqa: F401
 from combblas_spark.algorithms.coloring import jp_coloring  # noqa: F401
 from combblas_spark.algorithms.butterflies import butterfly_count  # noqa: F401
+from combblas_spark.algorithms.coarsen import coarsen, heavy_edge_matching  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
 from combblas_spark.algorithms.sssp import sssp  # noqa: F401
 from combblas_spark.algorithms.betweenness import betweenness  # noqa: F401

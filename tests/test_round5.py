@@ -788,3 +788,29 @@ def test_rich_club_hand_computed(spark):
     assert got[2] == (4, 6, 1.0)
     assert got[3] == (1, 0, 0.0)
     assert got[4] == (0, 0, 0.0)
+
+
+def test_heavy_edge_coarsen_hand_computed(spark):
+    """Weighted path 0-1(5), 1-2(3), 2-3(5): mutual heavy pairs (0,1) and
+    (2,3) contract; coarse matrix has diagonals 10 (internal edge counted
+    in both symmetric directions) and one crossing edge of weight 3.
+    Equal-weight triangle: ties break to the smallest neighbor id, so only
+    (0,1) is mutual and vertex 2 stays a singleton."""
+    from combblas_spark.algorithms.coarsen import coarsen, heavy_edge_matching
+
+    path = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 3.0), (2, 3, 5.0)], "src long, dst long, w double"
+    )
+    cmap = {r["id"]: r["coarse_id"] for r in heavy_edge_matching(path).collect()}
+    assert cmap == {0: 0, 1: 0, 2: 2, 3: 2}
+    got = {(r["src"], r["dst"]): r["w"] for r in coarsen(path).collect()}
+    assert got == {(0, 0): 10, (0, 2): 3, (2, 2): 10}
+
+    tri = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)], "src long, dst long, w double"
+    )
+    cmap = {r["id"]: r["coarse_id"] for r in heavy_edge_matching(tri).collect()}
+    assert cmap == {0: 0, 1: 0, 2: 2}
+    got = {(r["src"], r["dst"]): r["w"] for r in coarsen(tri).collect()}
+    # internal (0,1) -> diag 2; the two crossing edges 1-2 and 0-2 merge
+    assert got == {(0, 0): 2, (0, 2): 2}
