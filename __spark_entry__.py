@@ -1321,6 +1321,60 @@ def q_hits_ps(spark, sf):
     )
 
 
+SALSA_ITERS = 6
+
+
+def q_salsa_ev(spark, sf):
+    """SALSA stochastic hubs/authorities on the events digraph
+    (algorithms/salsa.salsa) — the who-to-follow link-analysis walk."""
+    from combblas_spark.algorithms.salsa import salsa
+
+    return salsa(spark, events_digraph(spark, sf), num_iters=SALSA_ITERS)
+
+
+def _salsa_sql(prefix: str, edges_cte: str, iters: int) -> str:
+    """Unrolled SALSA: backward walk over the in-degree-normalized edges,
+    forward walk over the out-degree-normalized edges; auth0 uniform over
+    vertices with in-links; no per-step normalization (L1-stochastic by
+    construction, mirroring the Spark side exactly)."""
+    parts = [
+        f"""sverts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM {edges_cte}
+  UNION SELECT DISTINCT dst FROM {edges_cte}),
+sind AS MATERIALIZED (
+  SELECT dst AS id, SUM(w) AS dw FROM {edges_cte} GROUP BY dst),
+soutd AS MATERIALIZED (
+  SELECT src AS id, SUM(w) AS dw FROM {edges_cte} GROUP BY src),
+sein AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / i.dw AS w
+  FROM {edges_cte} e JOIN sind i ON i.id = e.dst),
+seout AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / o.dw AS w
+  FROM {edges_cte} e JOIN soutd o ON o.id = e.src),
+sa0 AS (
+  SELECT id, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM sind) AS val
+  FROM sind)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""sh{k} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(e.w * a.val) AS val
+  FROM sein e JOIN sa{k - 1} a ON a.id = e.dst GROUP BY e.src),
+sa{k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(e.w * h.val) AS val
+  FROM seout e JOIN sh{k} h ON h.id = e.src GROUP BY e.dst)"""
+        )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id, ROUND(COALESCE(h.val, 0.0), 6) AS hub,
+       ROUND(COALESCE(a.val, 0.0), 6) AS auth
+FROM sverts v LEFT JOIN sh{iters} h ON h.id = v.id
+LEFT JOIN sa{iters} a ON a.id = v.id"""
+    )
+
+
 def _hits_sql(prefix: str, edges_cte: str, iters: int) -> str:
     """Unrolled weighted HITS with per-half-step L2 normalization — the
     norm is a scalar subquery, mirroring the Spark side's broadcast 1-row
@@ -2363,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club_ev": q_rich_club_ev,
         # --- beyond the 50-row driver budget: judge-mirror-verified only ---
         "coarsen_ev": q_coarsen_ev,
+        "salsa_ev": q_salsa_ev,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3223,6 +3278,7 @@ FROM verts""",
             WHERE h < CAST(FLOOR(p * 1152921504606846976.0) AS BIGINT)""",
         "dedup_clusters": _dedup_clusters_sql(DEDUP_CC_ITERS),
         "hits_ps": _hits_sql(PS_CTES, "ps_dedup", HITS_ITERS),
+        "salsa_ev": _salsa_sql(EV_CTES, "evedges", SALSA_ITERS),
         "ktruss_ev": _ktruss_sql(
             EV_CTES + """,
             evsym AS MATERIALIZED (

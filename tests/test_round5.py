@@ -814,3 +814,37 @@ def test_heavy_edge_coarsen_hand_computed(spark):
     got = {(r["src"], r["dst"]): r["w"] for r in coarsen(tri).collect()}
     # internal (0,1) -> diag 2; the two crossing edges 1-2 and 0-2 merge
     assert got == {(0, 0): 2, (0, 2): 2}
+
+
+def test_salsa_python_replay(spark):
+    """SALSA vs an exact pure-python replay of the two-step stochastic
+    walk on a small weighted digraph; also checks the structural contract
+    (no-out-edge vertex has hub 0, no-in-edge vertex has auth 0, auth mass
+    stays L1 = 1)."""
+    from combblas_spark.algorithms.salsa import salsa
+
+    E = [(0, 2, 1.0), (1, 2, 2.0), (2, 3, 1.0), (3, 0, 1.0), (1, 3, 1.0)]
+    iters = 5
+    ind, outd = {}, {}
+    for s, d, w in E:
+        ind[d] = ind.get(d, 0.0) + w
+        outd[s] = outd.get(s, 0.0) + w
+    auth = {j: 1.0 / len(ind) for j in ind}
+    hub = {}
+    for _ in range(iters):
+        hub = {}
+        for s, d, w in E:
+            hub[s] = hub.get(s, 0.0) + (w / ind[d]) * auth.get(d, 0.0)
+        auth = {}
+        for s, d, w in E:
+            auth[d] = auth.get(d, 0.0) + (w / outd[s]) * hub.get(s, 0.0)
+    edges = spark.createDataFrame(E, "src long, dst long, w double")
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in salsa(spark, edges, num_iters=iters).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    for v in got:
+        assert got[v] == (round(hub.get(v, 0.0), 6), round(auth.get(v, 0.0), 6))
+    assert got[1][1] == 0.0           # vertex 1 has no in-edges
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-6
