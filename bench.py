@@ -88,6 +88,8 @@ HEADLINE = [
     # not regression-informative, like kron/graph_stats above)
     "unigram_xent",
     "tri_centrality_ev",
+    "coarsen_ev",
+    "salsa_ev",
 ]
 
 

@@ -40,11 +40,9 @@ from combblas_spark.core.semiring import PLUS_TIMES
 from combblas_spark.operators.multiply import galerkin
 
 
-def heavy_edge_matching(edges: DataFrame) -> DataFrame:
-    """(id, coarse_id) for EVERY vertex of the undirected weighted support
-    of ``edges`` (src, dst, w): matched pairs share min(pair) as coarse_id,
-    unmatched vertices map to themselves."""
-    und = (
+def _und_support(edges: DataFrame) -> DataFrame:
+    """Canonical (a < b, summed-weight) undirected simple support."""
+    return (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
@@ -54,6 +52,16 @@ def heavy_edge_matching(edges: DataFrame) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
     )
+
+
+def heavy_edge_matching(edges: DataFrame) -> DataFrame:
+    """(id, coarse_id) for EVERY vertex of the undirected weighted support
+    of ``edges`` (src, dst, w): matched pairs share min(pair) as coarse_id,
+    unmatched vertices map to themselves."""
+    return _matching_from_und(_und_support(edges))
+
+
+def _matching_from_und(und: DataFrame) -> DataFrame:
     sym = und.select(
         F.col("a").alias("v"), F.col("b").alias("u"), "w"
     ).unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u"), "w"))
@@ -85,22 +93,15 @@ def coarsen(edges: DataFrame) -> DataFrame:
     internal mass (each internal fine edge counted in both directions,
     exactly as A's symmetry implies). Weights are integer-exact (event
     multiplicities), so the cross-engine compare is exact."""
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-            F.col("w").cast("double").alias("w"),
-        )
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-    )
+    # the undirected support is built ONCE and feeds both the matching
+    # and the symmetric A (a single hash-agg pass over E at any scale)
+    und = _und_support(edges)
     a_sym = und.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionByName(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
     )
-    cmap = heavy_edge_matching(edges)
+    cmap = _matching_from_und(und)
     r = cmap.select(
         F.col("coarse_id").alias("src"),
         F.col("id").alias("dst"),
