@@ -218,36 +218,42 @@ def triangle_centrality(edges: DataFrame) -> DataFrame:
 
     Scale shape: ONE degree-ordered triple enumeration (the
     per_vertex_triangles wedge join, compact-forward bounded on skewed
-    graphs) feeds all three derived tables — per-vertex counts t(v)
-    (explode corners + hash count), the in-triangle edge flag (explode
-    sides + distinct), and the global T (one-row broadcast). The
-    per-vertex neighbor sums are one symmetrized hash join against the
-    O(V) t(v) table plus one conditional aggregation. No windows, no UDFs,
-    no iteration.
+    graphs) collapses straight into the small per-edge support table
+    (one row per in-triangle edge), which is persisted and eagerly
+    materialized so the expensive wedge join runs EXACTLY once — all three
+    derived tables come from support by integer identities:
+    Σ_incident support = 2·t(v) and Σ support = 3·T. The per-vertex
+    neighbor sums are one symmetrized hash join against the O(V) t(v)
+    table plus one conditional aggregation. No windows, no UDFs, no
+    iteration. (Per the repo convention, the persisted intermediate is
+    left for the session harness to clearCache between queries.)
     """
     L = _oriented(edges, degree_ordered=True).select("src", "dst")
     ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = L.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tris = ab.join(bc, "b").join(ac, ["a", "c"])
-    # no persist: tv/tedge/tot all land in ONE final DAG, so Catalyst's
-    # ReuseExchange rule dedupes the identical wedge-join shuffles at execution
-    tv = (
-        tris.select(
-            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("v")
-        )
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-    )
-    tedge = (
+    sup = (
         tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))
         .unionByName(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
-        .distinct()
-        .withColumn("intri", F.lit(1))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )
-    tot = tris.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    sup.persist()
+    sup.count()  # eager: the wedge join runs once, here
+    # each triangle at v covers exactly 2 of v's incident edges
+    tv = (
+        sup.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("v"), "support"
+        )
+        .groupBy("v")
+        .agg((F.sum("support") / 2).cast("long").alias("t"))
+    )
+    tedge = sup.select("a", "b").withColumn("intri", F.lit(1))
+    # each triangle contributes its 3 sides once
+    tot = sup.agg((F.coalesce(F.sum("support"), F.lit(0)) / 3).cast("double").alias("tot"))
 
     und = (
         edges.filter(F.col("src") != F.col("dst"))

@@ -204,3 +204,42 @@ def test_degree_histogram_is_two_hash_aggs_no_join(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final per level
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in plan
+
+
+def test_triangle_centrality_single_wedge_enumeration(spark):
+    """The wedge join runs exactly once: every downstream consumer (t(v),
+    edge flag, total T) reads the persisted per-edge support table
+    (InMemoryTableScan), never a second wedge join; and no cartesian."""
+    from combblas_spark.algorithms.clustering import triangle_centrality
+    from combblas_spark.sources.graphs import events_digraph
+
+    df = triangle_centrality(events_digraph(spark, SF))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
+def test_coarsen_has_no_cartesian_and_prunes_scan(spark):
+    from combblas_spark.algorithms.coarsen import coarsen
+    from combblas_spark.sources.graphs import events_digraph
+
+    plan = _plan(coarsen(events_digraph(spark, SF)))
+    assert "CartesianProduct" not in plan
+    rs = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "user_id" in rs and "payload" not in rs
+
+
+def test_salsa_output_plan_is_truncated_and_join_clean(spark):
+    """SALSA's iterations run eagerly inside the call (lineage cut per
+    superstep), so the OUTPUT plan must be shallow: the densify joins read
+    checkpointed RDD scans (Scan ExistingRDD) — not a 2·num_iters-deep
+    join chain — and there is no cartesian anywhere."""
+    from combblas_spark.algorithms.salsa import salsa
+    from combblas_spark.sources.graphs import events_digraph
+
+    df = salsa(spark, events_digraph(spark, SF), num_iters=2)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # truncated hub + auth
+    spark.catalog.clearCache()
