@@ -1332,6 +1332,17 @@ def q_salsa_ev(spark, sf):
     return salsa(spark, events_digraph(spark, sf), num_iters=SALSA_ITERS)
 
 
+BACKBONE_ALPHA = 0.2  # events-graph weights are near-uniform; 0.05 keeps ~0
+
+
+def q_backbone_ev(spark, sf):
+    """Disparity-filter multiscale backbone of the weighted events graph
+    (algorithms/backbone.disparity_backbone) — significance-pruned edges."""
+    from combblas_spark.algorithms.backbone import disparity_backbone
+
+    return disparity_backbone(events_digraph(spark, sf), alpha_max=BACKBONE_ALPHA)
+
+
 def _salsa_sql(prefix: str, edges_cte: str, iters: int) -> str:
     """Unrolled SALSA: backward walk over the in-degree-normalized edges,
     forward walk over the out-degree-normalized edges; auth0 uniform over
@@ -2418,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- beyond the 50-row driver budget: judge-mirror-verified only ---
         "coarsen_ev": q_coarsen_ev,
         "salsa_ev": q_salsa_ev,
+        "backbone_ev": q_backbone_ev,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3279,6 +3291,41 @@ FROM verts""",
         "dedup_clusters": _dedup_clusters_sql(DEDUP_CC_ITERS),
         "hits_ps": _hits_sql(PS_CTES, "ps_dedup", HITS_ITERS),
         "salsa_ev": _salsa_sql(EV_CTES, "evedges", SALSA_ITERS),
+        "backbone_ev": f"""WITH {EV_CTES},
+            bund AS MATERIALIZED (
+              SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                     SUM(w) AS w
+              FROM evedges WHERE src <> dst GROUP BY a, b),
+            bsym AS (
+              SELECT a AS v, b AS u, w FROM bund
+              UNION ALL SELECT b AS v, a AS u, w FROM bund),
+            vstat AS MATERIALIZED (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS k, SUM(w) AS s
+              FROM bsym GROUP BY v)
+            SELECT e.a, e.b, CAST(e.w AS BIGINT) AS w,
+                   LEAST(
+                     CASE WHEN va.k >= 2
+                          THEN ROUND(POWER(1.0 - e.w / va.s,
+                                           CAST(va.k - 1 AS DOUBLE)), 6)
+                          ELSE 1.0 END,
+                     CASE WHEN vb.k >= 2
+                          THEN ROUND(POWER(1.0 - e.w / vb.s,
+                                           CAST(vb.k - 1 AS DOUBLE)), 6)
+                          ELSE 1.0 END) AS alpha,
+                   CAST(CASE WHEN
+                     (CASE WHEN va.k >= 2
+                           THEN ROUND(POWER(1.0 - e.w / va.s,
+                                            CAST(va.k - 1 AS DOUBLE)), 6)
+                           ELSE 1.0 END) < {BACKBONE_ALPHA}
+                     OR
+                     (CASE WHEN vb.k >= 2
+                           THEN ROUND(POWER(1.0 - e.w / vb.s,
+                                            CAST(vb.k - 1 AS DOUBLE)), 6)
+                           ELSE 1.0 END) < {BACKBONE_ALPHA}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM bund e
+            JOIN vstat va ON va.v = e.a
+            JOIN vstat vb ON vb.v = e.b""",
         "ktruss_ev": _ktruss_sql(
             EV_CTES + """,
             evsym AS MATERIALIZED (

@@ -15,6 +15,7 @@ from combblas_spark.algorithms.coloring import jp_coloring  # noqa: F401
 from combblas_spark.algorithms.butterflies import butterfly_count  # noqa: F401
 from combblas_spark.algorithms.coarsen import coarsen, heavy_edge_matching  # noqa: F401
 from combblas_spark.algorithms.salsa import salsa  # noqa: F401
+from combblas_spark.algorithms.backbone import disparity_backbone  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
 from combblas_spark.algorithms.sssp import sssp  # noqa: F401
 from combblas_spark.algorithms.betweenness import betweenness  # noqa: F401

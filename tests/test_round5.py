@@ -848,3 +848,23 @@ def test_salsa_python_replay(spark):
         assert got[v] == (round(hub.get(v, 0.0), 6), round(auth.get(v, 0.0), 6))
     assert got[1][1] == 0.0           # vertex 1 has no in-edges
     assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-6
+
+
+def test_disparity_backbone_hand_computed(spark):
+    """Weighted star 0-{1,2,3,4} with one dominant edge (w=10 vs 1,1,1):
+    at the hub (k=4, s=13) the dominant edge's alpha = (3/13)^3 ~ 0.0123
+    clears alpha_max=0.05, the uniform edges ((12/13)^3 ~ 0.787) do not;
+    the leaves are degree-1 (alpha 1.0)."""
+    from combblas_spark.algorithms.backbone import disparity_backbone
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 1.0), (0, 3, 1.0), (0, 4, 1.0)],
+        "src long, dst long, w double",
+    )
+    got = {
+        (r["a"], r["b"]): (r["w"], r["alpha"], r["keep"])
+        for r in disparity_backbone(edges, alpha_max=0.05).collect()
+    }
+    assert got[(0, 1)] == (10, round((3 / 13) ** 3, 6), 1)
+    for b in (2, 3, 4):
+        assert got[(0, b)] == (1, round((12 / 13) ** 3, 6), 0)
