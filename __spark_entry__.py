@@ -1051,6 +1051,16 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_source_dups(spark, sf):
+    """Cross-source duplication matrix (functions/dedup.source_dup_matrix):
+    verified near-dup pair counts per unordered source pair — the
+    who-copies-whom governance rollup."""
+    from combblas_spark.functions.dedup import source_dup_matrix
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return source_dup_matrix(docs, k=3, num_hashes=4, bands=2, rows_per_band=2)
+
+
 def q_dedup_clusters(spark, sf):
     """End-to-end near-dup dedup (the keep-one-per-cluster production
     shape): MinHash-LSH candidates -> exact shingle-Jaccard verify (>= 1/2)
@@ -2430,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_ev": q_coarsen_ev,
         "salsa_ev": q_salsa_ev,
         "backbone_ev": q_backbone_ev,
+        "source_dups": q_source_dups,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3289,6 +3300,25 @@ FROM verts""",
             FROM s
             WHERE h < CAST(FLOOR(p * 1152921504606846976.0) AS BIGINT)""",
         "dedup_clusters": _dedup_clusters_sql(DEDUP_CC_ITERS),
+        "source_dups": f"""WITH {LSH_CTES},
+            jsizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+            ver AS MATERIALIZED (
+              SELECT c.id_a, c.id_b FROM (
+                SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+                FROM pairs p
+                JOIN sh a ON a.id = p.id_a
+                JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+                GROUP BY p.id_a, p.id_b) c
+              JOIN jsizes sa ON sa.id = c.id_a
+              JOIN jsizes sb ON sb.id = c.id_b
+              WHERE c.n_common * 3 >= (sa.n + sb.n) * 1)
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM ver v
+            JOIN documents da ON da.doc_id = v.id_a
+            JOIN documents db ON db.doc_id = v.id_b
+            GROUP BY source_a, source_b""",
         "hits_ps": _hits_sql(PS_CTES, "ps_dedup", HITS_ITERS),
         "salsa_ev": _salsa_sql(EV_CTES, "evedges", SALSA_ITERS),
         "backbone_ev": f"""WITH {EV_CTES},

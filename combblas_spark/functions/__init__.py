@@ -19,6 +19,7 @@ from combblas_spark.functions.dedup import (  # noqa: F401
     simhash,
     simhash_near_dups,
     near_dup_clusters,
+    source_dup_matrix,
     decontaminate,
 )
 from combblas_spark.functions.similarity import (  # noqa: F401

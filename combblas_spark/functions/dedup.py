@@ -328,3 +328,60 @@ def decontaminate(
             F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
         )
     )
+
+
+def source_dup_matrix(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 4,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — the data-governance rollup every
+    multi-source corpus audit produces: for each unordered source pair,
+    how many VERIFIED near-dup document pairs straddle it (diagonal rows =
+    within-source duplication). Which crawls copy which is the first
+    question a mixture owner asks before re-weighting; this is the
+    near-dup analog of mixture_stats.
+
+    Pipeline: the same capped MinHash-LSH candidates -> integer-exact
+    shingle-Jaccard >= tau verification as near_dup_clusters, then two
+    O(V)-keyed hash joins to the (doc -> source) table and one hash count
+    per canonical (source_a <= source_b) pair. -> (source_a, source_b,
+    n_pairs BIGINT), only pairs with n_pairs > 0.
+
+    Scale shape: inherits lsh_candidate_pairs' degenerate-bucket cap (no
+    quadratic buckets); the source rollup output is O(#sources^2) — tiny
+    at any corpus scale.
+    """
+    sh = shingles(docs, k=k, id_col=id_col, text_col=text_col)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(
+        sig, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
+    )
+    jp = jaccard_pairs(sh, cand)
+    ver = jp.filter(
+        F.col("n_common") * (tau_den + tau_num)
+        >= (F.col("n_a") + F.col("n_b")) * tau_num
+    ).select("id_a", "id_b")
+    meta = docs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(source_col).alias("src_name")
+    )
+    j = (
+        ver.join(meta.select(F.col("id").alias("id_a"), F.col("src_name").alias("sx")), "id_a")
+        .join(meta.select(F.col("id").alias("id_b"), F.col("src_name").alias("sy")), "id_b")
+    )
+    return (
+        j.select(
+            F.least("sx", "sy").alias("source_a"),
+            F.greatest("sx", "sy").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

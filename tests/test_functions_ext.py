@@ -206,3 +206,27 @@ def test_unigram_xent_hand_computed(spark):
     assert got[2] == (1, x(4))
     assert got[3] == (0, 0.0)
     assert got[0][1] < got[1][1]  # common-token doc is more corpus-like
+
+
+def test_source_dup_matrix_planted_pairs(spark):
+    """Two identical docs across sources A/B, two identical within C, and
+    one unique doc: the matrix reports exactly {(A,B): 1, (C,C): 1}."""
+    from combblas_spark.functions.dedup import source_dup_matrix
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    dup2 = "pack my box with five dozen liquor jugs every single day"
+    docs = spark.createDataFrame(
+        [
+            (0, dup, "A"),
+            (1, dup, "B"),
+            (2, dup2, "C"),
+            (3, dup2, "C"),
+            (4, "completely different text with no overlap at all here", "A"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in source_dup_matrix(docs).collect()
+    }
+    assert got == {("A", "B"): 1, ("C", "C"): 1}
