@@ -1342,6 +1342,49 @@ def q_salsa_ev(spark, sf):
     return salsa(spark, events_digraph(spark, sf), num_iters=SALSA_ITERS)
 
 
+WL_ROUNDS = 3
+
+
+def q_wl_colors_ps(spark, sf):
+    """Weisfeiler-Lehman color refinement on the part—supplier graph
+    (algorithms/wl.wl_refine) — per-vertex structural fingerprints after
+    3 rounds of canonical neighborhood hashing."""
+    from combblas_spark.algorithms.wl import wl_refine
+
+    return wl_refine(spark, part_supplier_graph(spark, sf), rounds=WL_ROUNDS)
+
+
+def _wl_sql(prefix: str, edges_cte: str, rounds: int) -> str:
+    """Unrolled 1-WL: color_0 = md5(degree), each round md5(own || '|' ||
+    sorted ','-joined neighbor colors) — byte-identical to the Spark side
+    (md5 hex + lexicographic sort are engine-portable)."""
+    parts = [
+        f"""wund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM {edges_cte} WHERE src <> dst),
+wsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM wund
+  UNION ALL SELECT b AS src, a AS dst FROM wund),
+wc0 AS MATERIALIZED (
+  SELECT dst AS id, md5(CAST(COUNT(*) AS VARCHAR)) AS c
+  FROM wsym GROUP BY dst)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""wc{k} AS MATERIALIZED (
+  SELECT p.id, md5(p.c || '|' || g.ns) AS c
+  FROM wc{k - 1} p JOIN (
+    SELECT e.dst AS id, string_agg(n.c, ',' ORDER BY n.c) AS ns
+    FROM wsym e JOIN wc{k - 1} n ON n.id = e.src GROUP BY e.dst) g
+  ON g.id = p.id)"""
+        )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, c AS wl_color FROM wc{rounds}"
+    )
+
+
 BACKBONE_ALPHA = 0.2  # events-graph weights are near-uniform; 0.05 keeps ~0
 
 
@@ -2441,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_ev": q_salsa_ev,
         "backbone_ev": q_backbone_ev,
         "source_dups": q_source_dups,
+        "wl_colors_ps": q_wl_colors_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3320,6 +3364,7 @@ FROM verts""",
             JOIN documents db ON db.doc_id = v.id_b
             GROUP BY source_a, source_b""",
         "hits_ps": _hits_sql(PS_CTES, "ps_dedup", HITS_ITERS),
+        "wl_colors_ps": _wl_sql(PS_CTES, "edges", WL_ROUNDS),
         "salsa_ev": _salsa_sql(EV_CTES, "evedges", SALSA_ITERS),
         "backbone_ev": f"""WITH {EV_CTES},
             bund AS MATERIALIZED (

@@ -16,6 +16,7 @@ from combblas_spark.algorithms.butterflies import butterfly_count  # noqa: F401
 from combblas_spark.algorithms.coarsen import coarsen, heavy_edge_matching  # noqa: F401
 from combblas_spark.algorithms.salsa import salsa  # noqa: F401
 from combblas_spark.algorithms.backbone import disparity_backbone  # noqa: F401
+from combblas_spark.algorithms.wl import wl_refine, wl_color_histogram  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
 from combblas_spark.algorithms.sssp import sssp  # noqa: F401
 from combblas_spark.algorithms.betweenness import betweenness  # noqa: F401

@@ -868,3 +868,21 @@ def test_disparity_backbone_hand_computed(spark):
     assert got[(0, 1)] == (10, round((3 / 13) ** 3, 6), 1)
     for b in (2, 3, 4):
         assert got[(0, b)] == (1, round((12 / 13) ** 3, 6), 0)
+
+
+def test_wl_refinement_known_partitions(spark):
+    """1-WL invariants: (a) a path's endpoints share a color class distinct
+    from the middle; (b) the classic non-distinguishability — two disjoint
+    triangles and a 6-cycle are both 2-regular and get ONE identical color
+    everywhere at every round (the known 1-WL blind spot)."""
+    from combblas_spark.algorithms.wl import wl_refine
+
+    path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["id"]: r["wl_color"] for r in wl_refine(spark, path, rounds=3).collect()}
+    assert got[0] == got[2] and got[0] != got[1]
+
+    two_tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    six_cycle = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (10, 15)]
+    g = spark.createDataFrame(two_tri + six_cycle, "src long, dst long")
+    colors = {r["id"]: r["wl_color"] for r in wl_refine(spark, g, rounds=4).collect()}
+    assert len(set(colors.values())) == 1
