@@ -2400,6 +2400,14 @@ def q_tfidf_topk(spark, sf):
     return tfidf_topk(spark.read.parquet(f"{sf}/documents.parquet"), k=5)
 
 
+def q_zipf_stats(spark, sf):
+    """One-row Zipf rank-frequency fit over the corpus vocabulary
+    (functions/text.zipf_stats) — the corpus-health drift alarm."""
+    from combblas_spark.functions.text import zipf_stats
+
+    return zipf_stats(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
 def q_unigram_xent(spark, sf):
     """Corpus-unigram cross-entropy per document
     (functions/text.unigram_xent) — the CCNet-style LM quality filter."""
@@ -2485,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backbone_ev": q_backbone_ev,
         "source_dups": q_source_dups,
         "wl_colors_ps": q_wl_colors_ps,
+        "zipf_stats": q_zipf_stats,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3455,6 +3464,35 @@ FROM verts""",
             SELECT s.id AS doc_id, CAST(s.n AS BIGINT) AS n_tokens,
                    ROUND(COALESCE(e.e, 0.0), 6) AS entropy
             FROM sz s LEFT JOIN ent e ON e.id = s.id""",
+        "zipf_stats": f"""WITH {TOKS_CTES},
+            zrt AS (SELECT unnest(toks) AS tok FROM toklists),
+            zcnt AS MATERIALIZED (
+              SELECT tok, COUNT(*) AS c FROM zrt GROUP BY tok),
+            zxy AS (
+              SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC)
+                             AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y, c
+              FROM zcnt),
+            zm AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM zxy)
+            SELECT n_types, n_tokens,
+                   ROUND(CASE WHEN sxx / n_types
+                                   - (sx / n_types) * (sx / n_types) > 0
+                         THEN (sxy / n_types - (sx / n_types) * (sy / n_types))
+                              / (sxx / n_types - (sx / n_types) * (sx / n_types))
+                         ELSE 0.0 END, 6) AS zipf_slope,
+                   ROUND(CASE WHEN sxx / n_types
+                                   - (sx / n_types) * (sx / n_types) > 0
+                         THEN sy / n_types
+                              - ((sxy / n_types - (sx / n_types) * (sy / n_types))
+                                 / (sxx / n_types - (sx / n_types) * (sx / n_types)))
+                                * (sx / n_types)
+                         ELSE 0.0 END, 6) AS zipf_intercept
+            FROM zm""",
         "unigram_xent": f"""WITH {TOKS_CTES},
             rt AS (SELECT doc_id AS id, unnest(toks) AS tok FROM toklists),
             dc AS (SELECT id, tok, COUNT(*) AS c_doc FROM rt GROUP BY id, tok),

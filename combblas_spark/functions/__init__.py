@@ -9,6 +9,7 @@ from combblas_spark.functions.text import (  # noqa: F401
     corpus_filter,
     mixture_stats,
     unigram_xent,
+    zipf_stats,
 )
 from combblas_spark.functions.dedup import (  # noqa: F401
     exact_dedup,

@@ -492,3 +492,64 @@ def unigram_xent(
             6,
         ).alias("xent"),
     )
+
+
+def zipf_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus vocabulary health report: Zipf rank-frequency slope.
+
+    Fits y = a + b·x by least squares over the full vocabulary with
+    x = ln(rank), y = ln(count) (rank 1 = most frequent; ties broken by
+    token text so the ranking is engine-portable). A healthy natural
+    corpus has slope ~ -1; templated/boilerplate corpora flatten, and
+    synthetic token soup steepens — the cheapest corpus-level drift alarm
+    next to the per-doc signals (token_entropy, unigram_xent).
+
+    -> (n_types BIGINT, n_tokens BIGINT, zipf_slope, zipf_intercept), the
+    floats ROUND(.,6); slope/intercept 0.0 when the vocabulary has < 2
+    types (zero variance).
+
+    Scale shape: one explode -> token count (map-side combinable); the
+    rank is ONE window over the token-count table — the table is
+    |vocabulary|-sized (Zipf-bounded, millions not trillions), so a
+    global window over it is safe at any corpus scale; the fit collapses
+    through a single aggregate. No UDFs.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    occ = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    xy = cnt.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+        F.col("c"),
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    # plain multiplies (x*x), never POWER — see graph_stats' portability note
+    varx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    slope = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    return mom.select(
+        "n_types",
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            F.when(
+                varx > 0, F.col("sy") / n - (cov / varx) * (F.col("sx") / n)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("zipf_intercept"),
+    )

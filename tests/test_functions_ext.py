@@ -230,3 +230,26 @@ def test_source_dup_matrix_planted_pairs(spark):
         for r in source_dup_matrix(docs).collect()
     }
     assert got == {("A", "B"): 1, ("C", "C"): 1}
+
+
+def test_zipf_stats_exact_fit(spark):
+    """Vocabulary engineered so counts are exactly c(rank) = 8/rank for
+    ranks 1,2,4,8 — ln-ln points are perfectly collinear with slope -1
+    (ties impossible, every count distinct)."""
+    import math
+    from combblas_spark.functions.text import zipf_stats
+
+    words = ["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_stats(docs).collect()[0]
+    assert row["n_types"] == 4 and row["n_tokens"] == 15
+    # ranks 1,2,3,4 with counts 8,4,2,1: y = ln 8 - ln2 * log2(rank); the
+    # x-axis is ln(rank) (not log2), so the exact LS slope is computable:
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    n = 4.0
+    varx = sum(x * x for x in xs) / n - (sum(xs) / n) ** 2
+    cov = sum(x * y for x, y in zip(xs, ys)) / n - (sum(xs) / n) * (sum(ys) / n)
+    assert abs(row["zipf_slope"] - cov / varx) < 1e-5
