@@ -2348,6 +2348,15 @@ def q_graph_stats_ev(spark, sf):
 RICH_CLUB_KS = (1, 2, 4, 8, 16, 32)
 
 
+def q_knn_curve_ev(spark, sf):
+    """Average-nearest-neighbor-degree curve per log2 degree bucket on the
+    events graph (algorithms/stats.knn_curve) — the degree-mixing profile
+    behind the assortativity scalar."""
+    from combblas_spark.algorithms.stats import knn_curve
+
+    return knn_curve(events_digraph(spark, sf))
+
+
 def q_rich_club_ev(spark, sf):
     """Rich-club coefficient profile of the events graph
     (algorithms/stats.rich_club) — hub-to-hub wiring density per degree
@@ -2494,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dups": q_source_dups,
         "wl_colors_ps": q_wl_colors_ps,
         "zipf_stats": q_zipf_stats,
+        "knn_curve_ev": q_knn_curve_ev,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2785,6 +2795,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN cmap cb ON cb.id = s.u
             WHERE ca.c <= cb.c
             GROUP BY ca.c, cb.c""",
+        "knn_curve_ev": f"""WITH {EV_CTES},
+            kund AS MATERIALIZED (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM evedges WHERE src <> dst),
+            ksym AS MATERIALIZED (
+              SELECT a, b FROM kund UNION ALL SELECT b AS a, a AS b FROM kund),
+            kdeg AS MATERIALIZED (
+              SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM ksym GROUP BY a),
+            kpv AS (
+              SELECT s.a, da.deg AS d_a, AVG(CAST(db.deg AS DOUBLE)) AS knn_v
+              FROM ksym s
+              JOIN kdeg da ON da.id = s.a
+              JOIN kdeg db ON db.id = s.b
+              GROUP BY s.a, da.deg)
+            SELECT CAST(LENGTH(LTRIM(bin(d_a), '0')) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                   ROUND(AVG(CAST(d_a AS DOUBLE)), 6) AS avg_deg,
+                   ROUND(AVG(knn_v), 6) AS avg_nbr_deg
+            FROM kpv GROUP BY 1""",
         "rich_club_ev": f"""WITH {EV_CTES},
             evsym AS MATERIALIZED (
               SELECT src, dst FROM evedges

@@ -9,7 +9,7 @@ from combblas_spark.algorithms.clustering import (  # noqa: F401
     edge_jaccard,
     triangle_centrality,
 )
-from combblas_spark.algorithms.stats import graph_stats, harmonic_centrality, rich_club  # noqa: F401
+from combblas_spark.algorithms.stats import graph_stats, harmonic_centrality, rich_club, knn_curve  # noqa: F401
 from combblas_spark.algorithms.linkpred import adamic_adar  # noqa: F401
 from combblas_spark.algorithms.coloring import jp_coloring  # noqa: F401
 from combblas_spark.algorithms.butterflies import butterfly_count  # noqa: F401

@@ -420,3 +420,50 @@ def rich_club(edges: DataFrame, ks: list[int] = (1, 2, 4, 8, 16, 32)) -> DataFra
             ).alias("phi"),
         )
     )
+
+
+def knn_curve(edges: DataFrame) -> DataFrame:
+    """Average-nearest-neighbor-degree curve knn(k) — the degree-mixing
+    PROFILE behind graph_stats' single assortativity scalar (Pastor-
+    Satorras/Vazquez/Vespignani 2001): for vertices bucketed by degree,
+    the mean over incident edges of the other endpoint's degree. Rising
+    knn(k) = assortative hubs-with-hubs wiring; falling = the
+    disassortative hub-periphery shape typical of web graphs.
+
+    -> one row per occupied log2 degree bucket: (bucket BIGINT = floor
+    log2(deg), n_vertices BIGINT, avg_deg ROUND(.,6), avg_nbr_deg
+    ROUND(.,6)). Bucketing keeps the output O(log V) at any scale and the
+    integer-log2 uses the bit-length trick (LENGTH(bin(x))-1), never
+    float log2 (CLAUDE.md portability note).
+
+    Scale shape: degree is one hash agg over the symmetrized support; the
+    per-incidence neighbor degree attaches by two O(V)-keyed hash joins
+    (same joins graph_stats already makes); two final aggs. No windows,
+    no UDFs.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("d_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("d_b"))
+    inc = sym.join(da, "a").join(db, "b")
+    # per-vertex mean neighbor degree first, then bucket-average of that
+    # (the standard knn(k) estimator: average over vertices, not edges)
+    pv = inc.groupBy("a", "d_a").agg(F.avg("d_b").alias("knn_v"))
+    bucket = (F.length(F.bin(F.col("d_a"))) - 1).cast("long")
+    return (
+        pv.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(F.avg(F.col("d_a").cast("double")), 6).alias("avg_deg"),
+            F.round(F.avg("knn_v"), 6).alias("avg_nbr_deg"),
+        )
+    )

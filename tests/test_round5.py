@@ -886,3 +886,17 @@ def test_wl_refinement_known_partitions(spark):
     g = spark.createDataFrame(two_tri + six_cycle, "src long, dst long")
     colors = {r["id"]: r["wl_color"] for r in wl_refine(spark, g, rounds=4).collect()}
     assert len(set(colors.values())) == 1
+
+
+def test_knn_curve_hand_computed(spark):
+    """Star 0-{1,2,3}: the hub (deg 3, bucket 1) sees mean neighbor degree
+    1; each leaf (deg 1, bucket 0) sees 3 — the textbook disassortative
+    profile."""
+    from combblas_spark.algorithms.stats import knn_curve
+
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    got = {
+        r["bucket"]: (r["n_vertices"], r["avg_deg"], r["avg_nbr_deg"])
+        for r in knn_curve(star).collect()
+    }
+    assert got == {0: (3, 1.0, 3.0), 1: (1, 3.0, 1.0)}
