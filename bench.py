@@ -90,6 +90,10 @@ HEADLINE = [
     "tri_centrality_ev",
     "coarsen_ev",
     "salsa_ev",
+    "backbone_ev",
+    "source_dups",
+    "wl_colors_ps",
+    "zipf_stats",
 ]
 
 
