@@ -1186,6 +1186,35 @@ p0 AS (SELECT id, CASE WHEN id IN ({inlist}) THEN {pseed} ELSE 0.0 END AS val
     )
 
 
+def _ppr_ctes(edges_cte: str, iters: int, seeds: list, alpha: float = 0.85) -> str:
+    """The CTE body of _ppr_sql without prefix/final-select, for composition
+    (the sweep-cut oracle replays PPR then sweeps); final vector = p{iters}."""
+    full = _ppr_sql("__X__", edges_cte, iters, seeds, alpha)
+    body = full[len("WITH __X__,\n"):]
+    return body[: body.rindex("\nSELECT ")]
+
+
+SWEEP_SEEDS = [1]   # single-seed local community around part vertex 1
+SWEEP_TOP_M = 100
+
+
+def q_sweep_cut_ps(spark, sf):
+    """ACL PageRank-Nibble sweep cut around a seed part vertex
+    (algorithms/localcluster.sweep_cut): conductance of every
+    degree-normalized-PPR prefix; the argmin prefix is the local
+    community."""
+    from combblas_spark.algorithms.localcluster import sweep_cut
+
+    return sweep_cut(
+        spark,
+        part_supplier_graph(spark, sf),
+        seeds=SWEEP_SEEDS,
+        alpha=0.85,
+        num_iters=PR_ITERS,
+        top_m=SWEEP_TOP_M,
+    )
+
+
 WALKS_MAX_SEED = 50
 WALKS_LEN = 4
 
@@ -2504,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors_ps": q_wl_colors_ps,
         "zipf_stats": q_zipf_stats,
         "knn_curve_ev": q_knn_curve_ev,
+        "sweep_cut_ps": q_sweep_cut_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3544,6 +3574,39 @@ FROM verts""",
             PS_CTES, "edges", CORENESS_KS, KCORE_ORACLE_ROUNDS
         ),
         "ppr_ps": _ppr_sql(PS_CTES, "edges", PR_ITERS, PPR_SEEDS),
+        "sweep_cut_ps": f"""WITH {PS_CTES},
+{_ppr_ctes("edges", PR_ITERS, SWEEP_SEEDS)},
+swund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst),
+swdeg AS MATERIALIZED (
+  SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a, b FROM swund UNION ALL SELECT b AS a, a AS b FROM swund)
+  GROUP BY a),
+swtv AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS tv FROM swund),
+swranked AS MATERIALIZED (
+  SELECT id, val, deg, rnk FROM (
+    SELECT s.id, s.val, s.deg,
+           CAST(ROW_NUMBER() OVER (ORDER BY s.score DESC, s.id ASC)
+                AS BIGINT) AS rnk
+    FROM (SELECT p.id, p.val, d.deg, ROUND(p.val / d.deg, 6) AS score
+          FROM p{PR_ITERS} p JOIN swdeg d ON d.id = p.id) s)
+  WHERE rnk <= {SWEEP_TOP_M}),
+swik AS (
+  SELECT GREATEST(ra.rnk, rb.rnk) AS rnk, CAST(COUNT(*) AS BIGINT) AS n_int
+  FROM swund e JOIN swranked ra ON ra.id = e.a
+  JOIN swranked rb ON rb.id = e.b GROUP BY 1),
+swsweep AS (
+  SELECT r.rnk, r.id, r.val,
+         SUM(r.deg) OVER (ORDER BY r.rnk) AS vol,
+         SUM(COALESCE(i.n_int, 0)) OVER (ORDER BY r.rnk) AS cint
+  FROM swranked r LEFT JOIN swik i ON i.rnk = r.rnk)
+SELECT s.rnk AS "rank", s.id, ROUND(s.val, 6) AS ppr,
+       ROUND(CASE WHEN LEAST(s.vol, t.tv - s.vol) > 0
+             THEN (s.vol - 2 * s.cint)
+                  / CAST(LEAST(s.vol, t.tv - s.vol) AS DOUBLE)
+             ELSE 1.0 END, 6) AS phi
+FROM swsweep s, swtv t""",
         "walks_ps": _walks_sql(PS_CTES, "edges", WALKS_MAX_SEED, WALKS_LEN),
         "bpe_pair_counts": """WITH pp AS (
               SELECT doc_id, unnest(p) AS piece, generate_subscripts(p, 1) AS ord

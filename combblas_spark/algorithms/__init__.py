@@ -17,6 +17,7 @@ from combblas_spark.algorithms.coarsen import coarsen, heavy_edge_matching  # no
 from combblas_spark.algorithms.salsa import salsa  # noqa: F401
 from combblas_spark.algorithms.backbone import disparity_backbone  # noqa: F401
 from combblas_spark.algorithms.wl import wl_refine, wl_color_histogram  # noqa: F401
+from combblas_spark.algorithms.localcluster import sweep_cut  # noqa: F401
 from combblas_spark.algorithms.labelprop import label_propagation, mcl  # noqa: F401
 from combblas_spark.algorithms.sssp import sssp  # noqa: F401
 from combblas_spark.algorithms.betweenness import betweenness  # noqa: F401

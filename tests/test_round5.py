@@ -900,3 +900,28 @@ def test_knn_curve_hand_computed(spark):
         for r in knn_curve(star).collect()
     }
     assert got == {0: (3, 1.0, 3.0), 1: (1, 3.0, 1.0)}
+
+
+def test_sweep_cut_finds_seed_triangle(spark):
+    """Two triangles {0,1,2} and {3,4,5} joined by bridge 2-3, seeded at
+    vertex 0: degree-normalized PPR ranks the seed triangle first, and the
+    conductance sweep bottoms out exactly at prefix size 3 with
+    phi = cut/vol = 1/7 (one bridge edge over volume 7)."""
+    from combblas_spark.algorithms.localcluster import sweep_cut
+
+    E = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in E] + [(d, s, 1.0) for s, d in E],
+        "src long, dst long, w double",
+    )
+    rows = sweep_cut(
+        spark, edges, seeds=[0], alpha=0.85, num_iters=10, top_m=6
+    ).collect()
+    by_rank = {r["rank"]: r for r in rows}
+    assert {by_rank[k]["id"] for k in (1, 2, 3)} == {0, 1, 2}
+    phis = {r["rank"]: r["phi"] for r in rows}
+    assert phis[3] == round(1 / 7, 6)
+    assert min(phis, key=phis.get) == 3
+    # the full-graph prefix has vol == total volume: the denominator
+    # min(vol, tv - vol) is 0 and the guard reports the 1.0 sentinel
+    assert phis[6] == 1.0
