@@ -94,6 +94,7 @@ HEADLINE = [
     "source_dups",
     "wl_colors_ps",
     "zipf_stats",
+    "sweep_cut_ps",
 ]
 
 
