@@ -1147,12 +1147,15 @@ def q_ppr_ps(spark, sf):
     return r.select("id", F.round("val", 6).alias("val"))
 
 
-def _ppr_sql(prefix: str, edges_cte: str, iters: int, seeds: list,
-             alpha: float = 0.85) -> str:
-    """Unrolled personalized PageRank. The reset scalar folds dangling
-    mass = 0 (the ps graph is symmetric, no dangling vertices) and is
-    injected as the exact Python double the Spark side multiplies with —
-    same IEEE product, so ROUND(.,6) hashes match."""
+def _ppr_ctes(edges_cte: str, iters: int, seeds: list, alpha: float = 0.85) -> str:
+    """The unrolled-PPR CTE body (no WITH prefix, no final select) — the
+    composition unit: _ppr_sql appends the plain vector select, the
+    sweep-cut oracle appends the conductance sweep. Final vector = p{iters}.
+
+    The reset scalar folds dangling mass = 0 (the ps graph is symmetric,
+    no dangling vertices) and is injected as the exact Python double the
+    Spark side multiplies with — same IEEE product, so ROUND(.,6) hashes
+    match."""
     a = repr(alpha)
     pseed = repr(1.0 / len(seeds))
     rs = repr((1.0 - alpha + alpha * 0.0) * (1.0 / len(seeds)))
@@ -1179,19 +1182,18 @@ p0 AS (SELECT id, CASE WHEN id IN ({inlist}) THEN {pseed} ELSE 0.0 END AS val
     FROM enorm e JOIN p{k-1} p ON e.src = p.id GROUP BY e.dst) c
   ON v.id = c.id)"""
         )
+    return ",\n".join(parts)
+
+
+def _ppr_sql(prefix: str, edges_cte: str, iters: int, seeds: list,
+             alpha: float = 0.85) -> str:
+    """Unrolled personalized PageRank: the _ppr_ctes body plus the plain
+    rounded-vector select."""
     return (
         f"WITH {prefix},\n"
-        + ",\n".join(parts)
+        + _ppr_ctes(edges_cte, iters, seeds, alpha)
         + f"\nSELECT id, ROUND(val, 6) AS val FROM p{iters}"
     )
-
-
-def _ppr_ctes(edges_cte: str, iters: int, seeds: list, alpha: float = 0.85) -> str:
-    """The CTE body of _ppr_sql without prefix/final-select, for composition
-    (the sweep-cut oracle replays PPR then sweeps); final vector = p{iters}."""
-    full = _ppr_sql("__X__", edges_cte, iters, seeds, alpha)
-    body = full[len("WITH __X__,\n"):]
-    return body[: body.rindex("\nSELECT ")]
 
 
 SWEEP_SEEDS = [1]   # single-seed local community around part vertex 1

@@ -40,16 +40,9 @@ def disparity_backbone(edges: DataFrame, alpha_max: float = 0.05) -> DataFrame:
     (src, dst, w): alpha = min of the two endpoint alphas, keep = 1 iff
     the edge is significant at either endpoint (rounded-alpha < alpha_max).
     Weights are summed multiplicities, integer-exact in the output."""
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-            F.col("w").cast("double").alias("w"),
-        )
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-    )
+    from combblas_spark.algorithms.coarsen import _und_support
+
+    und = _und_support(edges)
     sym = und.select(
         F.col("a").alias("v"), F.col("b").alias("u"), "w"
     ).unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u"), "w"))

@@ -22,6 +22,18 @@ import pyspark.sql.functions as F
 from combblas_spark.algorithms.triangles import _oriented
 
 
+def _tris(edges: DataFrame) -> DataFrame:
+    """(a, b, c) — every triangle of the undirected simple support exactly
+    once, enumerated on the degree-ordered DAG orientation (the unique
+    wedge a->b->c closed by a->c; compact-forward hub bound). The single
+    source of truth for all triangle consumers in this module."""
+    L = _oriented(edges, degree_ordered=True).select("src", "dst")
+    ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = L.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"])
+
+
 def per_vertex_triangles(edges: DataFrame) -> DataFrame:
     """(v, tri): number of triangles incident to each vertex.
 
@@ -30,11 +42,7 @@ def per_vertex_triangles(edges: DataFrame) -> DataFrame:
     Vertices in no triangle are absent (join clustering_coefficient for
     the dense-over-degree view).
     """
-    L = _oriented(edges, degree_ordered=True).select("src", "dst")
-    ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = L.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    tris = _tris(edges)
     corners = tris.select(
         F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("v")
     )
@@ -140,13 +148,7 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
     compact-forward hub bound), each credited to its three edges by one
     explode; degrees attach by two O(V)-keyed hash joins. No windows.
     """
-    from combblas_spark.algorithms.triangles import _oriented
-
-    L = _oriented(edges, degree_ordered=True).select("src", "dst")
-    ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = L.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    tris = _tris(edges)
     tri_edges = tris.select(
         F.explode(
             F.array(
@@ -228,11 +230,7 @@ def triangle_centrality(edges: DataFrame) -> DataFrame:
     iteration. (Per the repo convention, the persisted intermediate is
     left for the session harness to clearCache between queries.)
     """
-    L = _oriented(edges, degree_ordered=True).select("src", "dst")
-    ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = L.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    tris = _tris(edges)
     sup = (
         tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))

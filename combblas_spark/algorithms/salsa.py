@@ -52,7 +52,11 @@ def salsa(
         raise ValueError(f"num_iters must be >= 1, got {num_iters}")
     runner = runner or SuperstepRunner(spark)
     par = spark.sparkContext.defaultParallelism
+    # persist the base triples (hits.py idiom): ind/outd/ein/eout/verts all
+    # fan out from e — without the cache each re-runs the upstream edge
+    # build (a full source-table scan + agg) before iteration even starts
     e = edges.select("src", "dst", "w")
+    e.persist()
     ind = e.groupBy("dst").agg(F.sum("w").alias("dw"))
     outd = e.groupBy("src").agg(F.sum("w").alias("dw"))
     # backward-walk matrix: column-stochastic over in-links; the loop
@@ -100,6 +104,7 @@ def salsa(
             )
         )
     finally:
+        e.unpersist()
         ein.unpersist()
         eout.unpersist()
         verts.unpersist()
