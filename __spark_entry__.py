@@ -1373,6 +1373,54 @@ def q_salsa_ev(spark, sf):
     return salsa(spark, events_digraph(spark, sf), num_iters=SALSA_ITERS)
 
 
+KATZ_ITERS = 8
+KATZ_ALPHA = 0.5
+
+
+def q_katz_ev(spark, sf):
+    """Katz centrality (algorithms/katz.py) on the events digraph: 8
+    attenuated-walk supersteps, a_eff = alpha / max-in-weight (the
+    spectral-radius bound, so the series converges unconditionally)."""
+    from combblas_spark.algorithms.katz import katz
+
+    r = katz(
+        spark, events_digraph(spark, sf), alpha=KATZ_ALPHA, num_iters=KATZ_ITERS
+    )
+    return r.select("id", F.round("val", 6).alias("val"))
+
+
+def _katz_sql(prefix: str, edges_cte: str, iters: int, alpha: float = KATZ_ALPHA,
+              beta: float = 1.0) -> str:
+    """Unrolled Katz iteration: a_eff is computed ONCE in its own 1-row CTE
+    (alpha / MAX column sum — the same double Spark derives driver-side and
+    injects as a literal, so every per-row product is the identical IEEE
+    op); each k{i} is the verts-left-join contrib superstep."""
+    a = repr(alpha)
+    b = repr(beta)
+    parts = [
+        f"""verts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM {edges_cte}
+  UNION SELECT DISTINCT dst FROM {edges_cte}),
+ae AS MATERIALIZED (
+  SELECT {a} / MAX(s) AS a FROM (
+    SELECT dst, SUM(w) AS s FROM {edges_cte} GROUP BY dst) t),
+k0 AS (SELECT id, {b} AS val FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""k{k} AS MATERIALIZED (
+  SELECT v.id, {b} + ae.a * COALESCE(c.contrib, 0.0) AS val
+  FROM verts v CROSS JOIN ae LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.w * p.val) AS contrib
+    FROM {edges_cte} e JOIN k{k-1} p ON e.src = p.id GROUP BY e.dst) c
+  ON v.id = c.id)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {prefix},\n{body}\nSELECT id, ROUND(val, 6) AS val FROM k{iters}"
+    )
+
+
 WL_ROUNDS = 3
 
 
@@ -2536,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_stats": q_zipf_stats,
         "knn_curve_ev": q_knn_curve_ev,
         "sweep_cut_ps": q_sweep_cut_ps,
+        "katz_ev": q_katz_ev,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3437,6 +3486,7 @@ FROM verts""",
         "hits_ps": _hits_sql(PS_CTES, "ps_dedup", HITS_ITERS),
         "wl_colors_ps": _wl_sql(PS_CTES, "edges", WL_ROUNDS),
         "salsa_ev": _salsa_sql(EV_CTES, "evedges", SALSA_ITERS),
+        "katz_ev": _katz_sql(EV_CTES, "evedges", KATZ_ITERS),
         "backbone_ev": f"""WITH {EV_CTES},
             bund AS MATERIALIZED (
               SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,

@@ -95,6 +95,8 @@ HEADLINE = [
     "wl_colors_ps",
     "zipf_stats",
     "sweep_cut_ps",
+    # round-5 final wave
+    "katz_ev",
 ]
 
 

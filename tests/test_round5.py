@@ -925,3 +925,64 @@ def test_sweep_cut_finds_seed_triangle(spark):
     # the full-graph prefix has vol == total volume: the denominator
     # min(vol, tv - vol) is 0 and the guard reports the 1.0 sentinel
     assert phis[6] == 1.0
+
+
+# --------------------------------------------------------------------- katz
+
+
+def _py_katz(triples, alpha, beta, iters):
+    """Pure-python Katz replay: a_eff = alpha / max in-weight, then the
+    fixed-iteration x = beta + a_eff * A^T x recurrence."""
+    in_w = {}
+    for _, v, w in triples:
+        in_w[v] = in_w.get(v, 0.0) + w
+    a = alpha / max(in_w.values())
+    verts = sorted({u for u, _, _ in triples} | {v for _, v, _ in triples})
+    x = {v: beta for v in verts}
+    for _ in range(iters):
+        c = {v: 0.0 for v in verts}
+        for u, v, w in triples:
+            c[v] += w * x[u]
+        x = {v: beta + a * c[v] for v in verts}
+    return {v: round(x[v], 6) for v in verts}
+
+
+def test_katz_python_replay(spark):
+    from combblas_spark.algorithms.katz import katz
+
+    # weighted digraph with a cycle, a heavy parallel path and a pure
+    # source (vertex 4: no in-edges -> score stays exactly beta)
+    triples = [
+        (1, 2, 2.0),
+        (2, 3, 1.0),
+        (3, 1, 1.0),
+        (1, 3, 3.0),
+        (4, 1, 1.0),
+    ]
+    edges = spark.createDataFrame(triples, "src long, dst long, w double")
+    got = {
+        r["id"]: round(r["val"], 6)
+        for r in katz(spark, edges, alpha=0.5, num_iters=8).collect()
+    }
+    assert got == _py_katz(triples, 0.5, 1.0, 8)
+    assert got[4] == 1.0  # source vertex: beta only
+    # vertex 3 has the heaviest attenuated in-walks of the cycle
+    assert got[3] > got[2]
+
+
+def test_katz_validation(spark):
+    from combblas_spark.algorithms.katz import katz
+
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    for bad_iters in (0, -1):
+        try:
+            katz(spark, edges, num_iters=bad_iters)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+    for bad_alpha in (0.0, 1.0, 1.5):
+        try:
+            katz(spark, edges, alpha=bad_alpha)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
