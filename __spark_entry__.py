@@ -1373,6 +1373,18 @@ def q_salsa_ev(spark, sf):
     return salsa(spark, events_digraph(spark, sf), num_iters=SALSA_ITERS)
 
 
+def q_prefix_pairs(spark, sf):
+    """Prefix-filtering similarity join (functions/dedup.
+    prefix_jaccard_pairs): the exact-complete candidate-generation mode
+    next to the probabilistic LSH family — rarity-ordered shingle
+    prefixes, bucket-capped prefix self-join, integer Jaccard >= 1/2
+    verify."""
+    from combblas_spark.functions.dedup import prefix_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return prefix_jaccard_pairs(docs, tau_num=1, tau_den=2, k=3)
+
+
 KATZ_ITERS = 8
 KATZ_ALPHA = 0.5
 
@@ -2585,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_curve_ev": q_knn_curve_ev,
         "sweep_cut_ps": q_sweep_cut_ps,
         "katz_ev": q_katz_ev,
+        "prefix_pairs": q_prefix_pairs,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3487,6 +3500,43 @@ FROM verts""",
         "wl_colors_ps": _wl_sql(PS_CTES, "edges", WL_ROUNDS),
         "salsa_ev": _salsa_sql(EV_CTES, "evedges", SALSA_ITERS),
         "katz_ev": _katz_sql(EV_CTES, "evedges", KATZ_ITERS),
+        # prefix-filter similarity join: tau = 1/2, ceil(n/2) = (n+1) // 2,
+        # prefix p = n - ceil(t*n) + 1 — integer arithmetic both engines
+        "prefix_pairs": f"""WITH {SHINGLE_CTES},
+dfc AS MATERIALIZED (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+nd AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+ranked AS MATERIALIZED (
+  SELECT s.id, s.shingle, nd.n,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.id ORDER BY d.df ASC, s.shingle ASC) AS rn
+  FROM sh s JOIN dfc d ON s.shingle = d.shingle JOIN nd ON nd.id = s.id),
+pref AS MATERIALIZED (
+  SELECT id, shingle FROM ranked
+  WHERE rn <= n - ((1 * n + 1) // 2) + 1),
+capped AS MATERIALIZED (
+  SELECT p.id, p.shingle FROM pref p JOIN (
+    SELECT shingle, COUNT(*) AS bsz FROM pref GROUP BY shingle) s
+  ON p.shingle = s.shingle WHERE s.bsz <= 1000),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id),
+common AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b,
+       CAST(cm.n_common AS BIGINT) AS n_common,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       ROUND(CAST(cm.n_common AS DOUBLE) / (na.n + nb.n - cm.n_common), 6)
+         AS jac
+FROM cand c
+JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+JOIN nd na ON na.id = c.id_a
+JOIN nd nb ON nb.id = c.id_b
+WHERE cm.n_common * 3 >= (na.n + nb.n) * 1""",
         "backbone_ev": f"""WITH {EV_CTES},
             bund AS MATERIALIZED (
               SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,

@@ -97,6 +97,7 @@ HEADLINE = [
     "sweep_cut_ps",
     # round-5 final wave
     "katz_ev",
+    "prefix_pairs",
 ]
 
 

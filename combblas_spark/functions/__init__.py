@@ -22,6 +22,7 @@ from combblas_spark.functions.dedup import (  # noqa: F401
     near_dup_clusters,
     source_dup_matrix,
     decontaminate,
+    prefix_jaccard_pairs,
 )
 from combblas_spark.functions.similarity import (  # noqa: F401
     with_norm,

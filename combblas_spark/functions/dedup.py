@@ -385,3 +385,85 @@ def source_dup_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    k: int = 3,
+    max_bucket: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-filtering similarity join (PPJoin-style, Chaudhuri/Xiao
+    lineage): ALL pairs with exact shingle-set Jaccard >= tau_num/tau_den,
+    found without an all-pairs join and — unlike the MinHash-LSH family —
+    with NO false negatives (under the same max_bucket cap every sibling
+    carries).
+
+    The filter: order each document's shingles by global rarity (df ASC,
+    shingle ASC — a total order); two sets with J >= t MUST share a
+    shingle inside each other's first p = n - ceil(t*n) + 1 rarest
+    shingles, so only prefix-shingle buckets are self-joined. The prefix
+    length is INTEGER arithmetic (ceil(t*n) = (tau_num*n + tau_den - 1)
+    DIV tau_den) — no float threshold can round differently per engine.
+    Candidates are then verified with the exact integer Jaccard test
+    (jaccard_pairs), the same n_common*(den+num) >= num*(n_a+n_b) form
+    near_dup_clusters uses.
+
+    Output: (id_a, id_b, n_common, n_a, n_b, jac) for verified pairs,
+    jac = ROUND(common/union, 6).
+
+    Scale shape: one df-count aggregate over the shingle table, one
+    per-document window (partition = one document's shingles — bounded by
+    document length, never corpus-sized), one bucket-capped self-join on
+    the PREFIX table only (rare shingles by construction -> small
+    buckets; the cap guards boilerplate), then verification on candidates
+    only. The prefix join touches O(sum prefix_len) rows, a (1-t)
+    fraction of the shingle table.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, k=k, id_col=id_col, text_col=text_col).persist()
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    nd = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(dfc, on="shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(nd, on="id")
+    )
+    # p = n - ceil(t*n) + 1, all BIGINT ops
+    ceil_tn = F.floor(
+        (F.lit(tau_num) * F.col("n") + F.lit(tau_den - 1)) / F.lit(tau_den)
+    )
+    pref = ranked.filter(F.col("rn") <= F.col("n") - ceil_tn + 1).select(
+        "id", "shingle"
+    )
+    pref = pref.persist()
+    sized = pref.join(
+        pref.groupBy("shingle").agg(F.count(F.lit(1)).alias("_bsz")), on="shingle"
+    ).filter(F.col("_bsz") <= max_bucket)
+    a = sized.select("shingle", F.col("id").alias("id_a"))
+    b = sized.select("shingle", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    jp = jaccard_pairs(sh, cand)
+    return jp.filter(
+        F.col("n_common") * (tau_den + tau_num)
+        >= (F.col("n_a") + F.col("n_b")) * tau_num
+    ).select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jac"),
+    )

@@ -986,3 +986,55 @@ def test_katz_validation(spark):
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------- prefix join
+
+
+def _py_shingles(text, k=3):
+    toks = [t for t in text.split(" ") if t]
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_prefix_jaccard_exact_complete(spark):
+    """Prefix filtering must return EXACTLY the brute-force J >= 1/2 pair
+    set (no false negatives — the property LSH trades away)."""
+    from combblas_spark.functions.dedup import prefix_jaccard_pairs
+
+    corpus = [
+        (1, "a b c d e"),
+        (2, "a b c d x"),   # J(1,2) = 2/4 = 0.5 -> kept
+        (3, "z y w v u"),   # disjoint
+        (4, "a b c q r"),   # J(1,4) = 1/5 -> dropped
+        (5, "a b c d e"),   # identical to 1
+        (6, "m n"),         # < k tokens: no shingles, never paired
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"], r["jac"])
+        for r in prefix_jaccard_pairs(docs, tau_num=1, tau_den=2).collect()
+    }
+    sh = {d: _py_shingles(t) for d, t in corpus if len(t.split()) >= 3}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sh[a] & sh[b])
+            u = len(sh[a] | sh[b])
+            if u and 2 * c >= u:  # J >= 1/2
+                want[(a, b)] = (c, len(sh[a]), len(sh[b]), round(c / u, 6))
+    assert got == want
+    assert (1, 5) in got and got[(1, 5)][3] == 1.0
+    assert (1, 4) not in got
+
+
+def test_prefix_jaccard_bucket_cap(spark):
+    """Degenerate prefix buckets above max_bucket are dropped — 5
+    identical docs under cap 2 emit no pairs (the boilerplate guard)."""
+    from combblas_spark.functions.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "p q r s t") for i in range(5)], "doc_id long, text string"
+    )
+    assert prefix_jaccard_pairs(docs, max_bucket=2).count() == 0
+    assert prefix_jaccard_pairs(docs, max_bucket=100).count() == 10
