@@ -1373,6 +1373,74 @@ def q_salsa_ev(spark, sf):
     return salsa(spark, events_digraph(spark, sf), num_iters=SALSA_ITERS)
 
 
+MSF_ORACLE_ROUNDS = 12   # >= ceil(log2(V)) at the graded SFs; extra
+MSF_ORACLE_JUMPS = 12    # rounds/jumps are identity (empty hooks, fixed
+                         # parents) so over-provisioning cannot diverge
+
+
+def q_msf_ps(spark, sf):
+    """Borůvka minimum spanning forest (algorithms/msf.boruvka_msf) on the
+    part—supplier graph: unique under the (w, a, b) total edge order, so
+    the unrolled hook/jump SQL replay must match edge-for-edge."""
+    from combblas_spark.algorithms.msf import boruvka_msf
+
+    return boruvka_msf(spark, part_supplier_graph(spark, sf))
+
+
+def _msf_sql(prefix: str, edges_cte: str, rounds: int, jumps: int) -> str:
+    """Unrolled Borůvka: per round, cross-edge filter -> per-component
+    ROW_NUMBER argmin over (w, a, b) -> 2-cycle break rooting the smaller
+    component -> ``jumps`` pointer-jump CTEs -> relabel. Converged rounds
+    are identity, so the fixed unroll over-provisions safely."""
+    parts = [
+        f"""und0 AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(w) AS w
+  FROM {edges_cte} WHERE src <> dst GROUP BY 1, 2),
+comp0 AS MATERIALIZED (
+  SELECT id, id AS comp FROM (
+    SELECT a AS id FROM und0 UNION SELECT b FROM und0) v)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""ce{r} AS MATERIALIZED (
+  SELECT u.a, u.b, u.w, x.comp AS ca, y.comp AS cb
+  FROM und{r} u JOIN comp{r} x ON u.a = x.id JOIN comp{r} y ON u.b = y.id
+  WHERE x.comp <> y.comp),
+und{r + 1} AS MATERIALIZED (SELECT a, b, w FROM ce{r}),
+hooks{r} AS MATERIALIZED (
+  SELECT c, d, w, a, b FROM (
+    SELECT c, d, w, a, b,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+    FROM (SELECT ca AS c, cb AS d, w, a, b FROM ce{r}
+          UNION ALL SELECT cb AS c, ca AS d, w, a, b FROM ce{r}) t) s
+  WHERE rn = 1),
+f{r} AS MATERIALIZED (SELECT DISTINCT a, b, w FROM hooks{r}),
+par{r}_0 AS MATERIALIZED (
+  SELECT ac.c,
+         COALESCE(CASE WHEN m.c IS NOT NULL AND h.c < h.d THEN h.c
+                       ELSE h.d END, ac.c) AS p
+  FROM (SELECT DISTINCT comp AS c FROM comp{r}) ac
+  LEFT JOIN hooks{r} h ON h.c = ac.c
+  LEFT JOIN (SELECT x.c FROM hooks{r} x
+             JOIN hooks{r} y ON x.c = y.d AND x.d = y.c) m ON m.c = ac.c)"""
+        )
+        for j in range(1, jumps + 1):
+            parts.append(
+                f"par{r}_{j} AS MATERIALIZED (SELECT x.c, y.p"
+                f" FROM par{r}_{j - 1} x JOIN par{r}_{j - 1} y ON x.p = y.c)"
+            )
+        parts.append(
+            f"""comp{r + 1} AS MATERIALIZED (
+  SELECT c.id, p.p AS comp
+  FROM comp{r} c JOIN par{r}_{jumps} p ON c.comp = p.c)"""
+        )
+    body = ",\n".join(parts)
+    union = "\n  UNION ALL ".join(
+        f"SELECT a, b, w FROM f{r}" for r in range(rounds)
+    )
+    return f"WITH {prefix},\n{body}\nSELECT DISTINCT a, b, w FROM ({union}) msf"
+
+
 def q_prefix_pairs(spark, sf):
     """Prefix-filtering similarity join (functions/dedup.
     prefix_jaccard_pairs): the exact-complete candidate-generation mode
@@ -2598,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweep_cut_ps": q_sweep_cut_ps,
         "katz_ev": q_katz_ev,
         "prefix_pairs": q_prefix_pairs,
+        "msf_ps": q_msf_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3500,6 +3569,7 @@ FROM verts""",
         "wl_colors_ps": _wl_sql(PS_CTES, "edges", WL_ROUNDS),
         "salsa_ev": _salsa_sql(EV_CTES, "evedges", SALSA_ITERS),
         "katz_ev": _katz_sql(EV_CTES, "evedges", KATZ_ITERS),
+        "msf_ps": _msf_sql(PS_CTES, "edges", MSF_ORACLE_ROUNDS, MSF_ORACLE_JUMPS),
         # prefix-filter similarity join: tau = 1/2, ceil(n/2) = (n+1) // 2,
         # prefix p = n - ceil(t*n) + 1 — integer arithmetic both engines
         "prefix_pairs": f"""WITH {SHINGLE_CTES},

@@ -98,6 +98,7 @@ HEADLINE = [
     # round-5 final wave
     "katz_ev",
     "prefix_pairs",
+    "msf_ps",
 ]
 
 

@@ -1038,3 +1038,91 @@ def test_prefix_jaccard_bucket_cap(spark):
     )
     assert prefix_jaccard_pairs(docs, max_bucket=2).count() == 0
     assert prefix_jaccard_pairs(docs, max_bucket=100).count() == 10
+
+
+# ------------------------------------------------------------ boruvka msf
+
+
+def _py_msf(triples):
+    """Kruskal union-find oracle under the (w, a, b) total order — the MSF
+    is unique under that order, so Borůvka must match it exactly."""
+    canon = {}
+    for s, d, w in triples:
+        if s == d:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        canon[(a, b)] = min(canon.get((a, b), w), w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for w, a, b in sorted((w, a, b) for (a, b), w in canon.items()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out
+
+
+def _msf_got(spark, triples, **kw):
+    from combblas_spark.algorithms.msf import boruvka_msf
+
+    edges = spark.createDataFrame(triples, "src long, dst long, w double")
+    return {
+        (r["a"], r["b"], r["w"]) for r in boruvka_msf(spark, edges, **kw).collect()
+    }
+
+
+def test_msf_known_cycle(spark):
+    # 4-cycle with one heavy edge: the MSF drops exactly the heavy edge
+    triples = [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 3.0), (3, 0, 9.0)]
+    got = _msf_got(spark, triples)
+    assert got == {(0, 1, 1.0), (1, 2, 2.0), (2, 3, 3.0)}
+
+
+def test_msf_chain_hooks_and_ties(spark):
+    """Equal weights force the (a, b) tiebreak; the increasing-weight path
+    is Borůvka's pathological all-in-one-chain hooking case (deep pointer
+    jumping); a second component + parallel edges + loops exercise the
+    canonicalization."""
+    path = [(i, i + 1, 1.0) for i in range(12)]           # all ties
+    extra = [
+        (20, 21, 5.0), (21, 22, 4.0), (20, 22, 4.0),      # triangle, tie 4.0
+        (21, 20, 3.0),                                    # parallel reversed
+        (7, 7, 0.5),                                      # loop ignored
+    ]
+    triples = path + extra
+    assert _msf_got(spark, triples) == _py_msf(triples)
+
+
+def test_msf_matches_kruskal_random(spark):
+    import random
+
+    rng = random.Random(7)
+    triples = []
+    for _ in range(120):
+        a, b = rng.randrange(40), rng.randrange(40)
+        triples.append((a, b, float(rng.randrange(1, 8))))
+    assert _msf_got(spark, triples) == _py_msf(triples)
+    # forest size identity: |V_with_edges| - n_components
+    verts = {a for a, b, w in triples if a != b} | {
+        b for a, b, w in triples if a != b
+    }
+    comps = {}
+
+    def find(x):
+        while comps.setdefault(x, x) != x:
+            x = comps[x]
+        return x
+
+    for a, b, _ in triples:
+        if a != b:
+            comps[find(a)] = find(b)
+    n_comp = len({find(v) for v in verts})
+    assert len(_py_msf(triples)) == len(verts) - n_comp
