@@ -243,3 +243,14 @@ def test_salsa_output_plan_is_truncated_and_join_clean(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Scan ExistingRDD") >= 2  # truncated hub + auth
     spark.catalog.clearCache()
+
+
+def test_prefix_join_has_no_cartesian(spark):
+    """Prefix-filter similarity join must candidate-generate through the
+    bucket-capped prefix equi-join — never an all-pairs product."""
+    from combblas_spark.functions.dedup import prefix_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(prefix_jaccard_pairs(docs, tau_num=1, tau_den=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
