@@ -309,3 +309,73 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(
+    docs: DataFrame,
+    threshold: int = 100,
+    capacity: int = 100_000,
+    n_shards: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateful cross-batch token heavy hitters: emit (token, cnt) ONCE,
+    in the micro-batch where a token's RUNNING corpus count first reaches
+    ``threshold`` (append mode; ``cnt`` is the running count at crossing,
+    >= threshold and <= the final corpus count).
+
+    State shards by xxhash64(token) % n_shards — each shard holds its own
+    (token -> count) map plus the already-emitted set, so state size and
+    update cost spread evenly like streaming_dedup_exact. ``capacity``
+    bounds each shard's map (space-saving style: over capacity the
+    smallest (count, token) entries are evicted — counts for evicted
+    tokens restart, the standard memory/recall trade; size shards so
+    vocabulary/n_shards stays under capacity for exact behavior, the
+    regime the batch-equality pytest pins down).
+    """
+    from combblas_spark.functions.text import tokens_col
+
+    out_schema = "token string, cnt long"
+    state_schema = "toks array<string>, cnts array<long>, emitted array<string>"
+
+    def track(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            toks, cnts, emitted = state.get
+            counts = dict(zip(toks, cnts))
+            em = set(emitted)
+        else:
+            counts, em = {}, set()
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            for tok, c in pdf.groupby("token").size().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > capacity:
+                keep = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                counts = dict(keep[:capacity])
+            fresh = sorted(
+                (t, c)
+                for t, c in counts.items()
+                if c >= threshold and t not in em
+            )
+            if fresh:
+                em.update(t for t, _ in fresh)
+                yield pd.DataFrame(fresh, columns=["token", "cnt"])
+        toks_s = sorted(counts)
+        state.update((toks_s, [counts[t] for t in toks_s], sorted(em)))
+
+    exploded = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).withColumn("shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)))
+    return exploded.groupBy("shard").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -314,3 +314,79 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     # the boundary-spanning session merged: user 7 session 1 has 3 events
     u7s1 = [r for r in got if r[0] == 7 and r[1] == 1]
     assert u7s1 and u7s1[0][2] == 3 and u7s1[0][6] == 1000 + 2250 + 3000
+
+
+def test_streaming_heavy_hitters_stateful(spark, tmp_path):
+    """Cross-batch running token counts: a token is emitted exactly once,
+    in the micro-batch where its RUNNING count first reaches the
+    threshold — including counts accumulated across batch boundaries."""
+    from combblas_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    # 'hot' crosses (3) inside batch 1; 'warm' needs both batches (2+2);
+    # 'cold' never reaches the threshold
+    spark.createDataFrame(
+        [(0, "hot hot warm"), (1, "hot warm cold")], schema
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        [(2, "warm warm cold"), (3, "quiet")], schema
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_heavy_hitters(stream, threshold=3, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("hh_state_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["token"]: r["cnt"] for r in spark.sql("SELECT * FROM hh_state_t").collect()}
+    # batch oracle: tokens with corpus count >= 3
+    assert set(rows) == {"hot", "warm"}
+    assert rows["hot"] == 3    # crossed inside batch 1
+    assert rows["warm"] == 4   # crossed only after batch 2 (2 + 2)
+
+
+def test_streaming_heavy_hitters_capacity_eviction(spark, tmp_path):
+    """Space-saving capacity bound: the smallest (count, token) entry is
+    evicted when a shard's map exceeds capacity, so an evicted token's
+    count restarts — the documented memory/recall trade."""
+    from combblas_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "hhcap")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(0, "a a b")], schema).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    spark.createDataFrame([(1, "b b")], schema).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_heavy_hitters(stream, threshold=2, capacity=1, n_shards=1)
+        .writeStream.format("memory")
+        .queryName("hh_cap_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["token"] for r in spark.sql("SELECT * FROM hh_cap_t").collect()}
+    # 'b' totals 3 >= 2 but is evicted by the capacity-1 map both rounds
+    # ((-2, 'a') sorts before (-2, 'b')), so only 'a' ever emits
+    assert rows == {"a"}
