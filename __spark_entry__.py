@@ -1373,6 +1373,65 @@ def q_salsa_ev(spark, sf):
     return salsa(spark, events_digraph(spark, sf), num_iters=SALSA_ITERS)
 
 
+ANF_HOPS = 3
+ANF_K = 16
+
+
+def q_anf_ps(spark, sf):
+    """ANF neighborhood function (algorithms/anf.anf) on the part—supplier
+    graph: per-vertex |ball(v, h)| estimates for h = 0..3 via KMV-sketch
+    supersteps. KMV merges are EXACT (k smallest of a union live in the
+    union of k-smallest inputs), so the oracle computes true unrolled
+    reachability balls and applies the same k-min estimator."""
+    from combblas_spark.algorithms.anf import anf
+
+    return anf(spark, part_supplier_graph(spark, sf), hops=ANF_HOPS, k=ANF_K)
+
+
+def _anf_sql(prefix: str, edges_cte: str, hops: int, k: int,
+             salt: str = "anf") -> str:
+    """Unrolled true-ball replay: r{h} = in-reachability pairs within h,
+    then per (v, h) the kmv_distinct estimator over md5-60bit member
+    hashes (same SQL form as the kmv_distinct oracle)."""
+    parts = [
+        f"""r0 AS MATERIALIZED (
+  SELECT id AS v, id AS u FROM (
+    SELECT src AS id FROM {edges_cte}
+    UNION SELECT dst FROM {edges_cte}) t)"""
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT v, u FROM r{i - 1}
+  UNION
+  SELECT r.v, e.src AS u FROM r{i - 1} r JOIN {edges_cte} e ON e.dst = r.u)"""
+        )
+    sels = []
+    for h in range(hops + 1):
+        parts.append(
+            f"""hv{h} AS MATERIALIZED (
+  SELECT DISTINCT v,
+         CAST(('0x' || substr(md5('{salt}|' || CAST(u AS VARCHAR)), 1, 15))
+           AS BIGINT) AS hv
+  FROM r{h}),
+rk{h} AS (
+  SELECT v, hv, ROW_NUMBER() OVER (PARTITION BY v ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY v) AS n
+  FROM hv{h}),
+e{h} AS MATERIALIZED (
+  SELECT v AS id, CAST({h} AS BIGINT) AS h,
+         ROUND(CASE WHEN MAX(n) >= {k}
+               THEN ({k} - 1) * 1152921504606846976.0
+                    / MAX(CASE WHEN rn = {k} THEN hv END)
+               ELSE CAST(MAX(n) AS DOUBLE) END, 6) AS est
+  FROM rk{h} GROUP BY v)"""
+        )
+        sels.append(f"SELECT id, h, est FROM e{h}")
+    body = ",\n".join(parts)
+    union = "\n  UNION ALL ".join(sels)
+    return f"WITH {prefix},\n{body}\n{union}"
+
+
 MSF_ORACLE_ROUNDS = 12   # >= ceil(log2(V)) at the graded SFs; extra
 MSF_ORACLE_JUMPS = 12    # rounds/jumps are identity (empty hooks, fixed
                          # parents) so over-provisioning cannot diverge
@@ -2667,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_ev": q_katz_ev,
         "prefix_pairs": q_prefix_pairs,
         "msf_ps": q_msf_ps,
+        "anf_ps": q_anf_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3570,6 +3630,7 @@ FROM verts""",
         "salsa_ev": _salsa_sql(EV_CTES, "evedges", SALSA_ITERS),
         "katz_ev": _katz_sql(EV_CTES, "evedges", KATZ_ITERS),
         "msf_ps": _msf_sql(PS_CTES, "edges", MSF_ORACLE_ROUNDS, MSF_ORACLE_JUMPS),
+        "anf_ps": _anf_sql(PS_CTES, "edges", ANF_HOPS, ANF_K),
         # prefix-filter similarity join: tau = 1/2, ceil(n/2) = (n+1) // 2,
         # prefix p = n - ceil(t*n) + 1 — integer arithmetic both engines
         "prefix_pairs": f"""WITH {SHINGLE_CTES},

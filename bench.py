@@ -99,6 +99,7 @@ HEADLINE = [
     "katz_ev",
     "prefix_pairs",
     "msf_ps",
+    "anf_ps",
 ]
 
 

@@ -34,6 +34,7 @@ from combblas_spark.algorithms.ktruss import ktruss  # noqa: F401
 from combblas_spark.algorithms.hits import hits  # noqa: F401
 from combblas_spark.algorithms.katz import katz  # noqa: F401
 from combblas_spark.algorithms.msf import boruvka_msf  # noqa: F401
+from combblas_spark.algorithms.anf import anf  # noqa: F401
 from combblas_spark.algorithms.scc import scc, bowtie  # noqa: F401
 from combblas_spark.algorithms.walks import random_walks, neighbor_sample  # noqa: F401
 from combblas_spark.algorithms.ktips import k_tips  # noqa: F401

@@ -1126,3 +1126,75 @@ def test_msf_matches_kruskal_random(spark):
             comps[find(a)] = find(b)
     n_comp = len({find(v) for v in verts})
     assert len(_py_msf(triples)) == len(verts) - n_comp
+
+
+# --------------------------------------------------------------------- anf
+
+
+def _py_anf(pairs, hops, k, salt="anf"):
+    """True-ball replay: ball(v, h) = {v} + in-neighbors' balls(h-1)
+    (sketches flow src -> dst); est per (v, h) from the k smallest
+    md5-60bit hashes — exact below k by the KMV merge property."""
+    verts = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    hv = {
+        v: int(hashlib.md5(f"{salt}|{v}".encode()).hexdigest()[:15], 16)
+        for v in verts
+    }
+    balls = {v: {v} for v in verts}
+    out = {}
+
+    def est(ball):
+        hs = sorted({hv[u] for u in ball})
+        if len(hs) < k:
+            return float(len(hs))
+        return round((k - 1) * float(1 << 60) / hs[k - 1], 6)
+
+    for v in verts:
+        out[(v, 0)] = est(balls[v])
+    for h in range(1, hops + 1):
+        nxt = {v: set(balls[v]) for v in verts}
+        for a, b in pairs:
+            nxt[b] |= balls[a]
+        balls = nxt
+        for v in verts:
+            out[(v, h)] = est(balls[v])
+    return out
+
+
+def test_anf_exact_small_balls(spark):
+    from combblas_spark.algorithms.anf import anf
+
+    # symmetric path 0-1-2-3-4: k=16 > any ball -> est is the EXACT size
+    path = [(i, i + 1) for i in range(4)]
+    pairs = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, w double"
+    )
+    got = {
+        (r["id"], r["h"]): r["est"]
+        for r in anf(spark, edges, hops=2, k=16).collect()
+    }
+    assert got == _py_anf(pairs, 2, 16)
+    assert got[(2, 1)] == 3.0 and got[(2, 2)] == 5.0
+    assert got[(0, 2)] == 3.0
+
+
+def test_anf_kmv_estimator_replay(spark):
+    from combblas_spark.algorithms.anf import anf
+
+    # star: center 0 with 30 leaves (symmetric) -> ball(0, 1) = 31 > k=8,
+    # the estimator path; leaves stay exact at h=1 (ball = 2)
+    pairs = [(0, i) for i in range(1, 31)] + [(i, 0) for i in range(1, 31)]
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, w double"
+    )
+    got = {
+        (r["id"], r["h"]): r["est"]
+        for r in anf(spark, edges, hops=2, k=8).collect()
+    }
+    want = _py_anf(pairs, 2, 8)
+    assert got == want
+    assert got[(5, 1)] == 2.0
+    assert got[(0, 1)] != 31.0  # estimator engaged (true 31, est from h_8)
+    # at h=2 every vertex sees the whole star through the center
+    assert len({got[(v, 2)] for v in range(31)}) == 1
