@@ -1373,6 +1373,21 @@ def q_salsa_ev(spark, sf):
     return salsa(spark, events_digraph(spark, sf), num_iters=SALSA_ITERS)
 
 
+SPAN_MIN = 6
+SPAN_MAX_DF = 20
+
+
+def q_span_contam(spark, sf):
+    """Span-level train/eval contamination (functions/dedup.
+    span_contamination): longest contiguous shared token run per
+    (train, eval) pair — the exact-substring upgrade of the
+    decontaminate shingle-count audit."""
+    from combblas_spark.functions.dedup import span_contamination
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return span_contamination(docs, k=3, min_span=SPAN_MIN, max_df=SPAN_MAX_DF)
+
+
 ANF_HOPS = 3
 ANF_K = 16
 
@@ -2727,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_pairs": q_prefix_pairs,
         "msf_ps": q_msf_ps,
         "anf_ps": q_anf_ps,
+        "span_contam": q_span_contam,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3631,6 +3647,48 @@ FROM verts""",
         "katz_ev": _katz_sql(EV_CTES, "evedges", KATZ_ITERS),
         "msf_ps": _msf_sql(PS_CTES, "edges", MSF_ORACLE_ROUNDS, MSF_ORACLE_JUMPS),
         "anf_ps": _anf_sql(PS_CTES, "edges", ANF_HOPS, ANF_K),
+        # positional shingles (NOT deduped); DuckDB ord is 1-based vs
+        # Spark's 0-based — diag (t-e) and grp (t_ord - rn) cancel the base
+        "span_contam": f"""WITH {TOKS_CTES},
+toks AS (
+  SELECT doc_id AS id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM toklists),
+psh AS MATERIALIZED (
+  SELECT a.id, a.ord, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a JOIN toks b ON b.id = a.id AND b.ord = a.ord + 1
+              JOIN toks c ON c.id = a.id AND c.ord = a.ord + 2),
+spl AS (
+  SELECT doc_id AS id,
+         CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 < 100
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents),
+keep AS MATERIALIZED (
+  SELECT shingle FROM (
+    SELECT shingle, COUNT(DISTINCT id) AS df FROM psh GROUP BY shingle) t
+  WHERE df <= {SPAN_MAX_DF}),
+tr AS MATERIALIZED (
+  SELECT p.id AS train_id, p.ord AS t_ord, p.shingle
+  FROM psh p JOIN spl s ON s.id = p.id JOIN keep k ON k.shingle = p.shingle
+  WHERE s.split = 'train'),
+ev AS MATERIALIZED (
+  SELECT p.id AS eval_id, p.ord AS e_ord, p.shingle
+  FROM psh p JOIN spl s ON s.id = p.id JOIN keep k ON k.shingle = p.shingle
+  WHERE s.split = 'test'),
+m AS MATERIALIZED (
+  SELECT t.train_id, e.eval_id, t.t_ord, t.t_ord - e.e_ord AS diag
+  FROM tr t JOIN ev e ON e.shingle = t.shingle),
+runs AS (
+  SELECT train_id, eval_id, diag,
+         t_ord - ROW_NUMBER() OVER (
+           PARTITION BY train_id, eval_id, diag ORDER BY t_ord) AS grp
+  FROM m),
+rl AS (
+  SELECT train_id, eval_id, COUNT(*) AS run
+  FROM runs GROUP BY train_id, eval_id, diag, grp)
+SELECT train_id, eval_id, CAST(MAX(run) + 2 AS BIGINT) AS longest_span
+FROM rl GROUP BY train_id, eval_id
+HAVING MAX(run) + 2 >= {SPAN_MIN}""",
         # prefix-filter similarity join: tau = 1/2, ceil(n/2) = (n+1) // 2,
         # prefix p = n - ceil(t*n) + 1 — integer arithmetic both engines
         "prefix_pairs": f"""WITH {SHINGLE_CTES},

@@ -100,6 +100,7 @@ HEADLINE = [
     "prefix_pairs",
     "msf_ps",
     "anf_ps",
+    "span_contam",
 ]
 
 

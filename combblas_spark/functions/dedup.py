@@ -467,3 +467,89 @@ def prefix_jaccard_pairs(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
         ).alias("jac"),
     )
+
+
+def span_contamination(
+    docs: DataFrame,
+    k: int = 3,
+    min_span: int = 6,
+    max_df: int = 20,
+    test_permille: int = 100,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level train/eval contamination: for train/eval document pairs,
+    the LONGEST contiguous token run they share — the exact-substring
+    upgrade of decontaminate()'s shingle-count audit (a hit count can't
+    distinguish 50 scattered 3-grams from one verbatim 52-token quote;
+    eval-suite hygiene rules are phrased over span length).
+
+    Same md5-60bit hash split as split_docs/decontaminate. POSITIONAL
+    k-shingles (not deduped — positions matter) matched across the split;
+    within a (train, eval, t_ord - e_ord) diagonal, consecutive t_ords
+    form a run of length L = a shared span of L + k - 1 tokens. Output:
+    (train_id, eval_id, longest_span BIGINT) for pairs with
+    longest_span >= min_span.
+
+    Scale shape: the shingle join is capped by DISTINCT-document shingle
+    frequency (``max_df`` — ubiquitous boilerplate shingles are exactly
+    the ones whose pair fan-out explodes and whose spans mean nothing);
+    run detection is a window per (pair, diagonal) — bounded by one
+    document's length, never corpus-sized.
+    """
+    from combblas_spark.functions.sampling import split_by_hash
+    from combblas_spark.functions.text import tokens_col
+    from pyspark.sql import Window
+
+    t = tokens_col(F.col(text_col))
+    n = F.size(t)
+    arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.alias("ord"), F.array_join(F.slice(t, i + 1, k), " ").alias("shingle")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ord:int,shingle:string>>"))
+    s = split_by_hash(docs, key_col=id_col, test_permille=test_permille, salt=salt)
+    s = s.repartition(s.sparkSession.sparkContext.defaultParallelism)
+    posed = (
+        s.select(F.col(id_col).alias("id"), "split", F.explode(arr).alias("p"))
+        .select("id", "split", F.col("p.ord").alias("ord"), F.col("p.shingle").alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+    posed = posed.persist()
+    keep = (
+        posed.select("id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    capped = posed.join(keep, on="shingle")
+    tr = capped.filter(F.col("split") == "train").select(
+        F.col("id").alias("train_id"), F.col("ord").alias("t_ord"), "shingle"
+    )
+    ev = capped.filter(F.col("split") == "test").select(
+        F.col("id").alias("eval_id"), F.col("ord").alias("e_ord"), "shingle"
+    )
+    m = tr.join(ev, on="shingle").select(
+        "train_id", "eval_id", "t_ord", (F.col("t_ord") - F.col("e_ord")).alias("diag")
+    )
+    w = Window.partitionBy("train_id", "eval_id", "diag").orderBy("t_ord")
+    runs = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .select(
+            "train_id", "eval_id", "diag", (F.col("t_ord") - F.col("_rn")).alias("grp")
+        )
+        .groupBy("train_id", "eval_id", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("train_id", "eval_id")
+        .agg((F.max("run") + F.lit(k - 1)).cast("long").alias("longest_span"))
+        .filter(F.col("longest_span") >= min_span)
+    )

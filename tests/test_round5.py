@@ -1198,3 +1198,67 @@ def test_anf_kmv_estimator_replay(spark):
     assert got[(0, 1)] != 31.0  # estimator engaged (true 31, est from h_8)
     # at h=2 every vertex sees the whole star through the center
     assert len({got[(v, 2)] for v in range(31)}) == 1
+
+
+# ------------------------------------------------------ span contamination
+
+
+def test_span_contamination_hand_built(spark):
+    """Longest shared token run across a forced train/eval split: one
+    verbatim 5-token quote -> span 5; scattered single-shingle overlap
+    stays below min_span and is dropped."""
+    from combblas_spark.functions.dedup import span_contamination
+
+    # find ids landing on each side of the md5 split (salt='split', 10%)
+    def bucket(i):
+        return int(hashlib.md5(f"split|{i}".encode()).hexdigest()[:15], 16) % 1000
+
+    eval_id = next(i for i in range(1000) if bucket(i) < 100)
+    train_a = next(i for i in range(1000) if bucket(i) >= 100)
+    train_b = next(i for i in range(train_a + 1, 1000) if bucket(i) >= 100)
+    docs = spark.createDataFrame(
+        [
+            # shares the 5-token run "q w e r t" with the eval doc
+            (train_a, "x x x q w e r t y y"),
+            # shares only ONE 3-shingle ("q w e") — span 3 < min_span 4
+            (train_b, "q w e z z z z z z"),
+            (eval_id, "a b q w e r t c d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["longest_span"]
+        for r in span_contamination(docs, k=3, min_span=4).collect()
+    }
+    assert got == {(train_a, eval_id): 5}
+    # with min_span 3 the single-shingle pair appears too
+    got3 = {
+        (r["train_id"], r["eval_id"]): r["longest_span"]
+        for r in span_contamination(docs, k=3, min_span=3).collect()
+    }
+    assert got3 == {(train_a, eval_id): 5, (train_b, eval_id): 3}
+
+
+def test_span_contamination_df_cap(spark):
+    """Shingles in more than max_df documents are excluded from matching —
+    the boilerplate fan-out guard; a run through a capped shingle splits."""
+    from combblas_spark.functions.dedup import span_contamination
+
+    def bucket(i):
+        return int(hashlib.md5(f"split|{i}".encode()).hexdigest()[:15], 16) % 1000
+
+    eval_id = next(i for i in range(1000) if bucket(i) < 100)
+    trains = [i for i in range(1000) if bucket(i) >= 100][:4]
+    rows = [(t, "c o m m o n b o i l e r") for t in trains[:3]]
+    rows.append((trains[3], "c o m m o n b o i l e r"))
+    rows.append((eval_id, "c o m m o n b o i l e r"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every shingle occurs in all 5 docs > max_df=4 -> nothing matches
+    assert span_contamination(docs, k=3, min_span=3, max_df=4).count() == 0
+    # raising the cap restores the full-document span (12 tokens)
+    got = {
+        (r["train_id"], r["eval_id"]): r["longest_span"]
+        for r in span_contamination(docs, k=3, min_span=3, max_df=10).collect()
+    }
+    assert set(got.values()) == {12}
+    assert len(got) == 4
