@@ -1388,6 +1388,26 @@ def q_span_contam(spark, sf):
     return span_contamination(docs, k=3, min_span=SPAN_MIN, max_df=SPAN_MAX_DF)
 
 
+WINNOW_K = 4       # token k-gram size
+WINNOW_W = 4       # winnowing window: guarantees runs >= w+k-1 = 7 tokens
+WINNOW_MAX_DF = 20  # fingerprint distinct-doc cap (anti-boilerplate)
+WINNOW_MIN_SHARED = 2
+
+
+def q_winnow_pairs(spark, sf):
+    """Winnowing (MOSS) clone-pair candidates over documents
+    (functions/dedup.winnow_pairs): the guarantee-based eighth
+    candidate-generation mode — pairs sharing >= 2 window-min selected
+    k-gram fingerprints."""
+    from combblas_spark.functions.dedup import winnow_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return winnow_pairs(
+        docs, k=WINNOW_K, w=WINNOW_W,
+        max_df=WINNOW_MAX_DF, min_shared=WINNOW_MIN_SHARED,
+    )
+
+
 ANF_HOPS = 3
 ANF_K = 16
 
@@ -2606,6 +2626,22 @@ AA_MAX_DEGREE = 64  # wedge-center cap: the production anti-hub shape —
 
 COCITE_MAX_DEGREE = 64
 
+MOTIF_MAX_DEGREE = 256  # wedge-CENTER cap (indeg+outdeg on the distinct
+# edge set): a web hub contributes indeg*outdeg wedges — quadratic; the
+# oracle replays the cap so the capped census is the engine-portable op.
+# 256 never binds on the events digraph (max total degree ~194), so the
+# graded counts are the exact census; the cap is exercised by pytest.
+
+
+def q_motifs_ev(spark, sf):
+    """Directed triangle motif census on the events digraph
+    (algorithms/motifs.triad_motifs — reciprocated pairs, feed-forward
+    loops (A·A)⊙A and 3-cycles (A·A)⊙Aᵀ), wedge centers hub-capped
+    exactly like a 100-TB run would be."""
+    from combblas_spark.algorithms.motifs import triad_motifs
+
+    return triad_motifs(events_digraph(spark, sf), max_degree=MOTIF_MAX_DEGREE)
+
 
 def q_cocite_ev(spark, sf):
     """Co-citation strength on the directed events graph
@@ -2743,6 +2779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_ps": q_msf_ps,
         "anf_ps": q_anf_ps,
         "span_contam": q_span_contam,
+        "motifs_ev": q_motifs_ev,
+        "winnow_pairs": q_winnow_pairs,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2937,6 +2975,27 @@ def oracle_sql() -> dict[str, str]:
                                      * (syy/m - (sy/m)*(sy/m)))
                          ELSE 0.0 END, 6) AS assortativity
             FROM mom, nv, ne, nr""",
+        "motifs_ev": f"""WITH {EV_CTES},
+            me AS MATERIALIZED (SELECT src, dst FROM evedges),
+            mdeg AS (
+              SELECT id, COUNT(*) AS d FROM (
+                SELECT src AS id FROM me UNION ALL SELECT dst AS id FROM me
+              ) u GROUP BY id),
+            mok AS (SELECT id FROM mdeg WHERE d <= {MOTIF_MAX_DEGREE}),
+            mw AS MATERIALIZED (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM me e1
+              JOIN mok ON mok.id = e1.dst
+              JOIN me e2 ON e2.src = e1.dst)
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM me x JOIN me y
+                 ON x.src = y.dst AND x.dst = y.src
+               WHERE x.src < x.dst) AS n_recip,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM mw JOIN me t
+                 ON t.src = mw.a AND t.dst = mw.c) AS n_ffl,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM mw JOIN me t
+                 ON t.src = mw.c AND t.dst = mw.a
+               WHERE mw.a < mw.b AND mw.a < mw.c) AS n_cycle""",
         "cocite_ev": f"""WITH {EV_CTES},
             cinc AS MATERIALIZED (
               SELECT src AS z, dst AS x FROM evedges),
@@ -3689,6 +3748,43 @@ rl AS (
 SELECT train_id, eval_id, CAST(MAX(run) + 2 AS BIGINT) AS longest_span
 FROM rl GROUP BY train_id, eval_id
 HAVING MAX(run) + 2 >= {SPAN_MIN}""",
+        # winnowing: DuckDB ord is 1-based vs Spark's 0-based — the
+        # positional key suffix shifts uniformly per doc (never reorders),
+        # so the selected HASH is identical; full-window filters are
+        # ord <= m - (w-1) here vs ord <= m - w there for the same set
+        "winnow_pairs": f"""WITH {TOKS_CTES},
+toks AS (
+  SELECT doc_id AS id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM toklists),
+psh AS MATERIALIZED (
+  SELECT t0.id, t0.ord,
+         substr(md5(t0.tok || ' ' || t1.tok || ' ' || t2.tok || ' ' || t3.tok),
+                1, 15) AS h
+  FROM toks t0
+  JOIN toks t1 ON t1.id = t0.id AND t1.ord = t0.ord + 1
+  JOIN toks t2 ON t2.id = t0.id AND t2.ord = t0.ord + 2
+  JOIN toks t3 ON t3.id = t0.id AND t3.ord = t0.ord + 3),
+keyed AS (
+  SELECT id, ord, h || '|' || lpad(CAST(ord AS VARCHAR), 8, '0') AS key
+  FROM psh),
+mm AS (SELECT id, COUNT(*) AS m FROM keyed GROUP BY id),
+wins AS (
+  SELECT id, ord, MIN(key) OVER (
+    PARTITION BY id ORDER BY ord
+    ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS selkey
+  FROM keyed),
+sel AS MATERIALIZED (
+  SELECT DISTINCT w.id, substr(w.selkey, 1, 15) AS fp
+  FROM wins w JOIN mm ON mm.id = w.id
+  WHERE w.ord <= mm.m - {WINNOW_W - 1}),
+wkeep AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM sel GROUP BY fp) t
+  WHERE df <= {WINNOW_MAX_DF}),
+selc AS (SELECT s.id, s.fp FROM sel s JOIN wkeep k ON k.fp = s.fp)
+SELECT a.id AS doc_a, b.id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM selc a JOIN selc b ON b.fp = a.fp AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}""",
         # prefix-filter similarity join: tau = 1/2, ceil(n/2) = (n+1) // 2,
         # prefix p = n - ceil(t*n) + 1 — integer arithmetic both engines
         "prefix_pairs": f"""WITH {SHINGLE_CTES},

@@ -101,6 +101,8 @@ HEADLINE = [
     "msf_ps",
     "anf_ps",
     "span_contam",
+    "motifs_ev",
+    "winnow_pairs",
 ]
 
 

@@ -48,3 +48,4 @@ from combblas_spark.algorithms.incremental_mcl import (  # noqa: F401
     cluster_summary,
     prep_inc_mat,
 )
+from combblas_spark.algorithms.motifs import triad_motifs  # noqa: F401

@@ -23,6 +23,7 @@ from combblas_spark.functions.dedup import (  # noqa: F401
     source_dup_matrix,
     decontaminate,
     prefix_jaccard_pairs,
+    winnow_pairs,
 )
 from combblas_spark.functions.similarity import (  # noqa: F401
     with_norm,

@@ -553,3 +553,95 @@ def span_contamination(
         .agg((F.max("run") + F.lit(k - 1)).cast("long").alias("longest_span"))
         .filter(F.col("longest_span") >= min_span)
     )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing clone-pair candidates (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS local fingerprinting): (doc_a, doc_b, n_shared) for document
+    pairs sharing >= ``min_shared`` selected fingerprints — the EIGHTH
+    candidate-generation mode of the dedup family, and the GUARANTEE-based
+    one: any two documents sharing a verbatim token run of at least
+    w + k - 1 tokens are certain to share a fingerprint (every length-w
+    window of k-gram hashes inside the shared run selects the same minimal
+    hash in both documents), unlike MinHash/SimHash's probabilistic recall.
+    The code-clone detector for a source-file corpus.
+
+    Selection is the window MIN of the string key
+    ``substr(md5(gram),1,15) || '|' || lpad(ord, 8, '0')`` — lexicographic
+    (hash, position), so ties inside a window break deterministically and
+    identically in every engine (the positional suffix shifts uniformly
+    per document and never reorders, so a 0- vs 1-based ord cannot change
+    which HASH is selected); only full windows select (documents shorter
+    than w + k - 1 tokens emit nothing). Only the 15-hex hash part joins.
+
+    Scale shape: selection windows are per-document (bounded by one
+    document's length, never corpus-sized) and keep ~2/(w+1) of grams;
+    the pair join is over SELECTED fingerprints only, capped by
+    distinct-document frequency (``max_df`` — ubiquitous boilerplate
+    fingerprints are exactly the quadratic ones), so per-fingerprint
+    fan-out is <= max_df^2 and no hub ever squares unbounded.
+    """
+    from pyspark.sql import Window
+    from combblas_spark.functions.text import tokens_col
+
+    t = tokens_col(F.col(text_col))
+    n = F.size(t)
+    arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.alias("ord"),
+                F.substring(
+                    F.md5(F.array_join(F.slice(t, i + 1, k), " ")), 1, 15
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ord:int,h:string>>"))
+    d = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    keyed = (
+        d.select(F.col(id_col).alias("id"), F.explode(arr).alias("p"))
+        .select(
+            "id",
+            F.col("p.ord").alias("ord"),
+            F.concat(
+                F.col("p.h"), F.lit("|"), F.lpad(F.col("p.ord").cast("string"), 8, "0")
+            ).alias("key"),
+        )
+    )
+    pw = Window.partitionBy("id")
+    sw = Window.partitionBy("id").orderBy("ord").rowsBetween(Window.currentRow, w - 1)
+    sel = (
+        keyed.select(
+            "id", "ord", F.count(F.lit(1)).over(pw).alias("m"),
+            F.min("key").over(sw).alias("selkey"),
+        )
+        .filter(F.col("ord") <= F.col("m") - w)  # full windows only (0-based)
+        .select("id", F.substring("selkey", 1, 15).alias("fp"))
+        .distinct()
+    )
+    sel = sel.persist()
+    keep = (
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    selc = sel.join(keep, on="fp")
+    a = selc.select(F.col("id").alias("doc_a"), "fp")
+    b = selc.select(F.col("id").alias("doc_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -915,3 +915,44 @@ def test_bowtie_regions(spark):
         20: "out", 21: "out",
         30: "tendril", 31: "tendril",
     }
+
+
+# ------------------------------------------------------------- triad motifs
+
+def _motifs(spark, rows, max_degree=None):
+    from combblas_spark.algorithms.motifs import triad_motifs
+
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    r = triad_motifs(edges, max_degree=max_degree).collect()[0]
+    return (r["n_recip"], r["n_ffl"], r["n_cycle"])
+
+
+def test_motifs_known_patterns(spark):
+    # pure feed-forward triangle: a->b, b->c, a->c
+    assert _motifs(spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)]) == (0, 1, 0)
+    # pure 3-cycle: counted once regardless of rotation
+    assert _motifs(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)]) == (0, 0, 1)
+    # one reciprocated pair, no triangles
+    assert _motifs(spark, [(3, 4, 1.0), (4, 3, 1.0)]) == (1, 0, 0)
+
+
+def test_motifs_reciprocated_triangle_instance_counts(spark):
+    """Fully reciprocated triangle (all 6 arcs): 3 reciprocated pairs;
+    every ordered triple (a,b,c) of the 3 vertices is an FFL instance
+    (3! = 6); each directed orientation of the cycle counted once (2).
+    Duplicate rows and self-loops must not change anything."""
+    arcs = [(a, b, 1.0) for a in (0, 1, 2) for b in (0, 1, 2) if a != b]
+    noisy = arcs + arcs + [(0, 0, 9.0), (2, 2, 1.0)]
+    assert _motifs(spark, noisy) == (3, 6, 2)
+
+
+def test_motifs_center_degree_cap(spark):
+    """Cap applies to the wedge CENTER only: arcs {0->1, 1->2, 0->2, 2->1,
+    5->6} give deg(0)=2, deg(1)=deg(2)=3. FFL instances: (0,1,2) through
+    center 1 and (0,2,1) through center 2 — both centers have degree 3,
+    so max_degree=2 drops every wedge while the reciprocity count (not
+    wedge-based) is unchanged."""
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 1, 1.0), (5, 6, 1.0)]
+    assert _motifs(spark, rows) == (1, 2, 0)
+    assert _motifs(spark, rows, max_degree=2) == (1, 0, 0)
+    assert _motifs(spark, rows, max_degree=3) == (1, 2, 0)  # non-binding

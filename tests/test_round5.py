@@ -1262,3 +1262,75 @@ def test_span_contamination_df_cap(spark):
     }
     assert set(got.values()) == {12}
     assert len(got) == 4
+
+
+# ------------------------------------------------------- winnowing (MOSS)
+
+def _py_winnow(text, k, w):
+    """Pure-python replay of the window-min fingerprint selection."""
+    import hashlib
+
+    toks = [t for t in text.split(" ") if t]
+    hs = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15]
+        for i in range(len(toks) - k + 1)
+    ]
+    keys = [f"{h}|{i:08d}" for i, h in enumerate(hs)]
+    return {min(keys[s : s + w])[:15] for s in range(len(keys) - w + 1)}
+
+
+def test_winnow_pairs_matches_python_replay(spark):
+    """Pair counts equal the pure-python window-min selection replay."""
+    from combblas_spark.functions.dedup import winnow_pairs
+
+    corpus = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f g z"),    # shares the 7-token run a..g with 1
+        (3, "p q r s t u v w"),        # disjoint
+        (4, "a b c d e f g h i j"),    # identical to 1
+        (5, "m n"),                    # shorter than w+k-1: no fingerprints
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_pairs(docs, k=3, w=3, min_shared=1).collect()
+    }
+    fp = {d: _py_winnow(t, 3, 3) for d, t in corpus}
+    want = {}
+    ids = sorted(fp)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(fp[a] & fp[b])
+            if c >= 1:
+                want[(a, b)] = c
+    assert got == want
+    assert (1, 4) in got  # identical docs share everything
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """The winnowing guarantee: a verbatim token run of w + k - 1 tokens
+    embedded in two otherwise-disjoint documents MUST produce >= 1 shared
+    fingerprint (MinHash/SimHash only make this probable)."""
+    from combblas_spark.functions.dedup import winnow_pairs
+
+    k, w = 4, 4
+    run = "r1 r2 r3 r4 r5 r6 r7"  # exactly w + k - 1 = 7 tokens
+    docs = spark.createDataFrame(
+        [(1, f"u1 u2 u3 {run} u4 u5 u6"), (2, f"v1 v2 {run} v3 v4 v5 v6 v7")],
+        "doc_id long, text string",
+    )
+    pairs = winnow_pairs(docs, k=k, w=w, min_shared=1).collect()
+    assert len(pairs) == 1 and pairs[0]["n_shared"] >= 1
+
+
+def test_winnow_boilerplate_df_cap(spark):
+    """Fingerprints in more than max_df documents are dropped: 10
+    identical docs under cap 5 emit no pairs; under cap 10, all 45."""
+    from combblas_spark.functions.dedup import winnow_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "b1 b2 b3 b4 b5 b6 b7 b8 b9") for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert winnow_pairs(docs, min_shared=1, max_df=5).count() == 0
+    assert winnow_pairs(docs, min_shared=1, max_df=10).count() == 45
