@@ -254,3 +254,31 @@ def test_prefix_join_has_no_cartesian(spark):
     plan = _plan(prefix_jaccard_pairs(docs, tau_num=1, tau_den=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_join_has_no_cartesian(spark):
+    """Winnowing clone pairs must pair-generate through the df-capped
+    fingerprint equi-join — never an all-pairs product; selection windows
+    are per-document running frames, not whole-partition sorts."""
+    from combblas_spark.functions.dedup import winnow_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(winnow_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_motifs_wedge_join_shape(spark):
+    """Triad census: the wedge stage and both closures are equi-joins (no
+    cartesian anywhere); the only nested-loop join is the deliberate
+    1-row x 1-row scalar combine at the very top."""
+    from combblas_spark.algorithms.motifs import triad_motifs
+    from combblas_spark.sources.graphs import events_digraph
+
+    df = triad_motifs(events_digraph(spark, SF), max_degree=256)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # scalar combine: exactly the two top-level 1-row joins may be BNLJ
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    spark.catalog.clearCache()
