@@ -1595,6 +1595,55 @@ k0 AS (SELECT id, {b} AS val FROM verts)"""
     )
 
 
+EIGC_ITERS = 6
+
+
+def q_eigc_ps(spark, sf):
+    """Eigenvector centrality on the symmetric part—supplier graph
+    (algorithms/eigencentrality.eigenvector_centrality): 6 power-iteration
+    supersteps on A/wdmax (the katz spectral bound — no in-loop norm
+    aggregate), one final L2 normalization."""
+    from combblas_spark.algorithms.eigencentrality import eigenvector_centrality
+
+    return eigenvector_centrality(
+        spark, part_supplier_graph(spark, sf), num_iters=EIGC_ITERS
+    )
+
+
+def _eigc_sql(prefix: str, edges_cte: str, iters: int) -> str:
+    """Unrolled power iteration: the per-step divisor is the SAME
+    max-column-sum both engines compute exactly (integer-valued weights),
+    and the division (not a reciprocal multiply) is the identical IEEE op;
+    the loop is sparse (no-in-walk ids drop out), densified + L2-normalized
+    once at the end like the Spark side."""
+    parts = [
+        f"""everts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM {edges_cte}
+  UNION SELECT DISTINCT dst FROM {edges_cte}),
+ewm AS MATERIALIZED (
+  SELECT MAX(s) AS m FROM (
+    SELECT dst, SUM(w) AS s FROM {edges_cte} GROUP BY dst) t),
+ex0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS val FROM everts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""ex{k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(e.w * p.val) / (SELECT m FROM ewm) AS val
+  FROM {edges_cte} e JOIN ex{k-1} p ON e.src = p.id GROUP BY e.dst)"""
+        )
+    parts.append(
+        f"""edense AS MATERIALIZED (
+  SELECT v.id, COALESCE(x.val, CAST(0.0 AS DOUBLE)) AS val
+  FROM everts v LEFT JOIN ex{iters} x ON x.id = v.id),
+enrm AS (SELECT SQRT(SUM(val * val)) AS nrm FROM edense)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {prefix},\n{body}\n"
+        "SELECT id, ROUND(val / (SELECT nrm FROM enrm), 6) AS val FROM edense"
+    )
+
+
 WL_ROUNDS = 3
 
 
@@ -2781,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_contam": q_span_contam,
         "motifs_ev": q_motifs_ev,
         "winnow_pairs": q_winnow_pairs,
+        "eigc_ps": q_eigc_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3704,6 +3754,7 @@ FROM verts""",
         "wl_colors_ps": _wl_sql(PS_CTES, "edges", WL_ROUNDS),
         "salsa_ev": _salsa_sql(EV_CTES, "evedges", SALSA_ITERS),
         "katz_ev": _katz_sql(EV_CTES, "evedges", KATZ_ITERS),
+        "eigc_ps": _eigc_sql(PS_CTES, "edges", EIGC_ITERS),
         "msf_ps": _msf_sql(PS_CTES, "edges", MSF_ORACLE_ROUNDS, MSF_ORACLE_JUMPS),
         "anf_ps": _anf_sql(PS_CTES, "edges", ANF_HOPS, ANF_K),
         # positional shingles (NOT deduped); DuckDB ord is 1-based vs

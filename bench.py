@@ -103,6 +103,7 @@ HEADLINE = [
     "span_contam",
     "motifs_ev",
     "winnow_pairs",
+    "eigc_ps",
 ]
 
 

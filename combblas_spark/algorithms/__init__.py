@@ -49,3 +49,4 @@ from combblas_spark.algorithms.incremental_mcl import (  # noqa: F401
     prep_inc_mat,
 )
 from combblas_spark.algorithms.motifs import triad_motifs  # noqa: F401
+from combblas_spark.algorithms.eigencentrality import eigenvector_centrality  # noqa: F401

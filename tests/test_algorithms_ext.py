@@ -956,3 +956,49 @@ def test_motifs_center_degree_cap(spark):
     assert _motifs(spark, rows) == (1, 2, 0)
     assert _motifs(spark, rows, max_degree=2) == (1, 0, 0)
     assert _motifs(spark, rows, max_degree=3) == (1, 2, 0)  # non-binding
+
+
+# ---------------------------------------------------- eigenvector centrality
+
+def test_eigenvector_centrality_python_replay(spark):
+    """Exact replay of the fixed-iteration contract: same x0, same
+    max-column-sum divisor, same final L2 normalization + round."""
+    import math
+
+    from combblas_spark.algorithms.eigencentrality import eigenvector_centrality
+
+    rows = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 2.0), (2, 1, 2.0),
+            (2, 3, 1.0), (3, 2, 1.0), (4, 5, 3.0), (5, 4, 3.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {
+        r["id"]: r["val"]
+        for r in eigenvector_centrality(spark, edges, num_iters=6).collect()
+    }
+
+    verts = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    wdmax = max(
+        sum(w for _, d, w in rows if d == v) for v in verts
+    )
+    x = {v: 1.0 for v in verts}
+    for _ in range(6):
+        nxt = {}
+        for s, d, w in rows:
+            if s in x:
+                nxt[d] = nxt.get(d, 0.0) + w * x[s]
+        x = {d: v / wdmax for d, v in nxt.items()}
+    dense = {v: x.get(v, 0.0) for v in verts}
+    nrm = math.sqrt(sum(v * v for v in dense.values()))
+    want = {v: round(val / nrm, 6) for v, val in dense.items()}
+    assert got == want
+    # the weight-2 spine edge concentrates mass on vertices 1 and 2
+    assert got[1] > got[0] and got[2] > got[3]
+
+
+def test_eigenvector_centrality_validates_iters(spark):
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.eigencentrality import eigenvector_centrality
+
+    edges = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, w double")
+    with _pytest.raises(ValueError):
+        eigenvector_centrality(spark, edges, num_iters=0)
