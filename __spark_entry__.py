@@ -129,6 +129,28 @@ evedges AS MATERIALIZED (
   FROM ev_pairs WHERE src <> dst GROUP BY src, dst
 )"""
 
+TEMPORAL_CTES = """
+tedges AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS src,
+         CAST((user_id + 1 + (event_id % 97)) % 100 AS BIGINT) AS dst,
+         epoch_us(ts) AS ts_us
+  FROM events
+  WHERE CAST(user_id AS BIGINT) <> CAST((user_id + 1 + (event_id % 97)) % 100 AS BIGINT)
+)"""
+
+THIN_CTES = """
+thin_can AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM (
+    SELECT CAST(user_id AS BIGINT) AS src,
+           CAST((user_id + 1 + (event_id % 97)) % 100 AS BIGINT) AS dst
+    FROM events) p
+  WHERE src <> dst
+    AND CAST(('0x' || substr(md5(
+          CAST(LEAST(src, dst) AS VARCHAR) || '|' ||
+          CAST(GREATEST(src, dst) AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0
+)"""
+
 TOKS_CTES = """
 toklists AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -2743,6 +2765,90 @@ def q_unigram_xent(spark, sf):
     return unigram_xent(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
+TEMPORAL_ITERS = 6  # shared Spark/oracle superstep count (earliest-arrival)
+
+
+def q_temporal_reach_ev(spark, sf):
+    """Time-respecting earliest arrival from MIN(src) over the temporal
+    events graph (algorithms/temporal.temporal_reach): each event is its own
+    timestamped edge, paths must use non-decreasing timestamps. Exact
+    integer microseconds — no rounding discipline needed."""
+    from combblas_spark.algorithms.temporal import temporal_reach
+    from combblas_spark.sources.graphs import events_temporal_graph
+
+    e = events_temporal_graph(spark, sf)
+    root = e.agg(F.min("src")).collect()[0][0]
+    return temporal_reach(spark, e, source=int(root), num_iters=TEMPORAL_ITERS)
+
+
+def _temporal_sql(iters: int) -> str:
+    """Unrolled time-gated min relaxation, mirrors algorithms.temporal
+    with num_iters=iters (same CTE shape as _sssp_sql; the multiply is
+    'select ts where ts >= arrival')."""
+    parts = [
+        "a0 AS MATERIALIZED (SELECT (SELECT MIN(src) FROM tedges) AS id, CAST(0 AS BIGINT) AS arrival_us)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT COALESCE(d.id, r.id) AS id,
+         CASE WHEN d.arrival_us IS NULL THEN r.mn
+              WHEN r.mn IS NULL THEN d.arrival_us
+              WHEN r.mn < d.arrival_us THEN r.mn ELSE d.arrival_us END AS arrival_us
+  FROM a{k-1} d FULL OUTER JOIN (
+    SELECT e.dst AS id, MIN(e.ts_us) AS mn
+    FROM tedges e JOIN a{k-1} p ON e.src = p.id AND e.ts_us >= p.arrival_us
+    GROUP BY e.dst) r
+  ON d.id = r.id)"""
+        )
+    return (
+        f"WITH {TEMPORAL_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, arrival_us FROM a{iters}"
+    )
+
+
+def q_cliques4_ev(spark, sf):
+    """4-clique census on the hash-thinned events graph
+    (algorithms/cliques.four_cliques over sources/graphs.events_thinned_graph):
+    per-vertex K4 participation counts via rank-oriented chain joins."""
+    from combblas_spark.algorithms.cliques import four_cliques
+    from combblas_spark.sources.graphs import events_thinned_graph
+
+    e = events_thinned_graph(spark, sf).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return four_cliques(e)
+
+
+def q_props_stats(spark, sf):
+    """Typed JSON metadata extraction from the events props column
+    (functions/sessions.props_stats): JVM-side get_json_object inside the
+    scan stage, one partial+final aggregate by event_type."""
+    from combblas_spark.functions.sessions import props_stats
+
+    return props_stats(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def q_quotient_ps(spark, sf):
+    """Host-graph collapse (operators/transform.quotient): contract the
+    part—supplier graph by attribute — parts to their brand, suppliers to
+    their nation — R·A·Rᵀ with an indicator R as two hash joins + one
+    aggregate."""
+    from combblas_spark.operators.transform import quotient
+
+    e = part_supplier_graph(spark, sf)
+    p = spark.read.parquet(f"{sf}/part.parquet").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.concat(F.lit("B:"), F.col("p_brand")).alias("g"),
+    )
+    s = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        (F.col("s_suppkey").cast("long") + F.lit(1_000_000)).alias("id"),
+        F.concat(F.lit("N:"), F.col("s_nationkey").cast("string")).alias("g"),
+    )
+    return quotient(e, p.unionByName(s))
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2831,6 +2937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motifs_ev": q_motifs_ev,
         "winnow_pairs": q_winnow_pairs,
         "eigc_ps": q_eigc_ps,
+        "temporal_reach_ev": q_temporal_reach_ev,
+        "cliques4_ev": q_cliques4_ev,
+        "props_stats": q_props_stats,
+        "quotient_ps": q_quotient_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -2901,6 +3011,47 @@ qstats AS (
 def oracle_sql() -> dict[str, str]:
     return {
         # --- new in round 5 ------------------------------------------------
+        "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
+        "props_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                     AS n_with_field,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_f,
+                   CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_f,
+                   CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_f,
+                   CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                     AS nd_f
+            FROM events GROUP BY event_type""",
+        "quotient_ps": f"""WITH {PS_CTES},
+            gmap AS MATERIALIZED (
+              SELECT CAST(p_partkey AS BIGINT) AS id, 'B:' || p_brand AS g
+              FROM part
+              UNION ALL
+              SELECT CAST(s_suppkey + 1000000 AS BIGINT) AS id,
+                     'N:' || CAST(s_nationkey AS VARCHAR) AS g
+              FROM supplier)
+            SELECT ms.g AS gsrc, md.g AS gdst, SUM(e.w) AS w,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM edges e JOIN gmap ms ON ms.id = e.src
+            JOIN gmap md ON md.id = e.dst
+            GROUP BY ms.g, md.g""",
+        "cliques4_ev": f"""WITH {THIN_CTES},
+            t4 AS MATERIALIZED (
+              SELECT x.a AS a, x.b AS b, y.b AS c
+              FROM thin_can x JOIN thin_can y ON y.a = x.b
+              JOIN thin_can z ON z.a = x.a AND z.b = y.b),
+            q4 AS MATERIALIZED (
+              SELECT t.a, t.b, t.c, e1.b AS d
+              FROM t4 t JOIN thin_can e1 ON e1.a = t.c
+              JOIN thin_can e2 ON e2.a = t.b AND e2.b = e1.b
+              JOIN thin_can e3 ON e3.a = t.a AND e3.b = e1.b)
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS n_quads FROM (
+              SELECT a AS id FROM q4
+              UNION ALL SELECT b FROM q4
+              UNION ALL SELECT c FROM q4
+              UNION ALL SELECT d FROM q4) u
+            GROUP BY id""",
         "clustering_coeff": f"""WITH {EV_CTES},
             evsym AS MATERIALIZED (
               SELECT src, dst FROM evedges

@@ -104,6 +104,11 @@ HEADLINE = [
     "motifs_ev",
     "winnow_pairs",
     "eigc_ps",
+    # round-5 continuation session (props_stats is a 5-row fixed-size
+    # output — not regression-informative, like kron/graph_stats above)
+    "temporal_reach_ev",
+    "cliques4_ev",
+    "quotient_ps",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Time-respecting reachability — earliest-arrival over a temporal graph.
+
+A temporal edge (src, dst, ts_us) is traversable only at its own timestamp,
+and a time-respecting path must use non-decreasing timestamps: you can leave
+``src`` along the edge only if you had already arrived at ``src`` by
+``ts_us``. The fixpoint arr[v] = min over edges (u,v) with ts >= arr[u] of
+ts (seeds start at arrival 0) is the earliest-arrival vector — the temporal
+analog of BFS depth.
+
+This is iterated SpMV on a time-gated min semiring: the same superstep shape
+as SSSP's Bellman-Ford relaxation (algorithms/sssp.py, reference tropical
+semiring /root/reference/include/CombBLAS/Semirings.h:236-255) with the
+multiply replaced by "select ts where ts >= arr[src]" — monotone, so the
+relaxation converges like min-plus does. The relax condition is a join-side
+filter, not a new operator: Catalyst pushes ``ts_us >= val`` into the join.
+
+Scale shape: the temporal edge table is cached hash-partitioned by dst (the
+aggregation key) once; the arrival vector is O(V) and broadcast-gated per
+superstep; lineage cut per superstep via SuperstepRunner.truncate. All
+values are exact integers (epoch microseconds), so oracle hashes match
+bit-for-bit with no rounding discipline.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
+from combblas_spark.plans.superstep import SuperstepRunner
+
+
+def temporal_reach(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    num_iters: Optional[int] = None,
+    max_iter: int = 10_000,
+    runner: Optional[SuperstepRunner] = None,
+    broadcast_vectors: bool = True,
+) -> DataFrame:
+    """(id, arrival_us) earliest time-respecting arrival from ``source``.
+
+    ``edges`` is (src, dst, ts_us BIGINT); duplicate (src, dst) rows at
+    different timestamps are distinct temporal edges (do NOT dedup them).
+    The arrival vector is SPARSE — temporally unreachable vertices are
+    absent. ``num_iters`` fixes the superstep count (oracle-parity mode);
+    otherwise run to fixpoint.
+    """
+    runner = runner or SuperstepRunner(spark)
+    e = edges.select("src", "dst", F.col("ts_us").cast("long")).repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    )
+    e.persist()
+    try:
+        arr = spark.createDataFrame(
+            [(int(source), 0)], "id long, arrival_us long"
+        )
+        arr = runner.truncate(arr)
+        n_arr = 1
+
+        iters = num_iters if num_iters is not None else max_iter
+        for it in range(iters):
+            gated = broadcast_vectors and n_arr <= BROADCAST_MAX_ROWS
+            x = arr.select(F.col("id").alias("src"), "arrival_us")
+            if gated:
+                x = F.broadcast(x)
+            relax = (
+                e.join(x, on="src")
+                .filter(F.col("ts_us") >= F.col("arrival_us"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("ts_us").alias("mn"))
+            )
+            old = arr
+            merged = (
+                arr.join(relax, on="id", how="full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce(F.col("arrival_us"), F.col("mn")),
+                        F.coalesce(F.col("mn"), F.col("arrival_us")),
+                    ).alias("arrival_us"),
+                )
+            )
+            arr = runner.truncate(merged)
+            if broadcast_vectors:
+                n_arr = arr.count()  # cheap: truncate() materialized it
+            if num_iters is None:
+                changed = (
+                    arr.alias("n")
+                    .join(old.alias("o"), on="id", how="left")
+                    .filter(
+                        F.col("o.arrival_us").isNull()
+                        | (F.col("n.arrival_us") < F.col("o.arrival_us"))
+                    )
+                    .count()
+                )
+                runner.save(it + 1, {"arr": arr}, {"changed": int(changed)})
+                if changed == 0:
+                    break
+            else:
+                runner.save(it + 1, {"arr": arr}, {})
+        return arr
+    finally:
+        e.unpersist()

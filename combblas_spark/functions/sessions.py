@@ -78,3 +78,32 @@ def sessionize(
             .alias("value_milli"),
         )
     )
+
+
+def props_stats(events: DataFrame, path: str = "$.k") -> DataFrame:
+    """Typed metadata extraction from a semi-structured JSON column — the
+    ubiquitous event-pipeline first step: pull a typed field out of
+    ``props`` with the JVM-side JSON path evaluator (get_json_object; no
+    Python touches a row), then one map-side-combinable aggregate per
+    event_type.
+
+    -> (event_type, n, n_with_field BIGINT, sum_f, min_f, max_f BIGINT,
+    nd_f BIGINT). Missing/non-numeric fields become NULL and are counted
+    separately, never dropped silently. The 100-TB shape is a single
+    partial+final hash aggregate keyed by the low-cardinality event_type —
+    no shuffle of the raw payloads, the JSON parse happens inside the scan
+    stage.
+    """
+    f = F.get_json_object(F.col("props"), path).cast("long")
+    return (
+        events.select(F.col("event_type"), f.alias("_f"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("_f").cast("long").alias("n_with_field"),
+            F.sum("_f").cast("long").alias("sum_f"),
+            F.min("_f").cast("long").alias("min_f"),
+            F.max("_f").cast("long").alias("max_f"),
+            F.countDistinct("_f").cast("long").alias("nd_f"),
+        )
+    )

@@ -126,3 +126,31 @@ def prune_column(
         .filter(keep(F.col("w"), F.col("_thr")))
         .select("src", "dst", "w")
     )
+
+
+def quotient(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Quotient (contraction) of the graph by a vertex attribute — the
+    host-graph collapse of web-graph practice: every vertex maps to a group
+    via ``mapping`` (id, g), and the quotient edge (gsrc, gdst) aggregates
+    all underlying edges, self-groups included (intra-group mass is the
+    diagonal). The attribute-keyed sibling of the matching-based contraction
+    in algorithms/coarsen.py (reference Galerkin triple product
+    /root/reference/include/CombBLAS/ParFriends.h:1447 with an indicator R):
+    quotient(A, g) = R A R^T where R is the group indicator matrix, here two
+    hash joins + one partial+final aggregate.
+
+    Vertices missing from ``mapping`` are dropped with their edges (inner
+    join) — quotient over a partial attribute is the induced-subgraph
+    quotient. -> (gsrc, gdst, w = SUM of edge weights, n_edges BIGINT).
+    """
+    ms = mapping.select(F.col("id").alias("src"), F.col("g").alias("gsrc"))
+    md = mapping.select(F.col("id").alias("dst"), F.col("g").alias("gdst"))
+    return (
+        edges.join(ms, on="src")
+        .join(md, on="dst")
+        .groupBy("gsrc", "gdst")
+        .agg(
+            F.sum("w").alias("w"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+        )
+    )

@@ -69,6 +69,55 @@ def events_digraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_graph(pairs, sym=False)
 
 
+def events_temporal_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal DIRECTED edge table (src, dst, ts_us) from events — the same
+    vertex construction as events_digraph but KEEPING every event as its own
+    timestamped edge (no dedup): duplicate (src, dst) pairs at different
+    times are distinct temporal edges. ts_us = exact epoch microseconds, so
+    earliest-arrival values hash bit-identically vs the oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros only takes
+    # tz-aware TIMESTAMP. timestampdiff from the epoch is tz-free and
+    # matches DuckDB's epoch_us(naive) exactly (same idiom as sessionize).
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `ts`)"
+        )
+    else:
+        us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        ((F.col("user_id") + 1 + (F.col("event_id") % 97)) % 100)
+        .cast("long")
+        .alias("dst"),
+        us.alias("ts_us"),
+    ).filter(F.col("src") != F.col("dst"))
+
+
+def events_thinned_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-thinned undirected canonical edge list (a, b), a < b, from the
+    events graph: keep a canonical pair iff md5-60bit('a|b') % 5 == 0. The
+    events core is near-complete (every user hits ~97 of 100 hub ids), so
+    clique-family censuses need a deterministic, engine-portable sparsifier
+    to stay polynomial — the md5-60bit trick is the same replayable-priority
+    device RandPerm uses (operators/indexing.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        ((F.col("user_id") + 1 + (F.col("event_id") % 97)) % 100)
+        .cast("long")
+        .alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    can = pairs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    key = F.concat(
+        F.col("a").cast("string"), F.lit("|"), F.col("b").cast("string")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return can.filter(h % 5 == 0)
+
+
 def nation_star_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-skew star forest: every customer and supplier linked to its
     nation (ids offset). Exactly 25 star components; the nation vertices are

@@ -1334,3 +1334,182 @@ def test_winnow_boilerplate_df_cap(spark):
     )
     assert winnow_pairs(docs, min_shared=1, max_df=5).count() == 0
     assert winnow_pairs(docs, min_shared=1, max_df=10).count() == 45
+
+
+# --------------------------------------------------------- temporal / cliques
+
+
+def _py_earliest_arrival(tedges, source, iters=50):
+    """Pure-python earliest-arrival fixpoint oracle."""
+    arr = {source: 0}
+    for _ in range(iters):
+        nxt = dict(arr)
+        for s, d, t in tedges:
+            if s in arr and t >= arr[s]:
+                if d not in nxt or t < nxt[d]:
+                    nxt[d] = t
+        if nxt == arr:
+            break
+        arr = nxt
+    return arr
+
+
+def test_temporal_reach_hand_case(spark):
+    from combblas_spark.algorithms.temporal import temporal_reach
+
+    # 1->2 too early once arrival(1)=5; the later copy at t=9 works;
+    # 3->4 at t=1 predates arrival(3)=2 so 4 stays unreachable
+    te = [(0, 1, 5), (1, 2, 3), (1, 2, 9), (0, 3, 2), (3, 4, 1)]
+    df = spark.createDataFrame(te, "src long, dst long, ts_us long")
+    got = {r["id"]: r["arrival_us"]
+           for r in temporal_reach(spark, df, source=0, num_iters=6).collect()}
+    assert got == {0: 0, 1: 5, 2: 9, 3: 2}
+
+
+def test_temporal_reach_matches_python_replay(spark):
+    from combblas_spark.algorithms.temporal import temporal_reach
+
+    # deterministic pseudo-random temporal graph
+    te = []
+    for i in range(300):
+        s = (i * i) % 40
+        d = (i * 7 + 3) % 40
+        if s != d:
+            te.append((s, d, (i * 37) % 100))
+    df = spark.createDataFrame(te, "src long, dst long, ts_us long")
+    got = {r["id"]: r["arrival_us"]
+           for r in temporal_reach(spark, df, source=0).collect()}
+    assert got == _py_earliest_arrival(te, 0)
+
+
+def test_temporal_reach_fixpoint_not_bfs(spark):
+    """Earliest arrival differs from plain reachability: a time-decreasing
+    chain is NOT traversable even though the static graph is connected."""
+    from combblas_spark.algorithms.temporal import temporal_reach
+
+    df = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 5)], "src long, dst long, ts_us long"
+    )
+    got = {r["id"]: r["arrival_us"]
+           for r in temporal_reach(spark, df, source=0).collect()}
+    assert got == {0: 0, 1: 10}  # 2 unreachable: 5 < 10
+
+
+def _py_four_cliques(pairs):
+    adj = {}
+    vs = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        vs.update((a, b))
+    out = {}
+    from itertools import combinations
+
+    for quad in combinations(sorted(vs), 4):
+        if all(y in adj[x] for x, y in combinations(quad, 2)):
+            for v in quad:
+                out[v] = out.get(v, 0) + 1
+    return out
+
+
+def test_four_cliques_k5_and_noise(spark):
+    from combblas_spark.algorithms.cliques import four_cliques
+
+    pairs = [(i, j) for i in range(5) for j in range(5) if i < j]
+    pairs += [(5, 0), (10, 11), (11, 12), (10, 12)]  # pendant + triangle
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["id"]: r["n_quads"] for r in four_cliques(df).collect()}
+    assert got == {v: 4 for v in range(5)}  # C(4,3) per K5 vertex
+
+
+def test_four_cliques_matches_python_replay(spark):
+    from combblas_spark.algorithms.cliques import four_cliques
+
+    pairs = [((i * i) % 25, (i * 11 + 2) % 25) for i in range(160)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["id"]: r["n_quads"] for r in four_cliques(df).collect()}
+    assert got == _py_four_cliques(pairs)
+
+
+def test_four_cliques_direction_and_dup_invariant(spark):
+    from combblas_spark.algorithms.cliques import four_cliques
+
+    pairs = [(i, j) for i in range(6) for j in range(6) if i < j]  # K6
+    both = pairs + [(b, a) for a, b in pairs] + pairs  # dups + reversals
+    df = spark.createDataFrame(both, "src long, dst long")
+    got = {r["id"]: r["n_quads"] for r in four_cliques(df).collect()}
+    # K6: C(5,3) = 10 quads per vertex
+    assert got == {v: 10 for v in range(6)}
+
+
+# --------------------------------------------------------- props / quotient
+
+
+def test_props_stats_hand_case(spark):
+    from combblas_spark.functions.sessions import props_stats
+
+    rows = [
+        ("click", '{"k": 3}'),
+        ("click", '{"k": 5}'),
+        ("click", '{"other": 1}'),      # missing field -> NULL, still counted
+        ("view", '{"k": 3}'),
+        ("view", "not json at all"),    # malformed -> NULL
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    got = {r["event_type"]: r.asDict() for r in props_stats(df).collect()}
+    assert got["click"]["n"] == 3 and got["click"]["n_with_field"] == 2
+    assert got["click"]["sum_f"] == 8 and got["click"]["nd_f"] == 2
+    assert got["view"]["n"] == 2 and got["view"]["n_with_field"] == 1
+    assert got["view"]["min_f"] == 3 and got["view"]["max_f"] == 3
+
+
+def test_quotient_hand_case(spark):
+    from combblas_spark.operators.transform import quotient
+
+    # two groups: {0,1} -> "a", {2} -> "b"; vertex 9 unmapped (dropped)
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 0, 2.0), (0, 2, 1.0), (2, 1, 3.0), (9, 0, 5.0)],
+        "src long, dst long, w double",
+    )
+    m = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b")], "id long, g string"
+    )
+    got = {(r["gsrc"], r["gdst"]): (r["w"], r["n_edges"])
+           for r in quotient(e, m).collect()}
+    assert got == {
+        ("a", "a"): (4.0, 2),   # 0->1 and 1->0 collapse onto the diagonal
+        ("a", "b"): (1.0, 1),
+        ("b", "a"): (3.0, 1),
+    }
+
+
+def test_quotient_is_galerkin_indicator_product(spark):
+    """quotient(A, g) == R A R^T with the group indicator R, computed via
+    the repo's own spgemm — the metamorphic cross-check."""
+    from combblas_spark.operators.transform import quotient
+    from combblas_spark.operators.multiply import spgemm
+    from combblas_spark.core.semiring import PLUS_TIMES
+    import pyspark.sql.functions as F
+
+    edges = [(i % 7, (i * 3 + 1) % 7, float(1 + i % 4)) for i in range(25)]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    m = spark.createDataFrame(
+        [(v, f"g{v % 3}") for v in range(7)], "id long, g string"
+    )
+    q = {(r["gsrc"], r["gdst"]): r["w"] for r in quotient(e, m).collect()}
+
+    # R: group x vertex indicator with integer group ids g0/g1/g2 -> 0/1/2
+    r_df = spark.createDataFrame(
+        [(v % 3, v, 1.0) for v in range(7)], "src long, dst long, w double"
+    )
+    ra = spgemm(r_df, e, PLUS_TIMES)          # R * A
+    rt = r_df.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    )
+    rar = spgemm(ra, rt, PLUS_TIMES)          # (R A) * R^T
+    want = {(f"g{r['src']}", f"g{r['dst']}"): r["w"] for r in rar.collect()}
+    assert q == want
