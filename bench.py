@@ -109,6 +109,7 @@ HEADLINE = [
     "temporal_reach_ev",
     "cliques4_ev",
     "quotient_ps",
+    "cms_heavy",
 ]
 
 

@@ -1513,3 +1513,53 @@ def test_quotient_is_galerkin_indicator_product(spark):
     rar = spgemm(ra, rt, PLUS_TIMES)          # (R A) * R^T
     want = {(f"g{r['src']}", f"g{r['dst']}"): r["w"] for r in rar.collect()}
     assert q == want
+
+
+# ------------------------------------------------------------------ CMS
+
+
+def test_cms_estimate_dominates_exact(spark):
+    """The Count-Min guarantee: est >= exact for EVERY token, and for a
+    vocabulary smaller than the width with no collisions, est == exact."""
+    from combblas_spark.functions.sketch import cms_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d d d d")], "doc_id long, text string"
+    )
+    rows = cms_token_counts(docs, depth=3, width=64, k=10).collect()
+    got = {r["tok"]: (r["est"], r["exact"]) for r in rows}
+    assert all(est >= exact for est, exact in got.values())
+    assert got["a"][1] == 4 and got["d"][1] == 4 and got["b"][1] == 3
+
+
+def test_cms_matches_python_replay(spark):
+    """Exact sketch replay: counters and min-probe reproduced in python
+    with the same md5-60bit hash — collisions included (width=4 forces
+    them)."""
+    import hashlib
+    from collections import Counter
+    from combblas_spark.functions.sketch import cms_token_counts
+
+    texts = [(i, " ".join(f"w{(i * j) % 7}" for j in range(1, 9)))
+             for i in range(12)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    depth, width = 3, 4
+
+    def h(r, tok):
+        return int(hashlib.md5(f"{r}|{tok}".encode()).hexdigest()[:15], 16) % width
+
+    stream = [t for _, s in texts for t in s.split(" ") if t]
+    exact = Counter(stream)
+    counters = Counter()
+    for tok, n in exact.items():
+        for r in range(depth):
+            counters[(r, h(r, tok))] += n
+    want = {
+        tok: (min(counters[(r, h(r, tok))] for r in range(depth)), n)
+        for tok, n in exact.items()
+    }
+    rows = cms_token_counts(docs, depth=depth, width=width, k=100).collect()
+    got = {r["tok"]: (r["est"], r["exact"]) for r in rows}
+    assert got == want
+    # with width=4 and 7 tokens, at least one collision must inflate est
+    assert any(est > exact for est, exact in got.values())
