@@ -2870,6 +2870,60 @@ def q_cms_heavy(spark, sf):
     )
 
 
+TW_DELTA_US = 86_400_000_000  # 1 day — shared Spark/oracle wedge window
+
+
+def q_temporal_wedges_ev(spark, sf):
+    """Time-respecting wedge census within a 1-day window
+    (algorithms/temporal.temporal_wedges): bucketed interval join —
+    equi-join on (vertex, time bucket), never a per-vertex history cross
+    product."""
+    from combblas_spark.algorithms.temporal import temporal_wedges
+    from combblas_spark.sources.graphs import events_temporal_graph
+
+    return temporal_wedges(events_temporal_graph(spark, sf), TW_DELTA_US)
+
+
+def q_asof_ev(spark, sf):
+    """As-of join (operators/interval.asof_latest): each purchase event
+    picks up the latest prior click of the same user via the union +
+    running-last-ignorenulls window — one shuffle, no history join."""
+    from combblas_spark.operators.interval import asof_latest
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `ts`)"
+        )
+    else:
+        us = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        us.alias("us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    left = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", "event_id"
+    )
+    right = base.filter(F.col("event_type") == "click").select(
+        "user_id", "us", "event_id", "vm"
+    )
+    out = asof_latest(
+        left, right, key="user_id", ts="us", tiebreak="event_id",
+        carry=["us", "vm"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.col("asof_us"),
+        (F.col("us") - F.col("asof_us")).alias("gap_us"),
+        F.col("asof_vm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2963,6 +3017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": q_props_stats,
         "quotient_ps": q_quotient_ps,
         "cms_heavy": q_cms_heavy,
+        "temporal_wedges_ev": q_temporal_wedges_ev,
+        "asof_ev": q_asof_ev,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3045,6 +3101,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
                      AS nd_f
             FROM events GROUP BY event_type""",
+        "temporal_wedges_ev": f"""WITH {TEMPORAL_CTES}
+            SELECT i.dst AS id, CAST(COUNT(*) AS BIGINT) AS n_wedges
+            FROM tedges i JOIN tedges o ON o.src = i.dst
+             AND o.ts_us >= i.ts_us AND o.ts_us <= i.ts_us + {TW_DELTA_US}
+            GROUP BY i.dst""",
+        "asof_ev": """
+            WITH base AS MATERIALIZED (
+              SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us,
+                     CAST(event_id AS BIGINT) AS event_id, event_type,
+                     CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            tagged AS MATERIALIZED (
+              SELECT user_id, us, event_id,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+                     CASE WHEN event_type = 'click' THEN us END AS r_us,
+                     CASE WHEN event_type = 'click' THEN vm END AS r_vm
+              FROM base),
+            filled AS MATERIALIZED (
+              SELECT *,
+                LAST_VALUE(r_us IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY us, side, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_us,
+                LAST_VALUE(r_vm IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY us, side, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_vm
+              FROM tagged)
+            SELECT event_id, user_id, us, asof_us, us - asof_us AS gap_us,
+                   asof_vm
+            FROM filled WHERE side = 1""",
         "cms_heavy": f"""WITH {TOKS_CTES},
             tokstream AS MATERIALIZED (
               SELECT unnest(toks) AS tok FROM toklists),

@@ -110,6 +110,8 @@ HEADLINE = [
     "cliques4_ev",
     "quotient_ps",
     "cms_heavy",
+    "temporal_wedges_ev",
+    "asof_ev",
 ]
 
 

@@ -1563,3 +1563,104 @@ def test_cms_matches_python_replay(spark):
     assert got == want
     # with width=4 and 7 tokens, at least one collision must inflate est
     assert any(est > exact for est, exact in got.values())
+
+
+# --------------------------------------------------- interval join / as-of
+
+
+def test_temporal_wedges_hand_case(spark):
+    from combblas_spark.algorithms.temporal import temporal_wedges
+
+    # wedges through v=1: (0->1@10, 1->2@15) ok; (0->1@10, 1->2@10) ok
+    # (equal); (0->1@10, 1->3@21) outside delta=10; (5->1@30, 1->2@15)
+    # violates time order
+    te = [(0, 1, 10), (1, 2, 15), (1, 2, 10), (1, 3, 21), (5, 1, 30)]
+    df = spark.createDataFrame(te, "src long, dst long, ts_us long")
+    got = {r["id"]: r["n_wedges"]
+           for r in temporal_wedges(df, delta_us=10).collect()}
+    assert got == {1: 2}
+
+
+def test_temporal_wedges_matches_python_replay(spark):
+    from combblas_spark.algorithms.temporal import temporal_wedges
+
+    te = []
+    for i in range(400):
+        s, d = (i * 13) % 23, (i * 7 + 5) % 23
+        if s != d:
+            te.append((s, d, (i * 997) % 5000))
+    delta = 700
+    want = {}
+    for (_, v, t1) in te:
+        for (s2, _, t2) in te:
+            if s2 == v and t1 <= t2 <= t1 + delta:
+                want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(te, "src long, dst long, ts_us long")
+    # bucket_us > delta exercises the two-probe correctness independently
+    for bk in (delta, 1000):
+        got = {r["id"]: r["n_wedges"]
+               for r in temporal_wedges(df, delta_us=delta, bucket_us=bk).collect()}
+        assert got == want
+
+
+def test_temporal_wedges_rejects_small_bucket(spark):
+    from combblas_spark.algorithms.temporal import temporal_wedges
+    import pytest
+
+    df = spark.createDataFrame([(0, 1, 5)], "src long, dst long, ts_us long")
+    with pytest.raises(ValueError):
+        temporal_wedges(df, delta_us=100, bucket_us=50)
+
+
+def test_asof_latest_hand_case(spark):
+    from combblas_spark.operators.interval import asof_latest
+
+    # user 7: clicks at 5 (id 1, v 10) and 20 (id 2, v 30); purchases at
+    # 4 (before any click), 5 (simultaneous -> matched), 25 (latest=20)
+    left = spark.createDataFrame(
+        [(7, 4, 100), (7, 5, 101), (7, 25, 102), (8, 9, 103)],
+        "user_id long, us long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(7, 5, 1, 10), (7, 20, 2, 30)],
+        "user_id long, us long, event_id long, vm long",
+    )
+    rows = asof_latest(left, right, key="user_id", ts="us",
+                       tiebreak="event_id", carry=["us", "vm"]).collect()
+    got = {r["event_id"]: (r["asof_us"], r["asof_vm"]) for r in rows}
+    assert got == {
+        100: (None, None),
+        101: (5, 10),      # simultaneous click IS matched
+        102: (20, 30),
+        103: (None, None),  # user 8 has no clicks
+    }
+
+
+def test_asof_latest_simultaneous_tiebreak(spark):
+    from combblas_spark.operators.interval import asof_latest
+
+    # two clicks at the same instant: the larger event_id wins
+    left = spark.createDataFrame(
+        [(1, 10, 50)], "user_id long, us long, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 3, 111), (1, 10, 4, 222)],
+        "user_id long, us long, event_id long, vm long",
+    )
+    r = asof_latest(left, right, key="user_id", ts="us",
+                    tiebreak="event_id", carry=["vm"]).collect()[0]
+    assert r["asof_vm"] == 222
+
+
+def test_temporal_wedges_plan_no_cartesian(spark):
+    """The interval join must plan as an equi-join on (v, bucket) — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from combblas_spark.algorithms.temporal import temporal_wedges
+
+    df = spark.createDataFrame(
+        [(i % 5, (i + 1) % 5, i * 100) for i in range(20)],
+        "src long, dst long, ts_us long",
+    )
+    plan = temporal_wedges(df, delta_us=500)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
