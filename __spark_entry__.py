@@ -2924,6 +2924,138 @@ def q_asof_ev(spark, sf):
     )
 
 
+SIMRANK_ITERS = 2   # shared Spark/oracle SimRank iteration count
+SIMRANK_C = 0.8
+TRUST_SEEDS = [0, 1, 2]  # trusted users for TrustRank / spam mass
+SPAM_ITERS = 6
+
+
+def q_simrank_ev(spark, sf):
+    """SimRank pairwise similarity on the directed events graph
+    (algorithms/simrank.simrank): 2 iterations of the sparse SpGEMM
+    sandwich S' = C·D·Aᵀ·S·A·D, canonical a < b pairs."""
+    from combblas_spark.algorithms.simrank import simrank
+
+    s = simrank(
+        spark, events_digraph(spark, sf), c=SIMRANK_C, num_iters=SIMRANK_ITERS
+    )
+    return s.filter(F.col("a") < F.col("b")).select("a", "b", "val_e9")
+
+
+def q_spam_mass_ev(spark, sf):
+    """TrustRank / relative spam mass on the directed events graph
+    (algorithms/pagerank.spam_mass): global PR vs trusted-seed PPR at the
+    same superstep budget, m = (pr - tr)/pr. First oracle exercising the
+    per-iteration DANGLING-mass redistribution (the events digraph has
+    sink vertices; every earlier PR oracle ran dangling-free graphs)."""
+    from combblas_spark.algorithms.pagerank import spam_mass
+
+    return spam_mass(
+        spark, events_digraph(spark, sf), trusted=TRUST_SEEDS,
+        num_iters=SPAM_ITERS,
+    )
+
+
+def _simrank_sql(prefix: str, edges_cte: str, iters: int, c: float) -> str:
+    """Unrolled SimRank mirroring algorithms.simrank: s0 = diagonal at the
+    1e9 fixed-point scale, each step the off-diagonal re-derivation
+    FLOOR(C*sv/(ind_a*ind_b)) UNION the reset diagonal. Every sum is an
+    exact integer, so both engines derive bit-identical doubles and the
+    FLOOR is deterministic (see the module docstring of
+    combblas_spark/algorithms/simrank.py)."""
+    cc = repr(c)
+    parts = [
+        f"""de AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM {edges_cte} WHERE src <> dst),
+srverts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM de UNION SELECT DISTINCT dst FROM de),
+ind AS MATERIALIZED (
+  SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS ind FROM de GROUP BY dst),
+s0 AS (SELECT id AS a, id AS b, CAST(1000000000 AS BIGINT) AS val_e9
+       FROM srverts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""raw{k} AS MATERIALIZED (
+  SELECT e1.dst AS na, e2.dst AS nb, CAST(SUM(s.val_e9) AS BIGINT) AS sv
+  FROM s{k-1} s JOIN de e1 ON e1.src = s.a JOIN de e2 ON e2.src = s.b
+  WHERE e1.dst <> e2.dst
+  GROUP BY e1.dst, e2.dst),
+s{k} AS MATERIALIZED (
+  SELECT id AS a, id AS b, CAST(1000000000 AS BIGINT) AS val_e9 FROM srverts
+  UNION ALL
+  SELECT r.na AS a, r.nb AS b,
+         CAST(FLOOR({cc} * r.sv / (ia.ind * ib.ind)) AS BIGINT) AS val_e9
+  FROM raw{k} r JOIN ind ia ON ia.id = r.na JOIN ind ib ON ib.id = r.nb)"""
+        )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT a, b, val_e9 FROM s{iters} WHERE a < b"
+    )
+
+
+def _spam_sql(prefix: str, edges_cte: str, iters: int, seeds: list,
+              alpha: float = 0.85) -> str:
+    """Unrolled global-PR + TrustRank chains WITH per-iteration dangling
+    redistribution, mirroring algorithms.pagerank exactly: the dangling
+    mass dm is a scalar CTE, the reset arithmetic keeps the Spark op order
+    ((1-a)/n + a*dm/n for global; (1 - a + a*dm) * pseed on seeds)."""
+    a = repr(alpha)
+    pseed = repr(1.0 / len(seeds))
+    inlist = ", ".join(str(s) for s in seeds)
+    parts = [
+        f"""verts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM {edges_cte}
+  UNION SELECT DISTINCT dst FROM {edges_cte}),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+dang AS MATERIALIZED (
+  SELECT id FROM verts
+  WHERE id NOT IN (SELECT DISTINCT src FROM {edges_cte})),
+enorm AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / d.wd AS w
+  FROM {edges_cte} e JOIN (
+    SELECT src, SUM(w) AS wd FROM {edges_cte} GROUP BY src) d ON e.src = d.src),
+gp0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS val FROM verts),
+tp0 AS (SELECT id, CASE WHEN id IN ({inlist}) THEN {pseed} ELSE 0.0 END AS val
+        FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""gd{k} AS (SELECT COALESCE(SUM(p.val), 0.0) AS dm
+  FROM gp{k-1} p JOIN dang d ON d.id = p.id),
+gp{k} AS MATERIALIZED (
+  SELECT v.id,
+         ((1.0 - {a}) / (SELECT n FROM nn)
+            + {a} * (SELECT dm FROM gd{k}) / (SELECT n FROM nn))
+           + {a} * COALESCE(c.contrib, 0.0) AS val
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.w * p.val) AS contrib
+    FROM enorm e JOIN gp{k-1} p ON e.src = p.id GROUP BY e.dst) c
+  ON v.id = c.id),
+td{k} AS (SELECT COALESCE(SUM(p.val), 0.0) AS dm
+  FROM tp{k-1} p JOIN dang d ON d.id = p.id),
+tp{k} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id IN ({inlist})
+              THEN (1.0 - {a} + {a} * (SELECT dm FROM td{k})) * {pseed}
+              ELSE 0.0 END
+           + {a} * COALESCE(c.contrib, 0.0) AS val
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.w * p.val) AS contrib
+    FROM enorm e JOIN tp{k-1} p ON e.src = p.id GROUP BY e.dst) c
+  ON v.id = c.id)"""
+        )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT g.id AS id, ROUND(g.val, 6) AS pr, ROUND(t.val, 6) AS tr,
+       ROUND((g.val - t.val) / g.val, 6) AS spam_mass
+FROM gp{iters} g JOIN tp{iters} t ON t.id = g.id"""
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3019,6 +3151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": q_cms_heavy,
         "temporal_wedges_ev": q_temporal_wedges_ev,
         "asof_ev": q_asof_ev,
+        "simrank_ev": q_simrank_ev,
+        "spam_mass_ev": q_spam_mass_ev,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3101,6 +3235,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
                      AS nd_f
             FROM events GROUP BY event_type""",
+        "simrank_ev": _simrank_sql(EV_CTES, "evedges", SIMRANK_ITERS, SIMRANK_C),
+        "spam_mass_ev": _spam_sql(EV_CTES, "evedges", SPAM_ITERS, TRUST_SEEDS),
         "temporal_wedges_ev": f"""WITH {TEMPORAL_CTES}
             SELECT i.dst AS id, CAST(COUNT(*) AS BIGINT) AS n_wedges
             FROM tedges i JOIN tedges o ON o.src = i.dst

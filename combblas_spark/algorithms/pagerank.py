@@ -214,3 +214,38 @@ def _pagerank_iters(
             ranks = new_ranks
             runner.save(it + 1, {"ranks": ranks}, {"n": n})
     return ranks
+
+
+def spam_mass(
+    spark: SparkSession,
+    edges: DataFrame,
+    trusted: list,
+    alpha: float = 0.85,
+    num_iters: int = 6,
+) -> DataFrame:
+    """TrustRank / spam-mass estimation (Gyongyi et al. 2004, 2006): run
+    global PageRank and trusted-seed personalized PageRank (TrustRank) with
+    the SAME alpha/superstep budget, then score every vertex by the
+    fraction of its rank that does NOT flow from the trusted set —
+    relative spam mass m(v) = (pr(v) - tr(v)) / pr(v). High m = rank
+    earned outside the trust neighborhood, the classic link-spam signal;
+    m can be negative for vertices the trust concentrates on (seeds
+    themselves), which is informative and deliberately left unclamped.
+
+    -> (id, pr, tr, spam_mass), all ROUND(.,6). pr > 0 always (teleport
+    floor), so the division is total. Scale shape: two pagerank runs over
+    the same once-normalized edge layout plus one vector-sized join —
+    nothing new beyond the audited pagerank superstep plan.
+    """
+    pr = pagerank(spark, edges, alpha=alpha, num_iters=num_iters)
+    tr = pagerank(spark, edges, alpha=alpha, num_iters=num_iters, seeds=trusted)
+    p = pr.select("id", F.col("val").alias("_pr"))
+    t = tr.select("id", F.col("val").alias("_tr"))
+    return p.join(t, on="id").select(
+        "id",
+        F.round(F.col("_pr"), 6).alias("pr"),
+        F.round(F.col("_tr"), 6).alias("tr"),
+        F.round((F.col("_pr") - F.col("_tr")) / F.col("_pr"), 6).alias(
+            "spam_mass"
+        ),
+    )

@@ -1664,3 +1664,165 @@ def test_temporal_wedges_plan_no_cartesian(spark):
     plan = temporal_wedges(df, delta_us=500)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# SimRank (algorithms/simrank.py)
+# --------------------------------------------------------------------------
+
+
+def _py_simrank(dir_pairs, c, num_iters):
+    """Pure-python mirror of algorithms.simrank's 1e9 fixed-point
+    iteration: exact-integer sums, the SAME double op order
+    floor(c*sv/(ind_a*ind_b)). Returns {(a,b): val_e9} incl. diagonal."""
+    import math
+
+    de = sorted(set((a, b) for a, b in dir_pairs if a != b))
+    verts = sorted({v for e in de for v in e})
+    ind = {}
+    for _, b in de:
+        ind[b] = ind.get(b, 0) + 1
+    s = {(v, v): 1_000_000_000 for v in verts}
+    for _ in range(num_iters):
+        raw = {}
+        for (u, na) in de:
+            for (v, nb) in de:
+                if na == nb:
+                    continue
+                sv = s.get((u, v), 0)
+                if sv:
+                    raw[(na, nb)] = raw.get((na, nb), 0) + sv
+        nxt = {(v, v): 1_000_000_000 for v in verts}
+        for (na, nb), sv in raw.items():
+            nxt[(na, nb)] = math.floor(
+                c * sv / (float(ind[na]) * float(ind[nb]))
+            )
+        s = nxt
+    return s
+
+
+def test_simrank_shared_parent_hand_case(spark):
+    """0->1, 0->2: I(1)=I(2)={0}, so S(1,2)=C after one iteration and it
+    stays C (S(0,0)=1 is the only contributing pair)."""
+    from combblas_spark.algorithms.simrank import simrank
+
+    e = _edges_df(spark, [(0, 1), (0, 2)])
+    for iters in (1, 2):
+        got = {
+            (r["a"], r["b"]): r["val_e9"]
+            for r in simrank(spark, e, c=0.8, num_iters=iters).collect()
+        }
+        assert got[(0, 0)] == got[(1, 1)] == got[(2, 2)] == 1_000_000_000
+        assert got[(1, 2)] == got[(2, 1)] == 800_000_000
+        # 0 has no in-neighbors: no off-diagonal rows involving 0
+        assert (0, 1) not in got and (1, 0) not in got
+
+
+def test_simrank_matches_python_oracle(spark):
+    from combblas_spark.algorithms.simrank import simrank
+
+    # deterministic pseudo-random digraph with shared in-neighbors,
+    # a dangling-in vertex and a duplicate edge (must be deduped)
+    pairs = [
+        (0, 3), (1, 3), (0, 4), (1, 4), (2, 4), (3, 5), (4, 5),
+        (3, 6), (4, 6), (5, 0), (6, 1), (2, 3), (0, 3),  # dup (0,3)
+        (5, 5),  # self-loop (must be dropped)
+    ]
+    e = _edges_df(spark, pairs)
+    want = _py_simrank(pairs, 0.8, 3)
+    got = {
+        (r["a"], r["b"]): r["val_e9"]
+        for r in simrank(spark, e, c=0.8, num_iters=3).collect()
+    }
+    assert got == want
+
+
+def test_simrank_validates_args(spark):
+    import pytest
+    from combblas_spark.algorithms.simrank import simrank
+
+    e = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        simrank(spark, e, num_iters=0)
+    with pytest.raises(ValueError):
+        simrank(spark, e, c=1.0)
+
+
+# --------------------------------------------------------------------------
+# TrustRank / spam mass (algorithms/pagerank.spam_mass)
+# --------------------------------------------------------------------------
+
+
+def test_spam_mass_farm_vs_trusted(spark):
+    """Trusted core {0,1} in a cycle; a spam farm 10..14 -> 9 pumps rank
+    into 9 with NO path from the trusted set: tr(9)=0 -> spam_mass 1.0.
+    Seeds keep most of their own trust -> spam_mass well below the farm's.
+    Vertex 9 is also dangling, exercising the redistribution path."""
+    from combblas_spark.algorithms.pagerank import spam_mass
+
+    pairs = [(0, 1), (1, 0)] + [(f, 9) for f in range(10, 15)]
+    # farm pages link each other in a ring so they aren't all dangling
+    pairs += [(f, 10 + (f - 9) % 5) for f in range(10, 15)]
+    e = _edges_df(spark, pairs)
+    rows = spam_mass(spark, e, trusted=[0, 1], num_iters=8).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[9]["tr"] == 0.0 and by_id[9]["spam_mass"] == 1.0
+    assert by_id[9]["pr"] > by_id[0]["pr"] * 0  # pr positive
+    for s in (0, 1):
+        assert by_id[s]["spam_mass"] < 0.0  # trust concentrates on seeds
+    # probability masses: global PR sums to 1
+    assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-6
+
+
+def test_spam_mass_matches_python_oracle(spark):
+    """Replicate both chains in pure python with the exact scalar op
+    order (reset computed driver-side in pagerank, so floats match to
+    the shuffle-sum reorder, well inside round-6)."""
+    from combblas_spark.algorithms.pagerank import spam_mass
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (1, 5)]
+    # 5 is dangling
+    alpha, iters, seeds = 0.85, 6, [0, 2]
+    verts = sorted({v for e in pairs for v in e})
+    n = len(verts)
+    out = {}
+    for a, _ in pairs:
+        out[a] = out.get(a, 0.0) + 1.0
+    enorm = [(a, b, 1.0 / out[a]) for a, b in pairs]
+    dang = [v for v in verts if v not in out]
+
+    def chain(p0):
+        x = dict(p0)
+        for _ in range(iters):
+            dm = sum(x[d] for d in dang)
+            contrib = {}
+            for a, b, w in enorm:
+                contrib[b] = contrib.get(b, 0.0) + w * x[a]
+            nx = {}
+            for v in verts:
+                if p0_is_global:
+                    reset = (1.0 - alpha) / n + alpha * dm / n
+                else:
+                    reset = (
+                        (1.0 - alpha + alpha * dm) * (1.0 / len(seeds))
+                        if v in seeds else 0.0
+                    )
+                nx[v] = reset + alpha * contrib.get(v, 0.0)
+            x = nx
+        return x
+
+    p0_is_global = True
+    gp = chain({v: 1.0 / n for v in verts})
+    p0_is_global = False
+    tp = chain({v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts})
+
+    rows = spam_mass(
+        spark, _edges_df(spark, pairs), trusted=seeds,
+        alpha=alpha, num_iters=iters,
+    ).collect()
+    for r in rows:
+        assert r["pr"] == round(gp[r["id"]], 6)
+        assert r["tr"] == round(tp[r["id"]], 6)
+        assert r["spam_mass"] == round(
+            (gp[r["id"]] - tp[r["id"]]) / gp[r["id"]], 6
+        )
