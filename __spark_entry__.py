@@ -3056,6 +3056,146 @@ FROM gp{iters} g JOIN tp{iters} t ON t.id = g.id"""
     )
 
 
+BM25_K = 5        # top-k terms per doc, shared Spark/oracle
+BM25_K1 = 1.2
+BM25_B = 0.75
+NEG_K = 3         # kept negatives per vertex
+NEG_PROPOSALS = 8
+N2V_LEN = 3       # node2vec walk length / bias params (p, q exactly
+N2V_P = 4.0       # representable doubles -> bitwise-identical multipliers
+N2V_Q = 0.25      # in both engines)
+N2V_MAX_SEED = 40
+
+
+def q_bm25_topk(spark, sf):
+    """Top-5 BM25 terms per document (functions/text.bm25_topk) — the
+    length-normalized, tf-saturated retrieval ranking."""
+    from combblas_spark.functions.text import bm25_topk
+
+    return bm25_topk(
+        spark.read.parquet(f"{sf}/documents.parquet"),
+        k=BM25_K, k1=BM25_K1, b=BM25_B,
+    )
+
+
+def q_neg_sample_ev(spark, sf):
+    """Deterministic negative-edge sampling on the events digraph
+    (algorithms/walks.negative_sample): md5-permutation proposals,
+    anti-join rejection, top-k hash-priority keeps."""
+    from combblas_spark.algorithms.walks import negative_sample
+
+    return negative_sample(
+        spark, events_digraph(spark, sf), k=NEG_K, proposals=NEG_PROPOSALS
+    )
+
+
+def q_node2vec_ps(spark, sf):
+    """node2vec second-order biased walks (algorithms/walks.node2vec_walks)
+    on the part—supplier graph: exponential-race weighted choice on
+    replayable md5 uniforms, one walk per seed vertex (id < N2V_MAX_SEED)."""
+    from combblas_spark.algorithms.walks import node2vec_walks
+
+    e = part_supplier_graph(spark, sf)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("id") < N2V_MAX_SEED)
+    return node2vec_walks(
+        spark, e, seeds, length=N2V_LEN, p=N2V_P, q=N2V_Q
+    )
+
+
+def _neg_sample_sql(prefix: str, edges_cte: str, k: int, proposals: int,
+                    seed: int = 42, salt: str = "neg") -> str:
+    """Mirrors algorithms/walks.negative_sample: the randperm rank table
+    (md5-60bit sample-sort permutation, same expression as randperm_ps),
+    md5_60(salt|u|j) mod |V| proposals joined on the rank key, self/edge
+    rejection, top-k per src by md5(salt|pick|u|v)."""
+    return f"""WITH {prefix},
+nverts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM {edges_cte}
+  UNION SELECT DISTINCT dst FROM {edges_cte}),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nverts),
+perm AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (
+    ORDER BY CAST(('0x' || substr(md5('{seed}|' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+             id ASC) - 1 AS BIGINT) AS rk,
+         id AS dst
+  FROM nverts),
+props AS MATERIALIZED (
+  SELECT v.id AS src,
+         CAST(('0x' || substr(md5('{salt}|' || CAST(v.id AS VARCHAR) || '|'
+               || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+           % (SELECT n FROM nv) AS rk
+  FROM nverts v
+  CROSS JOIN (SELECT unnest(generate_series(1, {proposals})) AS j) t),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p.src, perm.dst
+  FROM props p JOIN perm USING (rk)
+  WHERE perm.dst <> p.src),
+negs AS MATERIALIZED (
+  SELECT c.src, c.dst FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {edges_cte} e WHERE e.src = c.src AND e.dst = c.dst))
+SELECT src, dst, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+    ORDER BY md5('{salt}|pick|' || CAST(src AS VARCHAR) || '|'
+                 || CAST(dst AS VARCHAR)) ASC, dst ASC) AS rn
+  FROM negs) x
+WHERE rn <= {k}"""
+
+
+def _node2vec_sql(prefix: str, edges_cte: str, max_seed: int, length: int,
+                  p: float, q: float, salt: str = "n2v") -> str:
+    """Unrolled node2vec walk mirroring algorithms/walks.node2vec_walks:
+    per step the exponential-race key -LN((h+1)/2^60) * m with
+    m = p (return) / 1.0 (distance-1) / q (distance-2), argmin by
+    (key, d). Step 1 has no predecessor -> uniform race."""
+    pp, qq = repr(p), repr(q)
+    parts = [
+        f"""n2verts AS (SELECT DISTINCT src AS id FROM {edges_cte}
+           UNION SELECT DISTINCT dst FROM {edges_cte}),
+n0 AS MATERIALIZED (
+  SELECT id AS walk_id, id AS prev, id AS vertex FROM n2verts
+  WHERE id < {max_seed})"""
+    ]
+    for s in range(1, length + 1):
+        u = (
+            f"(CAST(CAST(('0x' || substr(md5('{salt}|' || CAST(c.walk_id AS VARCHAR)"
+            f" || '|{s}|' || CAST(c.d AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)"
+            f" + 1.0) / 1152921504606846976.0"
+        )
+        if s == 1:
+            key = f"-LN({u})"
+        else:
+            key = (
+                f"-LN({u}) * (CASE WHEN c.d = c.prev THEN {pp} "
+                f"WHEN c.nbr IS NOT NULL THEN 1.0 ELSE {qq} END)"
+            )
+        parts.append(
+            f"""c{s} AS MATERIALIZED (
+  SELECT w.walk_id, w.prev, w.vertex AS cur, e.dst AS d{
+      "" if s == 1 else ", e2.src AS nbr"}
+  FROM n{s-1} w JOIN {edges_cte} e ON e.src = w.vertex{
+      "" if s == 1 else
+      f" LEFT JOIN {edges_cte} e2 ON e2.src = w.prev AND e2.dst = e.dst"}),
+n{s} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, d AS vertex FROM (
+    SELECT c.walk_id, c.cur, c.d,
+           ROW_NUMBER() OVER (PARTITION BY c.walk_id
+             ORDER BY {key} ASC, c.d ASC) AS rn
+    FROM c{s} c) x
+  WHERE rn = 1)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, vertex FROM n{s}"
+        for s in range(0, length + 1)
+    )
+    return f"WITH {prefix},\n" + ",\n".join(parts) + "\n" + sel
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3153,6 +3293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_ev": q_asof_ev,
         "simrank_ev": q_simrank_ev,
         "spam_mass_ev": q_spam_mass_ev,
+        "bm25_topk": q_bm25_topk,
+        "neg_sample_ev": q_neg_sample_ev,
+        "node2vec_ps": q_node2vec_ps,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3237,6 +3380,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "simrank_ev": _simrank_sql(EV_CTES, "evedges", SIMRANK_ITERS, SIMRANK_C),
         "spam_mass_ev": _spam_sql(EV_CTES, "evedges", SPAM_ITERS, TRUST_SEEDS),
+        "bm25_topk": f"""WITH {TOKS_CTES},
+            tf AS MATERIALIZED (
+              SELECT doc_id AS id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM toklists) t
+              GROUP BY doc_id, tok),
+            dl AS MATERIALIZED (
+              SELECT doc_id AS id, CAST(len(toks) AS DOUBLE) AS dl FROM toklists),
+            dfreq AS MATERIALIZED (
+              SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            tots AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+              FROM toklists),
+            scored AS MATERIALIZED (
+              SELECT id, term, tf,
+                     ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                             * tf * {BM25_K1 + 1.0!r}
+                             / (tf + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                                  + {BM25_B!r} * dl / avgdl)),
+                           6) AS bm25
+              FROM tf JOIN dl USING (id) JOIN dfreq USING (term)
+              CROSS JOIN tots),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY bm25 DESC, term) AS rank
+              FROM scored)
+            SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, term, tf, bm25
+            FROM ranked WHERE rank <= {BM25_K}""",
+        "neg_sample_ev": _neg_sample_sql(
+            EV_CTES, "evedges", NEG_K, NEG_PROPOSALS
+        ),
+        "node2vec_ps": _node2vec_sql(
+            PS_CTES, "edges", N2V_MAX_SEED, N2V_LEN, N2V_P, N2V_Q
+        ),
         "temporal_wedges_ev": f"""WITH {TEMPORAL_CTES}
             SELECT i.dst AS id, CAST(COUNT(*) AS BIGINT) AS n_wedges
             FROM tedges i JOIN tedges o ON o.src = i.dst

@@ -112,6 +112,11 @@ HEADLINE = [
     "cms_heavy",
     "temporal_wedges_ev",
     "asof_ev",
+    "simrank_ev",
+    "spam_mass_ev",
+    "bm25_topk",
+    "neg_sample_ev",
+    "node2vec_ps",
 ]
 
 

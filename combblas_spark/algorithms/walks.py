@@ -172,3 +172,211 @@ def random_walks(
         return out
     finally:
         e.unpersist()
+
+
+def negative_sample(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 3,
+    proposals: int = 8,
+    seed: int = 42,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative-edge sampling — the link-prediction /
+    contrastive-GNN training counterpart of neighbor_sample: for every
+    vertex u, up to ``k`` vertices v with NO directed edge (u, v), drawn
+    uniformly from the vertex set by replayable hashes. Returns
+    (src, dst, rank) with rank 1..k per src in hash-priority order.
+
+    Construction (every stage engine-portable, no RNG state):
+      1. a seeded md5-60bit random permutation of the vertex set
+         (operators/indexing.randperm — parallel sample sort, no global
+         window task);
+      2. ``proposals`` candidate positions per vertex,
+         md5_60(salt|u|j) mod |V|, joined against the permutation on the
+         position key (an equi-join, never a cartesian);
+      3. reject self-pairs and real edges (one anti-join against the
+         distinct edge set);
+      4. keep the top-k survivors per src by md5(salt|pick|u|v).
+
+    Vertices whose proposals all collide with real neighbors return fewer
+    than k rows (Bernoulli under-fill, ~(deg/|V|)^proposals — negligible
+    except for near-total hubs); production pipelines re-run survivors
+    with a second salt, the same shape. Scale: the permutation is
+    vertex-sized, proposals are |V|*proposals rows hash-joined on rank
+    then anti-joined on the edge key — map-side combinable throughout,
+    and the per-src window holds at most ``proposals`` rows.
+    """
+    from pyspark.sql import Window
+
+    from combblas_spark.operators.indexing import randperm
+
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    verts.persist()
+    try:
+        n_v = verts.count()
+        perm = randperm(verts, seed=seed).select(
+            F.col("val").alias("_rk"), F.col("id").alias("dst")
+        )
+        props = verts.select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(proposals))).alias("_j"),
+        ).select(
+            "src",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(salt),
+                                F.col("src").cast("string"),
+                                F.col("_j").cast("string"),
+                            )
+                        ),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long"),
+                F.lit(n_v),
+            ).alias("_rk"),
+        )
+        cand = (
+            props.join(perm, on="_rk")
+            .filter(F.col("dst") != F.col("src"))
+            .select("src", "dst")
+            .distinct()
+        )
+        neg = cand.join(
+            edges.select("src", "dst").distinct(), on=["src", "dst"], how="left_anti"
+        )
+        prio = F.md5(
+            F.concat_ws(
+                "|", F.lit(salt), F.lit("pick"),
+                F.col("src").cast("string"), F.col("dst").cast("string"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(prio.asc(), F.col("dst").asc())
+        return (
+            neg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("src", "dst", F.col("rank").cast("long").alias("rank"))
+        )
+    finally:
+        verts.unpersist()
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int,
+    p: float = 4.0,
+    q: float = 0.25,
+    salt: str = "n2v",
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Second-order biased random walks (node2vec, Grover & Leskovec 2016)
+    — (walk_id, step, vertex), step 0 = seed. The step from cur with
+    predecessor prev reweights each out-neighbor d by the node2vec alpha:
+    1/p if d == prev (return), 1 if (prev, d) is an edge (stay local),
+    1/q otherwise (explore). p > 1, q < 1 -> DFS-like community walks;
+    the reverse -> BFS-like structural walks.
+
+    The weighted choice is an EXPONENTIAL RACE on replayable hashes:
+    u = (md5_60(salt|walk|step|d) + 1) / 2^60 is a deterministic uniform
+    in (0, 1], and argmin_d of key = -ln(u_d) * m_d (m = p / 1 / q, the
+    inverse alpha) draws d with probability proportional to alpha_d —
+    weighted sampling with no RNG state, replayable by a SQL oracle.
+    (Cross-engine ln() may differ in the last ulp, but an argmin between
+    hash-separated keys never flips on an ulp.)
+
+    Per step: one join of the walk state against the edge table (on cur)
+    plus one LEFT join on the (prev, d) key for the distance-1 test, then
+    a per-walk min-struct — two equi-joins and an aggregate, lineage
+    truncated per step; dead ends terminate the walk (DeepWalk semantics,
+    same as random_walks). Step 1 has no predecessor and is the uniform
+    hash-argmin choice.
+    """
+    runner = runner or SuperstepRunner(spark)
+    e = edges.select("src", "dst").distinct()
+    e = e.repartition(spark.sparkContext.defaultParallelism, "src")
+    e.persist()
+    try:
+        state = seeds.select(
+            F.col("id").alias("walk_id"),
+            F.col("id").alias("prev"),
+            F.col("id").alias("vertex"),
+        )
+        state = runner.truncate(state)
+        n_walks = state.count()
+        bcast = n_walks <= BROADCAST_MAX_ROWS
+        # the distance-1 probe table: (prev, cand) edge existence
+        eflag = e.select(
+            F.col("src").alias("prev"), F.col("dst").alias("_d"),
+            F.lit(1).alias("_nbr"),
+        )
+        levels = [state.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")]
+        for step in range(1, length + 1):
+            fr = F.broadcast(state) if bcast else state.repartition(
+                spark.sparkContext.defaultParallelism, "vertex"
+            )
+            cand = fr.join(e, on=fr["vertex"] == e["src"], how="inner").select(
+                "walk_id", "prev", F.col("vertex").alias("cur"),
+                F.col("dst").alias("_d"),
+            )
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(salt), F.col("walk_id").cast("string"),
+                            F.lit(str(step)), F.col("_d").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            u = (h.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)
+            if step == 1:
+                key = -F.log(u)  # no predecessor: uniform race
+            else:
+                m = (
+                    F.when(F.col("_d") == F.col("prev"), F.lit(p))
+                    .when(F.col("_nbr").isNotNull(), F.lit(1.0))
+                    .otherwise(F.lit(q))
+                )
+                cand = cand.join(eflag, on=["prev", "_d"], how="left")
+                key = -F.log(u) * m
+            nxt = (
+                cand.groupBy("walk_id")
+                .agg(
+                    F.min(
+                        F.struct(
+                            key.alias("k"), F.col("_d").alias("d"),
+                            F.col("cur").alias("c"),
+                        )
+                    ).alias("m")
+                )
+                .select(
+                    "walk_id",
+                    F.col("m.c").alias("prev"),
+                    F.col("m.d").alias("vertex"),
+                )
+            )
+            state = runner.truncate(nxt)
+            levels.append(
+                state.select(
+                    "walk_id", F.lit(step).cast("long").alias("step"), "vertex"
+                )
+            )
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        return out
+    finally:
+        e.unpersist()

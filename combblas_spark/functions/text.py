@@ -435,6 +435,82 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 terms per document — the retrieval-grade upgrade of
+    tfidf_topk: term frequency saturates at k1 and is normalized by
+    document length, so long boilerplate documents stop dominating the
+    keyword signal (the exact ranking function retrieval-based data
+    curation / decontamination-by-search pipelines run).
+
+        idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))   # Lucene form,
+                                                           # always > 0
+        score(d,t) = idf(t) * tf * (k1 + 1)
+                     / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Output: (doc_id, rank, term, tf BIGINT, bm25) with rank 1..k by
+    (ROUND(bm25, 6) DESC, term ASC) — ranking on the ROUNDED score for
+    engine portability, term tiebreak settles rounded ties (same
+    discipline as tfidf_topk). Empty documents emit no rows.
+
+    Scale shape identical to tfidf_topk: one map-side-combinable
+    (doc, term) count, one term-keyed df agg joined back on term, the
+    corpus scalars (N, avgdl) as one broadcast row, per-doc top-k as a
+    row_number window keyed by the highest-cardinality column. No UDFs.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    tf = (
+        base.select("id", F.explode("t").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = base.select("id", F.size("t").cast("double").alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # corpus scalars from exact integer totals (broadcast one-row)
+    tots = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.size("t")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dl, "id")
+        .join(df, "term")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "id", "term", "tf",
+            F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("bm25").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "tf",
+            "bm25",
+        )
+    )
+
+
 def unigram_xent(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

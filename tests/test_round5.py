@@ -1826,3 +1826,210 @@ def test_spam_mass_matches_python_oracle(spark):
         assert r["spam_mass"] == round(
             (gp[r["id"]] - tp[r["id"]]) / gp[r["id"]], 6
         )
+
+
+# --------------------------------------------------------------------------
+# BM25 (functions/text.bm25_topk)
+# --------------------------------------------------------------------------
+
+
+def test_bm25_matches_python_oracle(spark):
+    import math
+
+    from combblas_spark.functions.text import bm25_topk
+
+    corpus = {
+        0: "spark join join join scan",
+        1: "spark scan filter",
+        2: "window window agg filter scan spark spark spark",
+        3: "join",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = float(len(toks))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    want = {}
+    for i, ts in toks.items():
+        dl = float(len(ts))
+        for t in set(ts):
+            tf = ts.count(t)
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score = idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+            want[(i, t)] = (tf, round(score, 6))
+    rows = bm25_topk(docs, k=10).collect()
+    for r in rows:
+        tf, score = want[(r["doc_id"], r["term"])]
+        assert r["tf"] == tf and r["bm25"] == score
+    # per-doc ranks are 1..n_terms by (score desc, term asc)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r["bm25"], r["term"]) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_bm25_tf_saturation_and_length_norm(spark):
+    """tf saturates: going 1->4 occurrences must gain less than 4x; a term
+    in a LONGER doc scores lower at equal tf (length normalization) —
+    the two properties that distinguish BM25 from raw tf-idf."""
+    from combblas_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x a b c"),
+            (1, "x x x x a b c d e f g h"),  # tf 4 but longer
+            (2, "y a b c"),
+            (3, "y p q r s t u v w z a b"),  # same tf=1, longer doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): r["bm25"]
+        for r in bm25_topk(docs, k=20).collect()
+    }
+    assert got[(1, "x")] < 4 * got[(0, "x")]   # saturation
+    assert got[(3, "y")] < got[(2, "y")]       # length normalization
+
+
+# --------------------------------------------------------------------------
+# negative sampling (algorithms/walks.negative_sample)
+# --------------------------------------------------------------------------
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_negative_sample(dir_pairs, k, proposals, seed=42, salt="neg"):
+    import hashlib
+
+    verts = sorted({v for e in dir_pairs for v in e})
+    perm = sorted(verts, key=lambda v: (_md5_60(f"{seed}|{v}"), v))
+    es = set(dir_pairs)
+    out = {}
+    for u in verts:
+        cands = set()
+        for j in range(1, proposals + 1):
+            v = perm[_md5_60(f"{salt}|{u}|{j}") % len(verts)]
+            if v != u and (u, v) not in es:
+                cands.add(v)
+        ranked = sorted(
+            cands,
+            key=lambda v: (hashlib.md5(f"{salt}|pick|{u}|{v}".encode()).hexdigest(), v),
+        )[:k]
+        for r, v in enumerate(ranked, 1):
+            out[(u, v)] = r
+    return out
+
+
+def test_negative_sample_matches_python_replay(spark):
+    from combblas_spark.algorithms.walks import negative_sample
+
+    pairs = [(a, (a * 3 + b) % 11) for a in range(11) for b in (1, 2, 4)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges_df(spark, pairs)
+    got = {
+        (r["src"], r["dst"]): r["rank"]
+        for r in negative_sample(spark, e, k=3, proposals=8).collect()
+    }
+    assert got == _py_negative_sample(pairs, 3, 8)
+    # invariants: never a real edge, never a self-pair, <= k per src
+    es = set(pairs)
+    per_src = {}
+    for (u, v) in got:
+        assert (u, v) not in es and u != v
+        per_src[u] = per_src.get(u, 0) + 1
+    assert all(c <= 3 for c in per_src.values())
+
+
+def test_negative_sample_partition_invariant(spark):
+    from combblas_spark.algorithms.walks import negative_sample
+
+    pairs = [(a, (a + d) % 17) for a in range(17) for d in (1, 3)]
+    e1 = _edges_df(spark, pairs)
+    e2 = e1.repartition(13, "dst")
+    r1 = sorted(map(tuple, negative_sample(spark, e1, k=2, proposals=6).collect()))
+    r2 = sorted(map(tuple, negative_sample(spark, e2, k=2, proposals=6).collect()))
+    assert r1 == r2
+
+
+# --------------------------------------------------------------------------
+# node2vec walks (algorithms/walks.node2vec_walks)
+# --------------------------------------------------------------------------
+
+
+def _py_node2vec(dir_pairs, seeds, length, p, q, salt="n2v"):
+    import math
+
+    adj = {}
+    es = set()
+    for a, b in dir_pairs:
+        adj.setdefault(a, set()).add(b)
+        es.add((a, b))
+    out = {(w, 0): w for w in seeds}
+    state = {w: (w, w) for w in seeds}  # walk -> (prev, cur)
+    for s in range(1, length + 1):
+        nstate = {}
+        for w, (prev, cur) in state.items():
+            cands = sorted(adj.get(cur, ()))
+            if not cands:
+                continue
+            best = None
+            for d in cands:
+                h = _md5_60(f"{salt}|{w}|{s}|{d}")
+                u = (h + 1.0) / 1152921504606846976.0
+                if s == 1:
+                    key = -math.log(u)
+                else:
+                    m = p if d == prev else (1.0 if (prev, d) in es else q)
+                    key = -math.log(u) * m
+                if best is None or (key, d) < best:
+                    best = (key, d)
+            nstate[w] = (cur, best[1])
+            out[(w, s)] = best[1]
+        state = nstate
+    return out
+
+
+def test_node2vec_matches_python_replay(spark):
+    from combblas_spark.algorithms.walks import node2vec_walks
+
+    pairs = [(a, (a * 5 + b) % 13) for a in range(13) for b in (1, 2, 3)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges_df(spark, pairs)
+    seeds = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = {
+        (r["walk_id"], r["step"]): r["vertex"]
+        for r in node2vec_walks(spark, e, seeds, length=3, p=4.0, q=0.25).collect()
+    }
+    assert got == _py_node2vec(pairs, range(5), 3, 4.0, 0.25)
+
+
+def test_node2vec_bias_extremes(spark):
+    """With a huge p and tiny q the walk must never return to its
+    predecessor when any non-return candidate exists; dead ends terminate
+    the walk (no rows past the last step)."""
+    from combblas_spark.algorithms.walks import node2vec_walks
+
+    # 0 <-> 1, 1 -> 2 (dead end): from 1 the walk prefers 2 over returning
+    e = _edges_df(spark, [(0, 1), (1, 0), (1, 2)])
+    seeds = spark.createDataFrame([(0,)], "id long")
+    rows = {
+        r["step"]: r["vertex"]
+        for r in node2vec_walks(
+            spark, e, seeds, length=4, p=1e6, q=1e-6
+        ).collect()
+    }
+    assert rows[0] == 0 and rows[1] == 1 and rows[2] == 2
+    assert 3 not in rows  # 2 is a dead end -> walk terminated
