@@ -3107,6 +3107,74 @@ def q_node2vec_ps(spark, sf):
     )
 
 
+BPE_MERGES_N = 6  # merge rounds, shared Spark/oracle
+
+
+def q_bpe_merges(spark, sf):
+    """Iterative BPE merge training (functions/text.bpe_merge_training):
+    BPE_MERGES_N rounds of count-pairs -> argmax -> greedy merge over the
+    whole corpus; returns the learned merge table."""
+    from combblas_spark.functions.text import bpe_merge_training
+
+    return bpe_merge_training(
+        spark, spark.read.parquet(f"{sf}/documents.parquet"),
+        num_merges=BPE_MERGES_N,
+    )
+
+
+def _bpe_merges_sql(num_merges: int) -> str:
+    """Unrolled mirror of text.bpe_merge_training: per round, dense
+    re-index + LEAD pair scan, argmax (count DESC, pa, pb), greedy
+    left-to-right application (islands of consecutive match positions
+    keep odd ROW_NUMBERs — only self-pairs ever island)."""
+    parts = [
+        """s0 AS MATERIALIZED (
+  SELECT doc_id AS did, ord AS pos, piece AS sym FROM (
+    SELECT doc_id, unnest(p) AS piece, generate_subscripts(p, 1) AS ord
+    FROM (SELECT doc_id,
+                 regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS p
+          FROM documents) x))"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT did, ROW_NUMBER() OVER (PARTITION BY did ORDER BY pos) AS idx, sym,
+         LEAD(sym) OVER (PARTITION BY did ORDER BY pos) AS nxt
+  FROM s{r-1}),
+m{r} AS MATERIALIZED (
+  SELECT sym AS pa, nxt AS pb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM w{r} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt ORDER BY c DESC, pa, pb LIMIT 1),
+h{r} AS (
+  SELECT did, idx,
+         idx - ROW_NUMBER() OVER (PARTITION BY did ORDER BY idx) AS isl
+  FROM w{r}
+  WHERE sym = (SELECT pa FROM m{r}) AND nxt = (SELECT pb FROM m{r})),
+a{r} AS MATERIALIZED (
+  SELECT did, idx FROM (
+    SELECT did, idx,
+           ROW_NUMBER() OVER (PARTITION BY did, isl ORDER BY idx) AS rno
+    FROM h{r}) z
+  WHERE rno % 2 = 1),
+s{r} AS MATERIALIZED (
+  SELECT w.did, w.idx AS pos,
+         CASE WHEN sa.idx IS NOT NULL
+              THEN w.sym || ' ' || (SELECT pb FROM m{r})
+              ELSE w.sym END AS sym
+  FROM w{r} w
+  LEFT JOIN a{r} sa ON sa.did = w.did AND sa.idx = w.idx
+  LEFT JOIN a{r} pe ON pe.did = w.did AND pe.idx = w.idx - 1
+  WHERE pe.idx IS NULL)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, pa AS piece_a, pb AS piece_b,"
+        f" c AS n_pair FROM m{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 def _neg_sample_sql(prefix: str, edges_cte: str, k: int, proposals: int,
                     seed: int = 42, salt: str = "neg") -> str:
     """Mirrors algorithms/walks.negative_sample: the randperm rank table
@@ -3296,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "neg_sample_ev": q_neg_sample_ev,
         "node2vec_ps": q_node2vec_ps,
+        "bpe_merges": q_bpe_merges,
         # --- r04-graded tail (most recent driver rows) ---------------------
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
@@ -3415,6 +3484,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_ps": _node2vec_sql(
             PS_CTES, "edges", N2V_MAX_SEED, N2V_LEN, N2V_P, N2V_Q
         ),
+        "bpe_merges": _bpe_merges_sql(BPE_MERGES_N),
         "temporal_wedges_ev": f"""WITH {TEMPORAL_CTES}
             SELECT i.dst AS id, CAST(COUNT(*) AS BIGINT) AS n_wedges
             FROM tedges i JOIN tedges o ON o.src = i.dst

@@ -117,6 +117,7 @@ HEADLINE = [
     "bm25_topk",
     "neg_sample_ev",
     "node2vec_ps",
+    "bpe_merges",
 ]
 
 

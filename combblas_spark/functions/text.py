@@ -629,3 +629,106 @@ def zipf_stats(
             6,
         ).alias("zipf_intercept"),
     )
+
+
+def bpe_merge_training(
+    spark,
+    docs: DataFrame,
+    num_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    runner=None,
+) -> DataFrame:
+    """The iterative heart of BPE tokenizer training, corpus-distributed:
+    ``num_merges`` rounds of (count all adjacent symbol pairs) -> (pick the
+    most frequent, ties by piece_a/piece_b ASC) -> (apply the merge
+    greedily left-to-right to every sequence), starting from the
+    BPE_SPLIT_RE pretokens. Returns the learned merge table
+    (rank BIGINT 1.., piece_a, piece_b, n_pair BIGINT) — bpe_pair_counts
+    is exactly round 1's candidate scan; this runs the whole loop.
+
+    Merged symbols are space-joined ("a b"), unambiguous because pretokens
+    never contain interior spaces; symbol identity is its string, the
+    standard BPE convention. Greedy application: overlapping matches (only
+    possible for self-pairs like ("x","x") on runs "x x x") merge at even
+    offsets within each run — islands of consecutive match positions keep
+    the odd ROW_NUMBERs, the textbook left-to-right scan.
+
+    Scale shape: sequences live as (doc, idx, sym) ROWS the whole loop —
+    never per-doc arrays — so every round is LEAD/ROW_NUMBER windows
+    keyed by doc id (the highest-cardinality key: balanced partitions at
+    any scale) plus one map-side-combinable pair count and two hash joins
+    against the (tiny) active-match set. One driver action per round
+    fetches the single argmax row (count DESC, pa, pb — engine-exact);
+    lineage is truncated per round. No UDFs, no driver-side sequence data.
+    """
+    from pyspark.sql import Window
+
+    from combblas_spark.plans.superstep import SuperstepRunner
+
+    runner = runner or SuperstepRunner(spark)
+    p = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+    rows = docs.select(
+        F.col(id_col).alias("did"), F.posexplode(p).alias("idx", "sym")
+    )
+    rows = runner.truncate(rows)
+    merges = []
+    for r in range(1, num_merges + 1):
+        wdoc = Window.partitionBy("did").orderBy("idx")
+        # re-densify positions (merges leave gaps), then pair via LEAD —
+        # same partitioning+ordering, one exchange for both window ops
+        dense = rows.select(
+            "did", F.row_number().over(wdoc).alias("idx"), "sym"
+        )
+        wd = Window.partitionBy("did").orderBy("idx")
+        withn = dense.withColumn("nxt", F.lead("sym").over(wd))
+        top = (
+            withn.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("pa"), F.col("nxt").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "pa", "pb")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["pa"], top[0]["pb"], int(top[0]["c"])
+        merges.append((r, a, b, c))
+        hits = withn.filter(
+            (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b))
+        ).select("did", "idx")
+        isl = hits.withColumn(
+            "isl", F.col("idx") - F.row_number().over(wd)
+        )
+        act = (
+            isl.withColumn(
+                "rno",
+                F.row_number().over(
+                    Window.partitionBy("did", "isl").orderBy("idx")
+                ),
+            )
+            .filter((F.col("rno") % 2) == 1)
+            .select("did", F.col("idx").alias("aidx"))
+        )
+        m_self = act.select(
+            "did", F.col("aidx").alias("idx"), F.lit(1).alias("_m")
+        )
+        m_prev = act.select(
+            "did", (F.col("aidx") + 1).alias("idx"), F.lit(1).alias("_eat")
+        )
+        nxt_rows = (
+            withn.join(m_self, ["did", "idx"], "left")
+            .join(m_prev, ["did", "idx"], "left")
+            .filter(F.col("_eat").isNull())
+            .select(
+                "did",
+                "idx",
+                F.when(F.col("_m").isNotNull(), F.lit(a + " " + b))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        rows = runner.truncate(nxt_rows)
+    return spark.createDataFrame(
+        merges, "rank long, piece_a string, piece_b string, n_pair long"
+    )

