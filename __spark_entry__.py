@@ -3283,7 +3283,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (graded positions 51-73 in r04's ordering), then round-5 additions,
     # then the r04-graded 50.
     return {
-        # --- r03-tail: least recently driver-graded, refresh in r05 -------
+        # DRIVER-BUDGET ROTATION (the driver grades the FIRST 50 entries
+        # per round): final round -> the 50 of this round's 56 never-
+        # driver-graded queries lead; the 6 deferred ones (fixed-size
+        # outputs with hand-solved known-value pytests: kron_nation,
+        # graph_stats_ev, degree_hist_ps, cc_sizes_ps, rich_club_ev,
+        # props_stats) and the r03-rowed 23 ride on the check_oracle
+        # mirror, which sweeps ALL queries at both SFs.
+        "clustering_coeff": q_clustering_coeff,
+        "sessionize": q_sessionize,
+        "kmv_distinct": q_kmv_distinct,
+        "dup_ngrams": q_dup_ngrams,
+        "spmm_ps": q_spmm_ps,
+        "adamic_adar_ev": q_adamic_adar_ev,
+        "tfidf_topk": q_tfidf_topk,
+        "msbfs_ps": q_msbfs_ps,
+        "coloring_nation": q_coloring_nation,
+        "transitivity_ev": q_transitivity_ev,
+        "edge_jaccard_ev": q_edge_jaccard_ev,
+        "harmonic_ps": q_harmonic_ps,
+        "hop_hist_ps": q_hop_hist_ps,
+        "conductance_ps": q_conductance_ps,
+        "importance_sample": q_importance_sample,
+        "coreness_ps": q_coreness_ps,
+        "cocite_ev": q_cocite_ev,
+        "pseudo_diameter_ps": q_pseudo_diameter_ps,
+        "butterflies_ps": q_butterflies_ps,
+        "modularity_ps": q_modularity_ps,
+        "unigram_xent": q_unigram_xent,
+        "tri_centrality_ev": q_tri_centrality_ev,
+        "coarsen_ev": q_coarsen_ev,
+        "salsa_ev": q_salsa_ev,
+        "backbone_ev": q_backbone_ev,
+        "source_dups": q_source_dups,
+        "wl_colors_ps": q_wl_colors_ps,
+        "zipf_stats": q_zipf_stats,
+        "knn_curve_ev": q_knn_curve_ev,
+        "sweep_cut_ps": q_sweep_cut_ps,
+        "katz_ev": q_katz_ev,
+        "prefix_pairs": q_prefix_pairs,
+        "msf_ps": q_msf_ps,
+        "anf_ps": q_anf_ps,
+        "span_contam": q_span_contam,
+        "motifs_ev": q_motifs_ev,
+        "winnow_pairs": q_winnow_pairs,
+        "eigc_ps": q_eigc_ps,
+        "temporal_reach_ev": q_temporal_reach_ev,
+        "cliques4_ev": q_cliques4_ev,
+        "quotient_ps": q_quotient_ps,
+        "cms_heavy": q_cms_heavy,
+        "temporal_wedges_ev": q_temporal_wedges_ev,
+        "asof_ev": q_asof_ev,
+        "simrank_ev": q_simrank_ev,
+        "spam_mass_ev": q_spam_mass_ev,
+        "bm25_topk": q_bm25_topk,
+        "neg_sample_ev": q_neg_sample_ev,
+        "node2vec_ps": q_node2vec_ps,
+        "bpe_merges": q_bpe_merges,
+        # --- deferred r05 additions (mirror-verified, tiny fixed outputs) ---
+        "kron_nation": q_kron_nation,
+        "graph_stats_ev": q_graph_stats_ev,
+        "degree_hist_ps": q_degree_hist_ps,
+        "cc_sizes_ps": q_cc_sizes_ps,
+        "rich_club_ev": q_rich_club_ev,
+        "props_stats": q_props_stats,
+        # --- r03-graded tail (refreshed rows pending budget) ---
         "ewise_union_ev": q_ewise_union_ev,
         "prune_column_ps": q_prune_column_ps,
         "mcl_expand_nation": q_mcl_expand_nation,
@@ -3307,65 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betwcent_star": q_betwcent_star,
         "mis_ps": q_mis_ps,
         "matching_ps": q_matching_ps,
-        # --- new in round 5 ------------------------------------------------
-        "clustering_coeff": q_clustering_coeff,
-        "sessionize": q_sessionize,
-        "kmv_distinct": q_kmv_distinct,
-        "dup_ngrams": q_dup_ngrams,
-        "spmm_ps": q_spmm_ps,
-        "kron_nation": q_kron_nation,
-        "graph_stats_ev": q_graph_stats_ev,
-        "adamic_adar_ev": q_adamic_adar_ev,
-        "degree_hist_ps": q_degree_hist_ps,
-        "tfidf_topk": q_tfidf_topk,
-        "msbfs_ps": q_msbfs_ps,
-        "coloring_nation": q_coloring_nation,
-        "transitivity_ev": q_transitivity_ev,
-        "edge_jaccard_ev": q_edge_jaccard_ev,
-        "harmonic_ps": q_harmonic_ps,
-        "hop_hist_ps": q_hop_hist_ps,
-        "conductance_ps": q_conductance_ps,
-        "importance_sample": q_importance_sample,
-        "coreness_ps": q_coreness_ps,
-        "cocite_ev": q_cocite_ev,
-        "pseudo_diameter_ps": q_pseudo_diameter_ps,
-        "butterflies_ps": q_butterflies_ps,
-        "modularity_ps": q_modularity_ps,
-        "cc_sizes_ps": q_cc_sizes_ps,
-        "unigram_xent": q_unigram_xent,
-        "tri_centrality_ev": q_tri_centrality_ev,
-        "rich_club_ev": q_rich_club_ev,
-        # --- beyond the 50-row driver budget: judge-mirror-verified only ---
-        "coarsen_ev": q_coarsen_ev,
-        "salsa_ev": q_salsa_ev,
-        "backbone_ev": q_backbone_ev,
-        "source_dups": q_source_dups,
-        "wl_colors_ps": q_wl_colors_ps,
-        "zipf_stats": q_zipf_stats,
-        "knn_curve_ev": q_knn_curve_ev,
-        "sweep_cut_ps": q_sweep_cut_ps,
-        "katz_ev": q_katz_ev,
-        "prefix_pairs": q_prefix_pairs,
-        "msf_ps": q_msf_ps,
-        "anf_ps": q_anf_ps,
-        "span_contam": q_span_contam,
-        "motifs_ev": q_motifs_ev,
-        "winnow_pairs": q_winnow_pairs,
-        "eigc_ps": q_eigc_ps,
-        "temporal_reach_ev": q_temporal_reach_ev,
-        "cliques4_ev": q_cliques4_ev,
-        "props_stats": q_props_stats,
-        "quotient_ps": q_quotient_ps,
-        "cms_heavy": q_cms_heavy,
-        "temporal_wedges_ev": q_temporal_wedges_ev,
-        "asof_ev": q_asof_ev,
-        "simrank_ev": q_simrank_ev,
-        "spam_mass_ev": q_spam_mass_ev,
-        "bm25_topk": q_bm25_topk,
-        "neg_sample_ev": q_neg_sample_ev,
-        "node2vec_ps": q_node2vec_ps,
-        "bpe_merges": q_bpe_merges,
-        # --- r04-graded tail (most recent driver rows) ---------------------
+        # --- r04-graded tail (most recent driver rows) ---
         "max_matching_ps": q_max_matching_ps,
         "wmatch_ps": q_wmatch_ps,
         "ann_topk": q_ann_topk,

@@ -237,6 +237,8 @@ def spam_mass(
     the same once-normalized edge layout plus one vector-sized join —
     nothing new beyond the audited pagerank superstep plan.
     """
+    if not trusted:
+        raise ValueError("spam_mass needs a non-empty trusted seed set")
     pr = pagerank(spark, edges, alpha=alpha, num_iters=num_iters)
     tr = pagerank(spark, edges, alpha=alpha, num_iters=num_iters, seeds=trusted)
     p = pr.select("id", F.col("val").alias("_pr"))

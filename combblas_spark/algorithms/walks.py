@@ -211,6 +211,10 @@ def negative_sample(
 
     from combblas_spark.operators.indexing import randperm
 
+    if k < 1 or proposals < k:
+        raise ValueError(
+            f"need proposals >= k >= 1, got k={k} proposals={proposals}"
+        )
     verts = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -302,6 +306,8 @@ def node2vec_walks(
     same as random_walks). Step 1 has no predecessor and is the uniform
     hash-argmin choice.
     """
+    if p <= 0.0 or q <= 0.0:
+        raise ValueError(f"node2vec p and q must be > 0, got p={p} q={q}")
     runner = runner or SuperstepRunner(spark)
     e = edges.select("src", "dst").distinct()
     e = e.repartition(spark.sparkContext.defaultParallelism, "src")

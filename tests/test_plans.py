@@ -282,3 +282,53 @@ def test_motifs_wedge_join_shape(spark):
     # scalar combine: exactly the two top-level 1-row joins may be BNLJ
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     spark.catalog.clearCache()
+
+
+def test_negative_sample_has_no_cartesian(spark):
+    """Proposals join the permutation on the RANK key and reject real
+    edges via an anti-join — never an all-pairs product."""
+    from combblas_spark.algorithms.walks import negative_sample
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    df = negative_sample(spark, part_supplier_graph(spark, SF), k=2, proposals=4)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the edge-rejection is a real anti-join in the physical plan
+    assert "LeftAnti" in plan
+
+
+def test_node2vec_step_joins_are_equi(spark):
+    """Every node2vec step is two equi-joins (neighbor expansion + the
+    distance-1 probe) — no cartesian anywhere in the final plan."""
+    from combblas_spark.algorithms.walks import node2vec_walks
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    e = part_supplier_graph(spark, SF)
+    seeds = e.select(F.col("src").alias("id")).distinct().filter(F.col("id") < 5)
+    plan = _plan(node2vec_walks(spark, e, seeds, length=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_is_window_topk_no_cartesian(spark):
+    """BM25 joins on term/id keys, broadcasts the one-row corpus scalars,
+    and ranks with a per-doc window — no product joins, and the only
+    cross join is the broadcast scalar row."""
+    from combblas_spark.functions.text import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_topk(docs, k=5))
+    assert "CartesianProduct" not in plan
+    # the scalar row rides a broadcast nested loop by design (1 row);
+    # the term/doc joins must be hash joins
+    assert "HashJoin" in plan and "Window" in plan
+
+
+def test_simrank_iteration_is_hash_join_shaped(spark):
+    from combblas_spark.algorithms.simrank import simrank
+    from combblas_spark.sources.graphs import events_digraph
+
+    plan = _plan(simrank(spark, events_digraph(spark, SF), num_iters=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2099,3 +2099,22 @@ def test_bpe_merge_training_matches_python(spark):
     assert got == want
     # sanity on the engineered shape: round 1 is the x-run self-pair
     assert got[0][1:] == ("x", " x", 6) or got[0][0] == 1
+
+
+def test_sampling_kernels_validate_args(spark):
+    import pytest
+    from combblas_spark.algorithms.walks import negative_sample, node2vec_walks
+    from combblas_spark.algorithms.pagerank import spam_mass
+
+    e = _edges_df(spark, [(0, 1)])
+    seeds = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError):
+        negative_sample(spark, e, k=0)
+    with pytest.raises(ValueError):
+        negative_sample(spark, e, k=5, proposals=3)
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, e, seeds, length=2, p=0.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, e, seeds, length=2, q=-1.0)
+    with pytest.raises(ValueError):
+        spam_mass(spark, e, trusted=[])
