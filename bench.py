@@ -118,6 +118,10 @@ HEADLINE = [
     "neg_sample_ev",
     "node2vec_ps",
     "bpe_merges",
+    "bigram_xent",
+    "chunk_docs",
+    "pmi_pairs",
+    "knn_purity",
 ]
 
 

@@ -162,3 +162,56 @@ def pack_sequences(
         F.floor(prefix / F.lit(seq_len)).cast("long").alias("seq_id"),
         F.pmod(prefix, F.lit(seq_len)).cast("long").alias("seq_offset"),
     )
+
+
+def chunk_docs(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window context chunking — the step that turns long documents
+    into model-context-sized training examples with overlap: chunk k of a
+    doc with n tokens starts at token 1 + k*stride (1-based) for
+    k = 0 .. ceil((n - window)/stride) (0 when n <= window), and holds
+    min(window, n - start + 1) tokens. stride <= window guarantees every
+    token is covered and the final chunk is never empty. Empty documents
+    produce no chunks. Complements pack_sequences (which concatenates the
+    corpus into fixed sequences): chunking preserves document boundaries,
+    packing erases them.
+
+    Returns (doc_id, chunk_id BIGINT, start_tok BIGINT, n_tok BIGINT,
+    chunk_text) — chunk_text is the space-rejoined token slice, so the
+    output is a self-contained training table.
+
+    Scale shape (100 TB): per-row arithmetic + one explode of a
+    sequence() column — embarrassingly parallel, no shuffle at all beyond
+    the scan (narrow plan); chunk count per doc is n/stride, so output
+    size is linear in corpus tokens regardless of document skew.
+    """
+    if not (1 <= stride <= window):
+        raise ValueError(f"need 1 <= stride <= window, got {stride}/{window}")
+    from combblas_spark.functions.text import tokens_col
+
+    base = docs.select(
+        F.col(key_col), tokens_col(F.col(text_col)).alias("t")
+    ).withColumn("n", F.size("t")).filter(F.col("n") > 0)
+    kmax = F.when(
+        F.col("n") > window,
+        F.floor((F.col("n") - window + stride - 1) / F.lit(stride)),
+    ).otherwise(F.lit(0)).cast("long")
+    starts = F.sequence(F.lit(1).cast("long"), kmax * stride + 1, F.lit(stride).cast("long"))
+    chunks = base.select(
+        key_col, "t", "n", F.posexplode(starts).alias("k", "s")
+    )
+    n_tok = F.least(F.lit(window).cast("long"), F.col("n") - F.col("s") + 1)
+    return chunks.select(
+        key_col,
+        F.col("k").cast("long").alias("chunk_id"),
+        F.col("s").alias("start_tok"),
+        n_tok.alias("n_tok"),
+        F.array_join(F.slice("t", F.col("s").cast("int"), n_tok.cast("int")), " ").alias(
+            "chunk_text"
+        ),
+    )

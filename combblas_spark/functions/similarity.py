@@ -317,3 +317,70 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )
+
+
+def knn_label_purity(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label kNN purity of an embedding space — the standard intrinsic
+    embedding-quality / representation-collapse check a training pipeline
+    runs after every encoder refresh: for each label, the share of
+    (query, neighbor) pairs in the LSH-ANN top-k whose neighbor carries the
+    SAME label. Healthy embeddings score near 1; a collapsing or shuffled
+    space decays toward the label marginals.
+
+    Returns (label BIGINT, n_queries, n_pairs, n_same BIGINT, purity
+    ROUND(.,6)) — purity is n_same/n_pairs, a ratio of exact integers, so
+    both engines derive the identical double.
+
+    Scale shape (100 TB): rides lsh_ann_topk unchanged (bucketed
+    candidates under ``max_bucket`` — never all-pairs), then two
+    vec_id-keyed hash joins to attach labels and ONE label-keyed
+    aggregation over the top-k pair table (|pairs| = k·|vectors|, linear).
+    """
+    nn = lsh_ann_topk(
+        emb,
+        k=k,
+        n_planes=n_planes,
+        seed=seed,
+        dim=dim,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    lab = emb.select(
+        F.col(id_col), F.col(label_col).cast("long").alias("_lab")
+    )
+    ql = lab.select(
+        F.col(id_col).alias("query_id"), F.col("_lab").alias("q_lab")
+    )
+    nl = lab.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_lab").alias("n_lab")
+    )
+    j = nn.join(ql, "query_id").join(nl, "neighbor_id")
+    same = F.when(F.col("q_lab") == F.col("n_lab"), 1).otherwise(0)
+    return (
+        j.groupBy(F.col("q_lab").alias("label"))
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(same).cast("long").alias("n_same"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_pairs",
+            "n_same",
+            F.round(
+                F.col("n_same").cast("double") / F.col("n_pairs"), 6
+            ).alias("purity"),
+        )
+    )

@@ -570,6 +570,79 @@ def unigram_xent(
     )
 
 
+def bigram_xent(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross-entropy (nats/bigram) against the corpus BIGRAM
+    language model — the KenLM-style sequence-aware quality filter one
+    order up from unigram_xent: xent2(d) = -(1/(|d|-1)) * SUM over adjacent
+    token pairs (w1,w2) of d of ln(c(w1,w2) / c1(w1)), where c(w1,w2) is
+    the corpus bigram count and c1(w1) = SUM_w2 c(w1,w2) the left-context
+    total. A document of common tokens in an UNCOMMON ORDER (shuffled
+    boilerplate, word-salad spam) scores near unigram_xent on the unigram
+    model but spikes here. No smoothing is needed: every scored bigram is
+    by construction in the corpus LM, so c >= 1 and the conditional is
+    well-defined.
+
+    Returns (doc_id, n_bigrams BIGINT, xent2 ROUND(.,6)); docs with < 2
+    tokens get 0.0.
+
+    Scale shape (100 TB): bigrams come from ONE zip_with over the already
+    tokenized array (no self-join of an exploded position table); then the
+    same plan family as unigram_xent — two map-side-combinable hash
+    aggregations off one explode, a (w1,w2)-keyed shuffle join (keys are
+    bigram TYPES, Zipf-bounded), a w1-keyed join for the conditional
+    denominator, one final per-doc aggregation. No windows, no UDFs.
+    """
+    spark = docs.sparkSession
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    n = F.size("t")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("t", 1, n - 1),
+            F.slice("t", 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = base.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    dc = occ.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("c_doc"))
+    bg = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c_bg")
+    )
+    lf = bg.groupBy("w1").agg(F.sum("c_bg").alias("c_left"))
+    ll = (
+        dc.join(bg, ["w1", "w2"])
+        .join(lf, "w1")
+        .select(
+            "id",
+            (-F.col("c_doc") * F.log(F.col("c_bg") / F.col("c_left"))).alias(
+                "nll"
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("nll").alias("nll"))
+    )
+    sizes = base.select(
+        "id", F.greatest(n - 1, F.lit(0)).cast("long").alias("n_bigrams")
+    )
+    return sizes.join(ll, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        F.round(
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.coalesce(F.col("nll"), F.lit(0.0)) / F.col("n_bigrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("xent2"),
+    )
+
+
 def zipf_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -732,3 +805,74 @@ def bpe_merge_training(
     return spark.createDataFrame(
         merges, "rank long, piece_a string, piece_b string, n_pair long"
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-token pairs by pointwise mutual information — the
+    classic collocation / association-mining signal (word2vec-era SGNS is
+    implicitly a PMI factorization): pmi(a,b) = ln(c(a,b)·N / (cl(a)·cr(b)))
+    over corpus bigram count c, left/right marginals cl/cr and bigram total
+    N. Raw bigram counts (bpe_pair_counts) surface FREQUENT pairs; PMI
+    surfaces BOUND pairs — multiword expressions, names, idioms — that a
+    tokenizer or phrase-mining pass should keep together. ``min_count``
+    kills the low-support noise PMI is notorious for.
+
+    Returns the top ``k`` rows (pair_a, pair_b, n_pair BIGINT, pmi
+    ROUND(.,6)), ranked by the ROUNDED pmi DESC then (pair_a, pair_b) —
+    rounded-first ordering is the engine-portable tie discipline.
+
+    Scale shape (100 TB): bigrams via one zip_with (no position
+    self-join); THREE map-side-combinable hash aggregations (pair, left
+    marginal, right marginal — marginals re-aggregate the pair table, so
+    the explode is scanned once); a one-row broadcast total; the global
+    top-k is an aggregated sort-limit that executes as
+    TakeOrderedAndProject, never a full sort.
+    """
+    spark = docs.sparkSession
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        tokens_col(F.col(text_col)).alias("t")
+    )
+    n = F.size("t")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("t", 1, n - 1),
+            F.slice("t", 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = base.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bg = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    lf = bg.groupBy("w1").agg(F.sum("c_pair").cast("double").alias("c_l"))
+    rt = bg.groupBy("w2").agg(F.sum("c_pair").cast("double").alias("c_r"))
+    tot = bg.agg(F.sum("c_pair").cast("double").alias("c_tot"))
+    scored = (
+        bg.filter(F.col("c_pair") >= min_count)
+        .join(lf, "w1")
+        .join(rt, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w1").alias("pair_a"),
+            F.col("w2").alias("pair_b"),
+            F.col("c_pair").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    F.col("c_pair").cast("double")
+                    * F.col("c_tot")
+                    / (F.col("c_l") * F.col("c_r"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("pair_a").asc(), F.col("pair_b").asc()
+    ).limit(k)

@@ -332,3 +332,43 @@ def test_simrank_iteration_is_hash_join_shaped(spark):
     plan = _plan(simrank(spark, events_digraph(spark, SF), num_iters=1))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_docs_is_narrow(spark):
+    """Chunking is per-row arithmetic + one explode — the physical plan
+    must carry NO Exchange at all beyond the scan (embarrassingly
+    parallel at any corpus size)."""
+    from combblas_spark.functions.sampling import chunk_docs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(chunk_docs(docs, window=8, stride=5))
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_bigram_xent_is_hash_join_shaped(spark):
+    """Bigram LM scoring: map-side-combinable aggregations joined on the
+    bigram-type keys — no cartesian, no window, and the bigrams come from
+    zip_with (no position self-join doubling the exploded table)."""
+    from combblas_spark.functions.text import bigram_xent
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bigram_xent(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    """The global PMI top-k runs over the AGGREGATED pair table as a
+    sort-limit (TakeOrderedAndProject), never a full sort of raw pairs;
+    the one-row total rides a broadcast."""
+    from combblas_spark.functions.text import pmi_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pmi_pairs(docs, k=10, min_count=2))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # only the 1-row total may ride a nested-loop broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -2118,3 +2118,185 @@ def test_sampling_kernels_validate_args(spark):
         node2vec_walks(spark, e, seeds, length=2, q=-1.0)
     with pytest.raises(ValueError):
         spam_mass(spark, e, trusted=[])
+
+
+# --------------------------------------------------- bigram_xent / chunk_docs
+
+
+def _py_bigram_xent(corpus):
+    """Pure-python corpus-bigram cross-entropy oracle."""
+    import math
+
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in corpus}
+    bg, left = {}, {}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+            left[a] = left.get(a, 0) + 1
+    out = {}
+    for d, ts in toks.items():
+        n = max(len(ts) - 1, 0)
+        nll = sum(-math.log(bg[(a, b)] / left[a]) for a, b in zip(ts, ts[1:]))
+        out[d] = (n, round(nll / n, 6) if n > 0 else 0.0)
+    return out
+
+
+def test_bigram_xent_matches_python(spark):
+    from combblas_spark.functions.text import bigram_xent
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "mat the on sat cat the"),  # same tokens as 1, scrambled order
+        (4, "solo"),
+        (5, ""),
+        (6, "q r q r q r"),  # q is ALWAYS followed by r, r always by q
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent2"])
+        for r in bigram_xent(docs).collect()
+    }
+    assert got == _py_bigram_xent(corpus)
+    # deterministic successors => every conditional is 1 => zero nats
+    assert got[6] == (5, 0.0)
+    # natural and scrambled orders of the same tokens score differently
+    assert got[3][1] != got[1][1]
+    # < 2 tokens => zero bigrams, zero score
+    assert got[4] == (0, 0.0) and got[5] == (0, 0.0)
+
+
+def _py_chunks(corpus, w, s):
+    out = []
+    for d, txt in corpus:
+        ts = [t for t in txt.split(" ") if t]
+        n = len(ts)
+        if n == 0:
+            continue
+        kmax = (n - w + s - 1) // s if n > w else 0
+        for k in range(kmax + 1):
+            st = 1 + k * s
+            ln = min(w, n - st + 1)
+            out.append((d, k, st, ln, " ".join(ts[st - 1 : st - 1 + ln])))
+    return sorted(out)
+
+
+def test_chunk_docs_matches_python(spark):
+    from combblas_spark.functions.sampling import chunk_docs
+
+    corpus = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # multi-chunk
+        (2, "a b c"),  # single short chunk
+        (3, " ".join(f"u{i}" for i in range(8))),  # exactly window
+        (4, ""),  # no chunks
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in chunk_docs(docs, window=8, stride=5).collect()
+    )
+    want = _py_chunks(corpus, 8, 5)
+    assert got == want
+    # coverage invariant: with stride <= window every token index is inside
+    # at least one chunk, and the last chunk reaches token n
+    by_doc = {}
+    for d, k, st, ln, _ in got:
+        by_doc.setdefault(d, []).append((st, st + ln - 1))
+    for d, txt in corpus:
+        n = len([t for t in txt.split(" ") if t])
+        if n == 0:
+            assert d not in by_doc
+            continue
+        iv = sorted(by_doc[d])
+        assert iv[0][0] == 1 and iv[-1][1] == n
+        for (a1, b1), (a2, b2) in zip(iv, iv[1:]):
+            assert a2 <= b1 + 1  # no gap
+
+
+def test_chunk_docs_validates_args(spark):
+    import pytest
+    from combblas_spark.functions.sampling import chunk_docs
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_docs(docs, window=4, stride=5)  # stride > window
+    with pytest.raises(ValueError):
+        chunk_docs(docs, window=4, stride=0)
+
+
+# ---------------------------------------------------- pmi_pairs / knn_purity
+
+
+def test_pmi_pairs_matches_python(spark):
+    import math
+    from combblas_spark.functions.text import pmi_pairs
+
+    corpus = [
+        (1, "new york is big and new york is old"),
+        (2, "new york and san francisco"),
+        (3, "san francisco is new and big and new york grows"),
+        (4, "is and is and is and"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [tuple(r) for r in pmi_pairs(docs, k=5, min_count=2).collect()]
+
+    bg, lf, rt, tot = {}, {}, {}, 0
+    for _, txt in corpus:
+        ts = [t for t in txt.split(" ") if t]
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    for (a, b), c in bg.items():
+        lf[a] = lf.get(a, 0) + c
+        rt[b] = rt.get(b, 0) + c
+        tot += c
+    scored = [
+        (a, b, c, round(math.log(c * tot / (lf[a] * rt[b])), 6))
+        for (a, b), c in bg.items()
+        if c >= 2
+    ]
+    want = sorted(scored, key=lambda x: (-x[3], x[0], x[1]))[:5]
+    assert got == want
+    # the collocation signal: the bound pair ("new","york") must out-rank
+    # the frequent-but-promiscuous pair ("is","and")
+    rank = {(a, b): i for i, (a, b, _, _) in enumerate(got)}
+    assert rank[("new", "york")] < rank.get(("is", "and"), 99)
+
+
+def test_knn_purity_matches_python(spark):
+    """Clustered embeddings: two well-separated label groups must both
+    score purity 1.0; the python oracle replays the purity aggregation
+    from the engine's own ANN pairs (the ANN itself is oracle-checked by
+    ann_topk's contract query)."""
+    from combblas_spark.functions.similarity import knn_label_purity, lsh_ann_topk
+
+    dim = 8
+    rows = []
+    for i in range(12):
+        v = [0.0] * dim
+        v[i % 4] = 1.0 + 0.01 * i  # labels 0: axis 0-3 cluster
+        rows.append((i, v, 0))
+    for i in range(12, 24):
+        v = [0.0] * dim
+        v[4 + (i % 4)] = -1.0 - 0.01 * i  # labels 1: opposite orthant
+        rows.append((i, v, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    kw = dict(k=3, n_planes=6, seed=7, dim=dim, max_bucket=100)
+    got = {
+        r["label"]: (r["n_queries"], r["n_pairs"], r["n_same"], r["purity"])
+        for r in knn_label_purity(emb, **kw).collect()
+    }
+    ann = lsh_ann_topk(emb, **kw).collect()
+    lab = {i: (0 if i < 12 else 1) for i in range(24)}
+    agg = {}
+    for r in ann:
+        L = lab[r["query_id"]]
+        q, p, s = agg.get(L, (set(), 0, 0))
+        q.add(r["query_id"])
+        agg[L] = (q, p + 1, s + (1 if lab[r["neighbor_id"]] == L else 0))
+    want = {
+        L: (len(q), p, s, round(s / p, 6)) for L, (q, p, s) in agg.items()
+    }
+    assert got == want
+    # orthant-separated clusters never cross under sign-pattern LSH
+    assert got[0][3] == 1.0 and got[1][3] == 1.0
