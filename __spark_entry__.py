@@ -226,6 +226,54 @@ def _minlabel_ctes(edges_cte: str, iters: int) -> str:
     return body[: body.rindex("\nSELECT id, val FROM")]
 
 
+def _bipartite_sql(prefix: str, edges_cte: str, iters: int) -> str:
+    """Per-component BFS-parity bipartiteness census — mirrors
+    algorithms.bipartite.bipartite_check with the same iteration bound for
+    both the component labeling and the depth BFS (min-depth from the
+    component's min-id root; extra iterations past convergence are
+    no-ops on both engines)."""
+    parts = [
+        f"""bund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM {edges_cte} WHERE src <> dst)""",
+        """bsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM bund
+  UNION ALL SELECT b AS src, a AS dst FROM bund)""",
+        _minlabel_ctes("bsym", iters),
+        f"""d0 AS MATERIALIZED (
+  SELECT id, CAST(0 AS BIGINT) AS d FROM l{iters} WHERE id = val)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT id, MIN(d) AS d FROM (
+    SELECT id, d FROM d{k-1}
+    UNION ALL
+    SELECT e.dst AS id, p.d + 1 AS d
+    FROM bsym e JOIN d{k-1} p ON e.src = p.id) u
+  GROUP BY id)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {prefix},
+{body},
+px AS (SELECT id, d % 2 AS par FROM d{iters}),
+bec AS (
+  SELECT l.val AS comp, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN pa.par = pb.par THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_conflicts
+  FROM bund u JOIN px pa ON pa.id = u.a JOIN px pb ON pb.id = u.b
+  JOIN l{iters} l ON l.id = u.a
+  GROUP BY l.val),
+bnv AS (SELECT val AS comp, CAST(COUNT(*) AS BIGINT) AS n_vertices
+        FROM l{iters} GROUP BY val)
+SELECT CAST(v.comp AS BIGINT) AS comp, v.n_vertices,
+       COALESCE(e.n_edges, 0) AS n_edges,
+       COALESCE(e.n_conflicts, 0) AS n_conflicts,
+       CAST(CASE WHEN COALESCE(e.n_conflicts, 0) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_bipartite
+FROM bnv v LEFT JOIN bec e ON e.comp = v.comp"""
+
+
 def _pagerank_sql(prefix: str, edges_cte: str, iters: int, alpha: float = 0.85) -> str:
     a = repr(alpha)
     parts = [
@@ -772,6 +820,32 @@ def _simhash_sql(bits: int = 60) -> str:
         FROM documents) t)
 SELECT id, ({sig}) AS simhash
 FROM th GROUP BY id"""
+
+
+def _cosine_sql(k: int = 5, max_qid: int = 20) -> str:
+    """Exact cosine top-k over the < max_qid query panel — mirrors
+    functions.similarity.cosine_topk (the deliberate brute-force rerank
+    baseline). Shared by the cosine_topk contract query and the
+    ann_recall exact side."""
+    return f"""
+            WITH nrm AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+                          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+                     / (q.nrm * e.nrm) AS cos
+              FROM nrm q JOIN nrm e ON e.vec_id <> q.vec_id
+              WHERE q.vec_id < {max_qid})
+            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rn AS BIGINT) AS rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+              FROM scored) x
+            WHERE rn <= {k}"""
 
 
 def _ann_sql(planes: list[list[float]], k: int = 5, max_bucket: int = 10_000) -> str:
@@ -2790,6 +2864,53 @@ def q_pmi_pairs(spark, sf):
     )
 
 
+BIP_ITERS = 24  # shared Spark/oracle bound: CC labeling AND parity BFS
+
+
+def q_bipartite_ps(spark, sf):
+    """Per-component 2-coloring conflict census of the part-supplier
+    graph (algorithms/bipartite.bipartite_check) — bipartite by
+    construction (parts on one side, suppliers on the other), so the
+    kernel must PROVE zero conflicts on every component."""
+    from combblas_spark.algorithms.bipartite import bipartite_check
+
+    return bipartite_check(
+        spark, part_supplier_graph(spark, sf), max_iter=BIP_ITERS
+    )
+
+
+def q_bipartite_ev(spark, sf):
+    """Same census on the events digraph's undirected support — odd
+    cycles exist, so this grades the conflict-counting path."""
+    from combblas_spark.algorithms.bipartite import bipartite_check
+
+    return bipartite_check(
+        spark, events_digraph(spark, sf), max_iter=BIP_ITERS
+    )
+
+
+def q_gini_ps(spark, sf):
+    """Degree-distribution Gini coefficient of the part-supplier graph
+    (algorithms/stats.degree_gini) — the hub-skew scalar capacity planning
+    keys off; exact-integer rank/degree sums via the parallel sample-sort
+    global-rank idiom (never a single-task window)."""
+    from combblas_spark.algorithms.stats import degree_gini
+
+    return degree_gini(part_supplier_graph(spark, sf))
+
+
+def q_ann_recall(spark, sf):
+    """Recall@5 of the bucketed LSH-ANN vs exact cosine on the fixed
+    query panel (functions/similarity.ann_recall) — the acceptance gate
+    tying ann_topk to its cosine_topk ground truth."""
+    from combblas_spark.functions.similarity import ann_recall
+
+    return ann_recall(
+        spark.read.parquet(f"{sf}/embeddings.parquet"),
+        k=5, query_max=20, n_planes=8, seed=42, dim=64, max_bucket=10_000,
+    )
+
+
 def q_knn_purity(spark, sf):
     """Per-label kNN purity of the embedding space
     (functions/similarity.knn_label_purity) — the intrinsic embedding-
@@ -3397,6 +3518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pmi_pairs": q_pmi_pairs,
         "knn_purity": q_knn_purity,
+        "ann_recall": q_ann_recall,
+        "gini_ps": q_gini_ps,
+        "bipartite_ps": q_bipartite_ps,
+        "bipartite_ev": q_bipartite_ev,
         "kron_nation": q_kron_nation,
         "graph_stats_ev": q_graph_stats_ev,
         "degree_hist_ps": q_degree_hist_ps,
@@ -4389,25 +4514,23 @@ FROM verts""",
             FROM qstats""",
         "doc_fingerprint": f"""WITH {TOKS_CTES}
             SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toklists""",
-        "cosine_topk": """
-            WITH nrm AS (
-              SELECT vec_id, embedding,
-                     sqrt(list_aggregate(list_transform(embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
-              FROM embeddings),
-            scored AS (
-              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                     list_aggregate(list_transform(range(1, len(q.embedding) + 1),
-                          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
-                     / (q.nrm * e.nrm) AS cos
-              FROM nrm q JOIN nrm e ON e.vec_id <> q.vec_id
-              WHERE q.vec_id < 20)
-            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rn AS BIGINT) AS rank
-            FROM (
-              SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
-              FROM scored) x
-            WHERE rn <= 5""",
+        "cosine_topk": _cosine_sql(k=5, max_qid=20),
+        "ann_recall": f"""WITH ex AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM ({_cosine_sql(k=5, max_qid=20)})),
+            ap AS MATERIALIZED (
+              SELECT query_id, neighbor_id
+              FROM ({_ann_sql(_ANN_PLANES, k=5, max_bucket=10_000)})
+              WHERE query_id < 20)
+            SELECT e.query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                   ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS recall
+            FROM ex e LEFT JOIN ap a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id""",
         "embed_norms": """
             SELECT vec_id,
                    ROUND(sqrt(list_aggregate(list_transform(embedding,
@@ -4773,6 +4896,29 @@ WHERE cm.n_common * 3 >= (na.n + nb.n) * 1""",
                      list_slice(toks, s, s + LEAST({CHUNK_W}, n - s + 1) - 1),
                      ' ') AS chunk_text
             FROM cst""",
+        "bipartite_ps": _bipartite_sql(PS_CTES, "edges", BIP_ITERS),
+        "bipartite_ev": _bipartite_sql(EV_CTES, "evedges", BIP_ITERS),
+        "gini_ps": f"""WITH {PS_CTES},
+            gund AS MATERIALIZED (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges WHERE src <> dst),
+            gdeg AS MATERIALIZED (
+              SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT a, b FROM gund
+                UNION ALL SELECT b AS a, a AS b FROM gund)
+              GROUP BY a),
+            grank AS (SELECT id, deg,
+                      ROW_NUMBER() OVER (ORDER BY deg ASC, id ASC) AS i
+                      FROM gdeg),
+            gm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(deg) AS BIGINT) AS sd,
+                          CAST(SUM(i * deg) AS BIGINT) AS sid FROM grank)
+            SELECT n AS n_vertices, sd AS sum_deg,
+                   ROUND(CASE WHEN n > 0 AND sd > 0
+                              THEN (2.0 * sid - (n + 1.0) * sd)
+                                   / (CAST(n AS DOUBLE) * sd)
+                              ELSE 0.0 END, 6) AS gini
+            FROM gm""",
         "pmi_pairs": f"""WITH {TOKS_CTES},
             ptoks AS (SELECT doc_id AS id, unnest(toks) AS tok,
                              generate_subscripts(toks, 1) AS ord FROM toklists),

@@ -122,6 +122,10 @@ HEADLINE = [
     "chunk_docs",
     "pmi_pairs",
     "knn_purity",
+    "ann_recall",
+    "gini_ps",
+    "bipartite_ps",
+    "bipartite_ev",
 ]
 
 

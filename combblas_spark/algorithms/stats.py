@@ -467,3 +467,55 @@ def knn_curve(edges: DataFrame) -> DataFrame:
             F.round(F.avg("knn_v"), 6).alias("avg_nbr_deg"),
         )
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """Gini coefficient of the degree distribution — the standard
+    inequality scalar for web-graph skew (0 = regular graph, ->1 = a few
+    hubs own all the edges); the single number behind the degree_hist /
+    rich_club profiles that capacity planning (partition sizing, salting
+    thresholds) keys off.
+
+    Over the undirected simple support with distinct-neighbor degrees
+    d_1 <= d_2 <= ... <= d_n (ties broken by vertex id):
+    gini = (2 * SUM(i * d_i) - (n+1) * SUM(d)) / (n * SUM(d)).
+    Both sums are EXACT BIGINTs, so the final double is engine-identical.
+
+    -> one row (n_vertices BIGINT, sum_deg BIGINT, gini ROUND(.,6)).
+
+    Scale shape (100 TB): degree is one hash aggregation; the global rank
+    uses the parallel sample sort + per-partition offsets idiom
+    (operators/indexing._global_ranks — NO single-task window); the rest
+    is one map-side-combinable aggregate to one row.
+    """
+    from combblas_spark.operators.indexing import _global_ranks
+
+    e = edges.filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ranked = _global_ranks(deg, [F.col("deg").asc(), F.col("id").asc()])
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("deg").cast("long").alias("sd"),
+        # rank is 0-based -> i = rank + 1
+        F.sum((F.col("rank") + 1) * F.col("deg")).cast("long").alias("sid"),
+    )
+    return mom.select(
+        F.col("n").alias("n_vertices"),
+        F.col("sd").alias("sum_deg"),
+        F.round(
+            F.when(
+                (F.col("n") > 0) & (F.col("sd") > 0),
+                (2.0 * F.col("sid") - (F.col("n") + 1.0) * F.col("sd"))
+                / (F.col("n").cast("double") * F.col("sd")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("gini"),
+    )

@@ -384,3 +384,68 @@ def knn_label_purity(
             ).alias("purity"),
         )
     )
+
+
+def ann_recall(
+    emb: DataFrame,
+    k: int = 5,
+    query_max: int = 20,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the bucketed LSH-ANN against exact cosine top-k — THE
+    acceptance gate every approximate index ships with: per query, the
+    share of the true top-k the ANN recovered. Run on a small fixed query
+    panel (ids < ``query_max``); the exact side is the deliberate
+    brute-force rerank baseline (cosine_topk), priced for a panel, never
+    the corpus.
+
+    Returns (query_id, n_exact, n_hit BIGINT, recall ROUND(.,6)) — recall
+    is a ratio of exact integers, so both engines derive the identical
+    double.
+
+    Scale shape (100 TB): the ANN side is the capped bucket join
+    (lsh_ann_topk unchanged); the exact side crossJoins only the
+    |panel| x |corpus| slice; the compare is one (query, neighbor) hash
+    join + one query-keyed aggregation over k·|panel| rows.
+    """
+    q = emb.filter(F.col(id_col) < query_max).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    exact = cosine_topk(emb, q, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        lsh_ann_topk(
+            emb,
+            k=k,
+            n_planes=n_planes,
+            seed=seed,
+            dim=dim,
+            max_bucket=max_bucket,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .filter(F.col("query_id") < query_max)
+        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

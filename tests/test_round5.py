@@ -2300,3 +2300,97 @@ def test_knn_purity_matches_python(spark):
     assert got == want
     # orthant-separated clusters never cross under sign-pattern LSH
     assert got[0][3] == 1.0 and got[1][3] == 1.0
+
+
+# ------------------------------------------ ann_recall / gini / bipartite
+
+
+def test_ann_recall_replays_engine_sides(spark):
+    """recall@k recomputed in python from the engine's own exact and ANN
+    top-k outputs (each independently oracle-checked by its contract
+    query); also: ANN hits are by construction a subset of the panel."""
+    from combblas_spark.functions.similarity import (
+        ann_recall,
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(k=5, n_planes=8, seed=42, dim=64, max_bucket=10_000)
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in ann_recall(emb, query_max=20, **kw).collect()
+    }
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {}
+    for r in cosine_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in lsh_ann_topk(emb, **kw).filter(F.col("query_id") < 20).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    want = {
+        qid: (
+            len(ex),
+            len(ex & approx.get(qid, set())),
+            round(len(ex & approx.get(qid, set())) / len(ex), 6),
+        )
+        for qid, ex in exact.items()
+    }
+    assert got == want
+    assert all(0.0 <= v[2] <= 1.0 for v in got.values())
+
+
+def test_degree_gini_known_values(spark):
+    from combblas_spark.algorithms.stats import degree_gini
+
+    # star K_{1,4}: degrees sorted [1,1,1,1,4], n=5, sum=8
+    # gini = (2*(1+2+3+4+20) - 6*8) / (5*8) = (60-48)/40 = 0.3
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = degree_gini(star).collect()[0]
+    assert (r["n_vertices"], r["sum_deg"], r["gini"]) == (5, 8, 0.3)
+    # regular graph (4-cycle): perfect equality => gini 0
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    assert degree_gini(cyc).collect()[0]["gini"] == 0.0
+
+
+def test_bipartite_check_known_graphs(spark):
+    from combblas_spark.algorithms.bipartite import bipartite_check
+
+    # even cycle (bipartite) + triangle (odd) + single edge, one run
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0),
+             (10, 11), (11, 12), (12, 10), (20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["comp"]: tuple(r)[1:] for r in bipartite_check(spark, df).collect()}
+    assert got[0] == (4, 4, 0, 1)    # C4: bipartite
+    assert got[10] == (3, 3, 1, 0)   # triangle: one conflict edge
+    assert got[20] == (2, 1, 0, 1)   # K2: bipartite
+    # direction / duplicate invariance: reversed + doubled edges, same census
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in edges] + edges, "src long, dst long"
+    )
+    got2 = {r["comp"]: tuple(r)[1:] for r in bipartite_check(spark, rev).collect()}
+    assert got2 == got
+
+
+def test_bipartite_check_odd_even_cycle_parity(spark):
+    """Every odd cycle has EXACTLY one conflict edge under BFS 2-coloring
+    from a single root; even cycles have zero — check a sweep of sizes."""
+    from combblas_spark.algorithms.bipartite import bipartite_check
+
+    edges = []
+    base = 0
+    sizes = [3, 4, 5, 6, 9]
+    for n in sizes:
+        edges += [(base + i, base + (i + 1) % n) for i in range(n)]
+        base += 100
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["comp"]: (r["n_conflicts"], r["is_bipartite"])
+           for r in bipartite_check(spark, df).collect()}
+    for j, n in enumerate(sizes):
+        assert got[100 * j] == ((1, 0) if n % 2 else (0, 1))
