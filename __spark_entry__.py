@@ -2506,6 +2506,39 @@ def q_sessionize(spark, sf):
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_SECONDS = 86400  # 24h per hop: differentiates at every SF
+
+
+def q_funnel(spark, sf):
+    """Sequential conversion funnel (functions/sessions.funnel): users
+    who viewed, then clicked within 24h strictly after, then purchased
+    within 24h strictly after that — earliest-completion semantics, one
+    min-agg + user_id join per step."""
+    from combblas_spark.functions.sessions import funnel
+
+    return funnel(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        FUNNEL_STEPS,
+        window_seconds=FUNNEL_WINDOW_SECONDS,
+    )
+
+
+RETENTION_BUCKET_SECONDS = 86400  # daily cohorts
+
+
+def q_retention(spark, sf):
+    """Cohort retention triangle (functions/sessions.retention): users
+    cohorted by first-event day, distinct-active counts per day offset —
+    one min-agg + user_id join + (cohort, offset) agg."""
+    from combblas_spark.functions.sessions import retention
+
+    return retention(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        bucket_seconds=RETENTION_BUCKET_SECONDS,
+    )
+
+
 def q_kmv_distinct(spark, sf):
     """KMV distinct-count sketch (functions/sketch.py): distinct tokens
     per document source, exact vs (k-1)*2^60/h_k estimate — the
@@ -3603,6 +3636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kselect_ps": q_kselect_ps,
         "sssp_ps": q_sssp_ps,
         "masked_reduce_ps": q_masked_reduce_ps,
+        # post-budget continuation additions (mirror-covered; the driver's
+        # 50-row budget is already assigned above)
+        "funnel_steps": q_funnel,
+        "retention": q_retention,
     }
 
 
@@ -3780,6 +3817,51 @@ def oracle_sql() -> dict[str, str]:
                               / (deg.deg * (deg.deg - 1.0))
                          ELSE 0.0 END, 6) AS lcc
             FROM deg LEFT JOIN pv ON pv.v = deg.id""",
+        "retention": f"""WITH ev AS MATERIALIZED (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     epoch_us(ts) // CAST({RETENTION_BUCKET_SECONDS * 1_000_000} AS BIGINT)
+                       AS bucket
+              FROM events),
+            cohorts AS MATERIALIZED (
+              SELECT user_id, MIN(bucket) AS cohort_bucket
+              FROM ev GROUP BY 1)
+            SELECT c.cohort_bucket,
+                   e.bucket - c.cohort_bucket AS bucket_offset,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+            FROM ev e JOIN cohorts c USING (user_id)
+            GROUP BY 1, 2""",
+        "funnel_steps": f"""WITH
+            s1 AS MATERIALIZED (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     MIN(epoch_us(ts)) AS t
+              FROM events WHERE event_type = '{FUNNEL_STEPS[0]}'
+              GROUP BY 1),
+            s2 AS MATERIALIZED (
+              SELECT CAST(e.user_id AS BIGINT) AS user_id,
+                     MIN(epoch_us(e.ts)) AS t
+              FROM events e JOIN s1 ON CAST(e.user_id AS BIGINT) = s1.user_id
+              WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+                AND epoch_us(e.ts) > s1.t
+                AND epoch_us(e.ts) <= s1.t
+                    + CAST({FUNNEL_WINDOW_SECONDS * 1_000_000} AS BIGINT)
+              GROUP BY 1),
+            s3 AS MATERIALIZED (
+              SELECT CAST(e.user_id AS BIGINT) AS user_id,
+                     MIN(epoch_us(e.ts)) AS t
+              FROM events e JOIN s2 ON CAST(e.user_id AS BIGINT) = s2.user_id
+              WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+                AND epoch_us(e.ts) > s2.t
+                AND epoch_us(e.ts) <= s2.t
+                    + CAST({FUNNEL_WINDOW_SECONDS * 1_000_000} AS BIGINT)
+              GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), '{FUNNEL_STEPS[1]}',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), '{FUNNEL_STEPS[2]}',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)""",
         "sessionize": f"""WITH ev0 AS MATERIALIZED (
               SELECT CAST(user_id AS BIGINT) AS user_id, ts, event_id,
                      event_type, value, epoch_us(ts) AS us,

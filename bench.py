@@ -126,6 +126,8 @@ HEADLINE = [
     "gini_ps",
     "bipartite_ps",
     "bipartite_ev",
+    "funnel_steps",
+    "retention",
 ]
 
 

@@ -80,6 +80,117 @@ def sessionize(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sequential conversion funnel: how many users performed
+    ``steps[0]``, then ``steps[1]`` strictly after it, then ``steps[2]``
+    strictly after that, … (earliest-completion semantics: each step's
+    completion time is the MIN event time that follows the previous
+    step's completion). ``window_seconds`` additionally requires each
+    follow-up step to land within that many seconds of the previous
+    step's completion (per-hop window, the usual product-analytics
+    definition).
+
+    -> (step_idx BIGINT 1-based, step STRING, n_users BIGINT), one row
+    per step, n_users monotonically non-increasing.
+
+    Scale design: per step, one filtered scan of the (predicate-pushed)
+    event_type partition + a min-agg + an equi-join on user_id — every
+    stage is keyed on user_id so Catalyst reuses one hash partitioning
+    across all steps; no global window, no per-user event collection.
+    Determinism: completion times are MINs of integer microseconds, so
+    duplicate timestamps cannot make the result order-dependent.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    else:
+        us = F.unix_micros(F.col(ts_col))
+    ev = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col("event_type"),
+        us.alias("_us"),
+    )
+    out = None
+    cur = None
+    for i, s in enumerate(steps):
+        ev_s = ev.filter(F.col("event_type") == s).select("user_id", "_us")
+        if cur is None:
+            cur = ev_s.groupBy("user_id").agg(F.min("_us").alias("_t"))
+        else:
+            after_prev = F.col("_us") > F.col("_t")
+            if window_seconds is not None:
+                after_prev = after_prev & (
+                    F.col("_us") <= F.col("_t") + F.lit(window_seconds * 1_000_000)
+                )
+            cur = (
+                ev_s.join(cur, "user_id")
+                .filter(after_prev)
+                .groupBy("user_id")
+                .agg(F.min("_us").alias("_t"))
+            )
+        row = cur.agg(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retention(
+    events: DataFrame,
+    bucket_seconds: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention table: users are cohorted by the time bucket of
+    their FIRST event; each later event marks them active at
+    ``bucket - cohort_bucket`` offset.
+
+    -> (cohort_bucket BIGINT, bucket_offset BIGINT >= 0, n_active
+    BIGINT distinct users), the classic growth-analytics triangle.
+
+    Scale design: one min-agg on user_id for the cohort assignment, one
+    user_id equi-join back onto the (predicate-pruned, two-column)
+    event scan, one (cohort, offset) count-distinct — all keyed so the
+    user_id partitioning is reused; output is O(#buckets^2) rows,
+    independent of event volume. Buckets are exact BIGINT integer
+    divisions of epoch microseconds (DIV in both engines) — no float
+    date math, so the oracle hashes bit-for-bit.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    else:
+        us = F.unix_micros(F.col(ts_col))
+    bucket_us = bucket_seconds * 1_000_000
+    ev = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        us.alias("_us"),
+    ).select("user_id", F.expr(f"_us DIV {bucket_us}").alias("bucket"))
+    cohorts = ev.groupBy("user_id").agg(F.min("bucket").alias("cohort_bucket"))
+    return (
+        ev.join(cohorts, "user_id")
+        .groupBy(
+            F.col("cohort_bucket"),
+            (F.col("bucket") - F.col("cohort_bucket")).alias("bucket_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
 def props_stats(events: DataFrame, path: str = "$.k") -> DataFrame:
     """Typed metadata extraction from a semi-structured JSON column — the
     ubiquitous event-pipeline first step: pull a typed field out of

@@ -372,3 +372,28 @@ def test_pmi_topk_is_take_ordered(spark):
     assert "CartesianProduct" not in plan
     # only the 1-row total may ride a nested-loop broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_funnel_no_window_no_cartesian(spark):
+    """The funnel is per-step (filtered scan + min-agg + user_id join):
+    no global Window, no cartesian, and the event_type step predicate is
+    pushed to the parquet scan."""
+    from combblas_spark.functions.sessions import funnel
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(funnel(ev, ["view", "click", "purchase"], window_seconds=86400))
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "EqualTo(event_type,view)" in plan  # predicate reached the scan
+
+
+def test_retention_no_window_two_column_scan(spark):
+    """Retention reads only (user_id, ts) and never opens a Window —
+    cohorting is a min-agg, activity is a join + count-distinct."""
+    from combblas_spark.functions.sessions import retention
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(retention(ev))
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    rs = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "user_id" in rs and "ts" in rs
+    assert "props" not in rs and "event_type" not in rs

@@ -2394,3 +2394,197 @@ def test_bipartite_check_odd_even_cycle_parity(spark):
            for r in bipartite_check(spark, df).collect()}
     for j, n in enumerate(sizes):
         assert got[100 * j] == ((1, 0) if n % 2 else (0, 1))
+
+
+# ------------------------------------------------------------------- funnel
+
+
+def _py_funnel(rows, steps, window_seconds=None):
+    """Pure-python earliest-completion funnel oracle over _ev-shaped rows
+    (event_id, ts, user_id, event_type, value)."""
+    per_user = {}
+    for eid, ts, uid, etype, _v in rows:
+        per_user.setdefault(uid, []).append(
+            (int(ts.timestamp() * 1_000_000), etype)
+        )
+    counts = [0] * len(steps)
+    for uid, evs in per_user.items():
+        t_prev = None
+        for i, s in enumerate(steps):
+            cand = [
+                us
+                for us, et in evs
+                if et == s
+                and (t_prev is None or us > t_prev)
+                and (
+                    window_seconds is None
+                    or t_prev is None
+                    or us <= t_prev + window_seconds * 1_000_000
+                )
+            ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            counts[i] += 1
+    return {(i + 1, s): counts[i] for i, s in enumerate(steps)}
+
+
+def test_funnel_known_fixture(spark):
+    from combblas_spark.functions.sessions import funnel
+
+    rows = [
+        # user 1 completes view(0) -> click(5) -> buy(10)
+        _ev(1, 1, 0, "view"), _ev(2, 1, 5, "click"), _ev(3, 1, 10, "buy"),
+        # user 2: click BEFORE view — never reaches step 2
+        _ev(4, 2, 0, "click"), _ev(5, 2, 5, "view"),
+        # user 3: view only
+        _ev(6, 3, 0, "view"),
+        # user 4: view -> click, no buy
+        _ev(7, 4, 0, "view"), _ev(8, 4, 3, "click"),
+    ]
+    got = {
+        (r["step_idx"], r["step"]): r["n_users"]
+        for r in funnel(_events_df(spark, rows), ["view", "click", "buy"]).collect()
+    }
+    assert got == {(1, "view"): 4, (2, "click"): 2, (3, "buy"): 1}
+    assert got == _py_funnel(rows, ["view", "click", "buy"])
+
+
+def test_funnel_strictly_after_and_window(spark):
+    from combblas_spark.functions.sessions import funnel
+
+    rows = [
+        # user 1: click at the SAME microsecond as view — strict > excludes it
+        _ev(1, 1, 0, "view"), _ev(2, 1, 0, "click"),
+        # user 2: click 90 min after view — inside a 2h window, outside 1h
+        _ev(3, 2, 0, "view"), _ev(4, 2, 90, "click"),
+    ]
+    df = _events_df(spark, rows)
+    unbounded = {
+        (r["step_idx"], r["step"]): r["n_users"]
+        for r in funnel(df, ["view", "click"]).collect()
+    }
+    assert unbounded == {(1, "view"): 2, (2, "click"): 1}
+    w1h = {
+        (r["step_idx"], r["step"]): r["n_users"]
+        for r in funnel(df, ["view", "click"], window_seconds=3600).collect()
+    }
+    assert w1h == {(1, "view"): 2, (2, "click"): 0}
+    # boundary: exactly window_seconds after counts (<=)
+    w90 = {
+        (r["step_idx"], r["step"]): r["n_users"]
+        for r in funnel(df, ["view", "click"], window_seconds=5400).collect()
+    }
+    assert w90[(2, "click")] == 1
+
+
+def test_funnel_earliest_completion_semantics(spark):
+    """The completion time of step i is the MIN qualifying time — a user
+    whose EARLIEST view is followed by an out-of-window click does not
+    convert even if a later view would have started an in-window pair
+    (standard greedy product-analytics semantics)."""
+    from combblas_spark.functions.sessions import funnel
+
+    rows = [
+        _ev(1, 1, 0, "view"),      # earliest view at t=0
+        _ev(2, 1, 500, "view"),    # later view at t=500min
+        _ev(3, 1, 505, "click"),   # click 5min after the LATER view
+    ]
+    got = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel(
+            _events_df(spark, rows), ["view", "click"], window_seconds=3600
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0}
+    assert got[2] == _py_funnel(rows, ["view", "click"], 3600)[(2, "click")]
+
+
+def test_funnel_random_vs_python_oracle(spark):
+    from combblas_spark.functions.sessions import funnel
+
+    rows = [
+        _ev(
+            i,
+            i % 13,
+            (i * 37) % 900,
+            ["view", "click", "buy", "other"][(i * 7) % 4],
+            1.0,
+        )
+        for i in range(300)
+    ]
+    df = _events_df(spark, rows).repartition(8)
+    for w in (None, 3600, 7200):
+        got = {
+            (r["step_idx"], r["step"]): r["n_users"]
+            for r in funnel(df, ["view", "click", "buy"], window_seconds=w).collect()
+        }
+        assert got == _py_funnel(rows, ["view", "click", "buy"], w)
+
+
+def test_funnel_empty_steps_raises(spark):
+    import pytest as _pytest
+
+    from combblas_spark.functions.sessions import funnel
+
+    with _pytest.raises(ValueError):
+        funnel(_events_df(spark, [_ev(1, 1, 0)]), [])
+
+
+# ---------------------------------------------------------------- retention
+
+
+def _py_retention(rows, bucket_seconds=86400):
+    per_user = {}
+    for eid, ts, uid, etype, _v in rows:
+        b = int(ts.timestamp() * 1_000_000) // (bucket_seconds * 1_000_000)
+        per_user.setdefault(uid, []).append(b)
+    out = {}
+    for uid, buckets in per_user.items():
+        c0 = min(buckets)
+        for b in set(buckets):
+            key = (c0, b - c0)
+            out[key] = out.get(key, 0) + 1
+    return out
+
+
+def test_retention_known_fixture(spark):
+    from combblas_spark.functions.sessions import retention
+
+    day = 24 * 60
+    rows = [
+        # user 1 first seen day 0, active days 0, 1, 3
+        _ev(1, 1, 0), _ev(2, 1, day + 5), _ev(3, 1, 3 * day + 5),
+        # user 2 first seen day 0, active day 0 only (twice — distinct!)
+        _ev(4, 2, 10), _ev(5, 2, 20),
+        # user 3 first seen day 1, active days 1 and 3
+        _ev(6, 3, day + 1), _ev(7, 3, 3 * day + 1),
+    ]
+    got = {
+        (r["cohort_bucket"], r["bucket_offset"]): r["n_active"]
+        for r in retention(_events_df(spark, rows)).collect()
+    }
+    d0 = int(datetime.datetime(2024, 1, 1).timestamp()) // 86400
+    assert got == {
+        (d0, 0): 2, (d0, 1): 1, (d0, 3): 1,
+        (d0 + 1, 0): 1, (d0 + 1, 2): 1,
+    }
+    assert got == _py_retention(rows)
+
+
+def test_retention_random_vs_python_oracle(spark):
+    from combblas_spark.functions.sessions import retention
+
+    rows = [
+        _ev(i, i % 11, (i * 173) % (14 * 24 * 60), "t", 1.0) for i in range(400)
+    ]
+    for bs in (86400, 3600 * 6):
+        got = {
+            (r["cohort_bucket"], r["bucket_offset"]): r["n_active"]
+            for r in retention(
+                _events_df(spark, rows).repartition(8), bucket_seconds=bs
+            ).collect()
+        }
+        assert got == _py_retention(rows, bs)
+    with __import__("pytest").raises(ValueError):
+        retention(_events_df(spark, rows), bucket_seconds=0)
