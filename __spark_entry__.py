@@ -2539,6 +2539,15 @@ def q_retention(spark, sf):
     )
 
 
+def q_event_transitions(spark, sf):
+    """First-order Markov transition matrix between event types
+    (functions/sessions.event_transitions): one user_id window + pair
+    count + row-normalized probabilities off the tiny transition table."""
+    from combblas_spark.functions.sessions import event_transitions
+
+    return event_transitions(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def q_kmv_distinct(spark, sf):
     """KMV distinct-count sketch (functions/sketch.py): distinct tokens
     per document source, exact vs (k-1)*2^60/h_k estimate — the
@@ -3640,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-row budget is already assigned above)
         "funnel_steps": q_funnel,
         "retention": q_retention,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -3817,6 +3827,18 @@ def oracle_sql() -> dict[str, str]:
                               / (deg.deg * (deg.deg - 1.0))
                          ELSE 0.0 END, 6) AS lcc
             FROM deg LEFT JOIN pv ON pv.v = deg.id""",
+        "event_transitions": """WITH seq AS MATERIALIZED (
+              SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+              FROM events),
+            pairs AS MATERIALIZED (
+              SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, n,
+                   ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type)
+                             AS DOUBLE), 6) AS p
+            FROM pairs""",
         "retention": f"""WITH ev AS MATERIALIZED (
               SELECT CAST(user_id AS BIGINT) AS user_id,
                      epoch_us(ts) // CAST({RETENTION_BUCKET_SECONDS * 1_000_000} AS BIGINT)

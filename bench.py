@@ -128,6 +128,7 @@ HEADLINE = [
     "bipartite_ev",
     "funnel_steps",
     "retention",
+    "event_transitions",
 ]
 
 

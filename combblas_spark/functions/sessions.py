@@ -191,6 +191,45 @@ def retention(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix between event types: for each
+    consecutive event pair within a user's (ts, tiebreak)-ordered stream,
+    count (from_type, to_type) and its row-normalized probability.
+
+    -> (from_type, to_type, n BIGINT, p DOUBLE ROUND(.,6)) with
+    p = n / Σ n over the same from_type.
+
+    Scale design: ONE shuffle on user_id feeds the lead() window (per-task
+    work bounded by the busiest user, same contract as sessionize), then a
+    map-side-combinable pair count; the row totals re-aggregate the
+    |types|² transition table itself (tiny — broadcast joined back), never
+    the raw events. p divides two exact BIGINTs — one IEEE division, so
+    the ROUND(.,6) contract hashes identically cross-engine.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    pairs = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+    )
+
+
 def props_stats(events: DataFrame, path: str = "$.k") -> DataFrame:
     """Typed metadata extraction from a semi-structured JSON column — the
     ubiquitous event-pipeline first step: pull a typed field out of

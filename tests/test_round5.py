@@ -2588,3 +2588,64 @@ def test_retention_random_vs_python_oracle(spark):
         assert got == _py_retention(rows, bs)
     with __import__("pytest").raises(ValueError):
         retention(_events_df(spark, rows), bucket_seconds=0)
+
+
+# -------------------------------------------------------- event transitions
+
+
+def _py_transitions(rows):
+    per_user = {}
+    for eid, ts, uid, etype, _v in rows:
+        per_user.setdefault(uid, []).append((ts, eid, etype))
+    counts = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    totals = {}
+    for (a, _b), n in counts.items():
+        totals[a] = totals.get(a, 0) + n
+    return {k: (n, round(n / totals[k[0]], 6)) for k, n in counts.items()}
+
+
+def test_event_transitions_known_fixture(spark):
+    from combblas_spark.functions.sessions import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b ; user 3: single event (no pair)
+        _ev(1, 1, 0, "a"), _ev(2, 1, 1, "b"), _ev(3, 1, 2, "a"),
+        _ev(4, 2, 0, "a"), _ev(5, 2, 1, "b"),
+        _ev(6, 3, 0, "c"),
+    ]
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(_events_df(spark, rows)).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+    assert got == _py_transitions(rows)
+
+
+def test_event_transitions_tiebreak_and_oracle(spark):
+    from combblas_spark.functions.sessions import event_transitions
+
+    # two events at the SAME timestamp: event_id breaks the tie (1 then 2)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0, 9, "x", 1.0), (2, t0, 9, "y", 1.0)]
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(_events_df(spark, rows)).collect()
+    }
+    assert got == {("x", "y"): 1}
+    # random stream vs the pure-python oracle, partition-invariant
+    rows = [
+        _ev(i, i % 9, (i * 41) % 777, "t%d" % ((i * 5) % 4), 1.0)
+        for i in range(400)
+    ]
+    for parts in (1, 8):
+        got = {
+            (r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in event_transitions(
+                _events_df(spark, rows).repartition(parts)
+            ).collect()
+        }
+        assert got == _py_transitions(rows)
