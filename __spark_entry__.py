@@ -2548,6 +2548,24 @@ def q_event_transitions(spark, sf):
     return event_transitions(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+PERCENTILES = [1, 25, 50, 75, 90, 99]
+
+
+def q_value_percentiles(spark, sf):
+    """Exact global percentiles of events.value (operators/kselect.
+    exact_percentiles): parallel sample-sort ranks + integer-exact
+    pct->rank map — order statistics with no sketch and no single-task
+    sort (approxQuantile is not oracle-replayable)."""
+    from combblas_spark.operators.kselect import exact_percentiles
+
+    return exact_percentiles(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        "value",
+        PERCENTILES,
+        "event_id",
+    )
+
+
 def q_kmv_distinct(spark, sf):
     """KMV distinct-count sketch (functions/sketch.py): distinct tokens
     per document source, exact vs (k-1)*2^60/h_k estimate — the
@@ -3650,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel,
         "retention": q_retention,
         "event_transitions": q_event_transitions,
+        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -3827,6 +3846,17 @@ def oracle_sql() -> dict[str, str]:
                               / (deg.deg * (deg.deg - 1.0))
                          ELSE 0.0 END, 6) AS lcc
             FROM deg LEFT JOIN pv ON pv.v = deg.id""",
+        "value_percentiles": f"""WITH ranked AS MATERIALIZED (
+              SELECT value AS val,
+                     ROW_NUMBER() OVER (ORDER BY value, event_id) - 1 AS rk
+              FROM events),
+            n AS (SELECT COUNT(*) AS _n FROM events),
+            t AS (SELECT pct,
+                         GREATEST(0, (pct * _n + 99) // 100 - 1) AS rk
+                  FROM (VALUES {", ".join(f"({p})" for p in PERCENTILES)})
+                       AS p(pct) CROSS JOIN n)
+            SELECT CAST(t.pct AS BIGINT) AS pct, r.val
+            FROM t JOIN ranked r USING (rk)""",
         "event_transitions": """WITH seq AS MATERIALIZED (
               SELECT event_type AS from_type,
                      LEAD(event_type) OVER (

@@ -129,6 +129,7 @@ HEADLINE = [
     "funnel_steps",
     "retention",
     "event_transitions",
+    "value_percentiles",
 ]
 
 

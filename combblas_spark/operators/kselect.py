@@ -84,3 +84,50 @@ def prune_recovery_select(
         bad_cols, on=selected["dst"] == bad_cols["id"], how="left_anti"
     )
     return good.unionByName(recovered)
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    pcts: list[int],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact global order statistics — the percentile values of
+    ``value_col`` with NO sketch and NO single-task sort.
+
+    -> (pct BIGINT, val) one row per requested integer percentile, where
+    val is the element of exact global rank ceil(pct*n/100) (1-based
+    inverse-CDF / type-1 quantile; no interpolation, so the output is a
+    VALUE THAT EXISTS in the data and hashes bit-for-bit cross-engine).
+
+    Scale design: ranks come from the parallel sample sort
+    (operators/indexing._global_ranks — range-partitioned, never one
+    task); n joins in as a broadcast 1-row aggregate; the pct->rank map
+    is PURE INTEGER math ((pct*n + 99) DIV 100 - 1, engine-exact, no
+    float CEIL) and the final lookup is a broadcast semi-join of ~|pcts|
+    target ranks against the ranked table. approxQuantile would be one
+    pass cheaper but is sketch-dependent and not oracle-replayable.
+    """
+    from combblas_spark.operators.indexing import _global_ranks
+
+    if not pcts or any(p < 1 or p > 100 for p in pcts):
+        raise ValueError(f"pcts must be integers in [1, 100], got {pcts}")
+    ranked = _global_ranks(
+        df.select(F.col(value_col).alias("_v"), F.col(tiebreak_col).alias("_tb")),
+        [F.col("_v").asc(), F.col("_tb").asc()],
+    )
+    spark = df.sparkSession
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    targets = (
+        spark.createDataFrame([(int(p),) for p in pcts], "pct long")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pct",
+            F.greatest(
+                F.lit(0).cast("long"), F.expr("(pct * _n + 99) DIV 100") - 1
+            ).alias("rank"),
+        )
+    )
+    return ranked.join(F.broadcast(targets), "rank").select(
+        "pct", F.col("_v").alias("val")
+    )

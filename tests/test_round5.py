@@ -2649,3 +2649,55 @@ def test_event_transitions_tiebreak_and_oracle(spark):
             ).collect()
         }
         assert got == _py_transitions(rows)
+
+
+# ---------------------------------------------------------- exact percentiles
+
+
+def test_exact_percentiles_known_values(spark):
+    from combblas_spark.operators.kselect import exact_percentiles
+
+    # values 1..100 with unique tiebreaks: pct p selects exactly p
+    df = spark.createDataFrame(
+        [(float(i), i) for i in range(1, 101)], "v double, tb long"
+    ).repartition(8)
+    got = {
+        r["pct"]: r["val"]
+        for r in exact_percentiles(df, "v", [1, 25, 50, 75, 90, 99, 100], "tb").collect()
+    }
+    assert got == {1: 1.0, 25: 25.0, 50: 50.0, 75: 75.0, 90: 90.0, 99: 99.0, 100: 100.0}
+
+
+def test_exact_percentiles_rank_math_and_dups(spark):
+    from combblas_spark.operators.kselect import exact_percentiles
+
+    # n=7 of value 5.0 then 3 of 9.0: rank(p50) = ceil(0.5*10)-1 = 4 -> 5.0
+    # rank(p75) = ceil(7.5)-1 = 7 -> 9.0 (the first of the 9.0 run)
+    rows = [(5.0, i) for i in range(7)] + [(9.0, 10 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "v double, tb long").repartition(4)
+    got = {r["pct"]: r["val"] for r in exact_percentiles(df, "v", [50, 70, 75], "tb").collect()}
+    assert got == {50: 5.0, 70: 5.0, 75: 9.0}
+
+
+def test_exact_percentiles_partition_invariance_and_validation(spark):
+    import pytest as _pytest
+
+    from combblas_spark.operators.kselect import exact_percentiles
+
+    rows = [((i * 37 % 101) / 7.0, i) for i in range(500)]
+    outs = []
+    for parts in (1, 16):
+        df = spark.createDataFrame(rows, "v double, tb long").repartition(parts)
+        outs.append(
+            sorted(map(tuple, exact_percentiles(df, "v", [10, 50, 95], "tb").collect()))
+        )
+    assert outs[0] == outs[1]
+    # python oracle: type-1 quantile on the sorted values
+    vals = sorted(v for v, _ in rows)
+    exp = {p: vals[max(0, -(-p * len(vals) // 100) - 1)] for p in (10, 50, 95)}
+    assert dict(outs[0]) == exp
+    df = spark.createDataFrame(rows, "v double, tb long")
+    with _pytest.raises(ValueError):
+        exact_percentiles(df, "v", [0, 50], "tb")
+    with _pytest.raises(ValueError):
+        exact_percentiles(df, "v", [], "tb")
