@@ -379,3 +379,78 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """Stateful cross-batch funnel — the streaming twin of
+    functions.sessions.funnel, same earliest-completion semantics: a user
+    completes step i at the MIN event time of type ``steps[i]`` strictly
+    after (and, with ``window_seconds``, within the per-hop window of)
+    their step i-1 completion. Emits ONE row per step ADVANCE:
+    (user_id, step_idx 1-based, step, at_us) — aggregate downstream for
+    the funnel counts (append mode cannot restate counts, completions are
+    the streamable form of the same fact).
+
+    State per user is two longs (next step index, last completion time)
+    — constant size, so the state store grows with users, not events.
+    Within a micro-batch the advance loop runs per STEP (at most
+    len(steps) vectorized masks over the user's batch slice), never per
+    event. Events are assumed in event-time order ACROSS micro-batches
+    (same watermark contract as streaming_sessionize); within a batch
+    order does not matter — qualifying times are reduced with min().
+    """
+    if not steps:
+        raise ValueError("streaming_funnel needs at least one step")
+    out_schema = "user_id long, step_idx long, step string, at_us long"
+    state_schema = "next_idx long, t_prev long"
+    win_us = None if window_seconds is None else int(window_seconds) * 1_000_000
+
+    def advance(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        types = pdf["event_type"]
+        next_idx, t_prev = (state.get if state.exists else (0, -1))
+        (uid,) = key
+        emitted = []
+        while next_idx < len(steps):
+            mask = types == steps[next_idx]
+            if next_idx > 0:
+                mask &= us > t_prev
+                if win_us is not None:
+                    mask &= us <= t_prev + win_us
+            cand = us[mask]
+            if not len(cand):
+                break
+            t_prev = int(cand.min())
+            next_idx += 1
+            emitted.append(
+                {
+                    "user_id": int(uid),
+                    "step_idx": next_idx,
+                    "step": steps[next_idx - 1],
+                    "at_us": t_prev,
+                }
+            )
+        state.update((int(next_idx), int(t_prev)))
+        if emitted:
+            yield pd.DataFrame(emitted)
+
+    keyed = events.select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "event_type"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

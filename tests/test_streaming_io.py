@@ -390,3 +390,80 @@ def test_streaming_heavy_hitters_capacity_eviction(spark, tmp_path):
     # 'b' totals 3 >= 2 but is evicted by the capacity-1 map both rounds
     # ((-2, 'a') sorts before (-2, 'b')), so only 'a' ever emits
     assert rows == {"a"}
+
+
+def test_streaming_funnel_stateful(spark, tmp_path):
+    """Cross-batch stateful funnel: step advances spanning the micro-batch
+    boundary ride the (next_idx, t_prev) state; per-step completion counts
+    equal the batch funnel's n_users on the same data."""
+    import datetime
+
+    from combblas_spark.functions.sessions import funnel
+    from combblas_spark.streaming.stateful import streaming_funnel
+
+    def ev(eid, uid, minute, etype):
+        return (
+            eid,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minute),
+            uid,
+            etype,
+            1.0,
+        )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double"
+    )
+    # user 1: view+click in b1, buy in b2 (cross-batch advance)
+    # user 2: click before view (never advances past step 1, view in b2)
+    # user 3: view in b1, click in b2 but OUTSIDE the 1h window
+    b1 = [ev(1, 1, 0, "view"), ev(2, 1, 5, "click"),
+          ev(3, 2, 0, "click"), ev(4, 3, 10, "view")]
+    b2 = [ev(5, 1, 50, "buy"), ev(6, 2, 80, "view"), ev(7, 3, 200, "click")]
+    src = str(tmp_path / "fevents")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_funnel(stream, ["view", "click", "buy"], window_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("funnel_state_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, step_idx, step, at_us FROM funnel_state_t"
+    ).collect()
+    # user 1 advances through all three (buy crosses the batch boundary);
+    # user 2 reaches only step 1 (in b2); user 3's click is out-of-window
+    got = {(r["user_id"], r["step_idx"], r["step"]) for r in rows}
+    assert got == {
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "buy"),
+        (2, 1, "view"), (3, 1, "view"),
+    }
+    # completion timestamps are the earliest-completion times
+    at = {(r["user_id"], r["step_idx"]): r["at_us"] for r in rows}
+    t0 = int(datetime.datetime(2024, 1, 1).timestamp() * 1_000_000)
+    assert at[(1, 2)] == t0 + 5 * 60 * 1_000_000
+    assert at[(1, 3)] == t0 + 50 * 60 * 1_000_000
+    # aggregate completions == batch funnel counts
+    from collections import Counter
+    step_counts = Counter(r["step_idx"] for r in rows)
+    batch = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel(
+            spark.createDataFrame(b1 + b2, schema),
+            ["view", "click", "buy"],
+            window_seconds=3600,
+        ).collect()
+    }
+    assert {k: step_counts.get(k, 0) for k in batch} == batch
