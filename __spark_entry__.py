@@ -2566,6 +2566,24 @@ def q_value_percentiles(spark, sf):
     )
 
 
+GROUP_PERCENTILES = [25, 50, 75, 95]
+
+
+def q_len_percentiles(spark, sf):
+    """Per-source document-length percentiles (operators/kselect.
+    grouped_percentiles): one composite-key sample sort, per-group rank
+    bases from a (min, count) aggregate — exact per-group order
+    statistics with no per-group window."""
+    from combblas_spark.operators.kselect import grouped_percentiles
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", F.length("text").cast("long").alias("n_chars"), "doc_id"
+    )
+    return grouped_percentiles(
+        docs, "source", "n_chars", GROUP_PERCENTILES, "doc_id"
+    )
+
+
 def q_kmv_distinct(spark, sf):
     """KMV distinct-count sketch (functions/sketch.py): distinct tokens
     per document source, exact vs (k-1)*2^60/h_k estimate — the
@@ -3669,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "event_transitions": q_event_transitions,
         "value_percentiles": q_value_percentiles,
+        "len_percentiles": q_len_percentiles,
     }
 
 
@@ -3857,6 +3876,21 @@ def oracle_sql() -> dict[str, str]:
                        AS p(pct) CROSS JOIN n)
             SELECT CAST(t.pct AS BIGINT) AS pct, r.val
             FROM t JOIN ranked r USING (rk)""",
+        "len_percentiles": f"""WITH d AS MATERIALIZED (
+              SELECT source, CAST(LENGTH(text) AS BIGINT) AS n_chars, doc_id
+              FROM documents),
+            ranked AS MATERIALIZED (
+              SELECT source, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY source) AS _n
+              FROM d)
+            SELECT r.source, CAST(p.pct AS BIGINT) AS pct,
+                   r.n_chars AS val
+            FROM ranked r
+            JOIN (VALUES {", ".join(f"({p})" for p in GROUP_PERCENTILES)})
+                 AS p(pct)
+              ON r.rk = (p.pct * r._n + 99) // 100""",
         "event_transitions": """WITH seq AS MATERIALIZED (
               SELECT event_type AS from_type,
                      LEAD(event_type) OVER (

@@ -130,6 +130,7 @@ HEADLINE = [
     "retention",
     "event_transitions",
     "value_percentiles",
+    "len_percentiles",
 ]
 
 

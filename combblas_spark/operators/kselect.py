@@ -131,3 +131,51 @@ def exact_percentiles(
     return ranked.join(F.broadcast(targets), "rank").select(
         "pct", F.col("_v").alias("val")
     )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pcts: list[int],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact per-group order statistics — ``exact_percentiles`` within
+    every group, still with NO per-group window (a Window.partitionBy
+    (group) funnels each group through ONE task; a 100-TB group would
+    be a straggler).
+
+    -> (group, pct BIGINT, val) one row per (group, requested pct).
+
+    Scale design: ONE global sample sort ordered (group, value, tiebreak)
+    assigns global ranks; each group's rank base and size come from a
+    map-side-combinable (min, count) aggregate; per-group target ranks
+    are base + (pct*n + 99) DIV 100 - 1 (pure integer math) and the
+    lookup is a broadcast join of |groups|*|pcts| targets — group skew
+    never concentrates work because ranking is range-partitioned on the
+    (group, value) composite, splitting big groups across tasks.
+    """
+    from combblas_spark.operators.indexing import _global_ranks
+
+    if not pcts or any(p < 1 or p > 100 for p in pcts):
+        raise ValueError(f"pcts must be integers in [1, 100], got {pcts}")
+    ranked = _global_ranks(
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).alias("_v"),
+            F.col(tiebreak_col).alias("_tb"),
+        ),
+        [F.col("_g").asc(), F.col("_v").asc(), F.col("_tb").asc()],
+    )
+    spans = ranked.groupBy("_g").agg(
+        F.min("rank").alias("_base"), F.count(F.lit(1)).alias("_n")
+    )
+    pdf = df.sparkSession.createDataFrame([(int(p),) for p in pcts], "pct long")
+    targets = spans.crossJoin(F.broadcast(pdf)).select(
+        "_g",
+        "pct",
+        (F.col("_base") + F.expr("(pct * _n + 99) DIV 100") - 1).alias("rank"),
+    )
+    return ranked.join(F.broadcast(targets), ["rank", "_g"]).select(
+        F.col("_g").alias(group_col), "pct", F.col("_v").alias("val")
+    )

@@ -2701,3 +2701,36 @@ def test_exact_percentiles_partition_invariance_and_validation(spark):
         exact_percentiles(df, "v", [0, 50], "tb")
     with _pytest.raises(ValueError):
         exact_percentiles(df, "v", [], "tb")
+
+
+def test_grouped_percentiles_known_and_invariance(spark):
+    from combblas_spark.operators.kselect import grouped_percentiles
+
+    # group A: 1..10 (p50 -> 5); group B: 100..102 (p50 -> ceil(1.5)=2nd -> 101)
+    rows = [("A", float(i), i) for i in range(1, 11)] + [
+        ("B", float(100 + i), 100 + i) for i in range(3)
+    ]
+    for parts in (1, 8):
+        df = spark.createDataFrame(rows, "g string, v double, tb long").repartition(parts)
+        got = {
+            (r["g"], r["pct"]): r["val"]
+            for r in grouped_percentiles(df, "g", "v", [50, 100], "tb").collect()
+        }
+        assert got == {
+            ("A", 50): 5.0, ("A", 100): 10.0,
+            ("B", 50): 101.0, ("B", 100): 102.0,
+        }
+    # per-group result == exact_percentiles run on each group alone
+    from combblas_spark.operators.kselect import exact_percentiles
+
+    for g in ("A", "B"):
+        solo = {
+            r["pct"]: r["val"]
+            for r in exact_percentiles(
+                spark.createDataFrame(
+                    [r for r in rows if r[0] == g], "g string, v double, tb long"
+                ),
+                "v", [50, 100], "tb",
+            ).collect()
+        }
+        assert solo == {p: got[(g, p)] for p in (50, 100)}
