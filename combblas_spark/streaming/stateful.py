@@ -203,14 +203,22 @@ def streaming_near_dups(
 def streaming_sessionize(
     events: DataFrame,
     gap_seconds: int = 21600,
+    close_by_watermark: bool = False,
 ) -> DataFrame:
     """Stateful cross-batch sessionization — the streaming twin of
     functions.sessions.sessionize, same rollup contract: emitted rows are
     (user_id, session_id, n_events, start_us, end_us, n_types,
     value_milli) for every session CLOSED by a later event; the newest
-    session per user stays open in state (a production pipeline closes
-    stragglers by watermark timeout — the batch-equality tests compare
-    against the batch output minus each user's final session).
+    session per user stays open in state.
+
+    ``close_by_watermark=True`` additionally closes stragglers: the open
+    session arms an event-time timeout at ``end + gap`` — once the
+    watermark passes it (no in-gap event can still arrive), the session
+    is emitted and its state REMOVED, so an idle user costs nothing in
+    the state store. Requires ``events.withWatermark('ts', ...)``
+    upstream (Spark's precondition for EventTimeTimeout). With the flag
+    off, the batch-equality tests compare against the batch output minus
+    each user's final (still-open) session.
 
     State per user is ONE open-session summary (constant size: counters +
     the distinct-type set), so the state store grows with active users,
@@ -233,6 +241,20 @@ def streaming_sessionize(
     def roll(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if close_by_watermark and state.hasTimedOut:
+            # watermark passed end + gap: no in-gap event can still arrive,
+            # the open session is final — emit it and free the state slot
+            sid0, st0, en0, n0, vm0, ty0 = state.get
+            (uid,) = key
+            state.remove()
+            yield pd.DataFrame(
+                [{
+                    "user_id": int(uid), "session_id": sid0, "n_events": n0,
+                    "start_us": st0, "end_us": en0,
+                    "n_types": len(set(ty0)), "value_milli": vm0,
+                }]
+            )
+            return
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             # state untouched; nothing to emit
@@ -286,6 +308,10 @@ def streaming_sessionize(
             (base + last_loc, int(last["start"]), int(last["end"]),
              int(last["n"]), int(last["vm"]), sorted(last["ty"]))
         )
+        if close_by_watermark:
+            # arm the straggler close: fire once the watermark (ms) passes
+            # the last event + gap
+            state.setTimeoutTimestamp(int(last["end"]) // 1000 + gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(
                 [
@@ -307,7 +333,11 @@ def streaming_sessionize(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if close_by_watermark
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

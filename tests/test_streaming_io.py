@@ -467,3 +467,77 @@ def test_streaming_funnel_stateful(spark, tmp_path):
         ).collect()
     }
     assert {k: step_counts.get(k, 0) for k in batch} == batch
+
+
+def test_streaming_sessionize_watermark_timeout(spark, tmp_path):
+    """close_by_watermark=True: once the watermark passes end + gap, the
+    open session is emitted via EventTimeTimeout and its state removed —
+    the straggler-close path the NoTimeout variant documents."""
+    import datetime
+
+    from combblas_spark.streaming.stateful import streaming_sessionize
+
+    def ev(eid, uid, minute, etype, value):
+        return (
+            eid,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minute),
+            uid,
+            etype,
+            value,
+        )
+
+    # watermarks require tz-aware TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+    # _TYPE on TIMESTAMP_NTZ) — a production caller casts before
+    # withWatermark; the rollup math is tz-free integer microseconds either
+    # way
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    day = 24 * 60
+    # b1: user 7's whole session (2 events). b2/b3: far-future events from
+    # other users, pushing the watermark far past user 7's end + gap so the
+    # third trigger fires user 7's timeout.
+    b1 = [ev(1, 7, 0, "a", 1.0), ev(2, 7, 10, "b", 2.25)]
+    b2 = [ev(3, 8, 30 * day, "c", 0.5)]
+    b3 = [ev(4, 9, 31 * day, "d", 1.5)]
+    src = str(tmp_path / "twevents")
+    os.makedirs(src)
+    for name, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        streaming_sessionize(stream, gap_seconds=3600, close_by_watermark=True)
+        .writeStream.format("memory")
+        .queryName("sess_timeout_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess_tw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, session_id, n_events, start_us, end_us, "
+            "n_types, value_milli FROM sess_timeout_t"
+        ).collect()
+    }
+    t0 = int(datetime.datetime(2024, 1, 1).timestamp() * 1_000_000)
+    # user 7's single session closed BY TIMEOUT (never by a later event)
+    assert (7, 1, 2, t0, t0 + 10 * 60 * 1_000_000, 2, 3250) in got
+    # user 8 times out too: availableNow runs a final no-data batch whose
+    # watermark (day31 - 1min) passes day30 + gap. user 9 stays open — the
+    # watermark never passes ITS end + gap.
+    day_us = 24 * 60 * 60 * 1_000_000
+    assert (8, 1, 1, t0 + 30 * day_us, t0 + 30 * day_us, 1, 500) in got
+    assert {r[0] for r in got} == {7, 8}
+    assert len(got) == 2
