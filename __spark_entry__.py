@@ -2584,6 +2584,19 @@ def q_len_percentiles(spark, sf):
     )
 
 
+def q_len_robust(spark, sf):
+    """Per-source robust location/scale of document length
+    (operators/kselect.robust_stats): median + MAD as type-1 order
+    statistics off two grouped_percentiles passes — the outlier-
+    resistant cut quality filters use."""
+    from combblas_spark.operators.kselect import robust_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", F.length("text").cast("long").alias("n_chars"), "doc_id"
+    )
+    return robust_stats(docs, "source", "n_chars", "doc_id")
+
+
 def q_kmv_distinct(spark, sf):
     """KMV distinct-count sketch (functions/sketch.py): distinct tokens
     per document source, exact vs (k-1)*2^60/h_k estimate — the
@@ -3688,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "value_percentiles": q_value_percentiles,
         "len_percentiles": q_len_percentiles,
+        "len_robust": q_len_robust,
     }
 
 
@@ -3891,6 +3905,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN (VALUES {", ".join(f"({p})" for p in GROUP_PERCENTILES)})
                  AS p(pct)
               ON r.rk = (p.pct * r._n + 99) // 100""",
+        "len_robust": """WITH d AS MATERIALIZED (
+              SELECT source, CAST(LENGTH(text) AS BIGINT) AS v, doc_id
+              FROM documents),
+            r1 AS MATERIALIZED (
+              SELECT source, v,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY v, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM d),
+            med AS MATERIALIZED (
+              SELECT source, v AS med FROM r1
+              WHERE rk = (50 * n + 99) // 100),
+            dv AS MATERIALIZED (
+              SELECT d.source, ABS(d.v - m.med) AS dev, d.doc_id
+              FROM d JOIN med m USING (source)),
+            r2 AS MATERIALIZED (
+              SELECT source, dev,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY dev, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM dv)
+            SELECT m.source, m.med, r2.dev AS mad
+            FROM med m JOIN r2 ON m.source = r2.source
+             AND r2.rk = (50 * r2.n + 99) // 100""",
         "event_transitions": """WITH seq AS MATERIALIZED (
               SELECT event_type AS from_type,
                      LEAD(event_type) OVER (

@@ -131,6 +131,7 @@ HEADLINE = [
     "event_transitions",
     "value_percentiles",
     "len_percentiles",
+    "len_robust",
 ]
 
 

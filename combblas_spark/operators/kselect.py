@@ -179,3 +179,36 @@ def grouped_percentiles(
     return ranked.join(F.broadcast(targets), ["rank", "_g"]).select(
         F.col("_g").alias(group_col), "pct", F.col("_v").alias("val")
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group robust location/scale — median and MAD (median absolute
+    deviation), the outlier-resistant alternative to mean/stddev that
+    quality-filtering pipelines cut on (|x - med| > k·MAD).
+
+    -> (group, med, mad) one row per group, both type-1 order statistics
+    (values that EXIST in the data — integer inputs stay integers, no
+    rounding discipline needed cross-engine).
+
+    Scale design: two ``grouped_percentiles`` passes (each one sample
+    sort, no per-group window) — the first finds per-group medians, the
+    deviations join the (tiny, broadcast) median table back onto the
+    scan, the second finds the per-group deviation medians.
+    """
+    med = grouped_percentiles(df, group_col, value_col, [50], tiebreak_col).select(
+        F.col(group_col), F.col("val").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).select(
+        F.col(group_col),
+        F.abs(F.col(value_col) - F.col("med")).alias("_dev"),
+        F.col(tiebreak_col),
+    )
+    mad = grouped_percentiles(dev, group_col, "_dev", [50], tiebreak_col).select(
+        F.col(group_col), F.col("val").alias("mad")
+    )
+    return med.join(mad, group_col)

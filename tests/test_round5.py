@@ -2734,3 +2734,30 @@ def test_grouped_percentiles_known_and_invariance(spark):
             ).collect()
         }
         assert solo == {p: got[(g, p)] for p in (50, 100)}
+
+
+def test_robust_stats_known_and_python_oracle(spark):
+    from combblas_spark.operators.kselect import robust_stats
+
+    # group A: 1..9 -> med 5, deviations {0,1,1,2,2,3,3,4,4} -> mad 2
+    # group B: {10, 10, 1000} -> med 10, deviations {0, 0, 990} -> mad 0
+    rows = [("A", float(i), i) for i in range(1, 10)] + [
+        ("B", 10.0, 20), ("B", 10.0, 21), ("B", 1000.0, 22)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, tb long").repartition(8)
+    got = {r["g"]: (r["med"], r["mad"]) for r in robust_stats(df, "g", "v", "tb").collect()}
+    assert got == {"A": (5.0, 2.0), "B": (10.0, 0.0)}
+
+    def py_robust(vals):
+        s = sorted(vals)
+        med = s[-(-50 * len(s) // 100) - 1]
+        d = sorted(abs(x - med) for x in vals)
+        return med, d[-(-50 * len(d) // 100) - 1]
+
+    import random as _r
+    rng = _r.Random(7)
+    rows = [("g%d" % (i % 3), float(rng.randrange(1000)), i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double, tb long").repartition(16)
+    got = {r["g"]: (r["med"], r["mad"]) for r in robust_stats(df, "g", "v", "tb").collect()}
+    for g in ("g0", "g1", "g2"):
+        assert got[g] == py_robust([v for gg, v, _ in rows if gg == g])
