@@ -146,3 +146,75 @@ class IncrementalCC:
                 checkpoint or os.path.join(self.state_dir, "_stream_ckpt"),
             )
         )
+
+
+class IncrementalPageRank:
+    """Incremental PageRank over an edge stream (foreachBatch).
+
+    State: an accumulated edge table (append-only parquet) and the last
+    converged rank vector at ``state_dir``. Per batch: new edges append,
+    then the power iteration WARM-STARTS from the previous fixed point
+    (``pagerank(init_ranks=...)``) — after a small perturbation the
+    alpha^k contraction re-converges in a handful of supersteps instead
+    of a cold start's tens. PageRank is a GLOBAL fixed point, so each
+    superstep still touches the whole (cached, never re-shuffled) edge
+    table — the incremental win is the iteration count, not the per-
+    iteration cost; truly local updates need Monte-Carlo rank
+    maintenance (approximate), deliberately out of scope.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        alpha: float = 0.85,
+        tol: float = 1e-10,
+        max_iter: int = 100,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.alpha = alpha
+        self.tol = tol
+        self.max_iter = max_iter
+        self._edges_path = os.path.join(state_dir, "edges")
+        self._ranks_path = os.path.join(state_dir, "ranks")
+
+    def ranks(self) -> Optional[DataFrame]:
+        if os.path.exists(os.path.join(self._ranks_path, "_SUCCESS")):
+            return self.spark.read.parquet(self._ranks_path)
+        return None
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        from combblas_spark.algorithms.pagerank import pagerank
+
+        cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
+        cols.append(
+            F.col("w").cast("double")
+            if "w" in batch.columns
+            else F.lit(1.0).alias("w")
+        )
+        batch.select(*cols).write.mode("append").parquet(self._edges_path)
+        edges = self.spark.read.parquet(self._edges_path)
+        prev = self.ranks()
+        new_ranks = pagerank(
+            self.spark,
+            edges,
+            alpha=self.alpha,
+            tol=self.tol,
+            max_iter=self.max_iter,
+            init_ranks=prev,
+        )
+        tmp = self._ranks_path + f".tmp{batch_id}"
+        new_ranks.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            self._ranks_path
+        )
+
+    def run_stream(self, stream: DataFrame, checkpoint: Optional[str] = None):
+        """Attach to a streaming edge DataFrame via foreachBatch."""
+        return stream.writeStream.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).option(
+            "checkpointLocation",
+            checkpoint or os.path.join(self.state_dir, "_stream_ckpt"),
+        )

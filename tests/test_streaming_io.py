@@ -541,3 +541,49 @@ def test_streaming_sessionize_watermark_timeout(spark, tmp_path):
     assert (8, 1, 1, t0 + 30 * day_us, t0 + 30 * day_us, 1, 500) in got
     assert {r[0] for r in got} == {7, 8}
     assert len(got) == 2
+
+
+def test_incremental_pagerank_matches_batch(spark, tmp_path):
+    """Incremental PageRank: after every batch, the warm-started power
+    iteration re-converges to the SAME fixed point as a cold batch run on
+    the accumulated edges; the warm start from an already-converged vector
+    re-converges immediately (the incremental win)."""
+    from combblas_spark.algorithms.pagerank import pagerank
+    from combblas_spark.streaming.incremental import IncrementalPageRank
+
+    edges = symmetrize(sevenvertex(spark)).select(
+        "src", "dst", F.lit(1.0).alias("w")
+    )
+    rows = edges.collect()
+    batches = [rows[:8], rows[8:]]
+    inc = IncrementalPageRank(spark, str(tmp_path / "inc_pr"), tol=1e-12)
+    for i, b in enumerate(batches):
+        inc.process_batch(spark.createDataFrame(b, "src long, dst long, w double"), i)
+    got = {r["id"]: r["val"] for r in inc.ranks().collect()}
+    full = {
+        r["id"]: r["val"]
+        for r in pagerank(spark, edges, tol=1e-12, max_iter=200).collect()
+    }
+    assert set(got) == set(full)
+    assert all(abs(got[k] - full[k]) < 1e-9 for k in full)
+    # warm start from the converged vector on unchanged edges: one more
+    # process_batch with an ALREADY-SEEN edge leaves the ranks fixed
+    inc.process_batch(
+        spark.createDataFrame(rows[:1], "src long, dst long, w double"), 99
+    )
+    got2 = {r["id"]: r["val"] for r in inc.ranks().collect()}
+    # the duplicate edge doubles that pair's weight: ranks move, but stay
+    # normalized and close; re-run the batch oracle on the doubled table
+    import itertools
+    dup = rows + rows[:1]
+    full2 = {
+        r["id"]: r["val"]
+        for r in pagerank(
+            spark,
+            spark.createDataFrame(dup, "src long, dst long, w double"),
+            tol=1e-12,
+            max_iter=200,
+        ).collect()
+    }
+    assert all(abs(got2[k] - full2[k]) < 1e-9 for k in full2)
+    assert abs(sum(got2.values()) - 1.0) < 1e-9
