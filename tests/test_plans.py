@@ -397,3 +397,32 @@ def test_retention_no_window_two_column_scan(spark):
     rs = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "user_id" in rs and "ts" in rs
     assert "props" not in rs and "event_type" not in rs
+
+
+def test_exact_percentiles_no_cartesian_broadcast_lookup(spark):
+    """Percentile lookup is a broadcast join of ~|pcts| target ranks —
+    never a cartesian, never a single-partition global window."""
+    from combblas_spark.operators.kselect import exact_percentiles
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(exact_percentiles(ev, "value", [25, 50, 75], "event_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # no Window anywhere: ranks come from the sample sort + offsets
+    assert "Window" not in plan
+
+
+def test_grouped_percentiles_pruned_scan_no_window(spark):
+    from combblas_spark.operators.kselect import grouped_percentiles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    import pyspark.sql.functions as _F
+
+    d = docs.select(
+        "source", _F.length("text").cast("long").alias("n_chars"), "doc_id"
+    )
+    plan = _plan(grouped_percentiles(d, "source", "n_chars", [50], "doc_id"))
+    # no per-group Window, no cartesian: ranks come from the checkpointed
+    # sample sort (the plan reads the pinned RDD, hence no parquet scan to
+    # assert ReadSchema on), targets broadcast-join back
+    assert "Window" not in plan and "CartesianProduct" not in plan
