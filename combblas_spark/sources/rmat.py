@@ -88,3 +88,32 @@ def rmat_prepared(
     raw = rmat_edges(spark, scale, edgefactor, seed)
     dedup = raw.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     return symmetrize(remove_loops(dedup), add=F.sum)
+
+
+def uniform_edges(
+    spark: SparkSession,
+    num_vertices: int,
+    num_edges: int,
+    seed: int = 1,
+) -> DataFrame:
+    """Counter-based uniform G(n, m) (Erdős–Rényi with replacement) —
+    the flat-degree control graph next to rmat_edges' skewed one: edge i
+    is (xxhash64(i, seed) mod n, xxhash64(i, seed+1) mod n).
+
+    Pure Column expressions over spark.range (JVM-side, no Python, no
+    RNG state): identical output for ANY partition count, same
+    determinism contract as the R-MAT generator. Self-loops and
+    multi-edges occur as in the with-replacement model — strip with
+    remove_loops / distinct downstream if the experiment needs simple
+    graphs.
+    """
+    if num_vertices < 1 or num_edges < 0:
+        raise ValueError(f"bad G(n,m) sizes: n={num_vertices}, m={num_edges}")
+    import pyspark.sql.functions as F
+
+    e = spark.range(num_edges)
+    return e.select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(num_vertices)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(num_vertices)).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )

@@ -2761,3 +2761,22 @@ def test_robust_stats_known_and_python_oracle(spark):
     got = {r["g"]: (r["med"], r["mad"]) for r in robust_stats(df, "g", "v", "tb").collect()}
     for g in ("g0", "g1", "g2"):
         assert got[g] == py_robust([v for gg, v, _ in rows if gg == g])
+
+
+def test_uniform_edges_deterministic_and_bounded(spark):
+    from combblas_spark.sources.rmat import uniform_edges
+
+    a = sorted(map(tuple, uniform_edges(spark, 50, 300, seed=7).repartition(1).collect()))
+    b = sorted(map(tuple, uniform_edges(spark, 50, 300, seed=7).repartition(16).collect()))
+    assert a == b and len(a) == 300
+    assert all(0 <= s < 50 and 0 <= d < 50 for s, d, _ in a)
+    # different seed -> different graph
+    c = sorted(map(tuple, uniform_edges(spark, 50, 300, seed=8).collect()))
+    assert c != a
+    # roughly uniform: every vertex appears as an endpoint (600 draws on 50
+    # bins; P(miss) ~ 50 * (49/50)^600 ~ 3e-4)
+    seen = {s for s, _, _ in a} | {d for _, d, _ in a}
+    assert seen == set(range(50))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        uniform_edges(spark, 0, 10)
