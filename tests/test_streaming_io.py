@@ -574,7 +574,6 @@ def test_incremental_pagerank_matches_batch(spark, tmp_path):
     got2 = {r["id"]: r["val"] for r in inc.ranks().collect()}
     # the duplicate edge doubles that pair's weight: ranks move, but stay
     # normalized and close; re-run the batch oracle on the doubled table
-    import itertools
     dup = rows + rows[:1]
     full2 = {
         r["id"]: r["val"]
