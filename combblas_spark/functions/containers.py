@@ -1,7 +1,14 @@
 """Real MP4/MP3 CONTAINER parsing (pure stdlib — no codec libraries).
 
 The audio/video bitstream decode inside mp3/mp4 genuinely needs codec
-libraries this environment lacks and stays a declared stub — but the
+libraries this environment lacks and stays a declared stub. (Unlike
+baseline JPEG — functions/jpeg.py, whose tables are small canonical spec
+data — MP3 Layer III decode depends on ~34 raw Huffman code tables plus
+the 512-coefficient synthesis window from ISO 11172-3 Annexes that are
+TABLE data, not formulas: with no authoritative copy and no reference
+decoder in this sandbox, a from-memory transcription could not be
+verified and a silently-wrong decoder is strictly worse than an honest
+boundary. H.264 inside MP4 is out of scope outright.) But the
 CONTAINERS are plain structured metadata a data pipeline must read at
 scale (how long is this clip? how many frames? where do the sample bytes
 live?), and parsing them needs nothing beyond ``struct``:
