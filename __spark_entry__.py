@@ -1333,11 +1333,35 @@ def q_walks_ps(spark, sf):
     return random_walks(spark, e, seeds, length=WALKS_LEN)
 
 
-def _walks_sql(prefix: str, edges_cte: str, max_seed: int, length: int,
-               salt: str = "walk") -> str:
-    """Unrolled hash-priority walk: step s picks ROW_NUMBER()=1 ordered by
-    (md5(salt|walk_id|s|dst), dst) — identical to the Spark side's
-    MIN(struct(md5 priority, dst)) per walk."""
+WALK_PAIRS_WINDOW = 2
+
+
+def q_walk_pairs(spark, sf):
+    """DeepWalk skip-gram training pairs (algorithms/walks.
+    walk_cooccurrence) over the walks_ps corpus: symmetric window-2
+    (center, context) co-occurrence counts — the exact table a word2vec
+    trainer consumes. The oracle replays the same unrolled walks, then
+    counts ordered position pairs within the window."""
+    from combblas_spark.algorithms.walks import random_walks, walk_cooccurrence
+
+    e = part_supplier_graph(spark, sf)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("id") < WALKS_MAX_SEED)
+    return walk_cooccurrence(
+        random_walks(spark, e, seeds, length=WALKS_LEN),
+        window=WALK_PAIRS_WINDOW,
+    )
+
+
+def _walks_cte_parts(edges_cte: str, max_seed: int, length: int,
+                     salt: str = "walk") -> list:
+    """Shared CTE list for the unrolled hash-priority walk (w0..wLEN) —
+    used by both the walks_ps oracle and the walk_pairs co-occurrence
+    oracle so the two replay byte-identical walks."""
     parts = [
         f"""wverts AS (SELECT DISTINCT src AS id FROM {edges_cte}
            UNION SELECT DISTINCT dst FROM {edges_cte}),
@@ -1356,11 +1380,45 @@ w0 AS MATERIALIZED (
           FROM w{s-1} w JOIN {edges_cte} e ON e.src = w.vertex) c) x
   WHERE rn = 1)"""
         )
-    sel = "\nUNION ALL ".join(
+    return parts
+
+
+def _walks_steps_union(length: int) -> str:
+    return "\nUNION ALL ".join(
         f"SELECT walk_id, CAST({s} AS BIGINT) AS step, vertex FROM w{s}"
         for s in range(0, length + 1)
     )
-    return f"WITH {prefix},\n" + ",\n".join(parts) + "\n" + sel
+
+
+def _walks_sql(prefix: str, edges_cte: str, max_seed: int, length: int,
+               salt: str = "walk") -> str:
+    """Unrolled hash-priority walk: step s picks ROW_NUMBER()=1 ordered by
+    (md5(salt|walk_id|s|dst), dst) — identical to the Spark side's
+    MIN(struct(md5 priority, dst)) per walk."""
+    parts = _walks_cte_parts(edges_cte, max_seed, length, salt)
+    return (
+        f"WITH {prefix},\n" + ",\n".join(parts) + "\n"
+        + _walks_steps_union(length)
+    )
+
+
+def _walk_pairs_sql(prefix: str, edges_cte: str, max_seed: int, length: int,
+                    window: int, salt: str = "walk") -> str:
+    """Replays the SAME unrolled walks, then counts ordered skip-gram
+    position pairs within the window — every ordered (a, b) with
+    0 < |step_a - step_b| <= window, matching walk_cooccurrence's
+    forward-join + swap-union exactly."""
+    parts = _walks_cte_parts(edges_cte, max_seed, length, salt)
+    parts.append(f"wsteps AS MATERIALIZED ({_walks_steps_union(length)})")
+    return (
+        f"WITH {prefix},\n" + ",\n".join(parts)
+        + f"""
+SELECT a.vertex AS center, b.vertex AS context, CAST(COUNT(*) AS BIGINT) AS n
+FROM wsteps a JOIN wsteps b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND ABS(a.step - b.step) <= {window}
+GROUP BY 1, 2"""
+    )
 
 
 KCORE_K = 30
@@ -3547,12 +3605,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the r04-graded 50.
     return {
         # DRIVER-BUDGET ROTATION (the driver grades the FIRST 50 entries
-        # per round): final round -> the 50 of this round's 56 never-
-        # driver-graded queries lead; the 6 deferred ones (fixed-size
-        # outputs with hand-solved known-value pytests: kron_nation,
-        # graph_stats_ev, degree_hist_ps, cc_sizes_ps, rich_club_ev,
-        # props_stats) and the r03-rowed 23 ride on the check_oracle
-        # mirror, which sweeps ALL queries at both SFs.
+        # per round): final round -> 50 of this round's never-driver-
+        # graded queries lead; the deferred ones (fixed-size outputs with
+        # hand-solved known-value pytests — kron_nation, graph_stats_ev,
+        # degree_hist_ps, cc_sizes_ps, rich_club_ev, props_stats — plus
+        # the post-budget additions) and the r03-rowed 23 ride on the
+        # check_oracle mirror, which sweeps ALL queries at both SFs.
+        "walk_pairs": q_walk_pairs,
         "clustering_coeff": q_clustering_coeff,
         "sessionize": q_sessionize,
         "kmv_distinct": q_kmv_distinct,
@@ -5200,6 +5259,9 @@ SELECT s.rnk AS "rank", s.id, ROUND(s.val, 6) AS ppr,
              ELSE 1.0 END, 6) AS phi
 FROM swsweep s, swtv t""",
         "walks_ps": _walks_sql(PS_CTES, "edges", WALKS_MAX_SEED, WALKS_LEN),
+        "walk_pairs": _walk_pairs_sql(
+            PS_CTES, "edges", WALKS_MAX_SEED, WALKS_LEN, WALK_PAIRS_WINDOW
+        ),
         "bpe_pair_counts": """WITH pp AS (
               SELECT doc_id, unnest(p) AS piece, generate_subscripts(p, 1) AS ord
               FROM (SELECT doc_id,

@@ -62,6 +62,7 @@ HEADLINE = [
     # r4 kernels that previously missed the regression signal
     "ppr_ps",
     "walks_ps",
+    "walk_pairs",
     "neighbor_sample_ps",
     "pack_sequences",
     "simhash_pairs",

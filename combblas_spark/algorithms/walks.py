@@ -174,6 +174,48 @@ def random_walks(
         e.unpersist()
 
 
+def walk_cooccurrence(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram co-occurrence counts over a walk corpus — the step that
+    turns random_walks/node2vec_walks output into word2vec-style training
+    pairs (DeepWalk §4.2 trains SkipGram on exactly these): for every walk
+    and every position pair at distance 1..``window``, count the ordered
+    (center, context) pair. Both directions are emitted (SkipGram's
+    context window is symmetric), so n(a, b) == n(b, a).
+
+    -> (center, context, n BIGINT), n = number of co-occurrences across
+    the whole corpus.
+
+    Scale shape: NO per-walk array collection and NO window function —
+    contexts explode to ``window`` probe rows keyed (walk_id, step - d),
+    one hash equi-join on the composite (walk_id, step) matches them to
+    centers, and the count is a map-side-combinable aggregate keyed by
+    the (center, context) vocabulary pair, NOT by walk — skew is bounded
+    by vocabulary frequency exactly like a word-count. Dead-end walks
+    simply stop contributing probe rows (missing steps never match).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = walks.select("walk_id", "step", "vertex")
+    centers = w.select("walk_id", "step", F.col("vertex").alias("center"))
+    probes = w.select(
+        "walk_id",
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_d"),
+        F.col("step").alias("_cstep"),
+        F.col("vertex").alias("context"),
+    ).select(
+        "walk_id", (F.col("_cstep") - F.col("_d")).alias("step"), "context"
+    )
+    fwd = centers.join(probes, on=["walk_id", "step"]).select("center", "context")
+    both = fwd.unionByName(
+        fwd.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return both.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def negative_sample(
     spark: SparkSession,
     edges: DataFrame,

@@ -894,6 +894,40 @@ def test_random_walks_per_seed(spark):
     assert len({p[1] for p in by_walk.values()}) > 1
 
 
+def test_walk_cooccurrence_brute_force(spark):
+    """Skip-gram pairs over a hand-built corpus (one full walk, one
+    dead-end walk with a missing tail) match a positional brute force,
+    and the table is symmetric: n(a,b) == n(b,a)."""
+    from collections import Counter
+
+    from combblas_spark.algorithms.walks import walk_cooccurrence
+
+    corpus = {0: [10, 11, 12, 11, 10], 1: [20, 21]}  # walk 1 dead-ends
+    rows = [
+        (wid, step, v)
+        for wid, path in corpus.items()
+        for step, v in enumerate(path)
+    ]
+    walks = spark.createDataFrame(rows, "walk_id long, step long, vertex long")
+    for window in (1, 2):
+        want = Counter()
+        for path in corpus.values():
+            for i, a in enumerate(path):
+                for j, b in enumerate(path):
+                    if i != j and abs(i - j) <= window:
+                        want[(a, b)] += 1
+        got = {
+            (r["center"], r["context"]): r["n"]
+            for r in walk_cooccurrence(walks, window=window).collect()
+        }
+        assert got == dict(want)
+        assert all(got[(b, a)] == n for (a, b), n in got.items())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        walk_cooccurrence(walks, window=0)
+
+
 def test_bowtie_regions(spark):
     """Hand-built bow-tie: 3-cycle core, an IN tail feeding it, an OUT tail
     fed by it, and a disconnected tendril pair."""
