@@ -26,3 +26,7 @@ from combblas_spark.sources.bucketed import (  # noqa: F401
     write_bucketed,
     read_bucketed,
 )
+from combblas_spark.sources.jsonl import (  # noqa: F401
+    read_jsonl,
+    write_jsonl,
+)

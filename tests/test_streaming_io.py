@@ -586,3 +586,85 @@ def test_incremental_pagerank_matches_batch(spark, tmp_path):
     }
     assert all(abs(got2[k] - full2[k]) < 1e-9 for k in full2)
     assert abs(sum(got2.values()) - 1.0) < 1e-9
+
+
+# ------------------------------------------------------------- JSONL ingest
+
+DOC_SCHEMA = "doc_id long, text string, score double, tags array<string>"
+
+
+def _doc_schema():
+    import pyspark.sql.types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from combblas_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'quoted "text" with\nnewline', 0.5, ["a", "b"]),
+        (2, None, -1.25, []),
+        (3, "unicode é中", 0.0, None),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, p)
+    good, quar = read_jsonl(spark, p, _doc_schema())
+    assert quar.count() == 0
+    got = sorted(
+        (r["doc_id"], r["text"], r["score"], r["tags"]) for r in good.collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Malformed + type-drifted lines land verbatim in quarantine; valid
+    lines with MISSING fields are good rows with nulls (schema drift in
+    the lenient direction), not quarantine."""
+    from combblas_spark.sources.jsonl import read_jsonl
+
+    lines = [
+        '{"doc_id": 1, "text": "ok", "score": 1.0, "tags": ["x"]}',
+        '{"doc_id": 2, "text": "truncated", "score":',          # broken JSON
+        '{"doc_id": "not a number", "text": "drift", "score": 0}',  # type drift
+        '{"doc_id": 4}',                                        # missing fields
+        "not json at all",
+    ]
+    p = tmp_path / "mixed.jsonl"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    good, quar = read_jsonl(spark, str(p), _doc_schema())
+    got_good = {r["doc_id"]: r for r in good.collect()}
+    assert set(got_good) == {1, 4}
+    assert got_good[4]["text"] is None and got_good[4]["tags"] is None
+    got_bad = sorted(r["line"] for r in quar.collect())
+    assert got_bad == sorted([lines[1], lines[2], lines[4]])
+
+
+def test_jsonl_modes_and_validation(spark, tmp_path):
+    import pytest
+
+    from combblas_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnope\n', encoding="utf-8")
+    good, quar = read_jsonl(spark, str(p), _doc_schema(), mode="DROPMALFORMED")
+    assert quar.count() == 0
+    assert [r["doc_id"] for r in good.collect()] == [1]
+    good_ff, _ = read_jsonl(spark, str(p), _doc_schema(), mode="FAILFAST")
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        good_ff.collect()
+    with pytest.raises(ValueError, match="mode"):
+        read_jsonl(spark, str(p), _doc_schema(), mode="STRICT")
+    import pyspark.sql.types as T
+
+    clash = T.StructType([T.StructField("_corrupt_record", T.StringType())])
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, str(p), clash)
