@@ -46,6 +46,8 @@ from combblas_spark.sources.graphs import (
     nation_clique_graph,
     nation_star_graph,
     events_digraph,
+    preferential_graph,
+    PREF_N,
 )
 from combblas_spark.sources.corpus import build_vertices
 from combblas_spark.functions.text import (
@@ -150,6 +152,24 @@ thin_can AS MATERIALIZED (
           CAST(LEAST(src, dst) AS VARCHAR) || '|' ||
           CAST(GREATEST(src, dst) AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0
 )"""
+
+PREF_CTES = f"""
+pref_raw AS (
+  SELECT u, h2 % (u + 1) AS v FROM (
+    SELECT CAST(('0x' || substr(md5('pa|' || CAST(l_orderkey AS VARCHAR)
+             || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {PREF_N} AS u,
+           CAST(('0x' || substr(md5('pb|' || CAST(l_orderkey AS VARCHAR)
+             || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+             AS h2
+    FROM lineitem) x
+),
+pref_can AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+  FROM pref_raw WHERE u <> v),
+prefedges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pref_can
+  UNION ALL SELECT b AS src, a AS dst FROM pref_can)"""
 
 TOKS_CTES = """
 toklists AS MATERIALIZED (
@@ -1431,6 +1451,115 @@ def q_kcore_ps(spark, sf):
     from combblas_spark.algorithms.kcore import kcore
 
     return kcore(spark, part_supplier_graph(spark, sf), k=KCORE_K)
+
+
+DENSEST_NUM, DENSEST_DEN = 5, 4  # threshold factor 1+eps = 5/4
+DENSEST_ORACLE_ROUNDS = 40
+
+
+def q_densest_pref(spark, sf):
+    """Bahmani greedy densest-subgraph peel (algorithms/densest.py) on the
+    log-spread preferential graph (sources/graphs.preferential_graph —
+    the PS/events graphs' bimodal degrees collapse a density-adaptive
+    peel in one round, so the gradual-gradient fixture is the graded
+    one): per-round (round, n_vertices, m_edges, density) profile — the
+    densest row is a 2(1+eps)-approximation of the densest subgraph.
+    Exact-integer removal test, so the unrolled oracle replays the whole
+    trajectory bit-identically."""
+    from combblas_spark.algorithms.densest import densest_subgraph
+
+    e = preferential_graph(spark, sf)
+    prof, _members = densest_subgraph(
+        spark, e, num=DENSEST_NUM, den=DENSEST_DEN
+    )
+    return prof
+
+
+def _densest_sql(prefix: str, edges_cte: str, num: int, den: int,
+                 rounds: int) -> str:
+    """Unrolled density-adaptive peel: round r removes every vertex with
+    den*deg*n <= num*M (M = symmetric row count = 2m) — exact integers,
+    mirroring densest_subgraph. Rounds past the empty fixpoint emit no
+    profile row (WHERE M > 0)."""
+    parts = [
+        f"dd0 AS MATERIALIZED (SELECT src, dst FROM {edges_cte})",
+        "ds0 AS (SELECT COUNT(DISTINCT dst) AS n, COUNT(*) AS M FROM dd0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""dk{r} AS MATERIALIZED (
+  SELECT dst AS id FROM dd{r-1} GROUP BY dst
+  HAVING {den} * COUNT(*) * (SELECT n FROM ds{r-1})
+       > {num} * (SELECT M FROM ds{r-1})),
+dd{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM dd{r-1} e
+  JOIN dk{r} a ON e.src = a.id JOIN dk{r} b ON e.dst = b.id),
+ds{r} AS (SELECT COUNT(DISTINCT dst) AS n, COUNT(*) AS M FROM dd{r})"""
+        )
+    rows = "\nUNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, CAST(n AS BIGINT) AS n_vertices,
+       CAST(M // 2 AS BIGINT) AS m_edges, ROUND((M // 2) / n, 6) AS density
+FROM ds{r} WHERE M > 0"""
+        for r in range(0, rounds + 1)
+    )
+    return f"WITH {prefix},\n" + ",\n".join(parts) + "\n" + rows
+
+
+LOUVAIN_ROUNDS = 2
+
+
+def q_louvain_ps(spark, sf):
+    """Synchronized Louvain phase-1 (algorithms/louvain.louvain_moves) on
+    the simple part—supplier graph: exact-integer modularity-gain argmax
+    moves from singleton communities, LOUVAIN_ROUNDS rounds -> (id, comm).
+    The modularity-OPTIMIZING counterpart to labelprop_ps."""
+    from combblas_spark.algorithms.louvain import louvain_moves
+
+    e = part_supplier_graph(spark, sf).select("src", "dst")
+    return louvain_moves(spark, e, rounds=LOUVAIN_ROUNDS)
+
+
+def _louvain_sql(prefix: str, edges_cte: str, rounds: int) -> str:
+    """Unrolled synchronized Louvain phase-1: round r scores every
+    (vertex, candidate community) with the exact-int64 gain ordering
+    score = M*kic - k*(tot - [own]*k) and takes ROW_NUMBER()=1 over
+    (score DESC, own DESC, comm ASC) — byte-identical to louvain_moves."""
+    parts = [
+        f"""lkdeg AS MATERIALIZED (
+  SELECT dst AS id, COUNT(*) AS k FROM {edges_cte} GROUP BY dst),
+lm AS (SELECT COUNT(*) AS M FROM {edges_cte}),
+la0 AS MATERIALIZED (SELECT id, id AS comm FROM lkdeg)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""ltot{r} AS MATERIALIZED (
+  SELECT a.comm, SUM(d.k) AS tot FROM la{r-1} a
+  JOIN lkdeg d ON d.id = a.id GROUP BY a.comm),
+lkic{r} AS MATERIALIZED (
+  SELECT e.src AS id, a.comm, COUNT(*) AS kic
+  FROM {edges_cte} e JOIN la{r-1} a ON a.id = e.dst GROUP BY 1, 2),
+lcand{r} AS (
+  SELECT id, comm, MAX(kic) AS kic FROM (
+    SELECT id, comm, kic FROM lkic{r}
+    UNION ALL SELECT id, comm, 0 FROM la{r-1}) u GROUP BY 1, 2),
+la{r} AS MATERIALIZED (
+  SELECT id, comm FROM (
+    SELECT c.id, c.comm, ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+        (SELECT M FROM lm) * c.kic
+          - d.k * (t.tot - CASE WHEN c.comm = o.comm THEN d.k ELSE 0 END)
+          DESC,
+        CASE WHEN c.comm = o.comm THEN 1 ELSE 0 END DESC,
+        c.comm ASC) AS rn
+    FROM lcand{r} c
+    JOIN la{r-1} o ON o.id = c.id
+    JOIN lkdeg d ON d.id = c.id
+    JOIN ltot{r} t ON t.comm = c.comm) x
+  WHERE rn = 1)"""
+        )
+    return (
+        f"WITH {prefix},\n" + ",\n".join(parts)
+        + f"\nSELECT id, CAST(comm AS BIGINT) AS comm FROM la{rounds}"
+    )
 
 
 CORENESS_KS = (8, 16, 32)
@@ -3612,6 +3741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the post-budget additions) and the r03-rowed 23 ride on the
         # check_oracle mirror, which sweeps ALL queries at both SFs.
         "walk_pairs": q_walk_pairs,
+        "louvain_ps": q_louvain_ps,
+        "densest_pref": q_densest_pref,
         "clustering_coeff": q_clustering_coeff,
         "sessionize": q_sessionize,
         "kmv_distinct": q_kmv_distinct,
@@ -5221,6 +5352,11 @@ WHERE cm.n_common * 3 >= (na.n + nb.n) * 1""",
             JOIN lab n ON n.vec_id = a.neighbor_id
             GROUP BY q.lab""",
         "kcore_ps": _kcore_sql(PS_CTES, "edges", KCORE_K, KCORE_ORACLE_ROUNDS),
+        "densest_pref": _densest_sql(
+            PREF_CTES, "prefedges", DENSEST_NUM, DENSEST_DEN,
+            DENSEST_ORACLE_ROUNDS
+        ),
+        "louvain_ps": _louvain_sql(PS_CTES, "edges", LOUVAIN_ROUNDS),
         "coreness_ps": _coreness_sql(
             PS_CTES, "edges", CORENESS_KS, KCORE_ORACLE_ROUNDS
         ),

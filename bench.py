@@ -54,6 +54,8 @@ HEADLINE = [
     "repetition_stats",
     "bpe_pair_counts",
     "kcore_ps",
+    "louvain_ps",
+    "densest_pref",
     "hits_ps",
     "ktruss_ev",
     "scc_ev",

@@ -50,3 +50,5 @@ from combblas_spark.algorithms.incremental_mcl import (  # noqa: F401
 )
 from combblas_spark.algorithms.motifs import triad_motifs  # noqa: F401
 from combblas_spark.algorithms.eigencentrality import eigenvector_centrality  # noqa: F401
+from combblas_spark.algorithms.densest import densest_subgraph  # noqa: F401
+from combblas_spark.algorithms.louvain import louvain_moves  # noqa: F401

@@ -118,6 +118,45 @@ def events_thinned_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return can.filter(h % 5 == 0)
 
 
+PREF_N = 1000
+
+
+def preferential_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-analog of a random recursive tree over PREF_N
+    vertices: each lineitem row contributes an edge (u, v) with
+    u = h('pa|key') % N uniform and v = h('pb|key') % (u+1) uniform on
+    [0, u] — so low-id vertices accumulate degree ~ (m/N)(1 + ln(N/id)),
+    a SMOOTH log-spread tail. The PS / events / star graphs all have
+    bimodal hub-vs-leaf degrees, which density-adaptive peels
+    (algorithms/densest.py) collapse in one round; this is the fixture
+    with a gradual degree gradient. md5-60bit keeps it engine-portable
+    (the RandPerm trick, operators/indexing.py). Returned as a SIMPLE
+    SYMMETRIC edge list (src, dst), one row per direction."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+
+    def h60(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), key)), 1, 15), 16, 10
+        ).cast("long")
+
+    raw = li.select(
+        (h60("pa") % PREF_N).alias("u"), h60("pb").alias("h2")
+    ).select("u", (F.col("h2") % (F.col("u") + 1)).alias("v"))
+    can = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    return can.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        can.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
 def nation_star_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-skew star forest: every customer and supplier linked to its
     nation (ids offset). Exactly 25 star components; the nation vertices are

@@ -1036,3 +1036,113 @@ def test_eigenvector_centrality_validates_iters(spark):
     edges = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, w double")
     with _pytest.raises(ValueError):
         eigenvector_centrality(spark, edges, num_iters=0)
+
+
+# ---------------------------------------------- densest subgraph / louvain
+
+def _peel_replay(pairs, num, den):
+    """Pure-python Bahmani peel on a symmetric directed-pair set."""
+    from collections import Counter
+
+    edges = set(pairs)
+    prof, best, r = [], None, 0
+    while edges:
+        verts = {d for _, d in edges}
+        n, big_m = len(verts), len(edges)
+        prof.append((r, n, big_m // 2))
+        if best is None or (big_m // 2) * best[1] > best[0] * n:
+            best = (big_m // 2, n, set(verts))
+        deg = Counter(d for _, d in edges)
+        keep = {v for v in verts if den * deg[v] * n > num * big_m}
+        edges = {(s, d) for s, d in edges if s in keep and d in keep}
+        r += 1
+    return prof, best[2]
+
+
+def _sym(pairs):
+    return sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+
+
+def test_densest_planted_clique(spark):
+    """K8 + a 10-path + one bridge: the peel strips the path first and the
+    best round is exactly the clique (density 3.5 vs 2.11 full-graph)."""
+    import pytest
+    from combblas_spark.algorithms.densest import densest_subgraph
+
+    clique = [(100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)]
+    path = [(i, i + 1) for i in range(9)]
+    pairs = _sym(clique + path + [(9, 100)])
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    prof, members = densest_subgraph(spark, e, num=5, den=4)
+    got = sorted(
+        (r["round"], r["n_vertices"], r["m_edges"], r["density"])
+        for r in prof.collect()
+    )
+    want_prof, want_members = _peel_replay(pairs, 5, 4)
+    assert [(r, n, m) for r, n, m, _ in got] == want_prof
+    for (_, n, m, dens), _w in zip(got, want_prof):
+        assert dens == pytest.approx(m / n, abs=1e-6)
+    assert sorted(r["id"] for r in members.collect()) == sorted(want_members)
+    assert sorted(want_members) == [100 + i for i in range(8)]
+    with pytest.raises(ValueError):
+        densest_subgraph(spark, e, num=2, den=2)
+
+
+def _louvain_replay(pairs, rounds):
+    from collections import Counter
+
+    deg = Counter(d for _, d in pairs)
+    big_m = len(pairs)
+    comm = {v: v for v in deg}
+    for _ in range(rounds):
+        tot = Counter()
+        for v, c in comm.items():
+            tot[c] += deg[v]
+        kic = Counter()
+        for s, d in pairs:
+            kic[(s, comm[d])] += 1
+        new = {}
+        for v in deg:
+            cands = {c for (i, c) in kic if i == v} | {comm[v]}
+            best = None
+            for c in sorted(cands):
+                own = c == comm[v]
+                score = big_m * kic.get((v, c), 0) - deg[v] * (
+                    tot[c] - (deg[v] if own else 0)
+                )
+                key = (score, 1 if own else 0, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            new[v] = best[1]
+        comm = new
+    return comm
+
+
+def test_louvain_moves_replay(spark):
+    """Two triangles + bridge: synchronized integer-score moves match the
+    pure-python replay for 1 and 2 rounds; partition-count invariant."""
+    import pytest
+    from combblas_spark.algorithms.louvain import louvain_moves
+
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    pairs = _sym(tri1 + tri2 + [(2, 10)])
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    for rounds in (1, 2):
+        got = {
+            r["id"]: r["comm"]
+            for r in louvain_moves(spark, e, rounds=rounds).collect()
+        }
+        assert got == _louvain_replay(pairs, rounds)
+    got1 = {
+        r["id"]: r["comm"]
+        for r in louvain_moves(spark, e.repartition(7), rounds=2).collect()
+    }
+    assert got1 == _louvain_replay(pairs, 2)
+    # triangles end up internally merged: each triangle maps into <= 2
+    # communities and the two triangles never share one
+    c1 = {got1[v] for v in (0, 1, 2)}
+    c2 = {got1[v] for v in (10, 11, 12)}
+    assert not (c1 & c2)
+    with pytest.raises(ValueError):
+        louvain_moves(spark, e, rounds=0)
