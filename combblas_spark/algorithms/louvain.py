@@ -44,6 +44,54 @@ import pyspark.sql.functions as F
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
+def louvain_round(
+    e: DataFrame, asg: DataFrame, deg: DataFrame, big_m: int
+) -> DataFrame:
+    """One synchronized move round: (id, comm) -> (id, comm). Exposed so
+    the physical plan of a single round is assertable (tests/test_plans):
+    equi-joins + two aggs + one per-vertex argmax window, no cartesian."""
+    tot = (
+        asg.join(deg, on="id")
+        .groupBy("comm")
+        .agg(F.sum("k").alias("tot"))
+    )
+    a_dst = asg.select(F.col("id").alias("dst"), "comm")
+    kic = (
+        e.join(a_dst, on="dst")
+        .groupBy(F.col("src").alias("id"), "comm")
+        .agg(F.count(F.lit(1)).cast("long").alias("kic"))
+    )
+    # own community is always a candidate, even with zero neighbors
+    # inside it (staying put must be scoreable)
+    cand = (
+        kic.unionByName(
+            asg.select("id", "comm", F.lit(0).cast("long").alias("kic"))
+        )
+        .groupBy("id", "comm")
+        .agg(F.max("kic").alias("kic"))
+    )
+    own = asg.select("id", F.col("comm").alias("_own"))
+    scored = (
+        cand.join(own, on="id")
+        .join(tot, on="comm")
+        .join(deg, on="id")
+        .withColumn("_is_own", (F.col("comm") == F.col("_own")).cast("int"))
+        .withColumn(
+            "_score",
+            F.lit(big_m) * F.col("kic")
+            - F.col("k") * (F.col("tot") - F.col("_is_own") * F.col("k")),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("_score").desc(), F.col("_is_own").desc(), F.col("comm").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "comm")
+    )
+
+
 def louvain_moves(
     spark: SparkSession,
     edges: DataFrame,
@@ -69,47 +117,7 @@ def louvain_moves(
         )
         asg = runner.truncate(deg.select("id", F.col("id").alias("comm")))
         for _ in range(rounds):
-            tot = (
-                asg.join(deg, on="id")
-                .groupBy("comm")
-                .agg(F.sum("k").alias("tot"))
-            )
-            a_dst = asg.select(F.col("id").alias("dst"), "comm")
-            kic = (
-                e.join(a_dst, on="dst")
-                .groupBy(F.col("src").alias("id"), "comm")
-                .agg(F.count(F.lit(1)).cast("long").alias("kic"))
-            )
-            # own community is always a candidate, even with zero
-            # neighbors inside it (staying put must be scoreable)
-            cand = (
-                kic.unionByName(
-                    asg.select("id", "comm", F.lit(0).cast("long").alias("kic"))
-                )
-                .groupBy("id", "comm")
-                .agg(F.max("kic").alias("kic"))
-            )
-            own = asg.select("id", F.col("comm").alias("_own"))
-            scored = (
-                cand.join(own, on="id")
-                .join(tot, on="comm")
-                .join(deg, on="id")
-                .withColumn("_is_own", (F.col("comm") == F.col("_own")).cast("int"))
-                .withColumn(
-                    "_score",
-                    F.lit(big_m) * F.col("kic")
-                    - F.col("k")
-                    * (F.col("tot") - F.col("_is_own") * F.col("k")),
-                )
-            )
-            w = Window.partitionBy("id").orderBy(
-                F.col("_score").desc(), F.col("_is_own").desc(), F.col("comm").asc()
-            )
-            asg = runner.truncate(
-                scored.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("id", "comm")
-            )
+            asg = runner.truncate(louvain_round(e, asg, deg, big_m))
         return asg
     finally:
         e.unpersist()

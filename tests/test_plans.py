@@ -426,3 +426,36 @@ def test_grouped_percentiles_pruned_scan_no_window(spark):
     # sample sort (the plan reads the pinned RDD, hence no parquet scan to
     # assert ReadSchema on), targets broadcast-join back
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_louvain_round_is_hash_join_shaped(spark):
+    """A Louvain move round must stay equi-join + agg + ONE argmax window:
+    a cartesian means a join key was lost, a second window means the
+    argmax degenerated into a global sort somewhere."""
+    from combblas_spark.algorithms.louvain import louvain_round
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    e = part_supplier_graph(spark, SF).select("src", "dst")
+    deg = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    asg = deg.select("id", F.col("id").alias("comm"))
+    plan = _plan(louvain_round(e, asg, deg, 4242))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("- Window [") == 1  # the operator node, once
+
+
+def test_densest_output_is_truncated_no_cartesian(spark):
+    """The peel runs eagerly (counts per round); the returned profile is
+    a tiny createDataFrame and members a truncated vertex scan — neither
+    may drag a join chain or cartesian behind it."""
+    from combblas_spark.algorithms.densest import densest_subgraph
+    from combblas_spark.sources.graphs import preferential_graph
+
+    prof, members = densest_subgraph(spark, preferential_graph(spark, SF))
+    for df in (prof, members):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in _plan(members)  # truncated snapshot
+    spark.catalog.clearCache()
