@@ -2624,6 +2624,102 @@ def q_fingerprint(spark, sf):
     return fingerprint(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
+def _pii_dirty_text(k, name):
+    """Deterministic dirty-text synthesis (both engines build the IDENTICAL
+    string from customer columns): always one email + one phone, an ipv4
+    on even keys, a second email on keys % 3 == 0, and a decoy
+    ('broken@@nope', must NOT match) on keys % 5 == 0."""
+    return F.concat(
+        F.lit("contact "), name,
+        F.lit(" <c"), k.cast("string"), F.lit("@example.com>"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit(" alt"), k.cast("string"), F.lit("@mail.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit(" ip 10."), (k % 200).cast("string"),
+                F.lit("."), (k % 250).cast("string"),
+                F.lit("."), (k % 100).cast("string"),
+            ),
+        ).otherwise(F.lit(" ip none")),
+        F.when(k % 5 == 0, F.lit(" broken@@nope")).otherwise(F.lit("")),
+        F.lit(" tel "), (k % 90 + 10).cast("string"),
+        F.lit("-"), (k % 900 + 100).cast("string"),
+        F.lit("-"), (k % 900 + 100).cast("string"),
+        F.lit("-"), (k % 9000 + 1000).cast("string"),
+    )
+
+
+def q_pii_scan(spark, sf):
+    """PII screening + redaction (functions/text.pii_scan / pii_redact)
+    over deterministically synthesized dirty customer text: per market
+    segment, document count, email/ipv4/phone hit totals and total
+    redacted length — the scrub-accounting table a curation pipeline
+    reports. Engine-portable regexes (char classes + bounded repetition
+    only), counts on the original text, redaction chained in
+    PII_PATTERNS order."""
+    from combblas_spark.functions.text import pii_scan, pii_redact
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    d = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        _pii_dirty_text(F.col("c_custkey"), F.col("c_name")).alias("text"),
+    )
+    d = pii_redact(pii_scan(d))
+    return d.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_ipv4").cast("long").alias("ipv4s"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum(F.length("redacted")).cast("long").alias("red_chars"),
+    )
+
+
+def _pii_sql() -> str:
+    """Mirrors q_pii_scan: same synthesized text, DuckDB regex functions
+    (len(regexp_extract_all) for counts, regexp_replace(..., 'g') chained
+    in PII_PATTERNS order for redaction)."""
+    from combblas_spark.functions.text import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    red = "text"
+    for name, pat, rep in PII_PATTERNS:
+        red = "regexp_replace(" + red + ", '" + pat + "', '" + rep + "', 'g')"
+    return """WITH pii_src AS (
+  SELECT c_mktsegment AS segment,
+         'contact ' || c_name || ' <c' || CAST(c_custkey AS VARCHAR)
+         || '@example.com>'
+         || CASE WHEN c_custkey % 3 = 0
+                 THEN ' alt' || CAST(c_custkey AS VARCHAR) || '@mail.org'
+                 ELSE '' END
+         || CASE WHEN c_custkey % 2 = 0
+                 THEN ' ip 10.' || CAST(c_custkey % 200 AS VARCHAR)
+                   || '.' || CAST(c_custkey % 250 AS VARCHAR)
+                   || '.' || CAST(c_custkey % 100 AS VARCHAR)
+                 ELSE ' ip none' END
+         || CASE WHEN c_custkey % 5 = 0 THEN ' broken@@nope' ELSE '' END
+         || ' tel ' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+         || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+         || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+         || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR) AS text
+  FROM customer),
+pii_cnt AS (
+  SELECT segment,
+         len(regexp_extract_all(text, '""" + pats["email"] + """')) AS n_email,
+         len(regexp_extract_all(text, '""" + pats["ipv4"] + """')) AS n_ipv4,
+         len(regexp_extract_all(text, '""" + pats["phone"] + """')) AS n_phone,
+         LENGTH(""" + red + """) AS rlen
+  FROM pii_src)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(rlen) AS BIGINT) AS red_chars
+FROM pii_cnt GROUP BY segment"""
+
+
 # the driver's synthetic embeddings are random (same-bucket cosine tops out
 # ~0.45), so a production-style 0.9 near-dup cut would select nothing; 0.3
 # keeps the bucket-join + threshold semantics exercised on the upper tail
@@ -3743,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_pairs": q_walk_pairs,
         "louvain_ps": q_louvain_ps,
         "densest_pref": q_densest_pref,
+        "pii_scan": q_pii_scan,
         "clustering_coeff": q_clustering_coeff,
         "sessionize": q_sessionize,
         "kmv_distinct": q_kmv_distinct,
@@ -5357,6 +5454,7 @@ WHERE cm.n_common * 3 >= (na.n + nb.n) * 1""",
             DENSEST_ORACLE_ROUNDS
         ),
         "louvain_ps": _louvain_sql(PS_CTES, "edges", LOUVAIN_ROUNDS),
+        "pii_scan": _pii_sql(),
         "coreness_ps": _coreness_sql(
             PS_CTES, "edges", CORENESS_KS, KCORE_ORACLE_ROUNDS
         ),

@@ -52,6 +52,7 @@ HEADLINE = [
     # repetition quality signals, tokenizer-training pair scan
     "dedup_clusters",
     "repetition_stats",
+    "pii_scan",
     "bpe_pair_counts",
     "kcore_ps",
     "louvain_ps",

@@ -876,3 +876,43 @@ def pmi_pairs(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("pair_a").asc(), F.col("pair_b").asc()
     ).limit(k)
+
+
+# ------------------------------------------------------------------- PII
+
+# Engine-portable scrub patterns: character classes + bounded repetition
+# only — no \d, \b, backreferences or alternation, so Java regex (Spark)
+# and RE2 (DuckDB) match IDENTICAL spans (leftmost-first vs
+# leftmost-longest coincide when the pattern has no alternation).
+# Ordered: redaction applies top-to-bottom (emails first so their digit
+# runs can't be half-eaten by the phone pass).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"([0-9]{1,3}[.]){3}[0-9]{1,3}", "[IP]"),
+    ("phone", r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+)
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII hit counts: appends one BIGINT column per pattern
+    (n_email, n_ipv4, n_phone) — the screening pass a curation pipeline
+    thresholds or routes on. Pure regexp_count Column expressions
+    (JVM-side, codegen); counts are over the ORIGINAL text.
+    """
+    out = docs
+    for name, pat, _rep in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+    return out
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Appends ``out_col``: the text with every PII span replaced by its
+    typed placeholder, applied in PII_PATTERNS order (all occurrences,
+    matching DuckDB regexp_replace(..., 'g'))."""
+    col = F.col(text_col)
+    for _name, pat, rep in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, rep)
+    return docs.withColumn(out_col, col)

@@ -253,3 +253,31 @@ def test_zipf_stats_exact_fit(spark):
     varx = sum(x * x for x in xs) / n - (sum(xs) / n) ** 2
     cov = sum(x * y for x, y in zip(xs, ys)) / n - (sum(xs) / n) * (sum(ys) / n)
     assert abs(row["zipf_slope"] - cov / varx) < 1e-5
+
+
+# -------------------------------------------------------------------- PII
+
+def test_pii_scan_and_redact_hand_cases(spark):
+    """Hand-built rows: multi-hit counting, decoys that must NOT match
+    (no-TLD email, double-@, 3-dot-short ip, short phone), and exact
+    redacted strings."""
+    from combblas_spark.functions.text import pii_scan, pii_redact
+
+    rows = [
+        (0, "mail a@b.com and c.d+x@e-f.org, ip 192.168.0.1 tel 12-345-678-9012"),
+        (1, "no pii here, just 1.2.3 and 12-345-678 and user@@host and a@b"),
+        (2, "edge <z@q.io> 10.0.0.255 10.0.0.256 is still two ips"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"], r["redacted"])
+        for r in pii_redact(pii_scan(df)).collect()
+    }
+    assert got[0] == (2, 1, 1, "mail [EMAIL] and [EMAIL], ip [IP] tel [PHONE]")
+    assert got[1][:3] == (0, 0, 0)
+    assert got[1][3] == rows[1][1]  # untouched
+    # 10.0.0.256 still MATCHES the syntactic pattern (256 is 3 digits) —
+    # the scrubber is deliberately over-broad, never under-broad
+    assert got[2] == (1, 2, 0, "edge <[EMAIL]> [IP] [IP] is still two ips")
+    assert got[3] == (0, 0, 0, "")
