@@ -3470,6 +3470,54 @@ def q_asof_ev(spark, sf):
     )
 
 
+INCIDENT_W_US = 1_800_000_000  # 30-minute incident window (shared w/ oracle)
+
+
+def q_incident_events(spark, sf):
+    """Point-in-interval join (operators/interval.interval_join): every
+    non-error event inside the 30-minute incident window opened by a
+    same-user error event — intervals replicate to their time-grid cells,
+    each point equi-joins its single cell, exact range verify; never a
+    per-user history cross product."""
+    from combblas_spark.operators.interval import interval_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `ts`)"
+        )
+    else:
+        us = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        us.alias("us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    pts = base.filter(F.col("event_type") != "error").select(
+        "user_id", F.col("us").alias("ts_us"), "event_id", "event_type", "vm"
+    )
+    iv = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("us").alias("w_start"),
+        (F.col("us") + F.lit(INCIDENT_W_US)).alias("w_end"),
+    )
+    out = interval_join(
+        pts, iv, key="user_id", ts="ts_us", start="w_start", end="w_end",
+        bucket=INCIDENT_W_US,
+    )
+    return out.select(
+        "event_id",
+        "incident_id",
+        "user_id",
+        (F.col("ts_us") - F.col("w_start")).cast("long").alias("lag_us"),
+        "event_type",
+        "vm",
+    )
+
+
 SIMRANK_ITERS = 2   # shared Spark/oracle SimRank iteration count
 SIMRANK_C = 0.8
 TRUST_SEEDS = [0, 1, 2]  # trusted users for TrustRank / spam mass
@@ -3836,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degree_hist_ps, cc_sizes_ps, rich_club_ev, props_stats — plus
         # the post-budget additions) and the r03-rowed 23 ride on the
         # check_oracle mirror, which sweeps ALL queries at both SFs.
+        "incident_events": q_incident_events,
         "walk_pairs": q_walk_pairs,
         "louvain_ps": q_louvain_ps,
         "densest_pref": q_densest_pref,
@@ -4087,6 +4136,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, us, asof_us, us - asof_us AS gap_us,
                    asof_vm
             FROM filled WHERE side = 1""",
+        "incident_events": f"""
+            WITH base AS MATERIALIZED (
+              SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us,
+                     CAST(event_id AS BIGINT) AS event_id, event_type,
+                     CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+              FROM events)
+            SELECT p.event_id, i.event_id AS incident_id, p.user_id,
+                   p.us - i.us AS lag_us, p.event_type, p.vm
+            FROM base p JOIN base i ON p.user_id = i.user_id
+            WHERE i.event_type = 'error' AND p.event_type <> 'error'
+              AND p.us >= i.us AND p.us <= i.us + {INCIDENT_W_US}""",
         "cms_heavy": f"""WITH {TOKS_CTES},
             tokstream AS MATERIALIZED (
               SELECT unnest(toks) AS tok FROM toklists),

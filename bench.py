@@ -116,6 +116,7 @@ HEADLINE = [
     "cms_heavy",
     "temporal_wedges_ev",
     "asof_ev",
+    "incident_events",
     "simrank_ev",
     "spam_mass_ev",
     "bm25_topk",

@@ -1,6 +1,6 @@
-"""As-of join — attach the latest prior reference row to each probe row.
+"""Temporal joins — as-of (latest prior row) and point-in-interval.
 
-The canonical temporal join of event pipelines (and of every tick-data
+The as-of join is the canonical temporal join of event pipelines (and of every tick-data
 store): for each left row at time t, the right row with the greatest
 timestamp <= t within the same key. The scalable idiom is NOT a join at
 all — a join keyed only by user pairs every probe with the whole reference
@@ -67,4 +67,67 @@ def asof_latest(
     )
     return filled.filter(F.col("_side") == 1).select(
         *lcols, *[f"asof_{c}" for c in carry]
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket: int,
+    max_buckets: int = 64,
+) -> DataFrame:
+    """Point-in-interval join — every (points row, intervals row) pair on
+    the same ``key`` with start <= ts <= end (both ends inclusive), the
+    other half of the temporal-join family next to :func:`asof_latest`.
+
+    The scalable idiom is the bucketed range join (the same grid trick as
+    algorithms/temporal.temporal_wedges, generalized to caller-supplied
+    intervals): each interval replicates to the time-grid cells
+    floor(start/bucket)..floor(end/bucket) it overlaps, each point lands in
+    exactly ONE cell, and the join is a plain EQUI-join on (key, cell)
+    followed by the exact range verify — never a per-key cross product
+    against the whole interval history, and no pair can match twice
+    because the point's single cell meets each interval's replica set at
+    most once. Cost = |points| + sum of per-interval cell counts; pick
+    ``bucket`` near the typical interval length so that sum stays O(2x
+    |intervals|). An interval longer than ``max_buckets`` cells (or with
+    end < start) raises AT EXECUTION via raise_error inside the cell
+    expression — silent truncation would return wrong answers, and a
+    driver-side validation would force an extra action over the table.
+
+    ``points`` and ``intervals`` must share ONLY the ``key`` column name;
+    all other columns of both sides are carried through unchanged.
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket must be > 0, got {bucket}")
+    overlap = (set(points.columns) & set(intervals.columns)) - {key}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    b = F.lit(int(bucket)).cast("long")
+    c0 = F.floor(F.col(start) / b)
+    c1 = F.floor(F.col(end) / b)
+    cells = F.when(
+        (F.col(end) >= F.col(start)) & (c1 - c0 < int(max_buckets)),
+        F.sequence(c0, c1),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: interval spans >= {max_buckets} buckets "
+                    f"of {bucket} (or end < start) at {key}="
+                ),
+                F.col(key).cast("string"),
+            )
+        )
+    )
+    iv = intervals.withColumn("_cell", F.explode(cells))
+    pt = points.withColumn("_cell", F.floor(F.col(ts) / b))
+    return (
+        pt.join(iv, on=[key, "_cell"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_cell")
     )

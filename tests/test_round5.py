@@ -8,6 +8,7 @@ import hashlib
 from itertools import combinations
 
 import pyspark.sql.functions as F
+import pytest
 
 from combblas_spark.algorithms.clustering import (
     clustering_coefficient,
@@ -1650,6 +1651,93 @@ def test_asof_latest_simultaneous_tiebreak(spark):
     r = asof_latest(left, right, key="user_id", ts="us",
                     tiebreak="event_id", carry=["vm"]).collect()[0]
     assert r["asof_vm"] == 222
+
+
+def test_interval_join_hand_case(spark):
+    from combblas_spark.operators.interval import interval_join
+
+    # bucket=10. interval A [5, 24] spans cells 0,1,2; B [20, 20] is a
+    # point interval; C belongs to another key. Points probe one cell
+    # each; ends are inclusive on both sides.
+    pts = spark.createDataFrame(
+        [(1, 5, 100), (1, 24, 101), (1, 25, 102), (1, 20, 103), (2, 7, 104)],
+        "k long, t long, pid long",
+    )
+    iv = spark.createDataFrame(
+        [(1, 5, 24, 10), (1, 20, 20, 11), (2, 0, 3, 12)],
+        "k long, s long, e long, iid long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, iv, key="k", ts="t", start="s", end="e",
+                               bucket=10).collect()
+    )
+    assert got == [(100, 10), (101, 10), (103, 10), (103, 11)]
+
+
+def test_interval_join_brute_force_and_bucket_invariance(spark):
+    """interval_join == the O(n^2) range predicate, for EVERY bucket size
+    (the grid is an execution detail, never a semantics knob)."""
+    from combblas_spark.operators.interval import interval_join
+
+    # deterministic pseudo-random fixture via a toy LCG
+    x, pts, ivs = 1, [], []
+    for i in range(120):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        pts.append((x % 4, (x >> 8) % 200, i))
+    for i in range(40):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        s = (x >> 8) % 200
+        ivs.append((x % 4, s, s + (x >> 20) % 45, 1000 + i))
+    want = sorted(
+        (pid, iid)
+        for (pk, t, pid) in pts
+        for (ik, s, e, iid) in ivs
+        if pk == ik and s <= t <= e
+    )
+    assert want  # fixture must actually exercise matches
+    p = spark.createDataFrame(pts, "k long, t long, pid long")
+    v = spark.createDataFrame(ivs, "k long, s long, e long, iid long")
+    for bucket in (7, 45, 1000):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(p, v, key="k", ts="t", start="s", end="e",
+                                   bucket=bucket).collect()
+        )
+        assert got == want, f"bucket={bucket}"
+
+
+def test_interval_join_rejects_bad_intervals(spark):
+    from combblas_spark.operators.interval import interval_join
+
+    p = spark.createDataFrame([(1, 5, 0)], "k long, t long, pid long")
+    # end < start raises at execution (never a silent empty result)
+    v_rev = spark.createDataFrame([(1, 9, 3, 0)], "k long, s long, e long, iid long")
+    with pytest.raises(Exception, match="interval_join"):
+        interval_join(p, v_rev, key="k", ts="t", start="s", end="e",
+                      bucket=10).collect()
+    # an interval spanning >= max_buckets cells raises (no silent truncation)
+    v_long = spark.createDataFrame([(1, 0, 1000, 0)], "k long, s long, e long, iid long")
+    with pytest.raises(Exception, match="interval_join"):
+        interval_join(p, v_long, key="k", ts="t", start="s", end="e",
+                      bucket=10, max_buckets=4).collect()
+    # non-key column collision is a driver-side ValueError
+    v_clash = spark.createDataFrame([(1, 0, 9, 7)], "k long, s long, e long, pid long")
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(p, v_clash, key="k", ts="t", start="s", end="e", bucket=10)
+
+
+def test_interval_join_plan_no_cartesian(spark):
+    from combblas_spark.operators.interval import interval_join
+
+    p = spark.createDataFrame([(1, 5, 0)], "k long, t long, pid long")
+    v = spark.createDataFrame([(1, 0, 9, 0)], "k long, s long, e long, iid long")
+    plan = (
+        interval_join(p, v, key="k", ts="t", start="s", end="e", bucket=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_temporal_wedges_plan_no_cartesian(spark):
