@@ -3205,6 +3205,21 @@ def q_zipf_stats(spark, sf):
     return zipf_stats(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
+VOCAB_CKPTS = 8  # Heaps-curve checkpoint count (shared Spark/oracle)
+
+
+def q_vocab_growth(spark, sf):
+    """Heaps'-law vocabulary growth curve (functions/text.vocab_growth):
+    cumulative types vs tokens at 8 corpus prefixes — slice by pure id
+    arithmetic, per-type FIRST slice via one min-agg (no per-checkpoint
+    corpus rescan), cumsums over the 8-row table only."""
+    from combblas_spark.functions.text import vocab_growth
+
+    return vocab_growth(
+        spark.read.parquet(f"{sf}/documents.parquet"), n_checkpoints=VOCAB_CKPTS
+    )
+
+
 def q_unigram_xent(spark, sf):
     """Corpus-unigram cross-entropy per document
     (functions/text.unigram_xent) — the CCNet-style LM quality filter."""
@@ -3885,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the post-budget additions) and the r03-rowed 23 ride on the
         # check_oracle mirror, which sweeps ALL queries at both SFs.
         "incident_events": q_incident_events,
+        "vocab_growth": q_vocab_growth,
         "walk_pairs": q_walk_pairs,
         "louvain_ps": q_louvain_ps,
         "densest_pref": q_densest_pref,
@@ -5394,6 +5410,37 @@ WHERE cm.n_common * 3 >= (na.n + nb.n) * 1""",
                                 * (sx / n_types)
                          ELSE 0.0 END, 6) AS zipf_intercept
             FROM zm""",
+        "vocab_growth": f"""WITH {TOKS_CTES},
+            vg_mx AS (SELECT MAX(doc_id) AS m FROM documents),
+            vg_db AS MATERIALIZED (
+              SELECT CAST(FLOOR(doc_id * {VOCAB_CKPTS} / (m + 1)) AS BIGINT)
+                       AS bk, toks
+              FROM toklists CROSS JOIN vg_mx),
+            vg_dc AS (
+              SELECT bk, CAST(COUNT(*) AS BIGINT) AS nd,
+                     CAST(SUM(len(toks)) AS BIGINT) AS nt
+              FROM vg_db GROUP BY bk),
+            vg_ft AS (
+              SELECT tok, MIN(bk) AS bk
+              FROM (SELECT bk, unnest(toks) AS tok FROM vg_db) GROUP BY tok),
+            vg_fv AS (
+              SELECT bk, CAST(COUNT(*) AS BIGINT) AS nv FROM vg_ft GROUP BY bk),
+            vg_grid AS (
+              SELECT unnest(generate_series(0, {VOCAB_CKPTS} - 1)) AS bk),
+            vg_j AS (
+              SELECT g.bk,
+                     COALESCE(nd, 0) AS nd, COALESCE(nt, 0) AS nt,
+                     COALESCE(nv, 0) AS nv
+              FROM vg_grid g LEFT JOIN vg_dc USING (bk)
+                             LEFT JOIN vg_fv USING (bk))
+            SELECT CAST(bk + 1 AS BIGINT) AS ckpt,
+                   CAST(SUM(nd) OVER wc AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) OVER wc AS BIGINT) AS n_tokens,
+                   CAST(SUM(nv) OVER wc AS BIGINT) AS vocab,
+                   CAST(nv AS BIGINT) AS new_types
+            FROM vg_j
+            WINDOW wc AS (ORDER BY bk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
         "unigram_xent": f"""WITH {TOKS_CTES},
             rt AS (SELECT doc_id AS id, unnest(toks) AS tok FROM toklists),
             dc AS (SELECT id, tok, COUNT(*) AS c_doc FROM rt GROUP BY id, tok),

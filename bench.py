@@ -98,6 +98,7 @@ HEADLINE = [
     "source_dups",
     "wl_colors_ps",
     "zipf_stats",
+    "vocab_growth",
     "sweep_cut_ps",
     # round-5 final wave
     "katz_ev",

@@ -704,6 +704,79 @@ def zipf_stats(
     )
 
 
+def vocab_growth(
+    docs: DataFrame,
+    n_checkpoints: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct types vs
+    cumulative token occurrences at ``n_checkpoints`` corpus prefixes
+    (docs ordered by ``id_col``). The standard sanity curve before
+    sizing a tokenizer vocabulary or extrapolating dedup rates: a
+    natural corpus grows types ~ tokens^beta with beta ~ 0.5; templated
+    corpora flatten early, token soup stays near-linear.
+
+    -> one row per checkpoint k = 1..n_checkpoints:
+    (ckpt, n_docs, n_tokens, vocab, new_types) all BIGINT — cumulative
+    docs / token occurrences / distinct types over the prefix, and the
+    types first seen in the k-th slice.
+
+    Scale shape: docs land in their prefix slice by pure id arithmetic
+    (floor(id*K/(max+1)), one broadcast 1-row max — no rank window over
+    the corpus); token counts are one map-side-combinable aggregate per
+    slice; each type's FIRST slice is min(slice) per token (one explode
+    + agg — first-occurrence beats K distinct-counts, which would rescan
+    the corpus per checkpoint); the cumulative sums run over the K-row
+    checkpoint table only. No UDFs, no windows over corpus-sized data.
+    """
+    if n_checkpoints < 1:
+        raise ValueError(f"n_checkpoints must be >= 1, got {n_checkpoints}")
+    spark = docs.sparkSession
+    k = int(n_checkpoints)
+    mx = docs.agg(F.max(F.col(id_col)).alias("_mx"))
+    db = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col(id_col) * k / (F.col("_mx") + 1)).alias("bk"),
+            tokens_col(F.col(text_col)).alias("toks"),
+        )
+    )
+    dc = db.groupBy("bk").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum(F.size("toks")).cast("long").alias("nt"),
+    )
+    fv = (
+        db.select("bk", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bk").alias("bk"))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    grid = spark.range(k).select(F.col("id").alias("bk"))
+    j = (
+        grid.join(dc, "bk", "left")
+        .join(fv, "bk", "left")
+        .select(
+            "bk",
+            F.coalesce("nd", F.lit(0)).cast("long").alias("nd"),
+            F.coalesce("nt", F.lit(0)).cast("long").alias("nt"),
+            F.coalesce("nv", F.lit(0)).cast("long").alias("nv"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        (F.col("bk") + 1).cast("long").alias("ckpt"),
+        F.sum("nd").over(w).cast("long").alias("n_docs"),
+        F.sum("nt").over(w).cast("long").alias("n_tokens"),
+        F.sum("nv").over(w).cast("long").alias("vocab"),
+        F.col("nv").alias("new_types"),
+    )
+
+
 def bpe_merge_training(
     spark,
     docs: DataFrame,

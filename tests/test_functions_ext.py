@@ -281,3 +281,61 @@ def test_pii_scan_and_redact_hand_cases(spark):
     # the scrubber is deliberately over-broad, never under-broad
     assert got[2] == (1, 2, 0, "edge <[EMAIL]> [IP] [IP] is still two ips")
     assert got[3] == (0, 0, 0, "")
+
+
+# ------------------------------------------------------------ vocab growth
+
+def test_vocab_growth_hand_case(spark):
+    """4 docs, 2 checkpoints: exact cumulative docs/tokens/types, and
+    new_types counts a type only at its FIRST slice."""
+    from combblas_spark.functions.text import vocab_growth
+
+    rows = [
+        (0, "a b a"),        # slice 0: types {a,b}, 3 tokens
+        (1, "b c"),          # slice 0: adds {c}, 2 tokens
+        (2, "c d d"),        # slice 1: adds {d}, 3 tokens
+        (3, "a"),            # slice 1: nothing new, 1 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["ckpt"]: (r["n_docs"], r["n_tokens"], r["vocab"], r["new_types"])
+        for r in vocab_growth(df, n_checkpoints=2).collect()
+    }
+    assert got == {1: (2, 5, 3, 3), 2: (4, 9, 4, 1)}
+
+
+def test_vocab_growth_python_replay_sparse_ids(spark):
+    """Non-dense ids (empty slices included): curve matches a pure-python
+    replay of the slice arithmetic, and every column is monotone."""
+    from combblas_spark.functions.text import vocab_growth
+
+    words = ["w%d" % (i % 7) for i in range(30)]
+    rows = [
+        (did, " ".join(words[(3 * j) % 11: (3 * j) % 11 + 4 + j % 3]))
+        for j, did in enumerate([0, 1, 2, 50, 51, 99])
+    ]
+    K, mx = 4, 99
+    # python replay
+    cum = {}
+    seen, nd, nt = set(), 0, 0
+    by_bk = {}
+    for did, txt in rows:
+        by_bk.setdefault(did * K // (mx + 1), []).append(txt.split())
+    for bk in range(K):
+        newt = 0
+        for toks in by_bk.get(bk, []):
+            nd += 1
+            nt += len(toks)
+            for t in toks:
+                if t not in seen:
+                    seen.add(t)
+                    newt += 1
+        cum[bk + 1] = (nd, nt, len(seen), newt)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["ckpt"]: (r["n_docs"], r["n_tokens"], r["vocab"], r["new_types"])
+        for r in vocab_growth(df, n_checkpoints=K).collect()
+    }
+    assert got == cum
+    ck = [got[k] for k in sorted(got)]
+    assert all(a[:3] <= b[:3] for a, b in zip(ck, ck[1:]))  # monotone
