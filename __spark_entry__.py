@@ -868,11 +868,12 @@ def _cosine_sql(k: int = 5, max_qid: int = 20) -> str:
             WHERE rn <= {k}"""
 
 
-def _ann_sql(planes: list[list[float]], k: int = 5, max_bucket: int = 10_000) -> str:
-    """Random-hyperplane LSH ANN replay: the seeded planes are injected as
-    float literals (repr round-trips to the identical double), the bucket is
-    the packed sign pattern, candidates are same-bucket pairs under the
-    ``max_bucket`` cap — mirrors functions.similarity.lsh_ann_topk."""
+def _ann_capped_ctes(planes: list[list[float]], max_bucket: int) -> str:
+    """Shared LSH replay prefix (b + capped CTEs): the seeded planes are
+    injected as float literals (repr round-trips to the identical double),
+    the bucket is the packed sign pattern, candidates are same-bucket rows
+    under the ``max_bucket`` cap — mirrors functions.similarity.lsh_buckets
+    plus the cap in lsh_ann_topk / mutual_nn."""
     dim = len(planes[0])
     bits = []
     for i, p in enumerate(planes):
@@ -883,7 +884,7 @@ def _ann_sql(planes: list[list[float]], k: int = 5, max_bucket: int = 10_000) ->
         )
         bits.append(f"CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     bucket = "\n       + ".join(bits)
-    return f"""WITH b AS MATERIALIZED (
+    return f"""b AS MATERIALIZED (
   SELECT vec_id AS id, embedding,
          sqrt(list_aggregate(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
@@ -892,12 +893,21 @@ def _ann_sql(planes: list[list[float]], k: int = 5, max_bucket: int = 10_000) ->
 capped AS MATERIALIZED (
   SELECT b.* FROM b JOIN (
     SELECT bucket, COUNT(*) AS bsz FROM b GROUP BY bucket) s ON b.bucket = s.bucket
-  WHERE s.bsz <= {max_bucket}),
+  WHERE s.bsz <= {max_bucket})"""
+
+
+_PAIR_COS_SQL = (
+    "list_aggregate(list_transform(range(1, len(q.embedding) + 1), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum') "
+    "/ (q.nrm * e.nrm)"
+)
+
+
+def _ann_sql(planes: list[list[float]], k: int = 5, max_bucket: int = 10_000) -> str:
+    """lsh_ann_topk replay on the shared capped-bucket prefix."""
+    return f"""WITH {_ann_capped_ctes(planes, max_bucket)},
 scored AS (
-  SELECT q.id AS query_id, e.id AS neighbor_id,
-         list_aggregate(list_transform(range(1, len(q.embedding) + 1),
-              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
-         / (q.nrm * e.nrm) AS cos
+  SELECT q.id AS query_id, e.id AS neighbor_id, {_PAIR_COS_SQL} AS cos
   FROM capped q JOIN capped e ON q.bucket = e.bucket AND e.id <> q.id)
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rn AS BIGINT) AS rank
 FROM (
@@ -905,6 +915,25 @@ FROM (
     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
   FROM scored) x
 WHERE rn <= {k}"""
+
+
+def _mutual_nn_sql(planes: list[list[float]], max_bucket: int = 10_000) -> str:
+    """functions.similarity.mutual_nn replay: rank-1 by the ROUNDED cosine
+    (id tiebreak) over the same capped buckets, then the reciprocity
+    self-join of the rank-1 table."""
+    return f"""WITH {_ann_capped_ctes(planes, max_bucket)},
+mscored AS (
+  SELECT q.id AS qid, e.id AS nid, ROUND({_PAIR_COS_SQL}, 6) AS cos
+  FROM capped q JOIN capped e ON q.bucket = e.bucket AND e.id <> q.id),
+nn1 AS MATERIALIZED (
+  SELECT qid, nid, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn
+    FROM mscored) x
+  WHERE rn = 1)
+SELECT f.qid AS id_a, f.nid AS id_b, f.cos
+FROM nn1 f JOIN nn1 r ON r.qid = f.nid AND r.nid = f.qid
+WHERE f.qid < f.nid"""
 
 
 # --------------------------------------------------------------------------
@@ -2441,6 +2470,17 @@ def q_ann_topk(spark, sf):
     )
 
 
+def q_mutual_nn(spark, sf):
+    """Reciprocal nearest neighbors (functions/similarity.mutual_nn):
+    mutual rank-1 ANN pairs over the capped LSH buckets — the
+    high-precision pair filter that survives asymmetric hub vectors;
+    rank-1 ordered by the ROUNDED cosine so the oracle replays it."""
+    from combblas_spark.functions.similarity import mutual_nn
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return mutual_nn(emb, n_planes=8, seed=42, dim=64, max_bucket=10_000)
+
+
 def q_ivf_topk(spark, sf):
     """IVF-Flat ANN (coarse-quantizer + in-cell brute force) — the second
     scale path for similarity search next to the LSH buckets; the oracle
@@ -3901,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check_oracle mirror, which sweeps ALL queries at both SFs.
         "incident_events": q_incident_events,
         "vocab_growth": q_vocab_growth,
+        "mutual_nn": q_mutual_nn,
         "walk_pairs": q_walk_pairs,
         "louvain_ps": q_louvain_ps,
         "densest_pref": q_densest_pref,
@@ -5111,6 +5152,7 @@ FROM verts""",
         "max_matching_ps": _maxmatch_sql(PS_CTES, "ps_dedup", MAXM_SCHEDULE, init_rounds=MATCH_ROUNDS),
         "wmatch_ps": _wmatch_sql(PS_CTES, "ps_dedup", WM_ROUNDS),
         "ann_topk": _ann_sql(_ANN_PLANES, k=5, max_bucket=10_000),
+        "mutual_nn": _mutual_nn_sql(_ANN_PLANES, max_bucket=10_000),
         "embed_dups": _embed_dups_sql(_ANN_PLANES, EMBED_DUP_THRESHOLD, 10_000),
         "bpe_token_stats": """
             SELECT doc_id,

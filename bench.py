@@ -47,6 +47,7 @@ HEADLINE = [
     "mis_ps",
     "matching_ps",
     "ann_topk",
+    "mutual_nn",
     "simhash_docs",
     # training-data pipeline: end-to-end keep-one-per-cluster dedup,
     # repetition quality signals, tokenizer-training pair scan

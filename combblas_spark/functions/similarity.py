@@ -274,6 +274,67 @@ def lsh_ann_topk(
     )
 
 
+def mutual_nn(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs (a, b) where b is a's rank-1
+    ANN neighbor AND a is b's — the standard high-precision pair filter
+    for embedding dedup / bitext alignment / cluster seeding (mutual-NN
+    survives the asymmetric-hub failure of one-way NN: a boilerplate
+    centroid vector is everyone's neighbor but reciprocates only once).
+
+    Candidates are same-LSH-bucket pairs under the ``max_bucket`` cap
+    (identical scale shape to lsh_ann_topk — never all-pairs); the rank-1
+    select orders by the ROUNDED cosine (6 dp) with id tiebreak, the
+    repo's engine-portable ordering rule, so the oracle replays the
+    argmax exactly. Reciprocity is a self-join of the |V|-row rank-1
+    table with itself — O(V), not O(candidates).
+
+    -> (id_a, id_b, cos) with id_a < id_b, cos ROUND(.,6).
+    """
+    b = lsh_buckets(emb, n_planes, seed, dim, id_col, vec_col)
+    b = b.withColumn("nrm", norm(F.col("vec")))
+    b = b.join(
+        b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz")), on="bucket"
+    ).filter(F.col("_bsz") <= max_bucket)
+    lhs = b.select(
+        "bucket", F.col("id").alias("qid"),
+        F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm"),
+    )
+    rhs = b.select("bucket", F.col("id").alias("nid"), "vec", "nrm")
+    scored = (
+        lhs.join(rhs, on="bucket")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    nn1 = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    fwd = nn1.filter(F.col("qid") < F.col("nid"))
+    rev = nn1.filter(F.col("qid") > F.col("nid")).select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid")
+    )
+    return fwd.join(rev, ["qid", "nid"]).select(
+        F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "cos"
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

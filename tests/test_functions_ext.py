@@ -339,3 +339,84 @@ def test_vocab_growth_python_replay_sparse_ids(spark):
     assert got == cum
     ck = [got[k] for k in sorted(got)]
     assert all(a[:3] <= b[:3] for a, b in zip(ck, ck[1:]))  # monotone
+
+
+# ----------------------------------------------------------- mutual NN
+
+def _mutual_nn_replay(vecs, n_planes, seed, dim):
+    """Pure numpy mirror of similarity.mutual_nn: same planes, same packed
+    sign bucket, rank-1 by (rounded cos desc, id asc), reciprocity."""
+    import numpy as np
+    from combblas_spark.functions.similarity import _planes
+
+    planes = np.array(_planes(dim, n_planes, seed))
+    ids = sorted(vecs)
+    bk = {}
+    for i in ids:
+        v = np.array(vecs[i], dtype=np.float64)
+        b = 0
+        for j, p in enumerate(planes):
+            if float(v @ p) > 0:
+                b |= 1 << j
+        bk[i] = b
+    nn1 = {}
+    for i in ids:
+        cands = []
+        vi = np.array(vecs[i], dtype=np.float64)
+        for j in ids:
+            if j == i or bk[j] != bk[i]:
+                continue
+            vj = np.array(vecs[j], dtype=np.float64)
+            c = round(float(vi @ vj) / (float(np.sqrt(vi @ vi)) * float(np.sqrt(vj @ vj))), 6)
+            cands.append((-c, j))
+        if cands:
+            negc, j = min(cands)
+            nn1[i] = (j, -negc)
+    return sorted(
+        (a, b, c)
+        for a, (b, c) in nn1.items()
+        if a < b and nn1.get(b, (None,))[0] == a
+    )
+
+
+def test_mutual_nn_matches_replay_and_filters_hubs(spark):
+    from combblas_spark.functions.similarity import mutual_nn, lsh_ann_topk
+
+    # deterministic LCG vectors, dim 8 / 2 planes so buckets are populated
+    x, vecs = 7, {}
+    for i in range(40):
+        row = []
+        for _ in range(8):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            row.append(((x >> 8) % 2001 - 1000) / 1000.0)
+        vecs[i] = row
+    want = _mutual_nn_replay(vecs, n_planes=2, seed=11, dim=8)
+    assert want  # fixture must produce mutual pairs
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in mutual_nn(df, n_planes=2, seed=11, dim=8).collect()
+    )
+    assert got == want
+    # mutual pairs are a SUBSET of one-way rank-1 edges, and strictly
+    # smaller here (asymmetric hubs reciprocate at most once)
+    one_way = lsh_ann_topk(df, k=1, n_planes=2, seed=11, dim=8).count()
+    assert len(got) * 2 <= one_way
+    assert len(got) * 2 < one_way
+
+
+def test_mutual_nn_plan_no_cartesian(spark):
+    from combblas_spark.functions.similarity import mutual_nn
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        mutual_nn(df, n_planes=2, seed=3, dim=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
