@@ -936,6 +936,38 @@ FROM nn1 f JOIN nn1 r ON r.qid = f.nid AND r.nid = f.qid
 WHERE f.qid < f.nid"""
 
 
+def _sq8_sql(planes: list[list[float]], k: int = 5, max_bucket: int = 10_000) -> str:
+    """functions.similarity.sq8_topk replay: int8 scalar quantization
+    (q_i = floor(v_i/amax*127 + 0.5), round-half-up via floor — identical
+    in both engines) over the same capped buckets; the pair numerator is
+    exact integer arithmetic, only the final division is floating point."""
+    return f"""WITH {_ann_capped_ctes(planes, max_bucket)},
+sq AS MATERIALIZED (
+  SELECT id, bucket,
+         list_transform(embedding, x ->
+             CAST(floor(CAST(x AS DOUBLE) / amax * 127.0 + 0.5) AS BIGINT)) AS qvec
+  FROM (SELECT *, list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE))), 'max') AS amax FROM capped)
+  WHERE amax > 0),
+sqn AS MATERIALIZED (
+  SELECT id, bucket, qvec,
+         CAST(list_aggregate(list_transform(qvec, x -> x * x), 'sum') AS BIGINT) AS qq
+  FROM sq),
+sscored AS (
+  SELECT q.id AS query_id, e.id AS neighbor_id,
+         ROUND(CAST(list_aggregate(list_transform(range(1, len(q.qvec) + 1),
+                 i -> q.qvec[i] * e.qvec[i]), 'sum') AS DOUBLE)
+               / (sqrt(CAST(q.qq AS DOUBLE)) * sqrt(CAST(e.qq AS DOUBLE))), 6) AS qcos
+  FROM sqn q JOIN sqn e ON q.bucket = e.bucket AND e.id <> q.id
+  WHERE q.qq > 0 AND e.qq > 0)
+SELECT query_id, neighbor_id, qcos, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
+  FROM sscored) x
+WHERE rn <= {k}"""
+
+
 # --------------------------------------------------------------------------
 # Spark-side query functions
 # --------------------------------------------------------------------------
@@ -2481,6 +2513,16 @@ def q_mutual_nn(spark, sf):
     return mutual_nn(emb, n_planes=8, seed=42, dim=64, max_bucket=10_000)
 
 
+def q_sq8_topk(spark, sf):
+    """SQ8 scalar-quantized ANN (functions/similarity.sq8_topk): the
+    memory-bandwidth scale path — int8 codes are 4x smaller than float32,
+    pair numerators are exact int64, one rounded division at the end."""
+    from combblas_spark.functions.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return sq8_topk(emb, k=5, n_planes=8, seed=42, dim=64, max_bucket=10_000)
+
+
 def q_ivf_topk(spark, sf):
     """IVF-Flat ANN (coarse-quantizer + in-cell brute force) — the second
     scale path for similarity search next to the LSH buckets; the oracle
@@ -3942,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incident_events": q_incident_events,
         "vocab_growth": q_vocab_growth,
         "mutual_nn": q_mutual_nn,
+        "sq8_topk": q_sq8_topk,
         "walk_pairs": q_walk_pairs,
         "louvain_ps": q_louvain_ps,
         "densest_pref": q_densest_pref,
@@ -5153,6 +5196,7 @@ FROM verts""",
         "wmatch_ps": _wmatch_sql(PS_CTES, "ps_dedup", WM_ROUNDS),
         "ann_topk": _ann_sql(_ANN_PLANES, k=5, max_bucket=10_000),
         "mutual_nn": _mutual_nn_sql(_ANN_PLANES, max_bucket=10_000),
+        "sq8_topk": _sq8_sql(_ANN_PLANES, k=5, max_bucket=10_000),
         "embed_dups": _embed_dups_sql(_ANN_PLANES, EMBED_DUP_THRESHOLD, 10_000),
         "bpe_token_stats": """
             SELECT doc_id,

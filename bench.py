@@ -48,6 +48,7 @@ HEADLINE = [
     "matching_ps",
     "ann_topk",
     "mutual_nn",
+    "sq8_topk",
     "simhash_docs",
     # training-data pipeline: end-to-end keep-one-per-cluster dedup,
     # repetition quality signals, tokenizer-training pair scan

@@ -420,3 +420,88 @@ def test_mutual_nn_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------------- SQ8 ANN
+
+def _sq8_replay(vecs, n_planes, seed, dim, k):
+    """Pure python mirror of similarity.sq8_topk: same planes/buckets,
+    floor(x/amax*127+0.5) codes, exact int numerators, (rounded qcos
+    desc, id asc) top-k."""
+    import math
+
+    import numpy as np
+    from combblas_spark.functions.similarity import _planes
+
+    planes = np.array(_planes(dim, n_planes, seed))
+    ids = sorted(vecs)
+    bk, qv, qq = {}, {}, {}
+    for i in ids:
+        v = np.array(vecs[i], dtype=np.float64)
+        b = 0
+        for j, p in enumerate(planes):
+            if float(v @ p) > 0:
+                b |= 1 << j
+        bk[i] = b
+        amax = max(abs(float(x)) for x in vecs[i])
+        if amax == 0:
+            continue
+        q = [math.floor(float(x) / amax * 127.0 + 0.5) for x in vecs[i]]
+        if any(abs(c) > 127 for c in q):
+            raise AssertionError("SQ8 code out of int8 range")
+        s = sum(c * c for c in q)
+        if s > 0:
+            qv[i], qq[i] = q, s
+    out = []
+    for i in sorted(qv):
+        cands = []
+        for j in sorted(qv):
+            if j == i or bk[j] != bk[i]:
+                continue
+            idot = sum(a * b for a, b in zip(qv[i], qv[j]))
+            qcos = round(float(idot) / (math.sqrt(float(qq[i])) * math.sqrt(float(qq[j]))), 6)
+            cands.append((-qcos, j))
+        for rank, (negc, j) in enumerate(sorted(cands)[:k], start=1):
+            out.append((i, j, -negc, rank))
+    return sorted(out)
+
+
+def test_sq8_topk_matches_replay_and_tracks_exact_cosine(spark):
+    import numpy as np
+    from combblas_spark.functions.similarity import sq8_topk
+
+    x, vecs = 99, {}
+    for i in range(40):
+        row = []
+        for _ in range(8):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            row.append(((x >> 8) % 2001 - 1000) / 1000.0)
+        vecs[i] = row
+    want = _sq8_replay(vecs, n_planes=2, seed=11, dim=8, k=3)
+    assert want
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["qcos"], r["rank"])
+        for r in sq8_topk(df, k=3, n_planes=2, seed=11, dim=8).collect()
+    )
+    assert got == want
+    # quantized cosine stays within the SQ8 error envelope of exact cosine
+    for qid, nid, qcos, _rank in got:
+        a = np.array(vecs[qid]); b = np.array(vecs[nid])
+        exact = float(a @ b) / (float(np.sqrt(a @ a)) * float(np.sqrt(b @ b)))
+        assert abs(qcos - exact) < 0.02, (qid, nid, qcos, exact)
+
+
+def test_sq8_drops_zero_vectors_and_plan_no_cartesian(spark):
+    from combblas_spark.functions.similarity import sq8_topk
+
+    rows = [(i, [float(i % 3 - 1), 1.0]) for i in range(6)] + [(99, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sq8_topk(df, k=2, n_planes=2, seed=3, dim=2)
+    ids = {r["query_id"] for r in out.collect()} | {r["neighbor_id"] for r in out.collect()}
+    assert 99 not in ids  # zero vector has no direction: quantization drops it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
