@@ -68,6 +68,7 @@ from combblas_spark.functions.similarity import cosine_topk, with_norm, _planes
 
 # seeded hyperplanes shared between the Spark ANN query and its SQL oracle
 _ANN_PLANES = _planes(dim=64, n_planes=8, seed=42)
+_RP_PLANES = _planes(dim=64, n_planes=16, seed=7)
 
 # --------------------------------------------------------------------------
 # shared oracle CTEs (DuckDB) — must mirror combblas_spark.sources.graphs
@@ -966,6 +967,44 @@ FROM (
     PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rn
   FROM sscored) x
 WHERE rn <= {k}"""
+
+
+def _rp_distortion_sql(
+    planes: list[list[float]], rp_planes: list[list[float]], max_bucket: int = 10_000
+) -> str:
+    """functions.similarity.rp_distortion replay: JL projection components
+    are the same sequential folds with the seeded planes as literals,
+    error bins are round(|Δcos|*100) on engine-identical doubles, per-bin
+    error totals are exact int64 sums of round(|Δcos|*1e6)."""
+    import numpy as np
+
+    dim = len(planes[0])
+    out_dim = len(rp_planes)
+    inv = repr(1.0 / float(np.sqrt(out_dim)))
+    comps = []
+    for p in rp_planes:
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        comps.append(
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), 'sum') * {inv}"
+        )
+    rvec = "[" + ",\n          ".join(comps) + "]"
+    return f"""WITH {_ann_capped_ctes(planes, max_bucket)},
+rp AS MATERIALIZED (
+  SELECT id, bucket, embedding, nrm, rvec,
+         sqrt(list_aggregate(list_transform(rvec, x -> x * x), 'sum')) AS rnrm
+  FROM (SELECT id, bucket, embedding, nrm, {rvec} AS rvec FROM capped)),
+fpairs AS (
+  SELECT ROUND({_PAIR_COS_SQL}, 6) AS cos_o,
+         ROUND(list_aggregate(list_transform(range(1, {out_dim + 1}),
+                 i -> q.rvec[i] * e.rvec[i]), 'sum') / (q.rnrm * e.rnrm), 6) AS cos_r
+  FROM rp q JOIN rp e ON q.bucket = e.bucket AND q.id < e.id
+  WHERE q.nrm > 0 AND e.nrm > 0 AND q.rnrm > 0 AND e.rnrm > 0)
+SELECT CAST(ROUND(abs(cos_o - cos_r) * 100.0) AS BIGINT) AS err_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(ROUND(abs(cos_o - cos_r) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_abs_err_e6
+FROM fpairs
+GROUP BY err_bin"""
 
 
 # --------------------------------------------------------------------------
@@ -2523,6 +2562,19 @@ def q_sq8_topk(spark, sf):
     return sq8_topk(emb, k=5, n_planes=8, seed=42, dim=64, max_bucket=10_000)
 
 
+def q_rp_distortion(spark, sf):
+    """Johnson-Lindenstrauss projection audit (functions/similarity.
+    rp_project + rp_distortion): dim 64 -> 16 reduced embeddings, |Δcos|
+    histogram over the capped-LSH candidate pairs — the check that the
+    4x-cheaper reduced space is safe for downstream near-dup/ANN passes."""
+    from combblas_spark.functions.similarity import rp_distortion
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return rp_distortion(
+        emb, out_dim=16, rp_seed=7, n_planes=8, seed=42, dim=64, max_bucket=10_000
+    )
+
+
 def q_ivf_topk(spark, sf):
     """IVF-Flat ANN (coarse-quantizer + in-cell brute force) — the second
     scale path for similarity search next to the LSH buckets; the oracle
@@ -3985,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "mutual_nn": q_mutual_nn,
         "sq8_topk": q_sq8_topk,
+        "rp_distortion": q_rp_distortion,
         "walk_pairs": q_walk_pairs,
         "louvain_ps": q_louvain_ps,
         "densest_pref": q_densest_pref,
@@ -5197,6 +5250,7 @@ FROM verts""",
         "ann_topk": _ann_sql(_ANN_PLANES, k=5, max_bucket=10_000),
         "mutual_nn": _mutual_nn_sql(_ANN_PLANES, max_bucket=10_000),
         "sq8_topk": _sq8_sql(_ANN_PLANES, k=5, max_bucket=10_000),
+        "rp_distortion": _rp_distortion_sql(_ANN_PLANES, _RP_PLANES, max_bucket=10_000),
         "embed_dups": _embed_dups_sql(_ANN_PLANES, EMBED_DUP_THRESHOLD, 10_000),
         "bpe_token_stats": """
             SELECT doc_id,

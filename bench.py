@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_topk",
     "mutual_nn",
     "sq8_topk",
+    "rp_distortion",
     "simhash_docs",
     # training-data pipeline: end-to-end keep-one-per-cluster dedup,
     # repetition quality signals, tokenizer-training pair scan

@@ -444,6 +444,100 @@ def sq8_topk(
     )
 
 
+def rp_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: r = (1/sqrt(out_dim)) R v
+    with a seeded Gaussian R (the same deterministic plane machinery as
+    the LSH buckets — R ships as plan literals, a few KB broadcast with
+    the plan, never a shuffle). Each output component is one sequential
+    fold, so Spark and a SQL oracle produce bit-identical doubles.
+
+    The 100 TB story: dim 64 -> 16 cuts every downstream pairwise pass
+    (near-dup scoring, clustering, ANN rerank) to 1/4 the bytes and
+    FLOPs with the JL distortion guarantee; rp_distortion below is the
+    audit that the guarantee actually holds on this corpus.
+
+    -> (id, rvec array<double>[out_dim])."""
+    planes = _planes(dim, out_dim, seed)
+    inv = 1.0 / float(np.sqrt(out_dim))
+    comps = [
+        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) * F.lit(inv)
+        for p in planes
+    ]
+    return emb.select(F.col(id_col).alias("id"), F.array(*comps).alias("rvec"))
+
+
+def rp_distortion(
+    emb: DataFrame,
+    out_dim: int = 16,
+    rp_seed: int = 7,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """JL distortion audit: over the capped-LSH candidate pairs (the same
+    bounded pair set every other similarity op uses — never all-pairs),
+    compare cosine in the original space vs the rp_project-reduced space
+    and histogram the absolute error in 0.01-wide bins.
+
+    -> (err_bin, n_pairs, sum_abs_err_e6): err_bin = round(|Δcos|*100),
+    sum_abs_err_e6 sums round(|Δcos|*1e6) as exact int64 so the oracle's
+    totals match without float-sum order games."""
+    b = lsh_buckets(emb, n_planes, seed, dim, id_col, vec_col)
+    b = b.join(
+        b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz")), on="bucket"
+    ).filter(F.col("_bsz") <= max_bucket)
+    planes = _planes(dim, out_dim, rp_seed)
+    inv = 1.0 / float(np.sqrt(out_dim))
+    rcomps = [
+        dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in p])) * F.lit(inv)
+        for p in planes
+    ]
+    b = (
+        b.withColumn("nrm", norm(F.col("vec")))
+        .withColumn("rvec", F.array(*rcomps))
+        .withColumn("rnrm", norm(F.col("rvec")))
+        .filter((F.col("nrm") > 0) & (F.col("rnrm") > 0))
+    )
+    lhs = b.select(
+        "bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), F.col("rvec").alias("ra"), F.col("rnrm").alias("rna"),
+    )
+    rhs = b.select(
+        "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("rvec").alias("rb"), F.col("rnrm").alias("rnb"),
+    )
+    pairs = (
+        lhs.join(rhs, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_o"),
+            F.round(dot(F.col("ra"), F.col("rb")) / (F.col("rna") * F.col("rnb")), 6).alias("cos_r"),
+        )
+    )
+    err = F.abs(F.col("cos_o") - F.col("cos_r"))
+    return (
+        pairs.select(
+            F.round(err * 100.0, 0).cast("long").alias("err_bin"),
+            F.round(err * 1_000_000.0, 0).cast("long").alias("_e6"),
+        )
+        .groupBy("err_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("_e6").cast("long").alias("sum_abs_err_e6"),
+        )
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

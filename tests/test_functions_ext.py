@@ -505,3 +505,97 @@ def test_sq8_drops_zero_vectors_and_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------------- JL projection
+
+def _rp_replay(vecs, out_dim, rp_seed, n_planes, seed, dim):
+    """Pure numpy mirror of similarity.rp_distortion (uncapped buckets)."""
+    import math
+
+    import numpy as np
+    from combblas_spark.functions.similarity import _planes
+
+    bplanes = np.array(_planes(dim, n_planes, seed))
+    rplanes = _planes(dim, out_dim, rp_seed)
+    inv = 1.0 / float(np.sqrt(out_dim))
+    ids = sorted(vecs)
+    bk, rv = {}, {}
+    for i in ids:
+        v = np.array(vecs[i], dtype=np.float64)
+        b = 0
+        for j, p in enumerate(bplanes):
+            if float(v @ p) > 0:
+                b |= 1 << j
+        bk[i] = b
+        rv[i] = [float(np.array(p) @ v) * inv for p in rplanes]
+    bins = {}
+    for a in ids:
+        for b_ in ids:
+            if a >= b_ or bk[a] != bk[b_]:
+                continue
+            va, vb = np.array(vecs[a]), np.array(vecs[b_])
+            na, nb = math.sqrt(float(va @ va)), math.sqrt(float(vb @ vb))
+            ra, rb = np.array(rv[a]), np.array(rv[b_])
+            rna, rnb = math.sqrt(float(ra @ ra)), math.sqrt(float(rb @ rb))
+            if not (na > 0 and nb > 0 and rna > 0 and rnb > 0):
+                continue
+            cos_o = round(float(va @ vb) / (na * nb), 6)
+            cos_r = round(float(ra @ rb) / (rna * rnb), 6)
+            err = abs(cos_o - cos_r)
+            eb = math.floor(err * 100.0 + 0.5)
+            e6 = math.floor(err * 1_000_000.0 + 0.5)
+            n, s = bins.get(eb, (0, 0))
+            bins[eb] = (n + 1, s + e6)
+    return sorted((k, n, s) for k, (n, s) in bins.items())
+
+
+def test_rp_distortion_matches_replay_and_shrinks_with_dim(spark):
+    from combblas_spark.functions.similarity import rp_distortion
+
+    x, vecs = 5, {}
+    for i in range(48):
+        row = []
+        for _ in range(8):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            row.append(((x >> 8) % 2001 - 1000) / 1000.0)
+        vecs[i] = row
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    want = _rp_replay(vecs, out_dim=4, rp_seed=7, n_planes=2, seed=11, dim=8)
+    assert want
+    got = sorted(
+        (r["err_bin"], r["n_pairs"], r["sum_abs_err_e6"])
+        for r in rp_distortion(
+            df, out_dim=4, rp_seed=7, n_planes=2, seed=11, dim=8
+        ).collect()
+    )
+    assert got == want
+
+    def mean_err(out_dim):
+        rows = rp_distortion(
+            df, out_dim=out_dim, rp_seed=7, n_planes=2, seed=11, dim=8
+        ).collect()
+        n = sum(r["n_pairs"] for r in rows)
+        return sum(r["sum_abs_err_e6"] for r in rows) / max(n, 1)
+
+    # JL: more projection dims -> lower mean distortion (deterministic fixture)
+    assert mean_err(8) < mean_err(2)
+
+
+def test_rp_project_shape_and_plan(spark):
+    from combblas_spark.functions.similarity import rp_project, rp_distortion
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5 - 2), 1.0, 0.5, -0.25]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = rp_project(df, out_dim=3, seed=9, dim=4).collect()
+    assert len(out) == 10 and all(len(r["rvec"]) == 3 for r in out)
+    plan = (
+        rp_distortion(df, out_dim=3, rp_seed=9, n_planes=2, seed=3, dim=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
