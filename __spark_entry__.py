@@ -3525,6 +3525,16 @@ def q_props_stats(spark, sf):
     return props_stats(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def q_event_rollup(spark, sf):
+    """Hypertable-style hierarchical rollup (functions/sessions.
+    event_rollup): (event_type, day) / (event_type) / grand-total levels
+    in ONE Expand + partial/final hash-aggregate pass, exact int64 value
+    totals so the levels add up bit-exactly."""
+    from combblas_spark.functions.sessions import event_rollup
+
+    return event_rollup(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def q_quotient_ps(spark, sf):
     """Host-graph collapse (operators/transform.quotient): contract the
     part—supplier graph by attribute — parts to their brand, suppliers to
@@ -4038,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_nn": q_mutual_nn,
         "sq8_topk": q_sq8_topk,
         "rp_distortion": q_rp_distortion,
+        "event_rollup": q_event_rollup,
         "walk_pairs": q_walk_pairs,
         "louvain_ps": q_louvain_ps,
         "densest_pref": q_densest_pref,
@@ -5251,6 +5262,17 @@ FROM verts""",
         "mutual_nn": _mutual_nn_sql(_ANN_PLANES, max_bucket=10_000),
         "sq8_topk": _sq8_sql(_ANN_PLANES, k=5, max_bucket=10_000),
         "rp_distortion": _rp_distortion_sql(_ANN_PLANES, _RP_PLANES, max_bucket=10_000),
+        "event_rollup": """
+            WITH e AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(floor(value * 1000) AS BIGINT) AS v_e3
+              FROM events)
+            SELECT event_type, day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(v_e3) AS BIGINT) AS value_e3,
+                   CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS lvl
+            FROM e
+            GROUP BY ROLLUP(event_type, day)""",
         "embed_dups": _embed_dups_sql(_ANN_PLANES, EMBED_DUP_THRESHOLD, 10_000),
         "bpe_token_stats": """
             SELECT doc_id,

@@ -50,6 +50,7 @@ HEADLINE = [
     "mutual_nn",
     "sq8_topk",
     "rp_distortion",
+    "event_rollup",
     "simhash_docs",
     # training-data pipeline: end-to-end keep-one-per-cluster dedup,
     # repetition quality signals, tokenizer-training pair scan

@@ -257,3 +257,31 @@ def props_stats(events: DataFrame, path: str = "$.k") -> DataFrame:
             F.countDistinct("_f").cast("long").alias("nd_f"),
         )
     )
+
+
+def event_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: one pass producing the
+    (event_type, day), (event_type), and grand-total aggregates via
+    Spark's native ``rollup`` — Catalyst plans an Expand + partial/final
+    hash aggregate, so every level is map-side combinable and the raw
+    events shuffle once, keyed by the low-cardinality grouping tuple.
+
+    Value totals use the exact-integer trick (floor(value*1000) summed
+    as int64) so rollup levels add up exactly and a SQL oracle matches
+    without float-summation-order games. ``lvl`` = GROUPING(event_type)*2
+    + GROUPING(day) (0 = leaf, 1 = per-type, 3 = grand total) — computed
+    explicitly rather than grouping_id() so the bit order can't differ
+    across engines.
+
+    -> (event_type, day, n_events, value_e3, lvl); day as 'yyyy-MM-dd'
+    string (engine-portable, no DATE-type hashing differences)."""
+    e = events.select(
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_e3"),
+    )
+    return e.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v_e3").cast("long").alias("value_e3"),
+        (F.grouping("event_type") * 2 + F.grouping("day")).cast("long").alias("lvl"),
+    )

@@ -2868,3 +2868,42 @@ def test_uniform_edges_deterministic_and_bounded(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         uniform_edges(spark, 0, 10)
+
+
+# ----------------------------------------------------------- event rollup
+
+def test_event_rollup_levels_add_up(spark):
+    import datetime as dt
+
+    from combblas_spark.functions.sessions import event_rollup
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "click", 1.25, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11), 2, "click", 2.5, "{}"),
+        (3, dt.datetime(2024, 1, 2, 9), 1, "click", 0.001, "{}"),
+        (4, dt.datetime(2024, 1, 1, 8), 3, "buy", 10.0, "{}"),
+        (5, dt.datetime(2024, 1, 3, 8), 3, "buy", -4.2, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["value_e3"], r["lvl"])
+        for r in event_rollup(ev).collect()
+    }
+    import math
+    e3 = lambda v: math.floor(v * 1000)
+    assert got[("click", "2024-01-01")] == (2, e3(1.25) + e3(2.5), 0)
+    assert got[("click", "2024-01-02")] == (1, e3(0.001), 0)
+    assert got[("buy", "2024-01-01")] == (1, e3(10.0), 0)
+    assert got[("buy", "2024-01-03")] == (1, e3(-4.2), 0)
+    # per-type level sums its leaves exactly (int64 arithmetic)
+    assert got[("click", None)] == (3, e3(1.25) + e3(2.5) + e3(0.001), 1)
+    assert got[("buy", None)] == (2, e3(10.0) + e3(-4.2), 1)
+    # grand total
+    total_n, total_v, lvl = got[(None, None)]
+    assert (total_n, lvl) == (5, 3)
+    assert total_v == sum(e3(r[4]) for r in rows)
+    assert len(got) == 4 + 2 + 1  # leaves + per-type + grand total
