@@ -47,7 +47,12 @@ from combblas_spark.sources.graphs import (
     nation_star_graph,
     events_digraph,
     preferential_graph,
+    redirect_table,
     PREF_N,
+)
+from combblas_spark.algorithms.redirects import (
+    resolve_redirects,
+    rewrite_onto_finals,
 )
 from combblas_spark.sources.corpus import build_vertices
 from combblas_spark.functions.text import (
@@ -4018,6 +4023,61 @@ n{s} AS MATERIALIZED (
 
 
 # --------------------------------------------------------------------------
+# redirect-chain resolution (pointer doubling) — algorithms/redirects.py
+# --------------------------------------------------------------------------
+
+RD_DOUBLINGS = 8
+
+RD_CTES = """
+rd AS MATERIALIZED (
+  SELECT u AS src,
+         CAST(('0x' || substr(md5('rt|' || CAST(u AS VARCHAR)), 1, 15))
+              AS BIGINT) % u AS dst
+  FROM (SELECT CAST(o_orderkey AS BIGINT) + 1 AS u FROM orders) ok
+  WHERE CAST(('0x' || substr(md5('rd|' || CAST(u AS VARCHAR)), 1, 15))
+             AS BIGINT) % 3 < 2
+)"""
+
+
+def _doubling_sql(rounds: int) -> str:
+    """Unrolled pointer doubling mirroring resolve_redirects: r0 is the
+    direct mapping with hops=1; each round substitutes nxt <- f(nxt) and
+    accumulates hops wherever nxt is itself a redirect source."""
+    parts = [
+        "r0 AS MATERIALIZED (SELECT src, dst AS nxt, CAST(1 AS BIGINT) AS hops FROM rd)"
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT a.src, COALESCE(b.nxt, a.nxt) AS nxt,
+         a.hops + COALESCE(b.hops, CAST(0 AS BIGINT)) AS hops
+  FROM r{k-1} a LEFT JOIN r{k-1} b ON a.nxt = b.src)"""
+        )
+    return ",\n".join(parts)
+
+
+def q_redirect_resolve(spark, sf):
+    """Canonical-URL pass: resolve every redirecting orderkey to its
+    chain-final destination (validate='raise' proves the fixture fully
+    resolves inside the 2^8 doubling budget)."""
+    rd = redirect_table(spark, sf)
+    res = resolve_redirects(spark, rd, max_doublings=RD_DOUBLINGS, validate="raise")
+    return res.select("src", "final", "hops")
+
+
+def q_rewrite_links(spark, sf):
+    """End-to-end canonicalization: repoint the PS link graph's dst ids
+    through the resolved redirect table and re-aggregate the now-parallel
+    edges (integer multiplicities, exact in a BIGINT)."""
+    e = part_supplier_graph(spark, sf)
+    res = resolve_redirects(spark, redirect_table(spark, sf), RD_DOUBLINGS)
+    out = rewrite_onto_finals(e, res)
+    return out.groupBy("src", "dst").agg(
+        F.sum("w").cast("bigint").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4119,6 +4179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes_ps": q_cc_sizes_ps,
         "rich_club_ev": q_rich_club_ev,
         "props_stats": q_props_stats,
+        "redirect_resolve": q_redirect_resolve,
+        "rewrite_links": q_rewrite_links,
         # --- r03-graded tail (refreshed rows pending budget) ---
         "ewise_union_ev": q_ewise_union_ev,
         "prune_column_ps": q_prune_column_ps,
@@ -4221,6 +4283,18 @@ qstats AS (
 def oracle_sql() -> dict[str, str]:
     return {
         # --- new in round 5 ------------------------------------------------
+        "redirect_resolve": f"""WITH {RD_CTES},
+{_doubling_sql(RD_DOUBLINGS)}
+SELECT src, nxt AS final, hops FROM r{RD_DOUBLINGS}""",
+        # the fixture fully resolves inside the doubling budget (the
+        # redirect_resolve query raises otherwise), so the oracle can
+        # repoint unconditionally where the Spark side also drops
+        # unresolved-cycle rows.
+        "rewrite_links": f"""WITH {PS_CTES},{RD_CTES},
+{_doubling_sql(RD_DOUBLINGS)}
+SELECT e.src, COALESCE(r.nxt, e.dst) AS dst, CAST(SUM(e.w) AS BIGINT) AS n
+FROM edges e LEFT JOIN r{RD_DOUBLINGS} r ON e.dst = r.src
+GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """
             SELECT event_type,

@@ -142,6 +142,9 @@ HEADLINE = [
     "value_percentiles",
     "len_percentiles",
     "len_robust",
+    # round-5 closing session
+    "redirect_resolve",
+    "rewrite_links",
 ]
 
 

@@ -157,6 +157,39 @@ def preferential_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def redirect_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic acyclic redirect set over the orders keyspace — the
+    fixture for redirect-chain resolution (algorithms/redirects.py). ~2/3
+    of orderkeys u redirect (md5-60bit 'rd' draw % 3 < 2) to target
+    md5-60bit('rt') % u, which is STRICTLY smaller, so the functional
+    graph is a DAG whose chains terminate at non-redirect ids; target
+    uniform on [0, u) makes expected chain depth O(log n) with a thin
+    geometric tail (each hop continues with prob 2/3), comfortably inside
+    the default 2^8 doubling budget. md5-60bit keeps it engine-portable
+    (the RandPerm trick, operators/indexing.py). Returns (src, dst), one
+    row per redirecting orderkey."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        # +1: orderkeys are 0-based in the synthetic data and the target
+        # draw is modulo u, which must be >= 1
+        (F.col("o_orderkey").cast("long") + 1).alias("u")
+    )
+
+    def h60(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("u").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return o.filter(h60("rd") % 3 < 2).select(
+        F.col("u").alias("src"), (h60("rt") % F.col("u")).alias("dst")
+    )
+
+
 def nation_star_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-skew star forest: every customer and supplier linked to its
     nation (ids offset). Exactly 25 star components; the nation vertices are

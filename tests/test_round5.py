@@ -2907,3 +2907,116 @@ def test_event_rollup_levels_add_up(spark):
     assert (total_n, lvl) == (5, 3)
     assert total_v == sum(e3(r[4]) for r in rows)
     assert len(got) == 4 + 2 + 1  # leaves + per-type + grand total
+
+
+# ------------------------------------------------------------- redirects
+
+
+def _rd(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_redirect_chain_hand_case(spark):
+    from combblas_spark.algorithms.redirects import resolve_redirects
+
+    res = resolve_redirects(spark, _rd(spark, [(3, 2), (2, 1), (9, 1)]))
+    got = {r["src"]: (r["final"], r["hops"], r["resolved"]) for r in res.collect()}
+    assert got == {3: (1, 2, True), 2: (1, 1, True), 9: (1, 1, True)}
+
+
+def test_redirect_depth_budget_and_cycles(spark):
+    import pytest as _pt
+
+    from combblas_spark.algorithms.redirects import resolve_redirects
+
+    # depth-5 chain, 2 doublings only advance 2**2 = 4 hops
+    chain = [(k, k - 1) for k in range(5, 0, -1)]  # 5->4->...->0
+    res = resolve_redirects(spark, _rd(spark, chain), max_doublings=2)
+    got = {r["src"]: (r["final"], r["hops"], r["resolved"]) for r in res.collect()}
+    assert got[5] == (1, 4, False)  # stuck one hop short, marked unresolved
+    assert got[4] == (0, 4, True)
+    with _pt.raises(ValueError, match="unresolved"):
+        resolve_redirects(spark, _rd(spark, chain), max_doublings=2,
+                          validate="raise")
+    # 3 doublings cover depth 8 — now everything lands on terminal 0
+    res = resolve_redirects(spark, _rd(spark, chain), max_doublings=3)
+    assert {(r["src"], r["final"], r["hops"]) for r in res.collect()} == {
+        (k, 0, k) for k in range(1, 6)
+    }
+    # a 2-cycle never resolves
+    with _pt.raises(ValueError, match="unresolved"):
+        resolve_redirects(spark, _rd(spark, [(1, 2), (2, 1)]),
+                          validate="raise")
+
+
+def test_redirect_not_functional_raises(spark):
+    import pytest as _pt
+
+    from combblas_spark.algorithms.redirects import resolve_redirects
+
+    with _pt.raises(ValueError, match="functional"):
+        resolve_redirects(spark, _rd(spark, [(1, 2), (1, 3)]))
+
+
+def test_redirect_fixture_python_replay(spark):
+    """Full replay of the orders-derived fixture at sf0.001: walk every
+    chain in python off the same md5-60bit draws."""
+    import hashlib
+
+    from combblas_spark.algorithms.redirects import resolve_redirects
+    from combblas_spark.sources.graphs import redirect_table
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rd = redirect_table(spark, "/root/testdata/sf0.001")
+    got = {
+        r["src"]: (r["final"], r["hops"])
+        for r in resolve_redirects(spark, rd, validate="raise").collect()
+    }
+    tgt = {r["src"]: r["dst"] for r in rd.collect()}
+    # fixture definition replays exactly
+    for u in range(1, 1501):
+        if h60(f"rd|{u}") % 3 < 2:
+            assert tgt[u] == h60(f"rt|{u}") % u
+        else:
+            assert u not in tgt
+    assert len(got) == len(tgt)
+    for u in tgt:
+        cur, hops = u, 0
+        while cur in tgt:
+            cur, hops = tgt[cur], hops + 1
+        assert got[u] == (cur, hops)
+
+
+def test_rewrite_onto_finals(spark):
+    from combblas_spark.algorithms.redirects import (
+        resolve_redirects,
+        rewrite_onto_finals,
+    )
+
+    # 20 -> 10 -> 0 resolves; 30 <-> 31 is a redirect loop
+    res = resolve_redirects(
+        spark, _rd(spark, [(20, 10), (10, 0), (30, 31), (31, 30)])
+    )
+    edges = spark.createDataFrame(
+        [(1, 20, 2.0), (1, 10, 1.0), (2, 5, 1.0), (3, 30, 9.0)],
+        "src long, dst long, w double",
+    )
+    got = {(r["src"], r["dst"], r["w"]) for r in
+           rewrite_onto_finals(edges, res).collect()}
+    # both redirecting dsts land on 0; untouched dst passes through;
+    # the loop edge is dropped
+    assert got == {(1, 0, 2.0), (1, 0, 1.0), (2, 5, 1.0)}
+
+
+def test_redirect_partition_invariance(spark):
+    from combblas_spark.algorithms.redirects import resolve_redirects
+    from combblas_spark.sources.graphs import redirect_table
+
+    rd = redirect_table(spark, "/root/testdata/sf0.001")
+    a = {(r["src"], r["final"], r["hops"])
+         for r in resolve_redirects(spark, rd).collect()}
+    b = {(r["src"], r["final"], r["hops"])
+         for r in resolve_redirects(spark, rd.repartition(13)).collect()}
+    assert a == b
