@@ -4078,6 +4078,71 @@ def q_rewrite_links(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog registers — functions/sketch.hll_distinct
+# --------------------------------------------------------------------------
+
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P
+_HLL_K = 61 - _HLL_P
+_HLL_CONST = 0.709 * _HLL_M * _HLL_M * float(1 << _HLL_K)
+
+
+def q_hll_distinct(spark, sf):
+    """HLL distinct sketch over two cardinality regimes at once: partkeys
+    per returnflag (raw-estimate branch) and users per event type
+    (linear-counting branch)."""
+    from combblas_spark.functions.sketch import hll_distinct
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.concat(F.lit("rf|"), F.col("l_returnflag")).alias("grp"),
+        F.col("l_partkey").cast("long").cast("string").alias("v"),
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.concat(F.lit("ev|"), F.col("event_type")).alias("grp"),
+        F.col("user_id").cast("long").cast("string").alias("v"),
+    )
+    return hll_distinct(li.unionByName(ev), "grp", F.col("v"), p=_HLL_P)
+
+
+_HLL_ORACLE = f"""WITH src AS (
+  SELECT 'rf|' || l_returnflag AS grp,
+         CAST(CAST(l_partkey AS BIGINT) AS VARCHAR) AS v FROM lineitem
+  UNION ALL
+  SELECT 'ev|' || event_type,
+         CAST(CAST(user_id AS BIGINT) AS VARCHAR) FROM events),
+h AS MATERIALIZED (
+  SELECT grp, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h FROM src),
+regs AS MATERIALIZED (
+  SELECT grp, h % {_HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_K}
+             ELSE {_HLL_K} - LENGTH(bin(h >> {_HLL_P})) END) AS rho
+  FROM h GROUP BY grp, h % {_HLL_M}),
+pg AS (
+  SELECT grp,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_K} - rho)) AS BIGINT)
+           AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM regs GROUP BY grp),
+ex AS (
+  SELECT grp, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+  FROM h GROUP BY grp),
+sc AS (
+  SELECT ex.grp, n_exact,
+         CAST({_HLL_M} - n_present AS BIGINT) AS v_zero,
+         CAST(s_present + ({_HLL_M} - n_present)
+              * (CAST(1 AS BIGINT) << {_HLL_K}) AS BIGINT) AS s_harm
+  FROM ex JOIN pg ON ex.grp = pg.grp)
+SELECT grp, n_exact, v_zero, s_harm,
+       ROUND(CASE WHEN v_zero > 0
+                   AND {_HLL_CONST!r} / CAST(s_harm AS DOUBLE)
+                       <= {2.5 * _HLL_M!r}
+                  THEN {float(_HLL_M)!r} * LN({float(_HLL_M)!r} / v_zero)
+                  ELSE {_HLL_CONST!r} / CAST(s_harm AS DOUBLE) END,
+             6) AS hll_est
+FROM sc"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4181,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": q_props_stats,
         "redirect_resolve": q_redirect_resolve,
         "rewrite_links": q_rewrite_links,
+        "hll_distinct": q_hll_distinct,
         # --- r03-graded tail (refreshed rows pending budget) ---
         "ewise_union_ev": q_ewise_union_ev,
         "prune_column_ps": q_prune_column_ps,
@@ -4295,6 +4361,7 @@ SELECT src, nxt AS final, hops FROM r{RD_DOUBLINGS}""",
 SELECT e.src, COALESCE(r.nxt, e.dst) AS dst, CAST(SUM(e.w) AS BIGINT) AS n
 FROM edges e LEFT JOIN r{RD_DOUBLINGS} r ON e.dst = r.src
 GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
+        "hll_distinct": _HLL_ORACLE,
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """
             SELECT event_type,

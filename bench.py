@@ -145,6 +145,7 @@ HEADLINE = [
     # round-5 closing session
     "redirect_resolve",
     "rewrite_links",
+    "hll_distinct",
 ]
 
 

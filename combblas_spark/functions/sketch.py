@@ -153,3 +153,97 @@ def cms_token_counts(
         )
     finally:
         toks.unpersist()
+
+
+# -------------------------------------------------------------------- HLL
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value: Column, p: int = 6
+) -> DataFrame:
+    """HyperLogLog distinct-count registers per group, engine-portable.
+
+    Flajolet et al. 2007 with the standard linear-counting small-range
+    correction. The register build is the TRUE HLL scale shape — unlike
+    kmv_distinct there is no global distinct and no window: one
+    map-side-combinable MAX aggregation onto (group, bucket) produces a
+    fixed m = 2**p registers per group, mergeable across any partitioning
+    (MAX is the merge), so at 100 TB the whole pass is a word-count-shaped
+    partial+final agg with an O(m) result per group.
+
+    Portability: h = md5-60bit(value); bucket = h mod m (low p bits);
+    rest = h >> p (60-p bits); rho = (60-p) - bitlength(rest) + 1 with
+    rest == 0 -> (60-p)+1 (bitlength via the LENGTH(bin(x)) trick both
+    engines share). The harmonic denominator is kept EXACT:
+    s_harm = sum over registers of 2**(K - rho) via integer shifts
+    (K = 61-p; empty registers contribute 2**K), max m * 2**K < 2**63 for
+    p >= 4. Only the final estimate touches doubles:
+    est = alpha_m * m^2 * 2**K / s_harm, replaced by m * ln(m / v_zero)
+    when est <= 2.5 m and zero registers remain — ROUND(.,6) both sides.
+
+    Returns (group, n_exact, v_zero, s_harm, hll_est); n_exact (the exact
+    distinct-hash count) is an AUDIT column for the oracle/tests — it is
+    the expensive global distinct HLL exists to avoid; drop it in
+    production plans.
+    """
+    m = 1 << p
+    if m not in _HLL_ALPHA:
+        raise ValueError(
+            f"p must be one of {sorted(len(bin(k)) - 3 for k in _HLL_ALPHA)}, got {p}"
+        )
+    w = 60 - p
+    k_exp = w + 1
+    alpha = _HLL_ALPHA[m]
+
+    base = df.select(
+        F.col(group_col).alias("g"), md5_60bit(value).alias("h")
+    )
+    regs = (
+        base.select(
+            "g",
+            F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+            F.expr(
+                f"CASE WHEN (h >> {p}) = 0 THEN {k_exp} "
+                f"ELSE {k_exp} - LENGTH(bin(h >> {p})) END"
+            ).alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    per_group = regs.groupBy("g").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_exp} - CAST(rho AS INT))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = base.groupBy("g").agg(
+        F.countDistinct("h").cast("long").alias("n_exact")
+    )
+    scored = exact.join(per_group, on="g").select(
+        F.col("g").alias(group_col),
+        "n_exact",
+        (F.lit(m) - F.col("n_present")).cast("long").alias("v_zero"),
+        (
+            F.col("s_present")
+            + (F.lit(m) - F.col("n_present"))
+            * F.lit(1 << k_exp).cast("long")
+        ).alias("s_harm"),
+    )
+    raw = F.lit(alpha * m * m * float(1 << k_exp)) / F.col("s_harm").cast(
+        "double"
+    )
+    return scored.select(
+        group_col,
+        "n_exact",
+        "v_zero",
+        "s_harm",
+        F.round(
+            F.when(
+                (F.col("v_zero") > 0) & (raw <= F.lit(2.5 * m)),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+            ).otherwise(raw),
+            6,
+        ).alias("hll_est"),
+    )

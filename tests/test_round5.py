@@ -3020,3 +3020,73 @@ def test_redirect_partition_invariance(spark):
     b = {(r["src"], r["final"], r["hops"])
          for r in resolve_redirects(spark, rd.repartition(13)).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------- hll
+
+
+def _py_hll(vals, p=6):
+    """Pure-python replay of hll_distinct's register math."""
+    m, w = 1 << p, 60 - p
+    k_exp = w + 1
+    regs = {}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bucket, rest = h % m, h >> p
+        rho = k_exp if rest == 0 else k_exp - rest.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    v_zero = m - len(regs)
+    s_harm = sum(1 << (k_exp - r) for r in regs.values()) + v_zero * (1 << k_exp)
+    raw = 0.709 * m * m * float(1 << k_exp) / s_harm
+    if v_zero > 0 and raw <= 2.5 * m:
+        import math
+        est = m * math.log(m / v_zero)
+    else:
+        est = raw
+    return v_zero, s_harm, round(est, 6)
+
+
+def test_hll_python_replay_and_accuracy(spark):
+    from combblas_spark.functions.sketch import hll_distinct
+
+    vals = [f"item-{i}" for i in range(5000)] * 2  # duplicates change nothing
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v string")
+    row = hll_distinct(df, "grp", F.col("v")).collect()[0]
+    v_zero, s_harm, est = _py_hll([f"item-{i}" for i in range(5000)])
+    assert (row["v_zero"], row["s_harm"]) == (v_zero, s_harm)
+    assert row["hll_est"] == est
+    assert row["n_exact"] == 5000
+    # raw-branch accuracy: 1.04/sqrt(64) ~ 13% std error, allow 3 sigma
+    assert abs(row["hll_est"] - 5000) / 5000 < 0.39
+
+
+def test_hll_linear_counting_branch(spark):
+    from combblas_spark.functions.sketch import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(20)], "grp string, v string"
+    )
+    row = hll_distinct(df, "grp", F.col("v")).collect()[0]
+    v_zero, s_harm, est = _py_hll([f"u{i}" for i in range(20)])
+    assert (row["v_zero"], row["s_harm"], row["hll_est"]) == (
+        v_zero, s_harm, est)
+    assert row["v_zero"] > 0
+    # linear counting is tight at this load factor
+    assert abs(row["hll_est"] - 20) / 20 < 0.25
+
+
+def test_hll_merge_and_partition_invariance(spark):
+    from combblas_spark.functions.sketch import hll_distinct
+
+    rows = [("a", f"x{i}") for i in range(300)] + [
+        ("b", f"y{i}") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    a = {r["grp"]: (r["v_zero"], r["s_harm"], r["hll_est"])
+         for r in hll_distinct(df, "grp", F.col("v")).collect()}
+    b = {r["grp"]: (r["v_zero"], r["s_harm"], r["hll_est"])
+         for r in hll_distinct(df.repartition(11), "grp", F.col("v")).collect()}
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError, match="p must be"):
+        hll_distinct(df, "grp", F.col("v"), p=3).collect()
