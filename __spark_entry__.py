@@ -4143,6 +4143,80 @@ FROM sc"""
 
 
 # --------------------------------------------------------------------------
+# WebGraph gap-encoding audit + anchor-text index
+# --------------------------------------------------------------------------
+
+def q_gap_audit_ps(spark, sf):
+    """Compressibility of the PS adjacency structure per log2-out-degree
+    bucket: gap-coded vs raw id bits (algorithms/stats.gap_encoding_audit)."""
+    from combblas_spark.algorithms.stats import gap_encoding_audit
+
+    return gap_encoding_audit(part_supplier_graph(spark, sf))
+
+
+GAP_ORACLE = f"""WITH {PS_CTES},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+costed AS MATERIALIZED (
+  SELECT src,
+         CAST(CASE WHEN prev IS NULL THEN LENGTH(bin(dst + 1))
+              ELSE LENGTH(bin(dst - prev)) END AS BIGINT) AS bits,
+         CAST(LENGTH(bin(dst + 1)) AS BIGINT) AS raw
+  FROM (SELECT src, dst,
+               LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+        FROM de) x),
+per_src AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg,
+         CAST(SUM(bits) AS BIGINT) AS gap_bits,
+         CAST(SUM(raw) AS BIGINT) AS raw_bits
+  FROM costed GROUP BY src)
+SELECT CAST(LENGTH(bin(deg)) - 1 AS BIGINT) AS deg_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_srcs,
+       CAST(SUM(deg) AS BIGINT) AS n_edges,
+       CAST(SUM(gap_bits) AS BIGINT) AS gap_bits,
+       CAST(SUM(raw_bits) AS BIGINT) AS raw_bits
+FROM per_src GROUP BY LENGTH(bin(deg)) - 1"""
+
+
+ANCHOR_K = 3
+
+
+def q_anchor_topk(spark, sf):
+    """Anchor-text index: per-target top-k anchor terms over the
+    deterministic anchored-link fixture (functions/text.anchored_links /
+    anchor_text_index)."""
+    from combblas_spark.functions.text import anchored_links, anchor_text_index
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return anchor_text_index(anchored_links(docs), k=ANCHOR_K)
+
+
+ANCHOR_ORACLE = f"""WITH {TOKS_CTES},
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+asrcs AS MATERIALIZED (
+  SELECT doc_id AS src, toks, CAST(len(toks) AS BIGINT) AS n
+  FROM toklists WHERE len(toks) >= 2),
+alinks AS MATERIALIZED (
+  SELECT CAST(('0x' || substr(md5('al|' || CAST(src AS VARCHAR) || '|'
+                 || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % d AS dst,
+         1 + CAST(('0x' || substr(md5('ap|' || CAST(src AS VARCHAR) || '|'
+                 || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % (n - 1) AS pos,
+         toks
+  FROM asrcs CROSS JOIN nd
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) jj),
+aterms AS MATERIALIZED (
+  SELECT dst, unnest(toks[pos:pos+1]) AS term FROM alinks),
+acounts AS MATERIALIZED (
+  SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM aterms GROUP BY dst, term)
+SELECT dst, term, cnt, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT dst, term, cnt,
+         ROW_NUMBER() OVER (PARTITION BY dst
+                            ORDER BY cnt DESC, term ASC) AS rn
+  FROM acounts) x
+WHERE rn <= {ANCHOR_K}"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4247,6 +4321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "rewrite_links": q_rewrite_links,
         "hll_distinct": q_hll_distinct,
+        "gap_audit_ps": q_gap_audit_ps,
+        "anchor_topk": q_anchor_topk,
         # --- r03-graded tail (refreshed rows pending budget) ---
         "ewise_union_ev": q_ewise_union_ev,
         "prune_column_ps": q_prune_column_ps,
@@ -4362,6 +4438,8 @@ SELECT e.src, COALESCE(r.nxt, e.dst) AS dst, CAST(SUM(e.w) AS BIGINT) AS n
 FROM edges e LEFT JOIN r{RD_DOUBLINGS} r ON e.dst = r.src
 GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "hll_distinct": _HLL_ORACLE,
+        "gap_audit_ps": GAP_ORACLE,
+        "anchor_topk": ANCHOR_ORACLE,
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """
             SELECT event_type,

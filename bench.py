@@ -146,6 +146,8 @@ HEADLINE = [
     "redirect_resolve",
     "rewrite_links",
     "hll_distinct",
+    "gap_audit_ps",
+    "anchor_topk",
 ]
 
 

@@ -25,7 +25,7 @@ no driver-side iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -518,4 +518,61 @@ def degree_gini(edges: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("gini"),
+    )
+
+
+def gap_encoding_audit(edges: DataFrame) -> DataFrame:
+    """WebGraph-style compressibility audit of the adjacency structure.
+
+    Boldi & Vigna's WebGraph framework compresses a link graph by storing
+    each sorted adjacency list as gamma-coded GAPS (dst_i - dst_{i-1});
+    locality in the id assignment is what makes web graphs compress to
+    2-3 bits/link. This audit measures exactly that, per log2-out-degree
+    bucket: total gap-coded bits vs raw id bits, so an id-renumbering
+    pass (e.g. operators/indexing.rcm_order / RenameVertices) can be
+    judged by a number. All integer arithmetic — bit lengths via the
+    LENGTH(bin(x)) trick shared with the oracle.
+
+    Per bucket: n_srcs, n_edges, gap_bits (first dst costs bitlen(dst+1),
+    each subsequent sorted dst costs bitlen(gap)), raw_bits
+    (sum of bitlen(dst+1)).
+
+    Scale shape: one distinct, one lag-window partitioned by src — the
+    partition IS the adjacency list, the same unit WebGraph encodes
+    sequentially; its size is bounded by max out-degree (a 10^8-degree
+    hub is one task — acceptable for an offline audit; the production
+    encode would range-split the dst space and stitch boundary gaps) —
+    then two map-side-combinable aggregations.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    costed = e.withColumn("prev", F.lag("dst").over(w)).select(
+        "src",
+        F.when(
+            F.col("prev").isNull(), F.expr("LENGTH(bin(dst + 1))")
+        )
+        .otherwise(F.expr("LENGTH(bin(dst - prev))"))
+        .cast("long")
+        .alias("bits"),
+        F.expr("LENGTH(bin(dst + 1))").cast("long").alias("raw"),
+    )
+    per_src = costed.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.sum("bits").alias("gap_bits"),
+        F.sum("raw").alias("raw_bits"),
+    )
+    return (
+        per_src.withColumn(
+            "deg_bucket", F.expr("LENGTH(bin(deg)) - 1").cast("long")
+        )
+        .groupBy("deg_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_srcs"),
+            F.sum("deg").cast("long").alias("n_edges"),
+            F.sum("gap_bits").cast("long").alias("gap_bits"),
+            F.sum("raw_bits").cast("long").alias("raw_bits"),
+        )
     )

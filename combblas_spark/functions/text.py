@@ -989,3 +989,93 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
     for _name, pat, rep in PII_PATTERNS:
         col = F.regexp_replace(col, pat, rep)
     return docs.withColumn(out_col, col)
+
+
+# ------------------------------------------------------------ anchor text
+
+
+def anchored_links(docs: DataFrame, fanout: int = 3) -> DataFrame:
+    """Deterministic link-with-anchor-text fixture over the documents
+    table: each document with >= 2 tokens emits ``fanout`` out-links; link
+    j of doc i targets md5-60bit('al|i|j') % n_docs (doc ids are dense
+    0-based) and carries a 2-token anchor sliced from the SOURCE text at
+    position 1 + md5-60bit('ap|i|j') % (len-1) — the (link, anchor-text)
+    pair shape a crawler's outlink extractor produces. n_docs rides a
+    broadcast 1-row count, never a driver collect."""
+    from combblas_spark.functions.dedup import md5_60bit
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("src"),
+        tokens_col(F.col("text")).alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(1, fanout + 1)])).alias("j")
+
+    def h60(salt: str):
+        return md5_60bit(
+            F.concat(
+                F.lit(salt + "|"),
+                F.col("src").cast("string"),
+                F.lit("|"),
+                F.col("j").cast("string"),
+            )
+        )
+
+    return (
+        toks.select("src", "toks", j)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "src",
+            (h60("al") % F.col("_d")).alias("dst"),
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.lit(1) + h60("ap") % (F.size("toks") - 1)).cast("int"),
+                    2,
+                ),
+                " ",
+            ).alias("anchor"),
+        )
+    )
+
+
+def anchor_text_index(links: DataFrame, k: int = 3) -> DataFrame:
+    """Per-target top-k anchor terms over the in-links — the anchor-text
+    index web search builds (anchors describe the TARGET better than its
+    own body text; Brin & Page 1998 §2.2). links(src, dst, anchor) ->
+    (dst, term, cnt, rank), rank by (cnt DESC, term ASC) so ties are
+    deterministic and the oracle replays the ordering.
+
+    Scale shape: tokenize-explode then ONE map-side-combinable count onto
+    (dst, term) — skew bounded like a word count — then the kselect
+    two-phase salted top-k so a mega-hub target (10^8 in-links, unbounded
+    distinct anchor vocabulary) never sorts through a single task: local
+    top-k per (dst, term-hash salt), global top-k over <= 16k survivors
+    per dst."""
+    from pyspark.sql import Window
+
+    from combblas_spark.functions.dedup import md5_60bit
+
+    terms = links.select(
+        F.col("dst").cast("long").alias("dst"),
+        F.explode(tokens_col(F.col("anchor"))).alias("term"),
+    )
+    counts = terms.groupBy("dst", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    local_w = Window.partitionBy(
+        "dst", F.pmod(md5_60bit(F.col("term")), F.lit(16))
+    ).orderBy(F.col("cnt").desc(), F.col("term").asc())
+    survivors = (
+        counts.withColumn("_rn", F.row_number().over(local_w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    glob_w = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(glob_w))
+        .filter(F.col("rank") <= k)
+        .select("dst", "term", "cnt", F.col("rank").cast("long").alias("rank"))
+    )

@@ -3090,3 +3090,132 @@ def test_hll_merge_and_partition_invariance(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="p must be"):
         hll_distinct(df, "grp", F.col("v"), p=3).collect()
+
+
+# ----------------------------------------------------------- gap encoding
+
+
+def test_gap_audit_hand_case(spark):
+    from combblas_spark.algorithms.stats import gap_encoding_audit
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 5, 1.0), (1, 13, 1.0), (7, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    got = {r["deg_bucket"]: (r["n_srcs"], r["n_edges"], r["gap_bits"],
+                             r["raw_bits"])
+           for r in gap_encoding_audit(e).collect()}
+    # src 1: sorted dsts [2,5,13] -> first bitlen(3)=2, gaps 3 (2 bits),
+    # 8 (4 bits); raw = bitlen(3)+bitlen(6)+bitlen(14) = 2+3+4
+    assert got[1] == (1, 3, 2 + 2 + 4, 2 + 3 + 4)
+    # src 7: single dst 1 -> bitlen(2) = 2 both ways; deg 1 -> bucket 0
+    assert got[0] == (1, 1, 2, 2)
+
+
+def test_gap_audit_locality_signal(spark):
+    """Clustered ids must gap-encode smaller than scattered ids — the
+    property the audit exists to measure."""
+    from combblas_spark.algorithms.stats import gap_encoding_audit
+
+    near = spark.createDataFrame(
+        [(0, 1000 + i, 1.0) for i in range(32)], "src long, dst long, w double"
+    )
+    far = spark.createDataFrame(
+        [(0, 1000 * (i + 1), 1.0) for i in range(32)],
+        "src long, dst long, w double",
+    )
+    g_near = gap_encoding_audit(near).collect()[0]["gap_bits"]
+    g_far = gap_encoding_audit(far).collect()[0]["gap_bits"]
+    assert g_near < g_far
+
+
+def test_gap_audit_python_replay(spark):
+    from collections import defaultdict
+
+    from combblas_spark.algorithms.stats import gap_encoding_audit
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    e = part_supplier_graph(spark, "/root/testdata/sf0.001")
+    adj = defaultdict(set)
+    for r in e.select("src", "dst").collect():
+        adj[r["src"]].add(r["dst"])
+    buckets = defaultdict(lambda: [0, 0, 0, 0])
+    for s, ds in adj.items():
+        ds = sorted(ds)
+        gap = ds[0] + 1 if ds else 0
+        gbits = (ds[0] + 1).bit_length() + sum(
+            (b - a).bit_length() for a, b in zip(ds, ds[1:])
+        )
+        rbits = sum((d + 1).bit_length() for d in ds)
+        bk = len(ds).bit_length() - 1
+        agg = buckets[bk]
+        agg[0] += 1
+        agg[1] += len(ds)
+        agg[2] += gbits
+        agg[3] += rbits
+    got = {r["deg_bucket"]: (r["n_srcs"], r["n_edges"], r["gap_bits"],
+                             r["raw_bits"])
+           for r in gap_encoding_audit(e).collect()}
+    assert got == {k: tuple(v) for k, v in buckets.items()}
+
+
+# ------------------------------------------------------------ anchor text
+
+
+def test_anchor_index_hand_case(spark):
+    from combblas_spark.functions.text import anchor_text_index
+
+    links = spark.createDataFrame(
+        [
+            (1, 9, "best search engine"),
+            (2, 9, "search engine here"),
+            (3, 9, "click here"),
+            (4, 8, "lonely page"),
+        ],
+        "src long, dst long, anchor string",
+    )
+    got = {(r["dst"], r["rank"]): (r["term"], r["cnt"])
+           for r in anchor_text_index(links, k=2).collect()}
+    # dst 9 term counts: engine 2, search 2, best/click/here... here 2
+    # -> top-2 by (cnt desc, term asc): engine(2), here(2)
+    assert got[(9, 1)] == ("engine", 2)
+    assert got[(9, 2)] == ("here", 2)
+    assert got[(8, 1)] == ("lonely", 1)
+    assert got[(8, 2)] == ("page", 1)
+
+
+def test_anchor_index_matches_bruteforce(spark):
+    """Salted two-phase top-k == plain per-target sort on the fixture."""
+    from collections import Counter
+
+    from combblas_spark.functions.text import (
+        anchor_text_index,
+        anchored_links,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    links = anchored_links(docs)
+    counts = Counter()
+    for r in links.collect():
+        for t in r["anchor"].split():
+            if t:
+                counts[(r["dst"], t)] += 1
+    by_dst = {}
+    for (d, t), c in counts.items():
+        by_dst.setdefault(d, []).append((-c, t))
+    want = set()
+    for d, lst in by_dst.items():
+        for rank, (negc, t) in enumerate(sorted(lst)[:3], start=1):
+            want.add((d, t, -negc, rank))
+    got = {(r["dst"], r["term"], r["cnt"], r["rank"])
+           for r in anchor_text_index(links, k=3).collect()}
+    assert got == want
+
+
+def test_anchored_links_deterministic(spark):
+    from combblas_spark.functions.text import anchored_links
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {tuple(r) for r in anchored_links(docs).collect()}
+    b = {tuple(r) for r in anchored_links(docs.repartition(7)).collect()}
+    assert a == b and len(a) > 0
