@@ -4217,6 +4217,91 @@ WHERE rn <= {ANCHOR_K}"""
 
 
 # --------------------------------------------------------------------------
+# URL canonicalization — functions/urls.py
+# --------------------------------------------------------------------------
+
+def q_url_canon(spark, sf):
+    """Canonicalize the deterministic dirty-URL fixture; the oracle is an
+    INDEPENDENT DuckDB implementation of the same documented rules, so
+    this cross-checks two implementations of the spec."""
+    from combblas_spark.functions.urls import (
+        canonical_url,
+        dirty_urls,
+        url_host,
+    )
+
+    d = dirty_urls(spark, sf)
+    return d.select(
+        "src",
+        "url",
+        canonical_url(F.col("url")).alias("canon"),
+        url_host(F.col("url")).alias("host"),
+    )
+
+
+_URL_ORACLE = """WITH uu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS u FROM orders),
+draws AS (
+  SELECT u,
+    CAST(('0x' || substr(md5('sch|' || CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS hsch,
+    CAST(('0x' || substr(md5('www|' || CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS hwww,
+    CAST(('0x' || substr(md5('prt|' || CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS hprt,
+    CAST(('0x' || substr(md5('pth|' || CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS hpth,
+    CAST(('0x' || substr(md5('qry|' || CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS hqry,
+    CAST(('0x' || substr(md5('frg|' || CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) AS hfrg
+  FROM uu),
+urls AS MATERIALIZED (
+  SELECT u AS src,
+    (CASE hsch % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'https' ELSE 'HTTP' END)
+    || '://' || (CASE WHEN hwww % 2 = 0 THEN 'www.' ELSE '' END)
+    || 'Shop' || CAST(u % 50 AS VARCHAR) || '.Example.COM'
+    || (CASE hprt % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' ELSE '' END)
+    || (CASE hpth % 3 WHEN 0 THEN '' WHEN 1 THEN '/item/' || CAST(u % 97 AS VARCHAR)
+        ELSE '/a/b' END)
+    || (CASE hqry % 4 WHEN 0 THEN ''
+        WHEN 1 THEN '?utm_source=news&id=' || CAST(u % 13 AS VARCHAR)
+        WHEN 2 THEN '?id=' || CAST(u % 13 AS VARCHAR) || '&utm_campaign=x&b=2'
+        ELSE '?b=2&a=1' END)
+    || (CASE WHEN hfrg % 3 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM draws),
+p1 AS (SELECT src, url, split_part(url, '#', 1) AS nf FROM urls),
+p2 AS (SELECT *, lower(split_part(nf, '://', 1)) AS scheme,
+       substr(nf, length(split_part(nf, '://', 1)) + 4) AS rest FROM p1),
+p3 AS (SELECT *, strpos(rest, '/') AS s, strpos(rest, '?') AS q FROM p2),
+p4 AS (SELECT *, CASE WHEN s > 0 AND (q = 0 OR s < q) THEN s
+                      WHEN q > 0 THEN q ELSE 0 END AS cut FROM p3),
+p5 AS (SELECT *,
+       CASE WHEN cut > 0 THEN substr(rest, 1, cut - 1) ELSE rest END AS hostport,
+       CASE WHEN cut > 0 THEN substr(rest, cut) ELSE '' END AS pathq FROM p4),
+p6 AS (SELECT *, strpos(pathq, '?') AS q2 FROM p5),
+p7 AS (SELECT *,
+       CASE WHEN q2 > 0 THEN substr(pathq, 1, q2 - 1) ELSE pathq END AS pth,
+       CASE WHEN q2 > 0 THEN substr(pathq, q2 + 1) ELSE '' END AS qry,
+       strpos(hostport, ':') AS c FROM p6),
+p8 AS (SELECT *,
+       lower(CASE WHEN c > 0 THEN substr(hostport, 1, c - 1)
+             ELSE hostport END) AS host0,
+       CASE WHEN c > 0 THEN substr(hostport, c + 1) ELSE '' END AS port FROM p7),
+p9 AS (SELECT *,
+       CASE WHEN substr(host0, 1, 4) = 'www.' THEN substr(host0, 5)
+            ELSE host0 END AS host,
+       list_sort(list_filter(string_split(qry, '&'),
+         x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
+              AND substr(x, 1, 7) <> 'fbclid='
+              AND substr(x, 1, 6) <> 'gclid=')) AS params FROM p8)
+SELECT src, url,
+  scheme || '://' || host
+  || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+            OR (scheme = 'https' AND port = '443')
+      THEN '' ELSE ':' || port END)
+  || (CASE WHEN pth = '' THEN '/' ELSE pth END)
+  || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+      ELSE '' END) AS canon,
+  host
+FROM p9"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4323,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "gap_audit_ps": q_gap_audit_ps,
         "anchor_topk": q_anchor_topk,
+        "url_canon": q_url_canon,
         # --- r03-graded tail (refreshed rows pending budget) ---
         "ewise_union_ev": q_ewise_union_ev,
         "prune_column_ps": q_prune_column_ps,
@@ -4440,6 +4526,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "hll_distinct": _HLL_ORACLE,
         "gap_audit_ps": GAP_ORACLE,
         "anchor_topk": ANCHOR_ORACLE,
+        "url_canon": _URL_ORACLE,
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """
             SELECT event_type,

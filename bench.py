@@ -148,6 +148,7 @@ HEADLINE = [
     "hll_distinct",
     "gap_audit_ps",
     "anchor_topk",
+    "url_canon",
 ]
 
 

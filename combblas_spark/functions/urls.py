@@ -1,0 +1,165 @@
+"""URL canonicalization — the normalize pass of link-graph ingest.
+
+Before a crawl's edges mean anything, both endpoints must be canonical:
+case-folded scheme/host, fragment stripped, default port dropped,
+tracking parameters removed, remaining query parameters sorted, empty
+path normalized to '/'. Together with redirect resolution
+(algorithms/redirects.py) this is the pair of passes that turns raw
+crawl output into a usable link graph; the reference assumes its inputs
+are already canonical ids (ReadGeneralizedTuples takes opaque labels —
+SpParMat.cpp:3722+), so this is the ingest step a user would otherwise
+bolt on.
+
+Everything is pure Column expressions (string slicing + one higher-order
+filter/sort over the split query string) — JVM codegen, no UDFs, no
+regex (engine regex dialects differ; strpos/substr arithmetic does not).
+The DuckDB oracle implements the same rules INDEPENDENTLY with its own
+string functions, so the contract query cross-checks two
+implementations of the spec rather than one implementation against
+itself.
+
+Canonicalization rules (documented order):
+1. strip '#fragment'
+2. scheme := lower(scheme)
+3. host := lower(host), then strip one leading 'www.'
+4. drop the port if empty, or http:80 / https:443
+5. path '' -> '/'
+6. drop query params that are empty, 'utm_*', 'fbclid=*', 'gclid=*'
+7. sort surviving params bytewise, rejoin with '&'
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+def _parts(url: Column):
+    """Split a URL into (scheme, host, port, path, sorted-query-params)
+    Columns. Pure string arithmetic: the authority ends at the first '/'
+    or '?' (whichever comes first), so schemeless paths and
+    query-without-path URLs both parse."""
+    no_frag = F.substring_index(url, "#", 1)
+    scheme = F.lower(F.substring_index(no_frag, "://", 1))
+    rest = F.substring(
+        no_frag, F.length(F.substring_index(no_frag, "://", 1)) + 4, 1 << 20
+    )
+    slash = F.instr(rest, "/")
+    qmark = F.instr(rest, "?")
+    cut = (
+        F.when((slash > 0) & ((qmark == 0) | (slash < qmark)), slash)
+        .when(qmark > 0, qmark)
+        .otherwise(F.lit(0))
+    )
+    hostport = F.when(cut > 0, F.substring(rest, 1, cut - 1)).otherwise(rest)
+    pathq = F.when(cut > 0, F.substring(rest, cut, 1 << 20)).otherwise(F.lit(""))
+    q2 = F.instr(pathq, "?")
+    path = F.when(q2 > 0, F.substring(pathq, 1, q2 - 1)).otherwise(pathq)
+    query = F.when(q2 > 0, F.substring(pathq, q2 + 1, 1 << 20)).otherwise(
+        F.lit("")
+    )
+    colon = F.instr(hostport, ":")
+    host0 = F.lower(
+        F.when(colon > 0, F.substring(hostport, 1, colon - 1)).otherwise(
+            hostport
+        )
+    )
+    port = F.when(colon > 0, F.substring(hostport, colon + 1, 1 << 20)).otherwise(
+        F.lit("")
+    )
+    host = F.when(
+        F.substring(host0, 1, 4) == "www.", F.substring(host0, 5, 1 << 20)
+    ).otherwise(host0)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & (F.substring(p, 1, 4) != "utm_")
+        & (F.substring(p, 1, 7) != "fbclid=")
+        & (F.substring(p, 1, 6) != "gclid="),
+    )
+    params = F.array_sort(keep)
+    return scheme, host, port, path, params
+
+
+def url_host(url: Column) -> Column:
+    """Canonical host (lowercased, one leading 'www.' stripped)."""
+    _, host, _, _, _ = _parts(url)
+    return host
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form of ``url`` per the module rules."""
+    scheme, host, port, path, params = _parts(url)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    q_part = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)
+
+
+def dirty_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dirty-URL fixture over the orders keyspace: mixed-case
+    schemes and hosts, optional 'www.', default and non-default ports,
+    empty / short paths, tracking-polluted and unsorted query strings, and
+    fragments — every rule in the module exercised, md5-60bit draws keep
+    it engine-portable. Returns (src, url)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("u")
+    )
+
+    def h60(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("u").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    scheme = (
+        F.when(h60("sch") % 3 == 0, "http")
+        .when(h60("sch") % 3 == 1, "https")
+        .otherwise("HTTP")
+    )
+    www = F.when(h60("www") % 2 == 0, "www.").otherwise("")
+    host = F.concat(
+        F.lit("Shop"), (F.col("u") % 50).cast("string"), F.lit(".Example.COM")
+    )
+    port = (
+        F.when(h60("prt") % 4 == 0, ":80")
+        .when(h60("prt") % 4 == 1, ":8080")
+        .otherwise("")
+    )
+    path = (
+        F.when(h60("pth") % 3 == 0, F.lit(""))
+        .when(
+            h60("pth") % 3 == 1,
+            F.concat(F.lit("/item/"), (F.col("u") % 97).cast("string")),
+        )
+        .otherwise(F.lit("/a/b"))
+    )
+    idp = F.concat(F.lit("id="), (F.col("u") % 13).cast("string"))
+    query = (
+        F.when(h60("qry") % 4 == 0, F.lit(""))
+        .when(h60("qry") % 4 == 1, F.concat(F.lit("?utm_source=news&"), idp))
+        .when(h60("qry") % 4 == 2, F.concat(F.lit("?"), idp, F.lit("&utm_campaign=x&b=2")))
+        .otherwise(F.lit("?b=2&a=1"))
+    )
+    frag = F.when(h60("frg") % 3 == 0, "#frag").otherwise("")
+    return o.select(
+        F.col("u").alias("src"),
+        F.concat(scheme, F.lit("://"), www, host, port, path, query, frag).alias(
+            "url"
+        ),
+    )

@@ -3219,3 +3219,66 @@ def test_anchored_links_deterministic(spark):
     a = {tuple(r) for r in anchored_links(docs).collect()}
     b = {tuple(r) for r in anchored_links(docs.repartition(7)).collect()}
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------------------- urls
+
+
+def test_url_canonical_hand_cases(spark):
+    from combblas_spark.functions.urls import canonical_url, url_host
+
+    cases = {
+        "HTTP://WWW.Example.COM:80/a/b?utm_source=x&b=2&a=1#frag":
+            ("http://example.com/a/b?a=1&b=2", "example.com"),
+        "https://shop1.example.com:443":
+            ("https://shop1.example.com/", "shop1.example.com"),
+        "https://shop1.example.com:8080?b=2&a=1":
+            ("https://shop1.example.com:8080/?a=1&b=2", "shop1.example.com"),
+        "http://Host.com/path?utm_campaign=x":
+            ("http://host.com/path", "host.com"),
+        "http://www.h.com?id=3&utm_source=n": ("http://h.com/?id=3", "h.com"),
+        "http://h.com/a?fbclid=123&gclid=9&z=1":
+            ("http://h.com/a?z=1", "h.com"),
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {
+        r["url"]: (r["c"], r["h"])
+        for r in df.select(
+            "url",
+            canonical_url(F.col("url")).alias("c"),
+            url_host(F.col("url")).alias("h"),
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_url_canonical_idempotent(spark):
+    """canonical(canonical(x)) == canonical(x) over the whole fixture."""
+    from combblas_spark.functions.urls import canonical_url, dirty_urls
+
+    d = dirty_urls(spark, "/root/testdata/sf0.001")
+    # materialize between applications: composing canonical_url over the
+    # inline fixture expression lets CollapseProject duplicate the whole
+    # input tree per column reference (the sq8 HOF-inlining trap)
+    once = spark.createDataFrame(
+        [(r["c1"],) for r in
+         d.select(canonical_url(F.col("url")).alias("c1")).collect()],
+        "c1 string",
+    )
+    twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+    assert once.count() == 1500
+
+
+def test_dirty_urls_exercise_every_rule(spark):
+    from combblas_spark.functions.urls import dirty_urls
+
+    urls = [r["url"] for r in dirty_urls(spark, "/root/testdata/sf0.001").collect()]
+    assert any("HTTP://" in u for u in urls)          # scheme folding
+    assert any("www." in u for u in urls)             # www strip
+    assert any(":80/" in u or u.rstrip("#frag").endswith(":80") or ":80?" in u
+               for u in urls)                         # default port
+    assert any(":8080" in u for u in urls)            # kept port
+    assert any("utm_" in u for u in urls)             # tracking params
+    assert any("#frag" in u for u in urls)            # fragment
+    assert any("?b=2&a=1" in u for u in urls)         # unsorted params
