@@ -4302,6 +4302,56 @@ FROM p9"""
 
 
 # --------------------------------------------------------------------------
+# duplicated-span removal (ExactSubstr) — functions/dedup.span_dedup_stats
+# --------------------------------------------------------------------------
+
+SPAN_L = 5
+
+
+def q_dedup_spans(spark, sf):
+    """Lee-et-al ExactSubstr audit: per document, tokens covered by
+    non-canonical occurrences of corpus-duplicated 5-token spans."""
+    from combblas_spark.functions.dedup import span_dedup_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return span_dedup_stats(docs, span=SPAN_L)
+
+
+SPAN_ORACLE = f"""WITH {TOKS_CTES},
+tl AS MATERIALIZED (
+  SELECT doc_id AS id, toks, CAST(len(toks) AS BIGINT) AS n FROM toklists),
+g AS MATERIALIZED (
+  SELECT id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(
+             array_to_string(toks[i:i+{SPAN_L - 1}], ' ')), 1, 15))
+           AS BIGINT) AS gh
+  FROM tl, UNNEST(generate_series(1,
+       CAST(greatest(n - {SPAN_L} + 1, 0) AS BIGINT))) AS s(i)),
+spancanon AS MATERIALIZED (
+  SELECT gh, MIN(id * 1048576 + pos) AS mk FROM g GROUP BY gh),
+spandups AS MATERIALIZED (
+  SELECT g.id, g.pos, g.pos + {SPAN_L} AS e
+  FROM g JOIN spancanon ON g.gh = spancanon.gh
+  WHERE g.id * 1048576 + g.pos <> spancanon.mk),
+spancov AS MATERIALIZED (
+  SELECT id, pos, e,
+         MAX(e) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS run_end
+  FROM spandups),
+per_doc AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(GREATEST(0, e - GREATEST(COALESCE(run_end, 0), pos)))
+           AS BIGINT) AS n_removed
+  FROM spancov GROUP BY id)
+SELECT tl.id AS doc_id, tl.n AS n_tokens,
+       CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(tl.n - COALESCE(n_removed, 0) AS BIGINT) AS n_kept
+FROM tl LEFT JOIN per_doc ON tl.id = per_doc.id"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4409,6 +4459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_audit_ps": q_gap_audit_ps,
         "anchor_topk": q_anchor_topk,
         "url_canon": q_url_canon,
+        "dedup_spans": q_dedup_spans,
         # --- r03-graded tail (refreshed rows pending budget) ---
         "ewise_union_ev": q_ewise_union_ev,
         "prune_column_ps": q_prune_column_ps,
@@ -4527,6 +4578,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "gap_audit_ps": GAP_ORACLE,
         "anchor_topk": ANCHOR_ORACLE,
         "url_canon": _URL_ORACLE,
+        "dedup_spans": SPAN_ORACLE,
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """
             SELECT event_type,

@@ -149,6 +149,7 @@ HEADLINE = [
     "gap_audit_ps",
     "anchor_topk",
     "url_canon",
+    "dedup_spans",
 ]
 
 

@@ -645,3 +645,99 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 5,
+) -> DataFrame:
+    """Exact duplicated-span removal audit — Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    ExactSubstr: every occurrence of a >= ``span``-token run that appears
+    more than once in the corpus is removed EXCEPT the canonical first
+    occurrence (min (doc, pos)); this reports, per document, how many
+    tokens that removes. The doc-level dedup family (exact/minhash/simhash)
+    can't see partial overlap — boilerplate headers, quoted passages —
+    which is exactly what this catches.
+
+    Mechanics: every ``span``-gram occurrence (doc, pos) is keyed by the
+    md5-60bit hash of its joined tokens (engine-replayable; 60-bit
+    collisions merge grams with probability ~n²/2⁶¹ — the same accepted
+    tradeoff as minhash_signatures). The canonical occurrence per gram is
+    the min of the composite key doc·2²⁰ + pos (documents are capped at
+    2²⁰ tokens — a CHUNKED corpus, functions/sampling.chunk_documents,
+    always satisfies this). Non-canonical occurrences become [pos, pos+span)
+    intervals; their per-doc union length (one running-max window ordered
+    by pos, partition bounded by doc length) is the removed-token count.
+
+    Scale shape: gram hashing is one slice-per-position HOF over the token
+    array (JVM codegen, O(len·span) per doc, no joins); the canonical pass
+    is ONE map-side-combinable MIN agg on the gram hash; dup detection is
+    one gram-keyed hash join; coverage is a per-doc window. Nothing is
+    quadratic in the corpus and nothing collects.
+
+    Returns (doc_id, n_tokens, n_dup_spans, n_removed, n_kept) for EVERY
+    input document (zero rows removed -> zeros).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    base = toks.select("id", F.size("toks").cast("long").alias("n_tokens"))
+    grams = (
+        toks.filter(F.size("toks") >= span)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("toks") - span + 1
+                    ),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i, span), " "),
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "id",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            md5_60bit(F.col("gram")).alias("gh"),
+        )
+    )
+    key = F.col("id") * F.lit(1 << 20) + F.col("pos")
+    canon = grams.groupBy("gh").agg(F.min(key).alias("mk"))
+    dups = (
+        grams.join(canon, on="gh")
+        .filter(key != F.col("mk"))
+        .select("id", "pos", (F.col("pos") + span).alias("e"))
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = dups.withColumn("run_end", F.max("e").over(w))
+    per_doc = cov.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("e")
+                - F.greatest(F.coalesce("run_end", F.lit(0)), F.col("pos")),
+            )
+        )
+        .cast("long")
+        .alias("n_removed"),
+    )
+    return base.join(per_doc, on="id", how="left").select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+    )

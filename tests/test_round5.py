@@ -3282,3 +3282,71 @@ def test_dirty_urls_exercise_every_rule(spark):
     assert any("utm_" in u for u in urls)             # tracking params
     assert any("#frag" in u for u in urls)            # fragment
     assert any("?b=2&a=1" in u for u in urls)         # unsorted params
+
+
+# ------------------------------------------------------------ span dedup
+
+
+def _py_span_dedup(texts, span=5):
+    """Pure-python replay: texts = {doc_id: text}."""
+    occ = {}
+    toks = {d: [t for t in txt.split() if t] for d, txt in texts.items()}
+    for d, ts in toks.items():
+        for i in range(len(ts) - span + 1):
+            gram = " ".join(ts[i:i + span])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+            occ.setdefault(h, []).append((d, i + 1))
+    dups = {}
+    for h, lst in occ.items():
+        mk = min(d * (1 << 20) + p for d, p in lst)
+        for d, p in lst:
+            if d * (1 << 20) + p != mk:
+                dups.setdefault(d, []).append(p)
+    out = {}
+    for d, ts in toks.items():
+        spans = sorted(dups.get(d, []))
+        removed, run_end = 0, 0
+        for p in spans:
+            e = p + span
+            removed += max(0, e - max(run_end, p))
+            run_end = max(run_end, e)
+        out[d] = (len(ts), len(spans), removed, len(ts) - removed)
+    return out
+
+
+def test_span_dedup_hand_case(spark):
+    from combblas_spark.functions.dedup import span_dedup_stats
+
+    texts = {
+        0: "a b c d e f g",        # canonical source of 'a b c d e'
+        1: "x y a b c d e z",      # one dup span -> 5 tokens removed
+        2: "a b c d e a b c d e",  # self-repeat, overlapping coverage
+        3: "too short",            # < span tokens -> zeros
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["n_removed"],
+                         r["n_kept"])
+           for r in span_dedup_stats(docs, span=5).collect()}
+    assert got == _py_span_dedup(texts)
+    # sanity on the interesting rows
+    assert got[1] == (8, 1, 5, 3)
+    assert got[3] == (2, 0, 0, 2)
+    # doc 2: occurrences of 'a b c d e' at pos 1 (dup of doc 0) and pos 6,
+    # plus the bridging grams; entire doc ends up covered
+    assert got[2][3] == 0
+
+
+def test_span_dedup_python_replay(spark):
+    from combblas_spark.functions.dedup import span_dedup_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = _py_span_dedup(texts)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["n_removed"],
+                         r["n_kept"])
+           for r in span_dedup_stats(docs, span=5).collect()}
+    assert got == want
+    # the fixture actually removes something
+    assert sum(v[2] for v in got.values()) > 0
