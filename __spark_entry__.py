@@ -4351,6 +4351,47 @@ SELECT tl.id AS doc_id, tl.n AS n_tokens,
 FROM tl LEFT JOIN per_doc ON tl.id = per_doc.id"""
 
 
+def q_host_graph(spark, sf):
+    """End-to-end crawl ingest: two dirty-URL endpoints per order row run
+    through the FULL canonicalizer and collapse onto the host graph; the
+    oracle exploits the fixture's closed-form canonical host
+    ('shop<u%50>.example.com'), so any parsing-rule defect anywhere in the
+    pipeline breaks the value hash."""
+    from combblas_spark.functions.urls import (
+        _h60,
+        dirty_url_expr,
+        host_links,
+    )
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("u")
+    )
+    keys = o.select("u", (_h60("lnk", F.col("u")) % 997).alias("v"))
+    pages = keys.select(
+        dirty_url_expr(F.col("u")).alias("src_url"),
+        dirty_url_expr(F.col("v")).alias("dst_url"),
+    )
+    # (measured: codegen subexpression elimination already dedups the
+    # inlined fixture expression — a materializing exchange here changes
+    # nothing, so none is added; real crawl input arrives as plain
+    # columns anyway)
+    return host_links(pages)
+
+
+_HOST_GRAPH_ORACLE = """WITH ok AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS u FROM orders),
+lk AS MATERIALIZED (
+  SELECT u, CAST(('0x' || substr(md5('lnk|' || CAST(u AS VARCHAR)), 1, 15))
+               AS BIGINT) % 997 AS v
+  FROM ok)
+SELECT 'shop' || CAST(u % 50 AS VARCHAR) || '.example.com' AS src_host,
+       'shop' || CAST(v % 50 AS VARCHAR) || '.example.com' AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+FROM lk
+GROUP BY 'shop' || CAST(u % 50 AS VARCHAR) || '.example.com',
+         'shop' || CAST(v % 50 AS VARCHAR) || '.example.com'"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4460,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_topk": q_anchor_topk,
         "url_canon": q_url_canon,
         "dedup_spans": q_dedup_spans,
+        "host_graph": q_host_graph,
         # --- r03-graded tail (refreshed rows pending budget) ---
         "ewise_union_ev": q_ewise_union_ev,
         "prune_column_ps": q_prune_column_ps,
@@ -4579,6 +4621,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "anchor_topk": ANCHOR_ORACLE,
         "url_canon": _URL_ORACLE,
         "dedup_spans": SPAN_ORACLE,
+        "host_graph": _HOST_GRAPH_ORACLE,
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """
             SELECT event_type,

@@ -150,6 +150,7 @@ HEADLINE = [
     "anchor_topk",
     "url_canon",
     "dedup_spans",
+    "host_graph",
 ]
 
 

@@ -106,60 +106,84 @@ def canonical_url(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)
 
 
-def dirty_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic dirty-URL fixture over the orders keyspace: mixed-case
-    schemes and hosts, optional 'www.', default and non-default ports,
-    empty / short paths, tracking-polluted and unsorted query strings, and
-    fragments — every rule in the module exercised, md5-60bit draws keep
-    it engine-portable. Returns (src, url)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.col("o_orderkey").cast("long").alias("u")
-    )
+def _h60(salt: str, key: Column) -> Column:
+    """md5-60bit draw keyed on ``salt | key`` (the RandPerm trick)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
 
-    def h60(salt: str):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt + "|"), F.col("u").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
 
+def dirty_url_expr(u: Column) -> Column:
+    """The dirty-URL fixture as a Column expression over any int key
+    column: mixed-case schemes and hosts, optional 'www.', default and
+    non-default ports, empty / short paths, tracking-polluted and
+    unsorted query strings, and fragments — every canonicalization rule
+    exercised; md5-60bit draws keep it engine-portable. The canonical
+    host of the produced URL is 'shop<u%50>.example.com' in closed form,
+    which downstream oracles (host_graph) exploit."""
     scheme = (
-        F.when(h60("sch") % 3 == 0, "http")
-        .when(h60("sch") % 3 == 1, "https")
+        F.when(_h60("sch", u) % 3 == 0, "http")
+        .when(_h60("sch", u) % 3 == 1, "https")
         .otherwise("HTTP")
     )
-    www = F.when(h60("www") % 2 == 0, "www.").otherwise("")
+    www = F.when(_h60("www", u) % 2 == 0, "www.").otherwise("")
     host = F.concat(
-        F.lit("Shop"), (F.col("u") % 50).cast("string"), F.lit(".Example.COM")
+        F.lit("Shop"), (u % 50).cast("string"), F.lit(".Example.COM")
     )
     port = (
-        F.when(h60("prt") % 4 == 0, ":80")
-        .when(h60("prt") % 4 == 1, ":8080")
+        F.when(_h60("prt", u) % 4 == 0, ":80")
+        .when(_h60("prt", u) % 4 == 1, ":8080")
         .otherwise("")
     )
     path = (
-        F.when(h60("pth") % 3 == 0, F.lit(""))
+        F.when(_h60("pth", u) % 3 == 0, F.lit(""))
         .when(
-            h60("pth") % 3 == 1,
-            F.concat(F.lit("/item/"), (F.col("u") % 97).cast("string")),
+            _h60("pth", u) % 3 == 1,
+            F.concat(F.lit("/item/"), (u % 97).cast("string")),
         )
         .otherwise(F.lit("/a/b"))
     )
-    idp = F.concat(F.lit("id="), (F.col("u") % 13).cast("string"))
+    idp = F.concat(F.lit("id="), (u % 13).cast("string"))
     query = (
-        F.when(h60("qry") % 4 == 0, F.lit(""))
-        .when(h60("qry") % 4 == 1, F.concat(F.lit("?utm_source=news&"), idp))
-        .when(h60("qry") % 4 == 2, F.concat(F.lit("?"), idp, F.lit("&utm_campaign=x&b=2")))
+        F.when(_h60("qry", u) % 4 == 0, F.lit(""))
+        .when(_h60("qry", u) % 4 == 1, F.concat(F.lit("?utm_source=news&"), idp))
+        .when(
+            _h60("qry", u) % 4 == 2,
+            F.concat(F.lit("?"), idp, F.lit("&utm_campaign=x&b=2")),
+        )
         .otherwise(F.lit("?b=2&a=1"))
     )
-    frag = F.when(h60("frg") % 3 == 0, "#frag").otherwise("")
+    frag = F.when(_h60("frg", u) % 3 == 0, "#frag").otherwise("")
+    return F.concat(scheme, F.lit("://"), www, host, port, path, query, frag)
+
+
+def dirty_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dirty-URL fixture over the orders keyspace: (src, url)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("u")
+    )
     return o.select(
-        F.col("u").alias("src"),
-        F.concat(scheme, F.lit("://"), www, host, port, path, query, frag).alias(
-            "url"
-        ),
+        F.col("u").alias("src"), dirty_url_expr(F.col("u")).alias("url")
+    )
+
+
+def host_links(links: DataFrame) -> DataFrame:
+    """Collapse a URL-level link table (src_url, dst_url) onto the
+    canonical host graph: (src_host, dst_host, n_links). THE ingest
+    aggregation of web-graph pipelines — host-level graphs are what
+    centrality/spam analyses actually run on (the reference's generalized
+    tuple reader assumes this collapse already happened). One projection
+    through the pure-Column canonicalizer + one map-side-combinable
+    count."""
+    return (
+        links.select(
+            url_host(F.col("src_url")).alias("src_host"),
+            url_host(F.col("dst_url")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )

@@ -3350,3 +3350,19 @@ def test_span_dedup_python_replay(spark):
     assert got == want
     # the fixture actually removes something
     assert sum(v[2] for v in got.values()) > 0
+
+
+def test_host_links_hand_case(spark):
+    from combblas_spark.functions.urls import host_links
+
+    links = spark.createDataFrame(
+        [
+            ("HTTP://WWW.A.com:80/x#f", "https://B.org/y?utm_source=z"),
+            ("http://a.COM/other", "https://www.b.ORG:443"),
+            ("http://a.com", "http://c.net"),
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in host_links(links).collect()}
+    assert got == {("a.com", "b.org"): 2, ("a.com", "c.net"): 1}
