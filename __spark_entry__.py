@@ -4393,6 +4393,57 @@ GROUP BY 'shop' || CAST(u % 50 AS VARCHAR) || '.example.com',
 
 
 # --------------------------------------------------------------------------
+# batched multi-seed PPR — algorithms/pagerank.ppr_batch
+# --------------------------------------------------------------------------
+
+BPPR_ITERS = 6
+
+
+def q_ppr_batch_ps(spark, sf):
+    """Five seeds' PPR vectors in one composite-key SpMM loop (sparse
+    state; the multi-vector idiom msbfs uses, applied to ranking)."""
+    from combblas_spark.algorithms.pagerank import ppr_batch
+
+    e = part_supplier_graph(spark, sf)
+    x = ppr_batch(spark, e, seeds=PPR_SEEDS, alpha=0.85, num_iters=BPPR_ITERS)
+    return x.select("seed", "id", F.round("val", 6).alias("val"))
+
+
+def _ppr_batch_sql(prefix: str, edges_cte: str, iters: int, seeds: list,
+                   alpha: float = 0.85) -> str:
+    """Unrolled batched PPR mirroring ppr_batch on a dangling-free graph:
+    per round, contrib = alpha * SUM(w * val) grouped on (seed, dst),
+    merged with the (1 - alpha) seed-restart row by a 2-row SUM."""
+    a = repr(alpha)
+    ra = repr(1.0 - alpha)
+    inlist = ", ".join(str(s) for s in seeds)
+    parts = [
+        f"""bseeds AS (SELECT unnest([{inlist}]) AS seed),
+benorm AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / d.wd AS w
+  FROM {edges_cte} e JOIN (
+    SELECT src, SUM(w) AS wd FROM {edges_cte} GROUP BY src) d ON e.src = d.src),
+bx0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS id,
+               1.0 AS val FROM bseeds)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""bx{k} AS MATERIALIZED (
+  SELECT seed, id, SUM(val) AS val FROM (
+    SELECT x.seed, e.dst AS id, {a} * SUM(e.w * x.val) AS val
+    FROM benorm e JOIN bx{k-1} x ON e.src = x.id GROUP BY x.seed, e.dst
+    UNION ALL
+    SELECT CAST(seed AS BIGINT), CAST(seed AS BIGINT), {ra} FROM bseeds
+  ) u GROUP BY seed, id)"""
+        )
+    return (
+        f"WITH {prefix},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT seed, id, ROUND(val, 6) AS val FROM bx{iters}"
+    )
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4502,6 +4553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "dedup_spans": q_dedup_spans,
         "host_graph": q_host_graph,
+        "ppr_batch_ps": q_ppr_batch_ps,
         # --- r03-graded tail (refreshed rows pending budget) ---
         "ewise_union_ev": q_ewise_union_ev,
         "prune_column_ps": q_prune_column_ps,
@@ -4622,6 +4674,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "url_canon": _URL_ORACLE,
         "dedup_spans": SPAN_ORACLE,
         "host_graph": _HOST_GRAPH_ORACLE,
+        "ppr_batch_ps": _ppr_batch_sql(PS_CTES, "edges", BPPR_ITERS, PPR_SEEDS),
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """
             SELECT event_type,

@@ -151,6 +151,7 @@ HEADLINE = [
     "url_canon",
     "dedup_spans",
     "host_graph",
+    "ppr_batch_ps",
 ]
 
 

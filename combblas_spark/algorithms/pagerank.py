@@ -272,3 +272,110 @@ def spam_mass(
             "spam_mass"
         ),
     )
+
+
+def ppr_batch(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list,
+    alpha: float = 0.85,
+    num_iters: int = 6,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Batched personalized PageRank: one PPR vector PER SEED, all
+    advanced together through a composite-key SpMM — the ranking analog
+    of msbfs. CombBLAS batches independent vectors by widening the SpMV
+    into an n x k multi-vector product (FullyDistVec batches in the
+    BipartiteMatchings/BFS drivers); here the batch dimension is a plain
+    ``seed`` key column, so one edge-table pass per superstep serves every
+    seed and the shuffle key (seed, dst) spreads hot vertices across k
+    reducer keys instead of one.
+
+    The state is SPARSE — only touched (seed, id) pairs exist, exactly the
+    locality PPR has (mass concentrates near the seed), so k seeds on a
+    10^10-vertex graph cost O(k * touched) not O(k * V). The teleport
+    vector is e_seed: restart mass (1 - alpha), plus any dangling mass,
+    returns to the seed itself each superstep — the Andersen-Chung-Lang
+    setting sweep_cut already consumes. Dangling handling is a per-seed
+    k-row aggregate JOINED back in (no driver collect in the loop — the
+    batched form is strictly more distributed than the single-seed loop).
+
+    Returns (seed, id, val) over the support after ``num_iters``
+    supersteps, full precision (callers round for cross-engine hashing).
+
+    Vector exchange: the batched state is at most k * V rows; while under
+    BROADCAST_MAX_ROWS it is force-broadcast so the dst-partitioned cached
+    edge table NEVER moves and the (seed, dst) aggregation needs no
+    exchange either (HashPartitioning(dst) already clusters it) — zero
+    per-superstep shuffle of edge-sized data, the CLAUDE.md superstep
+    invariant. Past the gate the join falls back to shuffle (or run the
+    single-seed grid mode per seed).
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    runner = runner or SuperstepRunner(spark)
+
+    outdeg = reduce_dim(edges, "row", F.sum)
+    e_norm = dimapply(edges, outdeg, dim="row", binop=lambda w, d: w / d)
+    e_norm = e_norm.repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    ).persist()
+    e_norm.count()
+    verts = _vertices(edges)
+    dangling = verts.join(
+        edges.select(F.col("src").alias("id")).distinct(),
+        on="id",
+        how="left_anti",
+    ).persist()
+    n_dang = dangling.count()
+    n = verts.count()
+    bb = n * len(seeds) <= BROADCAST_MAX_ROWS
+
+    sdf = spark.createDataFrame(
+        [(int(s),) for s in seeds], "seed long"
+    ).persist()
+    try:
+        x = runner.truncate(
+            sdf.select("seed", F.col("seed").alias("id"), F.lit(1.0).alias("val"))
+        )
+        for _ in range(num_iters):
+            xj = F.broadcast(x) if bb else x
+            contrib = (
+                e_norm.join(xj, e_norm["src"] == xj["id"])
+                .groupBy("seed", "dst")
+                .agg(
+                    (F.lit(alpha) * F.sum(e_norm["w"] * xj["val"])).alias("val")
+                )
+                .select("seed", F.col("dst").alias("id"), "val")
+            )
+            restart = sdf.select("seed", F.col("seed").alias("id"))
+            if n_dang:
+                dm = (
+                    x.join(dangling, on="id")
+                    .groupBy("seed")
+                    .agg(F.sum("val").alias("dm"))
+                )
+                restart = restart.join(dm, on="seed", how="left").select(
+                    "seed",
+                    "id",
+                    (
+                        F.lit(1.0 - alpha)
+                        + F.lit(alpha) * F.coalesce("dm", F.lit(0.0))
+                    ).alias("val"),
+                )
+            else:
+                restart = restart.select(
+                    "seed", "id", F.lit(1.0 - alpha).alias("val")
+                )
+            # max 2 rows per (seed, id) — two-operand IEEE addition is
+            # commutative, so the merge is deterministic across engines
+            x = runner.truncate(
+                contrib.unionByName(restart)
+                .groupBy("seed", "id")
+                .agg(F.sum("val").alias("val"))
+            )
+        return x
+    finally:
+        e_norm.unpersist()
+        dangling.unpersist()
+        sdf.unpersist()

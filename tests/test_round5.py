@@ -3366,3 +3366,62 @@ def test_host_links_hand_case(spark):
     got = {(r["src_host"], r["dst_host"]): r["n_links"]
            for r in host_links(links).collect()}
     assert got == {("a.com", "b.org"): 2, ("a.com", "c.net"): 1}
+
+
+# -------------------------------------------------------------- ppr batch
+
+
+def test_ppr_batch_single_seed_matches_dense(spark):
+    """One-seed batch == the dense PPR loop on the positive support, to
+    within accumulation-order ulps (the per-dst SUM shuffles differently
+    under the (seed, dst) key, so last-ulp drift is expected; the
+    cross-engine contract rounds to 6 decimals for the same reason)."""
+    from combblas_spark.algorithms.pagerank import pagerank, ppr_batch
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    e = part_supplier_graph(spark, "/root/testdata/sf0.001")
+    dense = {
+        r["id"]: r["val"]
+        for r in pagerank(
+            spark, e, alpha=0.85, num_iters=4, seeds=[1]
+        ).collect()
+    }
+    batch = {
+        r["id"]: r["val"]
+        for r in ppr_batch(spark, e, seeds=[1], num_iters=4).collect()
+    }
+    for v, val in batch.items():
+        assert abs(dense[v] - val) <= 1e-12 * max(abs(val), 1e-30)
+    # everything the sparse state never touched is exactly zero densely
+    for v, val in dense.items():
+        if v not in batch:
+            assert val == 0.0
+
+
+def test_ppr_batch_mass_conservation_with_dangling(spark):
+    from combblas_spark.algorithms.pagerank import ppr_batch
+
+    # 1 -> 2 -> 3 (3 dangling), 4 isolated from the seeds' reach
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (4, 5, 1.0)],
+        "src long, dst long, w double",
+    )
+    x = ppr_batch(spark, e, seeds=[1, 2], num_iters=8)
+    rows = x.collect()
+    per_seed = {}
+    for r in rows:
+        per_seed[r["seed"]] = per_seed.get(r["seed"], 0.0) + r["val"]
+        assert r["id"] in (1, 2, 3)  # seeds' reach only — sparse state
+    assert set(per_seed) == {1, 2}
+    for s, tot in per_seed.items():
+        assert abs(tot - 1.0) < 1e-9  # dangling mass returned to the seed
+
+
+def test_ppr_batch_validates_seeds(spark):
+    import pytest as _pt
+
+    from combblas_spark.algorithms.pagerank import ppr_batch
+
+    e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    with _pt.raises(ValueError, match="seeds"):
+        ppr_batch(spark, e, seeds=[])
