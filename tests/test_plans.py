@@ -459,3 +459,67 @@ def test_densest_output_is_truncated_no_cartesian(spark):
         assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in _plan(members)  # truncated snapshot
     spark.catalog.clearCache()
+
+
+def test_redirect_doubling_round_is_equi_join(spark):
+    """One pointer-doubling round = one self equi-join on the mapping key;
+    a cartesian or nested-loop means the f(f(u)) substitution lost its
+    key."""
+    from combblas_spark.algorithms.redirects import resolve_redirects
+    from combblas_spark.sources.graphs import redirect_table
+
+    out = resolve_redirects(spark, redirect_table(spark, SF), max_doublings=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # doubling state is truncated per round (fresh LogicalRDD leaves)
+    assert "Scan ExistingRDD" in plan
+
+
+def test_hll_registers_no_window_no_join_before_agg(spark):
+    """The register build must be a pure two-level aggregation — any
+    window or pre-agg join breaks the word-count scale shape (the only
+    join is the final audit join of exact counts onto the register agg)."""
+    from combblas_spark.functions.sketch import hll_distinct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(hll_distinct(docs, "lang", F.col("text")))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final, both levels
+
+
+def test_anchor_topk_salted_no_cartesian(spark):
+    from combblas_spark.functions.text import anchor_text_index, anchored_links
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(anchor_text_index(anchored_links(docs), k=3))
+    assert "CartesianProduct" not in plan
+    # the ONE nested-loop allowed is the designed 1-row doc-count scalar
+    # broadcast inside the anchored_links fixture (BuildRight, Cross on a
+    # single aggregated row) — anything more means an all-pairs slipped in
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("- Window [") == 2  # local salted top-k + global
+
+
+def test_span_dedup_single_gram_join(spark):
+    """ExactSubstr audit: gram hashing must be join-free (one HOF
+    projection), dup detection exactly one equi-join on the gram hash,
+    coverage one window."""
+    from combblas_spark.functions.dedup import span_dedup_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(span_dedup_stats(docs, span=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("- Window [") == 1
+
+
+def test_url_canon_is_narrow_single_scan(spark):
+    """Canonicalization is a pure projection: no join, no exchange, no
+    window — one scan, one project."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_url_canon(spark, SF))
+    for op in ("Join", "Exchange", "Window", "CartesianProduct"):
+        assert op not in plan
