@@ -4444,6 +4444,57 @@ bx0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS id,
 
 
 # --------------------------------------------------------------------------
+# crawl snapshot delta — operators/delta.py
+# --------------------------------------------------------------------------
+
+
+def q_crawl_delta(spark, sf):
+    """Per-source edge churn between two crawl snapshots of the same link
+    graph: one union-and-bit-sum aggregate instead of a full-outer join
+    (status 1 = removed, 2 = added, 3 = persisted), then a per-src count
+    triple. The recrawl maintenance pass a static-matrix engine never
+    ships."""
+    from combblas_spark.operators.delta import delta_stats
+    from combblas_spark.sources.graphs import crawl_snapshots
+
+    e_old, e_new = crawl_snapshots(spark, sf)
+    return delta_stats(e_old, e_new).select(
+        F.col("src").cast("long").alias("src"),
+        "n_added",
+        "n_removed",
+        "n_persisted",
+    )
+
+
+_CRAWL_DELTA_ORACLE = """WITH ok AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS u FROM orders),
+cdcand AS MATERIALIZED (
+  SELECT DISTINCT u % 997 AS src,
+         CAST(('0x' || substr(md5('cd|' || CAST(u AS VARCHAR)), 1, 15))
+           AS BIGINT) % 997 AS dst
+  FROM ok),
+cdedges AS (SELECT src, dst FROM cdcand WHERE src <> dst),
+cdtag AS MATERIALIZED (
+  SELECT src, dst, 1 AS b FROM cdedges
+  WHERE CAST(('0x' || substr(md5('s1|' || CAST(src AS VARCHAR) || '|'
+    || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % 4 <> 0
+  UNION ALL
+  SELECT src, dst, 2 AS b FROM cdedges
+  WHERE CAST(('0x' || substr(md5('s2|' || CAST(src AS VARCHAR) || '|'
+    || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % 4 <> 0),
+cdd AS MATERIALIZED (
+  SELECT src, dst, SUM(b) AS status FROM cdtag GROUP BY src, dst)
+SELECT CAST(src AS BIGINT) AS src,
+       CAST(SUM(CASE WHEN status = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(SUM(CASE WHEN status = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN status = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_persisted
+FROM cdd GROUP BY src"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4469,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degree_hist_ps, cc_sizes_ps, rich_club_ev, props_stats — plus
         # the post-budget additions) and the r03-rowed 23 ride on the
         # check_oracle mirror, which sweeps ALL queries at both SFs.
+        "crawl_delta": q_crawl_delta,
         "incident_events": q_incident_events,
         "vocab_growth": q_vocab_growth,
         "mutual_nn": q_mutual_nn,
@@ -4674,6 +4726,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "url_canon": _URL_ORACLE,
         "dedup_spans": SPAN_ORACLE,
         "host_graph": _HOST_GRAPH_ORACLE,
+        "crawl_delta": _CRAWL_DELTA_ORACLE,
         "ppr_batch_ps": _ppr_batch_sql(PS_CTES, "edges", BPPR_ITERS, PPR_SEEDS),
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """

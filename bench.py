@@ -152,6 +152,7 @@ HEADLINE = [
     "dedup_spans",
     "host_graph",
     "ppr_batch_ps",
+    "crawl_delta",
 ]
 
 

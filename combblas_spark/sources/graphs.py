@@ -190,6 +190,43 @@ def redirect_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic crawl snapshots of the same 997-vertex link graph
+    for edge_delta (operators/delta.py): candidate edges come from the
+    orders keyspace (src = u % 997, dst = md5-60bit('cd'|u) % 997,
+    dedup'd), and each snapshot keeps a candidate independently with
+    probability 3/4 via its own md5-60bit draw on the EDGE key — so
+    ~56%% of candidates persist, ~19%% are added, ~19%% removed, and both
+    membership draws are replayable in any engine (the RandPerm trick,
+    operators/indexing.py). Returns (e_old, e_new), simple directed edge
+    lists (src, dst)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("u")
+    )
+
+    def h60(salt: str, key):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), key)), 1, 15), 16, 10
+        ).cast("long")
+
+    cand = (
+        o.select(
+            (F.col("u") % 997).alias("src"),
+            (h60("cd", F.col("u").cast("string")) % 997).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ekey = F.concat(
+        F.col("src").cast("string"), F.lit("|"), F.col("dst").cast("string")
+    )
+    e_old = cand.filter(h60("s1", ekey) % 4 != 0)
+    e_new = cand.filter(h60("s2", ekey) % 4 != 0)
+    return e_old, e_new
+
+
 def nation_star_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-skew star forest: every customer and supplier linked to its
     nation (ids offset). Exactly 25 star components; the nation vertices are

@@ -523,3 +523,16 @@ def test_url_canon_is_narrow_single_scan(spark):
     plan = _plan(em.q_url_canon(spark, SF))
     for op in ("Join", "Exchange", "Window", "CartesianProduct"):
         assert op not in plan
+
+
+def test_edge_delta_is_one_aggregate_no_join(spark):
+    """The snapshot diff must be the union-and-bit-sum plan — any join
+    node means it regressed to the full-outer-join shape."""
+    from combblas_spark.operators.delta import delta_stats
+    from combblas_spark.sources.graphs import crawl_snapshots
+
+    e_old, e_new = crawl_snapshots(spark, SF)
+    plan = _plan(delta_stats(e_old, e_new))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels

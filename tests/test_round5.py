@@ -3425,3 +3425,74 @@ def test_ppr_batch_validates_seeds(spark):
     e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
     with _pt.raises(ValueError, match="seeds"):
         ppr_batch(spark, e, seeds=[])
+
+
+# ---------------------------------------------------------------- crawl delta
+
+
+def test_edge_delta_hand_case(spark):
+    from combblas_spark.operators.delta import (
+        STATUS_ADDED,
+        STATUS_PERSISTED,
+        STATUS_REMOVED,
+        delta_stats,
+        edge_delta,
+    )
+
+    e_old = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    e_new = spark.createDataFrame(
+        [(1, 3), (2, 3), (2, 4)], "src long, dst long"
+    )
+    d = {(r["src"], r["dst"]): r["status"] for r in edge_delta(e_old, e_new).collect()}
+    assert d == {
+        (1, 2): STATUS_REMOVED,
+        (1, 3): STATUS_PERSISTED,
+        (2, 3): STATUS_PERSISTED,
+        (2, 4): STATUS_ADDED,
+    }
+    s = {
+        r["src"]: (r["n_added"], r["n_removed"], r["n_persisted"])
+        for r in delta_stats(e_old, e_new).collect()
+    }
+    assert s == {1: (0, 1, 1), 2: (1, 0, 1)}
+
+
+def test_edge_delta_partition_invariance(spark):
+    from combblas_spark.operators.delta import delta_stats
+    from combblas_spark.sources.graphs import crawl_snapshots
+
+    e_old, e_new = crawl_snapshots(spark, "/root/testdata/sf0.001")
+    base = sorted(
+        tuple(r) for r in delta_stats(e_old, e_new).collect()
+    )
+    skewed = sorted(
+        tuple(r)
+        for r in delta_stats(
+            e_old.repartition(17), e_new.repartition(3)
+        ).collect()
+    )
+    assert base == skewed and len(base) > 0
+
+
+def test_crawl_snapshots_overlap_regime(spark):
+    """The fixture's independent 3/4 membership draws must produce all
+    three statuses in the expected proportions (binomial tolerance)."""
+    from combblas_spark.operators.delta import edge_delta
+    from combblas_spark.sources.graphs import crawl_snapshots
+
+    e_old, e_new = crawl_snapshots(spark, "/root/testdata/sf0.001")
+    counts = {
+        r["status"]: r["n"]
+        for r in edge_delta(e_old, e_new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    # candidates kept by neither draw never appear; of those that appear,
+    # P(persisted) = 9/16 / (15/16) = 0.6, added = removed = 0.2
+    assert abs(counts[3] / total - 0.6) < 0.05
+    assert abs(counts[2] / total - 0.2) < 0.05
+    assert abs(counts[1] / total - 0.2) < 0.05
