@@ -4495,6 +4495,80 @@ FROM cdd GROUP BY src"""
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter membership audit — functions/sketch.bloom_audit
+# --------------------------------------------------------------------------
+
+BLOOM_M = 32768
+BLOOM_K = 3
+
+
+def q_bloom_audit(spark, sf):
+    """Bloom filter over the URGENT orderkeys (one bit_or aggregate onto
+    521 int64 words), audited against every order grouped by priority:
+    exact hit / false-positive / false-negative counts per group — the
+    n_false_neg column hash-proves the zero-false-negative guarantee,
+    and the 1-URGENT group is the all-members regime while the other
+    four are the ~FPR regime."""
+    from combblas_spark.functions.sketch import bloom_audit
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    members = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    return bloom_audit(
+        members,
+        o,
+        member_key="o_orderkey",
+        probe_key="o_orderkey",
+        group_col="o_orderpriority",
+        m_bits=BLOOM_M,
+        k=BLOOM_K,
+    ).withColumnRenamed("o_orderpriority", "priority")
+
+
+_BLOOM_AUDIT_ORACLE = f"""WITH bfm AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
+  FROM orders WHERE o_orderpriority = '1-URGENT'),
+bfi AS (SELECT unnest([0, 1, 2]) AS i),
+bffilt AS MATERIALIZED (
+  SELECT CAST(b // 63 AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(b % 63 AS INT)) AS bits
+  FROM (
+    SELECT CAST(('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || key),
+      1, 15)) AS BIGINT) % {BLOOM_M} AS b
+    FROM bfm, bfi) t
+  GROUP BY CAST(b // 63 AS BIGINT)),
+bfpk AS MATERIALIZED (
+  SELECT DISTINCT o_orderpriority AS g, CAST(o_orderkey AS VARCHAR) AS key
+  FROM orders),
+bflk AS MATERIALIZED (
+  SELECT g, key, CAST(b // 63 AS BIGINT) AS word,
+         CAST(1 AS BIGINT) << CAST(b % 63 AS INT) AS mask
+  FROM (
+    SELECT g, key,
+      CAST(('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || key),
+        1, 15)) AS BIGINT) % {BLOOM_M} AS b
+    FROM bfpk, bfi) t),
+bfhit AS MATERIALIZED (
+  SELECT g, key,
+         bool_and(COALESCE((f.bits & l.mask) = l.mask, FALSE)) AS bloom_hit
+  FROM bflk l LEFT JOIN bffilt f ON l.word = f.word
+  GROUP BY g, key),
+bfaud AS (
+  SELECT g, bloom_hit, (m.key IS NOT NULL) AS is_member
+  FROM bfhit h LEFT JOIN bfm m ON h.key = m.key)
+SELECT g AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n_probes,
+  CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+  CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_false_pos,
+  CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_false_neg
+FROM bfaud GROUP BY g"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4521,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the post-budget additions) and the r03-rowed 23 ride on the
         # check_oracle mirror, which sweeps ALL queries at both SFs.
         "crawl_delta": q_crawl_delta,
+        "bloom_audit": q_bloom_audit,
         "incident_events": q_incident_events,
         "vocab_growth": q_vocab_growth,
         "mutual_nn": q_mutual_nn,
@@ -4727,6 +4802,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "dedup_spans": SPAN_ORACLE,
         "host_graph": _HOST_GRAPH_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
+        "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "ppr_batch_ps": _ppr_batch_sql(PS_CTES, "edges", BPPR_ITERS, PPR_SEEDS),
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """

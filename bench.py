@@ -153,6 +153,7 @@ HEADLINE = [
     "host_graph",
     "ppr_batch_ps",
     "crawl_delta",
+    "bloom_audit",
 ]
 
 

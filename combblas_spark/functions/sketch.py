@@ -247,3 +247,129 @@ def hll_distinct(
             6,
         ).alias("hll_est"),
     )
+
+
+# ------------------------------------------------------------------ Bloom
+
+_WORD_BITS = 63  # bits per int64 register word; bit 63 (the sign) unused
+# so every mask is positive and shifts/ORs agree across engines
+
+
+def bloom_bits(key: Column, m_bits: int, k: int):
+    """The k (word, mask) registers key sets/probes: bit_i =
+    md5-60bit('bf<i>|' || key) mod m_bits, word = bit div 63,
+    mask = 1 << (bit mod 63). One row per (key-row, i) via a literal-array
+    explode — no UDF, and the same arithmetic is a two-line SQL replay."""
+    i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
+    b = F.pmod(
+        md5_60bit(
+            F.concat(
+                F.lit("bf"),
+                F.col("i").cast("string"),
+                F.lit("|"),
+                key.cast("string"),
+            )
+        ),
+        F.lit(m_bits),
+    )
+    return i, b
+
+
+def bloom_build(
+    members: DataFrame, key: Column, m_bits: int = 32768, k: int = 3
+) -> DataFrame:
+    """Bloom-filter register table (word BIGINT, bits BIGINT) over the
+    member keys. The membership sibling of the HLL cardinality registers
+    above: insertion is idempotent (bit OR), so NO distinct is needed —
+    the whole build is one map-side-combinable bit_or aggregation onto at
+    most ceil(m_bits/63) words, mergeable across any partitioning. At
+    100 TB the filter build is word-count-shaped and the result is a
+    broadcastable O(m_bits/63)-row table (the standard shuffle-free
+    semi-join prefilter for joins against a huge build side)."""
+    rows = members.select(key.cast("string").alias("_k"))
+    i, b = bloom_bits(F.col("_k"), m_bits, k)
+    bits = rows.select("_k", i).select(b.alias("b"))
+    return (
+        bits.select(
+            F.expr(f"CAST(b DIV {_WORD_BITS} AS BIGINT) AS word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(b, {_WORD_BITS}) AS INT)) AS mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_audit(
+    members: DataFrame,
+    probes: DataFrame,
+    member_key: str,
+    probe_key: str,
+    group_col: str,
+    m_bits: int = 32768,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``members[member_key]`` and audit it
+    against the DISTINCT (group, probe_key) pairs: per group,
+    (n_probes, n_true, n_bloom_hits, n_false_pos, n_false_neg) — all
+    exact BIGINTs. n_false_neg is structurally zero (the Bloom guarantee)
+    and is emitted so the value hash PROVES it, not just a pytest.
+
+    Scale shape: the filter is a broadcast O(m_bits/63)-row table; each
+    probe key costs k broadcast-join lookups and one bool_and per key —
+    no shuffle touches the member table after its one aggregate. The
+    exact-membership audit join is the expensive global step Bloom
+    exists to avoid in production; it is the point of the audit here.
+    """
+    filt = bloom_build(members, F.col(member_key), m_bits=m_bits, k=k)
+    mk = (
+        members.select(F.col(member_key).cast("string").alias("key"))
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    pk = probes.select(
+        F.col(group_col).alias("g"), F.col(probe_key).cast("string").alias("key")
+    ).distinct()
+    i, b = bloom_bits(F.col("key"), m_bits, k)
+    lookups = pk.select("g", "key", i).select("g", "key", b.alias("b")).select(
+        "g",
+        "key",
+        F.expr(f"CAST(b DIV {_WORD_BITS} AS BIGINT) AS word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(b, {_WORD_BITS}) AS INT)) AS mask"
+        ),
+    )
+    hits = (
+        lookups.join(F.broadcast(filt), on="word", how="left")
+        .select(
+            "g",
+            "key",
+            F.coalesce(
+                (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                F.lit(False),
+            ).alias("hit_i"),
+        )
+        .groupBy("g", "key")
+        .agg(F.bool_and("hit_i").alias("bloom_hit"))
+    )
+    audited = hits.join(mk, on="key", how="left").select(
+        "g",
+        "bloom_hit",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return audited.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).cast("long").alias("n_true"),
+        F.sum(F.col("bloom_hit").cast("long")).cast("long").alias(
+            "n_bloom_hits"
+        ),
+        F.sum(
+            (F.col("bloom_hit") & ~F.col("is_member")).cast("long")
+        ).cast("long").alias("n_false_pos"),
+        F.sum(
+            (~F.col("bloom_hit") & F.col("is_member")).cast("long")
+        ).cast("long").alias("n_false_neg"),
+    )

@@ -536,3 +536,23 @@ def test_edge_delta_is_one_aggregate_no_join(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_bloom_build_pure_aggregate_register_join_broadcast(spark):
+    """The register build must be one partial+final bit_or aggregate with
+    NO join and NO distinct shuffle (insertion is idempotent); the audit's
+    register lookup must be a broadcast join, never shuffled."""
+    from combblas_spark.functions.sketch import bloom_audit, bloom_build
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    members = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    build_plan = _plan(bloom_build(members, F.col("o_orderkey")))
+    assert "Join" not in build_plan
+    assert build_plan.count("HashAggregate") >= 2
+    audit_plan = _plan(
+        bloom_audit(members, o, "o_orderkey", "o_orderkey", "o_orderpriority")
+    )
+    assert "CartesianProduct" not in audit_plan
+    assert "BroadcastHashJoin" in audit_plan

@@ -3496,3 +3496,96 @@ def test_crawl_snapshots_overlap_regime(spark):
     assert abs(counts[3] / total - 0.6) < 0.05
     assert abs(counts[2] / total - 0.2) < 0.05
     assert abs(counts[1] / total - 0.2) < 0.05
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def _py_bloom_bits(key: str, m_bits: int, k: int):
+    out = []
+    for i in range(k):
+        h = int(hashlib.md5(f"bf{i}|{key}".encode()).hexdigest()[:15], 16)
+        out.append(h % m_bits)
+    return out
+
+
+def test_bloom_audit_full_python_replay(spark):
+    """Exact replay: the register table AND every per-key verdict must
+    match a pure-python bloom filter bit for bit."""
+    from combblas_spark.functions.sketch import bloom_audit, bloom_build
+
+    m_bits, k = 1024, 3
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)], "key string"
+    )
+    probes = spark.createDataFrame(
+        [(("mem" if i < 100 else "non"), f"m{i}",) for i in range(400)],
+        "g string, key string",
+    )
+    # python filter
+    words = {}
+    for i in range(200):
+        for b in _py_bloom_bits(f"m{i}", m_bits, k):
+            w, off = b // 63, b % 63
+            words[w] = words.get(w, 0) | (1 << off)
+    got_words = {
+        r["word"]: r["bits"]
+        for r in bloom_build(members, F.col("key"), m_bits, k).collect()
+    }
+    assert got_words == words
+    # python verdicts
+    exp = {"mem": [0, 0, 0], "non": [0, 0, 0]}  # true, hits, fp
+    for i in range(400):
+        g = "mem" if i < 100 else "non"
+        is_m = i < 200
+        hit = all(
+            words.get(b // 63, 0) >> (b % 63) & 1
+            for b in _py_bloom_bits(f"m{i}", m_bits, k)
+        )
+        exp[g][0] += is_m
+        exp[g][1] += hit
+        exp[g][2] += hit and not is_m
+    out = {
+        r["g"]: (
+            r["n_probes"],
+            r["n_true"],
+            r["n_bloom_hits"],
+            r["n_false_pos"],
+            r["n_false_neg"],
+        )
+        for r in bloom_audit(
+            members, probes, "key", "key", "g", m_bits=m_bits, k=k
+        ).collect()
+    }
+    assert out == {
+        "mem": (100, exp["mem"][0], exp["mem"][1], exp["mem"][2], 0),
+        "non": (300, exp["non"][0], exp["non"][1], exp["non"][2], 0),
+    }
+    # the loaded 1024-bit / 200-key regime must actually exercise FPs
+    assert exp["non"][2] > 0
+
+
+def test_bloom_no_false_negatives_and_partition_invariance(spark):
+    from combblas_spark.functions.sketch import bloom_audit, bloom_build
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    members = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    out = bloom_audit(
+        members, o, "o_orderkey", "o_orderkey", "o_orderpriority"
+    ).collect()
+    assert sum(r["n_false_neg"] for r in out) == 0
+    assert sum(r["n_true"] for r in out) > 0
+    # bit_or is the merge: any partitioning builds the same register table
+    a = sorted(
+        tuple(r)
+        for r in bloom_build(members, F.col("o_orderkey")).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in bloom_build(
+            members.repartition(13), F.col("o_orderkey")
+        ).collect()
+    )
+    assert a == b and len(a) > 0
