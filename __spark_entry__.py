@@ -4495,6 +4495,66 @@ FROM cdd GROUP BY src"""
 
 
 # --------------------------------------------------------------------------
+# HostRank — host-level PageRank over the collapsed crawl (urls.host_links
+# + algorithms/pagerank with link-count weights)
+# --------------------------------------------------------------------------
+
+HR_ITERS = 6
+
+
+def q_hostrank(spark, sf):
+    """End-to-end crawl ranking: two dirty-URL endpoints per order row run
+    through the full canonicalizer, collapse onto the host graph
+    (n_links-weighted), then weighted PageRank over HOST STRING ids — the
+    production web-ranking unit (host-level rank is what spam/authority
+    analyses consume; per-URL rank then distributes within a host). The
+    oracle replays the fixture's closed-form canonical host and unrolls
+    the same weighted power iteration, so canonicalizer, collapse and
+    ranking are all under one value hash."""
+    from combblas_spark.functions.urls import (
+        _h60,
+        dirty_url_expr,
+        host_links,
+    )
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("u")
+    )
+    keys = o.select("u", (_h60("lnk", F.col("u")) % 997).alias("v"))
+    pages = keys.select(
+        dirty_url_expr(F.col("u")).alias("src_url"),
+        dirty_url_expr(F.col("v")).alias("dst_url"),
+    )
+    # Materialize the collapsed host table before the rank loop: the host
+    # graph is O(hosts^2) — tiny next to the crawl — while the inlined
+    # canonicalizer is a janino-method-size-limit expression tree that
+    # would otherwise be re-analyzed (and codegen-failed) inside every
+    # superstep plan (measured 56s -> 9s at sf0.001).
+    hl = host_links(pages).localCheckpoint()
+    e = hl.select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("w"),
+    )
+    r = pagerank(spark, e, alpha=0.85, num_iters=HR_ITERS)
+    return r.select(
+        F.col("id").alias("host"), F.round("val", 6).alias("val")
+    )
+
+
+_HR_PREFIX = """ok AS (SELECT CAST(o_orderkey AS BIGINT) AS u FROM orders),
+hrlk AS MATERIALIZED (
+  SELECT u, CAST(('0x' || substr(md5('lnk|' || CAST(u AS VARCHAR)), 1, 15))
+             AS BIGINT) % 997 AS v
+  FROM ok),
+hredges AS MATERIALIZED (
+  SELECT 'shop' || CAST(u % 50 AS VARCHAR) || '.example.com' AS src,
+         'shop' || CAST(v % 50 AS VARCHAR) || '.example.com' AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM hrlk GROUP BY 1, 2)"""
+
+
+# --------------------------------------------------------------------------
 # Bloom-filter membership audit — functions/sketch.bloom_audit
 # --------------------------------------------------------------------------
 
@@ -4596,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check_oracle mirror, which sweeps ALL queries at both SFs.
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
+        "hostrank": q_hostrank,
         "incident_events": q_incident_events,
         "vocab_growth": q_vocab_growth,
         "mutual_nn": q_mutual_nn,
@@ -4803,6 +4864,11 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "host_graph": _HOST_GRAPH_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
+        "hostrank": (
+            "SELECT id AS host, val FROM ("
+            + _pagerank_sql(_HR_PREFIX, "hredges", HR_ITERS)
+            + ") hr"
+        ),
         "ppr_batch_ps": _ppr_batch_sql(PS_CTES, "edges", BPPR_ITERS, PPR_SEEDS),
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """

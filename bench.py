@@ -154,6 +154,7 @@ HEADLINE = [
     "ppr_batch_ps",
     "crawl_delta",
     "bloom_audit",
+    "hostrank",
 ]
 
 

@@ -3589,3 +3589,35 @@ def test_bloom_no_false_negatives_and_partition_invariance(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------- hostrank
+
+
+def test_pagerank_weighted_string_ids_python_replay(spark):
+    """Weighted PageRank over string vertex ids (the HostRank unit):
+    exact replay of the fixed-iteration power iteration in pure python."""
+    from combblas_spark.algorithms.pagerank import pagerank
+
+    edges = [
+        ("a.com", "b.com", 2.0),
+        ("b.com", "a.com", 1.0),
+        ("a.com", "c.com", 1.0),
+        ("c.com", "a.com", 1.0),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r["id"]: r["val"] for r in pagerank(spark, e, num_iters=5).collect()}
+
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    x = {v: 1.0 / len(verts) for v in verts}
+    for _ in range(5):
+        nxt = {v: 0.15 / len(verts) for v in verts}
+        for s, d, w in edges:
+            nxt[d] += 0.85 * (w / outw[s]) * x[s]
+        x = nxt
+    for v in verts:
+        assert abs(got[v] - x[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
