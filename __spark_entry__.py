@@ -4495,6 +4495,95 @@ FROM cdd GROUP BY src"""
 
 
 # --------------------------------------------------------------------------
+# directional containment join — functions/dedup.containment_pairs
+# --------------------------------------------------------------------------
+
+
+def q_containment(spark, sf):
+    """Broder one-sided containment over the corpus + derived half-docs
+    (first ceil(n/2) tokens, id + 1,000,000): every half is contained in
+    its full at cont = 1.0 while their Jaccard ~0.5 sits below every
+    near-dup threshold — the subset-duplication regime the symmetric
+    dedup family can't see. Asymmetric prefix filter: only the
+    contained side's rarest-shingle prefix joins the (df-capped) full
+    shingle table."""
+    from combblas_spark.functions.dedup import containment_pairs
+    from combblas_spark.functions.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t = tokens_col(F.col("text"))
+    half_len = F.floor((F.size(t) + F.lit(1)) / F.lit(2)).cast("int")
+    halves = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.array_join(F.slice(t, F.lit(1), half_len), " ").alias("text"),
+    )
+    corpus = docs.unionByName(halves)
+    return containment_pairs(corpus, tau_num=9, tau_den=10, k=3)
+
+
+_CONTAINMENT_ORACLE = """WITH chalf AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+cdocs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(toks[1:CAST((len(toks) + 1) // 2 AS BIGINT)], ' ')
+           AS text
+  FROM chalf),
+ctoklists AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM cdocs),
+ctoks AS (
+  SELECT doc_id AS id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS ord
+  FROM ctoklists),
+csh AS MATERIALIZED (
+  SELECT DISTINCT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM ctoks a
+  JOIN ctoks b ON b.id = a.id AND b.ord = a.ord + 1
+  JOIN ctoks c ON c.id = a.id AND c.ord = a.ord + 2),
+cdfc AS MATERIALIZED (SELECT shingle, COUNT(*) AS df FROM csh GROUP BY shingle),
+cnd AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM csh GROUP BY id),
+cranked AS MATERIALIZED (
+  SELECT s.id, s.shingle, cnd.n,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.id ORDER BY d.df ASC, s.shingle ASC) AS rn
+  FROM csh s JOIN cdfc d ON s.shingle = d.shingle JOIN cnd ON cnd.id = s.id),
+cpref AS MATERIALIZED (
+  SELECT id AS id_a, shingle FROM cranked
+  WHERE rn <= n - ((9 * n + 9) // 10) + 1),
+cfull AS MATERIALIZED (
+  SELECT s.id AS id_b, s.shingle
+  FROM csh s JOIN cdfc d ON s.shingle = d.shingle
+  WHERE d.df <= 1000),
+ccand AS MATERIALIZED (
+  SELECT DISTINCT p.id_a, f.id_b
+  FROM cpref p JOIN cfull f ON p.shingle = f.shingle
+  WHERE p.id_a <> f.id_b),
+ccommon AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM ccand c
+  JOIN csh sa ON sa.id = c.id_a
+  JOIN csh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b,
+       CAST(cm.n_common AS BIGINT) AS n_common,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       ROUND(CAST(cm.n_common AS DOUBLE) / na.n, 6) AS cont,
+       ROUND(CAST(cm.n_common AS DOUBLE) / (na.n + nb.n - cm.n_common), 6)
+         AS jac
+FROM ccand c
+JOIN ccommon cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+JOIN cnd na ON na.id = c.id_a
+JOIN cnd nb ON nb.id = c.id_b
+WHERE cm.n_common * 10 >= 9 * na.n"""
+
+
+# --------------------------------------------------------------------------
 # HostRank — host-level PageRank over the collapsed crawl (urls.host_links
 # + algorithms/pagerank with link-count weights)
 # --------------------------------------------------------------------------
@@ -4657,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
+        "containment": q_containment,
         "incident_events": q_incident_events,
         "vocab_growth": q_vocab_growth,
         "mutual_nn": q_mutual_nn,
@@ -4869,6 +4959,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
             + _pagerank_sql(_HR_PREFIX, "hredges", HR_ITERS)
             + ") hr"
         ),
+        "containment": _CONTAINMENT_ORACLE,
         "ppr_batch_ps": _ppr_batch_sql(PS_CTES, "edges", BPPR_ITERS, PPR_SEEDS),
         "temporal_reach_ev": _temporal_sql(TEMPORAL_ITERS),
         "props_stats": """

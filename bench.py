@@ -155,6 +155,7 @@ HEADLINE = [
     "crawl_delta",
     "bloom_audit",
     "hostrank",
+    "containment",
 ]
 
 

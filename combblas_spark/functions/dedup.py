@@ -741,3 +741,85 @@ def span_dedup_stats(
         .cast("long")
         .alias("n_kept"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    tau_num: int = 9,
+    tau_den: int = 10,
+    k: int = 3,
+    max_bucket: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional containment join (Broder's one-sided resemblance):
+    all ORDERED pairs (id_a, id_b), a != b, with
+    |shingles(A) ∩ shingles(B)| >= tau * |shingles(A)| — A is (near-)
+    CONTAINED in B. This is the subset-duplication signal the symmetric
+    Jaccard family structurally misses: a document swallowed whole by a
+    2x-longer one has containment 1.0 but Jaccard ~0.5, below every
+    near-dup threshold, and MinHash-LSH won't even surface the pair as a
+    candidate (band collision probability tracks RESEMBLANCE).
+
+    Candidate generation is the asymmetric prefix filter: if
+    |A ∩ B| >= c = ceil(tau * n_a), then by pigeonhole A shares with B
+    one of its first n_a - c + 1 rarest shingles (global df-ASC,
+    shingle-ASC total order — prefix_jaccard_pairs' order), so only A's
+    prefix joins the full shingle table; B needs NO prefix (containment
+    ignores |B|), which is what makes the filter exact in this
+    direction. The prefix length uses INTEGER arithmetic only.
+
+    Scale shape: the join fanout is sum over A-prefix shingles of
+    df(shingle) — prefix shingles are the globally RAREST by
+    construction, and the full side is df-capped at ``max_bucket`` (the
+    one documented false-negative source, shared with every sibling:
+    a shingle in >max_bucket documents is stop-shingle boilerplate).
+    Verification is the exact integer test n_common * tau_den >=
+    tau_num * n_a on candidates only. Output: (id_a, id_b, n_common,
+    n_a, n_b, cont, jac), cont/jac ROUND(.,6).
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, k=k, id_col=id_col, text_col=text_col).persist()
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    nd = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        sh.join(dfc, on="shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(nd, on="id")
+    )
+    ceil_tn = F.floor(
+        (F.lit(tau_num) * F.col("n") + F.lit(tau_den - 1)) / F.lit(tau_den)
+    )
+    pref = ranked.filter(F.col("rn") <= F.col("n") - ceil_tn + 1).select(
+        F.col("id").alias("id_a"), "shingle"
+    )
+    full = (
+        sh.join(dfc.filter(F.col("df") <= max_bucket), on="shingle")
+        .select(F.col("id").alias("id_b"), "shingle")
+    )
+    cand = (
+        pref.join(full, on="shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    jp = jaccard_pairs(sh, cand)
+    return jp.filter(
+        F.col("n_common") * tau_den >= F.lit(tau_num) * F.col("n_a")
+    ).select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias("cont"),
+        F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ).alias("jac"),
+    )

@@ -556,3 +556,18 @@ def test_bloom_build_pure_aggregate_register_join_broadcast(spark):
     )
     assert "CartesianProduct" not in audit_plan
     assert "BroadcastHashJoin" in audit_plan
+
+
+def test_containment_prefix_join_no_cartesian(spark):
+    """The asymmetric prefix filter must stay an equi-join on the shingle
+    key — a cartesian means the candidate generation collapsed to
+    all-pairs."""
+    from combblas_spark.functions.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(containment_pairs(docs, tau_num=9, tau_den=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()

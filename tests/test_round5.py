@@ -3621,3 +3621,66 @@ def test_pagerank_weighted_string_ids_python_replay(spark):
     for v in verts:
         assert abs(got[v] - x[v]) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------- containment
+
+
+def test_containment_hand_case_directional(spark):
+    from combblas_spark.functions.dedup import containment_pairs
+
+    inner = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, inner),
+            (2, inner + " and then it ran far away into the dark woods"),
+            (3, "completely unrelated text about graph engines at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["cont"], r["jac"])
+        for r in containment_pairs(docs, tau_num=9, tau_den=10).collect()
+    }
+    assert (1, 2) in out
+    cont, jac = out[(1, 2)]
+    assert cont == 1.0  # every shingle of 1 is in 2
+    assert jac < 0.9  # ...but the pair is NOT a symmetric near-dup
+    assert (2, 1) not in out  # directional: 2 is not contained in 1
+    assert all(3 not in p for p in out)
+
+
+def test_containment_brute_force_completeness(spark):
+    """Exactness law: with a high bucket cap, the prefix-filtered join
+    must find EXACTLY the ordered pairs brute force finds."""
+    from combblas_spark.functions.dedup import containment_pairs
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .collect()
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shset(text):
+        toks = [t for t in text.split(" ") if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {r["doc_id"]: shset(r["text"]) for r in rows}
+    expected = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            if len(sa & sb) * 10 >= 9 * len(sa):
+                expected.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(
+            docs, tau_num=9, tau_den=10, max_bucket=10**6
+        ).collect()
+    }
+    assert got == expected
