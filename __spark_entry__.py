@@ -4718,6 +4718,105 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# robots.txt longest-match admission — functions/robots.py
+# --------------------------------------------------------------------------
+
+
+def q_robots_audit(spark, sf):
+    """Crawl-admission audit: every frontier URL resolved against its
+    host's robots rules by RFC 9309 precedence (longest matching prefix
+    wins, Allow wins length ties, no match => allowed), collapsed to a
+    single MAX(2*len+allow) aggregate after a broadcast rule join — the
+    frontier never shuffles. Per-host tallies: explicit allows, blocks,
+    default-allows, and the deepest deciding rule."""
+    from combblas_spark.functions.robots import (
+        crawl_frontier,
+        robots_decision,
+        robots_rules,
+    )
+
+    d = robots_decision(crawl_frontier(spark, sf), robots_rules(spark))
+    return d.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(
+            (F.col("allowed") & (F.col("matched_len") > 0)).cast("int")
+        ).cast("long").alias("n_allowed"),
+        F.sum((~F.col("allowed")).cast("int")).cast("long").alias("n_blocked"),
+        F.sum((F.col("matched_len") == 0).cast("int"))
+        .cast("long")
+        .alias("n_default"),
+        F.max("matched_len").cast("long").alias("max_matched_len"),
+    )
+
+
+_ROBOTS_ORACLE = """WITH rbu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS url_id FROM orders),
+rbh AS (
+  SELECT url_id,
+    'shop' || CAST(url_id % 50 AS VARCHAR) || '.example.com' AS host,
+    CAST(('0x' || substr(md5('rbc|' || CAST(url_id AS VARCHAR)), 1, 15))
+      AS BIGINT) % 12 AS cat,
+    CAST(('0x' || substr(md5('rbi|' || CAST(url_id AS VARCHAR)), 1, 15))
+      AS BIGINT) % 997 AS item,
+    CAST(('0x' || substr(md5('rbsec|' || CAST(url_id AS VARCHAR)), 1, 15))
+      AS BIGINT) % 5 AS sec
+  FROM rbu),
+rburls AS MATERIALIZED (
+  SELECT url_id, host,
+    CASE sec
+      WHEN 0 THEN '/cat' || CAST(cat AS VARCHAR) || '/item'
+                  || CAST(item AS VARCHAR)
+      WHEN 1 THEN '/private/doc' || CAST(item AS VARCHAR)
+      WHEN 2 THEN '/'
+      WHEN 3 THEN '/cat' || CAST(cat AS VARCHAR)
+      ELSE '/static/img' || CAST(item AS VARCHAR) || '.png'
+    END AS path
+  FROM rbh),
+rbk AS (SELECT CAST(range AS BIGINT) AS k FROM range(50)),
+rbrules AS MATERIALIZED (
+  SELECT 'shop' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         '/cat' || CAST(k % 12 AS VARCHAR) AS rule_path, 1 AS allow
+  FROM rbk
+  UNION ALL
+  SELECT 'shop' || CAST(k AS VARCHAR) || '.example.com', '/private', 0
+  FROM rbk WHERE CAST(('0x' || substr(md5('rb1|' || CAST(k AS VARCHAR)),
+    1, 15)) AS BIGINT) % 2 = 0
+  UNION ALL
+  SELECT 'shop' || CAST(k AS VARCHAR) || '.example.com', '/private', 1
+  FROM rbk WHERE CAST(('0x' || substr(md5('rb4|' || CAST(k AS VARCHAR)),
+    1, 15)) AS BIGINT) % 7 = 0
+  UNION ALL
+  SELECT 'shop' || CAST(k AS VARCHAR) || '.example.com', '/', 0
+  FROM rbk WHERE CAST(('0x' || substr(md5('rb2|' || CAST(k AS VARCHAR)),
+    1, 15)) AS BIGINT) % 5 = 0
+  UNION ALL
+  SELECT 'shop' || CAST(k AS VARCHAR) || '.example.com', '/cat', 0
+  FROM rbk WHERE CAST(('0x' || substr(md5('rb3|' || CAST(k AS VARCHAR)),
+    1, 15)) AS BIGINT) % 3 = 0
+  UNION ALL
+  SELECT 'shop' || CAST(k AS VARCHAR) || '.example.com', '/static', 0
+  FROM rbk WHERE CAST(('0x' || substr(md5('rb5|' || CAST(k AS VARCHAR)),
+    1, 15)) AS BIGINT) % 4 = 0),
+rbm AS MATERIALIZED (
+  SELECT u.url_id, u.host,
+         MAX(2 * length(r.rule_path) + r.allow) AS score
+  FROM rburls u LEFT JOIN rbrules r
+    ON u.host = r.host
+   AND substr(u.path, 1, length(r.rule_path)) = r.rule_path
+  GROUP BY u.url_id, u.host)
+SELECT host,
+  CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(SUM(CASE WHEN score IS NOT NULL AND score % 2 = 1 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_allowed,
+  CAST(SUM(CASE WHEN score % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_blocked,
+  CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_default,
+  CAST(MAX(COALESCE(score // 2, 0)) AS BIGINT) AS max_matched_len
+FROM rbm GROUP BY host"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4743,6 +4842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degree_hist_ps, cc_sizes_ps, rich_club_ev, props_stats — plus
         # the post-budget additions) and the r03-rowed 23 ride on the
         # check_oracle mirror, which sweeps ALL queries at both SFs.
+        "robots_audit": q_robots_audit,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -4952,6 +5052,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "url_canon": _URL_ORACLE,
         "dedup_spans": SPAN_ORACLE,
         "host_graph": _HOST_GRAPH_ORACLE,
+        "robots_audit": _ROBOTS_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

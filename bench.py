@@ -156,6 +156,7 @@ HEADLINE = [
     "bloom_audit",
     "hostrank",
     "containment",
+    "robots_audit",
 ]
 
 

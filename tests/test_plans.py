@@ -571,3 +571,22 @@ def test_containment_prefix_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_robots_rules_broadcast_frontier_never_shuffled(spark):
+    """The robots match join must broadcast the rule side (rules are
+    O(hosts x tens), the frontier is the crawl): BroadcastHashJoin only —
+    a SortMergeJoin or cartesian means the frontier shuffled for a table
+    a thousandth its size."""
+    from combblas_spark.functions.robots import (
+        crawl_frontier,
+        robots_decision,
+        robots_rules,
+    )
+
+    plan = _plan(
+        robots_decision(crawl_frontier(spark, SF), robots_rules(spark))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -3684,3 +3684,144 @@ def test_containment_brute_force_completeness(spark):
         ).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# robots.txt longest-match admission (functions/robots.py)
+# --------------------------------------------------------------------------
+
+
+def test_robots_hand_case(spark):
+    """RFC 9309 resolution on a hand-solved rule set: longest prefix
+    wins, Allow wins a length tie, no-match defaults to allowed."""
+    from combblas_spark.functions.robots import robots_decision
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "/", 0),
+            ("h", "/a", 1),
+            ("h", "/a/b", 0),
+            ("h", "/t", 0),
+            ("h", "/t", 1),
+        ],
+        "host string, rule_path string, allow int",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "h", "/a/x"),
+            (2, "h", "/a/b/c"),
+            (3, "h", "/zzz"),
+            (4, "h", "/t9"),
+            (5, "other", "/a"),
+        ],
+        "url_id long, host string, path string",
+    )
+    got = {
+        r["url_id"]: (r["allowed"], r["matched_len"])
+        for r in robots_decision(urls, rules).collect()
+    }
+    assert got[1] == (True, 2)  # /a beats /
+    assert got[2] == (False, 4)  # /a/b (disallow) beats /a (allow)
+    assert got[3] == (False, 1)  # only the root disallow matches
+    assert got[4] == (True, 2)  # equal-length tie -> Allow wins
+    assert got[5] == (True, 0)  # no rules for the host -> default allow
+
+
+def test_robots_wildcard_rule_raises(spark):
+    """Wildcard rules are a declared non-goal: they must fail loudly at
+    execution time, never silently match the '*' as a literal byte."""
+    import pytest as _pytest
+
+    from combblas_spark.functions.robots import robots_decision
+
+    rules = spark.createDataFrame(
+        [("h", "/a*", 0)], "host string, rule_path string, allow int"
+    )
+    urls = spark.createDataFrame(
+        [(1, "h", "/a/x")], "url_id long, host string, path string"
+    )
+    with _pytest.raises(Exception, match="wildcard"):
+        robots_decision(urls, rules).collect()
+
+
+def test_robots_fixture_python_replay(spark):
+    """Full replay: an independent python implementation of RFC 9309
+    longest-match over the replayed fixture must reproduce every per-host
+    tally of the contract query at sf0.001."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+
+    def h60(salt, key):
+        return int(
+            hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16
+        )
+
+    # replay the rule sets
+    rules = {}
+    for k in range(50):
+        host = f"shop{k}.example.com"
+        rs = [(f"/cat{k % 12}", 1)]
+        if h60("rb1", k) % 2 == 0:
+            rs.append(("/private", 0))
+        if h60("rb4", k) % 7 == 0:
+            rs.append(("/private", 1))
+        if h60("rb2", k) % 5 == 0:
+            rs.append(("/", 0))
+        if h60("rb3", k) % 3 == 0:
+            rs.append(("/cat", 0))
+        if h60("rb5", k) % 4 == 0:
+            rs.append(("/static", 0))
+        rules[host] = rs
+
+    uids = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        )
+        .select("o_orderkey")
+        .collect()
+    ]
+    agg = {}
+    for u in uids:
+        host = f"shop{u % 50}.example.com"
+        cat, item = h60("rbc", u) % 12, h60("rbi", u) % 997
+        sec = h60("rbsec", u) % 5
+        path = [
+            f"/cat{cat}/item{item}",
+            f"/private/doc{item}",
+            "/",
+            f"/cat{cat}",
+            f"/static/img{item}.png",
+        ][sec]
+        best = max(
+            (
+                2 * len(rp) + al
+                for rp, al in rules[host]
+                if path.startswith(rp)
+            ),
+            default=None,
+        )
+        a = agg.setdefault(host, [0, 0, 0, 0, 0])
+        a[0] += 1
+        if best is None:
+            a[3] += 1
+        elif best % 2 == 1:
+            a[1] += 1
+        else:
+            a[2] += 1
+        a[4] = max(a[4], best // 2 if best is not None else 0)
+
+    got = {
+        r["host"]: (
+            r["n_urls"],
+            r["n_allowed"],
+            r["n_blocked"],
+            r["n_default"],
+            r["max_matched_len"],
+        )
+        for r in entrymod.q_robots_audit(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == {h: tuple(v) for h, v in agg.items()}
