@@ -4718,6 +4718,104 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# link-farm detection — functions/urls.link_farm_pairs
+# --------------------------------------------------------------------------
+
+
+def q_linkfarm(spark, sf):
+    """Nepotistic-link detection on a 50-host crawl with a planted
+    3-host farm (shop3/17/41 interlinked by ~1/9 of the keyspace on top
+    of the uniform background): flag ordered pairs whose interlink count
+    beats the configuration-model expectation out(s)*in(d)/L by >=3x,
+    with >=10-link support. Lift is scale-free, so the planted 6 pairs
+    flag at every SF while uniform background pairs (lift ~1x) never
+    reach the threshold at this support."""
+    from combblas_spark.functions.urls import _h60, link_farm_pairs
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("u")
+    )
+    u = F.col("u")
+
+    def host(ix):
+        return F.concat(
+            F.lit("shop"), ix.cast("string"), F.lit(".example.com")
+        )
+
+    def farm(ix):
+        return (
+            F.when(ix == 0, F.lit(3))
+            .when(ix == 1, F.lit(17))
+            .otherwise(F.lit(41))
+        )
+
+    bg = o.select(
+        host(u % 50).alias("s"), host(_h60("lfb", u) % 50).alias("d")
+    ).filter(F.col("s") != F.col("d"))
+    fm = (
+        o.filter(_h60("lff", u) % 9 == 0)
+        .select(
+            host(farm(_h60("lfs", u) % 3)).alias("s"),
+            host(farm(_h60("lfd", u) % 3)).alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+    )
+    hl = (
+        bg.unionByName(fm)
+        .groupBy(F.col("s").alias("src_host"), F.col("d").alias("dst_host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    return link_farm_pairs(hl, min_links=10, lift_x1000_min=3000)
+
+
+_LINKFARM_ORACLE = """WITH lfu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS u FROM orders),
+lfbg AS (
+  SELECT 'shop' || CAST(u % 50 AS VARCHAR) || '.example.com' AS s,
+         'shop' || CAST(CAST(('0x' || substr(md5('lfb|' ||
+           CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) % 50 AS VARCHAR)
+           || '.example.com' AS d
+  FROM lfu
+  WHERE u % 50 <> CAST(('0x' || substr(md5('lfb|' || CAST(u AS VARCHAR)),
+    1, 15)) AS BIGINT) % 50),
+lffm AS (
+  SELECT 'shop' || CAST(CASE CAST(('0x' || substr(md5('lfs|' ||
+           CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) % 3
+           WHEN 0 THEN 3 WHEN 1 THEN 17 ELSE 41 END AS VARCHAR)
+           || '.example.com' AS s,
+         'shop' || CAST(CASE CAST(('0x' || substr(md5('lfd|' ||
+           CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) % 3
+           WHEN 0 THEN 3 WHEN 1 THEN 17 ELSE 41 END AS VARCHAR)
+           || '.example.com' AS d
+  FROM lfu
+  WHERE CAST(('0x' || substr(md5('lff|' || CAST(u AS VARCHAR)), 1, 15))
+          AS BIGINT) % 9 = 0
+    AND CAST(('0x' || substr(md5('lfs|' || CAST(u AS VARCHAR)), 1, 15))
+          AS BIGINT) % 3
+     <> CAST(('0x' || substr(md5('lfd|' || CAST(u AS VARCHAR)), 1, 15))
+          AS BIGINT) % 3),
+lfhl AS MATERIALIZED (
+  SELECT s AS src_host, d AS dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM (SELECT * FROM lfbg UNION ALL SELECT * FROM lffm) t
+  GROUP BY s, d),
+lfL AS (SELECT CAST(SUM(n_links) AS BIGINT) AS total_links FROM lfhl),
+lfo AS (SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS out_links
+        FROM lfhl GROUP BY src_host),
+lfi AS (SELECT dst_host, CAST(SUM(n_links) AS BIGINT) AS in_links
+        FROM lfhl GROUP BY dst_host),
+lfj AS (
+  SELECT h.src_host, h.dst_host, h.n_links, o.out_links, i.in_links,
+         CAST((1000 * h.n_links * L.total_links)
+              // (o.out_links * i.in_links) AS BIGINT) AS lift_x1000
+  FROM lfhl h
+  JOIN lfo o ON h.src_host = o.src_host
+  JOIN lfi i ON h.dst_host = i.dst_host
+  CROSS JOIN lfL L)
+SELECT src_host, dst_host, n_links, out_links, in_links, lift_x1000
+FROM lfj WHERE n_links >= 10 AND lift_x1000 >= 3000"""
+
+
+# --------------------------------------------------------------------------
 # robots.txt longest-match admission — functions/robots.py
 # --------------------------------------------------------------------------
 
@@ -4843,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the post-budget additions) and the r03-rowed 23 ride on the
         # check_oracle mirror, which sweeps ALL queries at both SFs.
         "robots_audit": q_robots_audit,
+        "linkfarm": q_linkfarm,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5053,6 +5152,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "dedup_spans": SPAN_ORACLE,
         "host_graph": _HOST_GRAPH_ORACLE,
         "robots_audit": _ROBOTS_ORACLE,
+        "linkfarm": _LINKFARM_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

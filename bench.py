@@ -157,6 +157,7 @@ HEADLINE = [
     "hostrank",
     "containment",
     "robots_audit",
+    "linkfarm",
 ]
 
 

@@ -187,3 +187,55 @@ def host_links(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
+
+
+def link_farm_pairs(
+    host_links: DataFrame,
+    min_links: int = 10,
+    lift_x1000_min: int = 3000,
+) -> DataFrame:
+    """Nepotistic-link (link-farm) detection over the collapsed host
+    graph: flag ordered host pairs whose interlink count exceeds the
+    configuration-model expectation out(s)*in(d)/L by a lift factor —
+    the classic TKC/link-spam signal (cf. Gyongyi & Garcia-Molina,
+    complementing the trust-propagation view in
+    ``algorithms/pagerank.spam_mass``; the reference ships the rank
+    kernels but no admission analytics — Applications/ assume clean
+    inputs).
+
+    lift_x1000 = floor(1000 * n_links * L / (out(s) * in(d))) is kept in
+    exact int64 arithmetic (engine-portable; needs n_links * L <
+    9.2e15, comfortably true for host-level graphs — L ~ 1e10 links,
+    pair counts ~ 1e5). Scale shape: everything here is O(hosts) /
+    O(host pairs), orders smaller than the crawl — the two degree
+    tables broadcast, the total is a 1-row broadcast scalar, and the
+    pair table never shuffles.
+    """
+    total = host_links.agg(
+        F.sum("n_links").cast("long").alias("total_links")
+    )
+    outd = host_links.groupBy("src_host").agg(
+        F.sum("n_links").cast("long").alias("out_links")
+    )
+    ind = host_links.groupBy("dst_host").agg(
+        F.sum("n_links").cast("long").alias("in_links")
+    )
+    j = (
+        host_links.join(F.broadcast(outd), "src_host")
+        .join(F.broadcast(ind), "dst_host")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift_x1000",
+            F.expr(
+                "CAST((1000 * n_links * total_links)"
+                " DIV (out_links * in_links) AS BIGINT)"
+            ),
+        )
+    )
+    return j.filter(
+        (F.col("n_links") >= min_links)
+        & (F.col("lift_x1000") >= lift_x1000_min)
+    ).select(
+        "src_host", "dst_host", "n_links", "out_links", "in_links",
+        "lift_x1000",
+    )

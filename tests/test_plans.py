@@ -590,3 +590,14 @@ def test_robots_rules_broadcast_frontier_never_shuffled(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_link_farm_degree_tables_broadcast(spark):
+    """Link-farm lift joins O(hosts) degree tables and a 1-row total onto
+    the host-pair table: all three must broadcast — a SortMergeJoin here
+    means the pair table shuffled for inputs orders smaller than itself."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_linkfarm(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

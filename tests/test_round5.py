@@ -3825,3 +3825,57 @@ def test_robots_fixture_python_replay(spark):
         ).collect()
     }
     assert got == {h: tuple(v) for h, v in agg.items()}
+
+
+# --------------------------------------------------------------------------
+# link-farm detection (functions/urls.link_farm_pairs)
+# --------------------------------------------------------------------------
+
+
+def test_link_farm_hand_case(spark):
+    """Hand-solved configuration-model lift: a 2-host farm exchanging
+    10x its expected interlinks flags in both directions; the uniform
+    background pairs (lift ~1x) never do."""
+    from combblas_spark.functions.urls import link_farm_pairs
+
+    # a<->b farm (90 each way) over a graph whose mass sits elsewhere
+    # (d<->e heavy legit exchange, c background): L = 820.
+    rows = [
+        ("a", "b", 90),
+        ("b", "a", 90),
+        ("a", "c", 10),
+        ("b", "c", 10),
+        ("c", "a", 10),
+        ("c", "b", 10),
+        ("d", "e", 300),
+        ("e", "d", 300),
+    ]
+    hl = spark.createDataFrame(
+        rows, "src_host string, dst_host string, n_links long"
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["lift_x1000"]
+        for r in link_farm_pairs(
+            hl, min_links=20, lift_x1000_min=5000
+        ).collect()
+    }
+    # out(a)=in(a)=out(b)=in(b)=100 -> lift(a<->b) = 1000*90*820/10000
+    # = 7380 exactly; the d<->e exchange is big but proportionate
+    # (lift = 1000*300*820/90000 = 2733 < 5000) and c's pairs lack
+    # support — only the farm flags, in both directions.
+    assert got == {("a", "b"): 7380, ("b", "a"): 7380}
+
+
+def test_link_farm_planted_fixture_exact(spark):
+    """At sf0.001 the contract query must flag EXACTLY the six ordered
+    pairs of the planted 3-host farm — lift is scale-free, uniform
+    background stays ~1000x."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_linkfarm(spark, "/root/testdata/sf0.001").collect()
+    farm = {"shop3.example.com", "shop17.example.com", "shop41.example.com"}
+    pairs = {(r["src_host"], r["dst_host"]) for r in rows}
+    assert pairs == {(a, b) for a in farm for b in farm if a != b}
+    for r in rows:
+        assert r["lift_x1000"] >= 3000
+        assert r["n_links"] >= 10
