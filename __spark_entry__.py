@@ -4718,6 +4718,111 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# mirror-host detection — functions/dedup.set_resemblance_pairs
+# --------------------------------------------------------------------------
+
+
+def q_mirror_hosts(spark, sf):
+    """Bharat–Broder mirror detection: hosts whose hosted-content
+    fingerprint SETS nearly coincide. 40 origin hosts partition the
+    corpus (doc_id % 40); hosts 0-9 each have a planted mirror carrying
+    7/8 of their pages (md5-60bit keep draw), so the mirror pair's exact
+    Jaccard is the kept fraction (~0.875) while unrelated hosts share
+    nothing (all fixture texts are distinct). Set-resemblance via the
+    generic minhash-LSH + integer-Jaccard verify at tau = 1/2 over
+    (host, md5(text)) membership."""
+    from combblas_spark.functions.dedup import set_resemblance_pairs
+    from combblas_spark.functions.urls import _h60
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("shingle"),
+    )
+    base = d.select(
+        F.concat(
+            F.lit("origin"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".example.com"),
+        ).alias("id"),
+        "shingle",
+    )
+    mirror = (
+        d.filter((F.col("doc_id") % 40) < 10)
+        .filter(_h60("mir", F.col("doc_id")) % 8 != 0)
+        .select(
+            F.concat(
+                F.lit("mirror"),
+                (F.col("doc_id") % 40).cast("string"),
+                F.lit(".example.com"),
+            ).alias("id"),
+            "shingle",
+        )
+    )
+    items = base.unionByName(mirror).distinct()
+    p = set_resemblance_pairs(items, tau_num=1, tau_den=2)
+    return p.select(
+        F.col("id_a").alias("host_a"),
+        F.col("id_b").alias("host_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+_MIRROR_ORACLE = """WITH mrd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS item
+  FROM documents),
+mri AS MATERIALIZED (
+  SELECT DISTINCT id, item FROM (
+    SELECT 'origin' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+      AS id, item FROM mrd
+    UNION ALL
+    SELECT 'mirror' || CAST(doc_id % 40 AS VARCHAR) || '.example.com',
+      item FROM mrd
+    WHERE doc_id % 40 < 10
+      AND CAST(('0x' || substr(md5('mir|' || CAST(doc_id AS VARCHAR)),
+        1, 15)) AS BIGINT) % 8 <> 0) t),
+mrs AS (SELECT CAST(range AS INTEGER) AS seed FROM range(8)),
+mrmh AS MATERIALIZED (
+  SELECT id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || item)) AS minhash
+  FROM mri CROSS JOIN mrs GROUP BY id, seed),
+mrband AS MATERIALIZED (
+  SELECT id, seed AS band, md5(minhash) AS bucket FROM mrmh
+  WHERE seed < 8),
+mrsized AS MATERIALIZED (
+  SELECT b.* FROM mrband b
+  JOIN (SELECT band, bucket, COUNT(*) AS bsz FROM mrband
+        GROUP BY band, bucket) s
+    ON b.band = s.band AND b.bucket = s.bucket
+  WHERE s.bsz <= 1000),
+mrpairs AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM mrsized a JOIN mrsized b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id),
+mrsz AS (SELECT id, COUNT(*) AS n FROM mri GROUP BY id),
+mrcom AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+  FROM mrpairs p
+  JOIN mri a ON a.id = p.id_a
+  JOIN mri b ON b.id = p.id_b AND b.item = a.item
+  GROUP BY p.id_a, p.id_b),
+mrj AS (
+  SELECT p.id_a, p.id_b, COALESCE(c.n_common, 0) AS n_common,
+         sa.n AS n_a, sb.n AS n_b
+  FROM mrpairs p
+  LEFT JOIN mrcom c ON p.id_a = c.id_a AND p.id_b = c.id_b
+  JOIN mrsz sa ON sa.id = p.id_a
+  JOIN mrsz sb ON sb.id = p.id_b)
+SELECT id_a AS host_a, id_b AS host_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM mrj
+WHERE 2 * n_common >= 1 * (n_a + n_b - n_common)"""
+
+
+# --------------------------------------------------------------------------
 # link-farm detection — functions/urls.link_farm_pairs
 # --------------------------------------------------------------------------
 
@@ -4942,6 +5047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check_oracle mirror, which sweeps ALL queries at both SFs.
         "robots_audit": q_robots_audit,
         "linkfarm": q_linkfarm,
+        "mirror_hosts": q_mirror_hosts,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5153,6 +5259,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "host_graph": _HOST_GRAPH_ORACLE,
         "robots_audit": _ROBOTS_ORACLE,
         "linkfarm": _LINKFARM_ORACLE,
+        "mirror_hosts": _MIRROR_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -158,6 +158,7 @@ HEADLINE = [
     "containment",
     "robots_audit",
     "linkfarm",
+    "mirror_hosts",
 ]
 
 

@@ -601,3 +601,12 @@ def test_link_farm_degree_tables_broadcast(spark):
     plan = _plan(entrymod.q_linkfarm(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mirror_resemblance_no_cartesian(spark):
+    """Host-set resemblance must stay band-bucket joined — a cartesian
+    means candidate generation degenerated to all host pairs."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_mirror_hosts(spark, SF))
+    assert "CartesianProduct" not in plan

@@ -3879,3 +3879,43 @@ def test_link_farm_planted_fixture_exact(spark):
     for r in rows:
         assert r["lift_x1000"] >= 3000
         assert r["n_links"] >= 10
+
+
+# --------------------------------------------------------------------------
+# mirror-host detection (functions/dedup.set_resemblance_pairs)
+# --------------------------------------------------------------------------
+
+
+def test_set_resemblance_hand_case(spark):
+    """Exact integer Jaccard on hand sets: hosts sharing 3 of 5 distinct
+    items (J = 0.6) pair up at tau = 1/2; a disjoint host never does."""
+    from combblas_spark.functions.dedup import set_resemblance_pairs
+
+    rows = (
+        [("a", f"i{k}") for k in range(4)]
+        + [("b", f"i{k}") for k in range(1, 4)]
+        + [("b", "j0")]
+        + [("c", f"z{k}") for k in range(4)]
+    )
+    items = spark.createDataFrame(rows, "id string, shingle string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in set_resemblance_pairs(items).collect()
+    }
+    assert got == {("a", "b"): (3, 4, 4)}
+
+
+def test_mirror_hosts_planted_exact(spark):
+    """The contract query must surface EXACTLY the ten planted mirrors,
+    each a strict subset of its origin (n_common == n_a) holding at
+    least half the origin's pages."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_mirror_hosts(spark, "/root/testdata/sf0.001").collect()
+    assert {(r["host_a"], r["host_b"]) for r in rows} == {
+        (f"mirror{m}.example.com", f"origin{m}.example.com")
+        for m in range(10)
+    }
+    for r in rows:
+        assert r["n_common"] == r["n_a"]  # mirror carries a subset
+        assert 2 * r["n_common"] >= r["n_b"]  # >= half the origin
