@@ -4718,6 +4718,52 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# recrawl scheduling — functions/urls.change_rate
+# --------------------------------------------------------------------------
+
+
+def q_recrawl(spark, sf):
+    """Change-frequency estimation over a 7-snapshot crawl log (Cho &
+    Garcia-Molina): per-URL changes detected by a lag window over
+    content hashes, bias-corrected lambda_hat = -ln((n-X+0.5)/(n+0.5)).
+    The fixture's three volatility classes (per-interval change prob
+    1/8, 4/8, 7/8) must separate cleanly in the per-(class, X)
+    histogram; the oracle counts the change DRAWS closed-form, so any
+    defect in the hash-lag change detection breaks every count. The
+    +0.0 keeps X=0's -ln(1) from surfacing as IEEE -0.0 in one engine
+    only."""
+    from combblas_spark.functions.urls import change_rate, crawl_history
+
+    cr = change_rate(crawl_history(spark, sf))
+    return (
+        cr.groupBy(
+            (F.col("url_id") % 3).cast("long").alias("cls"), "n_changes"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            (F.max("lambda_hat") + F.lit(0.0)).alias("lambda_hat"),
+        )
+        .select("cls", "n_changes", "n_urls", "lambda_hat")
+    )
+
+
+_RECRAWL_ORACLE = """WITH rcu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS u FROM orders),
+rcs AS (SELECT CAST(range AS BIGINT) AS s FROM range(1, 7)),
+rcd AS MATERIALIZED (
+  SELECT u.u,
+    SUM(CASE WHEN CAST(('0x' || substr(md5('chg|' || CAST(u.u AS VARCHAR)
+          || '|' || CAST(s.s AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+        < (CASE u.u % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 7 END)
+        THEN 1 ELSE 0 END) AS x
+  FROM rcu u CROSS JOIN rcs s GROUP BY u.u)
+SELECT CAST(u % 3 AS BIGINT) AS cls, CAST(x AS BIGINT) AS n_changes,
+  CAST(COUNT(*) AS BIGINT) AS n_urls,
+  ROUND(-ln((6 - x + 0.5) / 6.5), 6) + 0.0 AS lambda_hat
+FROM rcd GROUP BY u % 3, x"""
+
+
+# --------------------------------------------------------------------------
 # mirror-host detection — functions/dedup.set_resemblance_pairs
 # --------------------------------------------------------------------------
 
@@ -5048,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit": q_robots_audit,
         "linkfarm": q_linkfarm,
         "mirror_hosts": q_mirror_hosts,
+        "recrawl": q_recrawl,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5260,6 +5307,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "robots_audit": _ROBOTS_ORACLE,
         "linkfarm": _LINKFARM_ORACLE,
         "mirror_hosts": _MIRROR_ORACLE,
+        "recrawl": _RECRAWL_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

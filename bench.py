@@ -159,6 +159,7 @@ HEADLINE = [
     "robots_audit",
     "linkfarm",
     "mirror_hosts",
+    "recrawl",
 ]
 
 

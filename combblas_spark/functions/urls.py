@@ -239,3 +239,109 @@ def link_farm_pairs(
         "src_host", "dst_host", "n_links", "out_links", "in_links",
         "lift_x1000",
     )
+
+
+def change_rate(
+    history: DataFrame,
+    id_col: str = "url_id",
+    snap_col: str = "snapshot",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Per-URL change-frequency estimate from a multi-snapshot crawl
+    log — the recrawl-scheduling pass (Cho & Garcia-Molina, "Estimating
+    frequency of change", TOIT 2003). A change in interval s is
+    content_hash(s) != content_hash(s-1), detected with one lag window
+    whose partition IS the URL's own history (billions of URLs x tens of
+    snapshots: hash-partitioned by URL, bounded per-partition work, no
+    global ordering anywhere). The per-URL estimator is their
+    bias-corrected lambda_hat = -ln((n - X + 0.5)/(n + 0.5)) for X
+    observed changes in n intervals — the recrawl priority a scheduler
+    sorts on.
+
+    Returns (url_id, n_obs, n_changes, lambda_hat); n_obs = snapshots-1
+    intervals, lambda_hat ROUND(.,6) (float output, rounded by the
+    cross-engine convention).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(snap_col)
+    ch = history.select(
+        F.col(id_col).alias("url_id"),
+        F.lag(F.col(hash_col)).over(w).alias("prev"),
+        F.col(hash_col).alias("cur"),
+    )
+    per = ch.groupBy("url_id").agg(
+        F.sum(F.when(F.col("prev").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_obs"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("cur") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changes"),
+    )
+    lam = -F.log(
+        (F.col("n_obs") - F.col("n_changes") + F.lit(0.5))
+        / (F.col("n_obs") + F.lit(0.5))
+    )
+    return per.select(
+        "url_id", "n_obs", "n_changes", F.round(lam, 6).alias("lambda_hat")
+    )
+
+
+def crawl_history(spark: SparkSession, sf_dir: str, n_snapshots: int = 7):
+    """Deterministic crawl-log fixture: 7 content-hash observations per
+    orders-keyspace URL. URLs fall in three volatility classes
+    (u % 3 -> per-interval change probability 1/8, 4/8, 7/8 via
+    md5-60bit draws); the content hash at snapshot s fingerprints the
+    CUMULATIVE version count, so hash inequality between adjacent
+    snapshots reproduces the class's change draws exactly — any defect
+    in the lag-window change detection breaks the replay."""
+    u = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("url_id")
+    )
+    k = F.col("url_id")
+    thr = F.when(k % 3 == 0, 1).when(k % 3 == 1, 4).otherwise(7)
+    snaps = u.select(
+        "url_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_snapshots - 1))
+        ).alias("snapshot"),
+        thr.alias("thr"),
+    )
+    # changed(u, s) for s >= 1; version(u, s) = number of changes <= s
+    changed = F.when(
+        (F.col("snapshot") > 0)
+        & (
+            _h60(
+                "chg",
+                F.concat(
+                    k.cast("string"), F.lit("|"), F.col("snapshot").cast("string")
+                ),
+            )
+            % 8
+            < F.col("thr")
+        ),
+        1,
+    ).otherwise(0)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("url_id")
+        .orderBy("snapshot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return snaps.select(
+        "url_id",
+        "snapshot",
+        F.md5(
+            F.concat(
+                k.cast("string"),
+                F.lit("|v"),
+                F.sum(changed).over(w).cast("string"),
+            )
+        ).alias("content_hash"),
+    )

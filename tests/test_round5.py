@@ -3919,3 +3919,50 @@ def test_mirror_hosts_planted_exact(spark):
     for r in rows:
         assert r["n_common"] == r["n_a"]  # mirror carries a subset
         assert 2 * r["n_common"] >= r["n_b"]  # >= half the origin
+
+
+# --------------------------------------------------------------------------
+# recrawl scheduling (functions/urls.change_rate)
+# --------------------------------------------------------------------------
+
+
+def test_change_rate_hand_case(spark):
+    """Lag-window change detection + Cho-Garcia-Molina estimator on a
+    hand history: hashes a,a,b,b,c = 2 changes in 4 intervals; a
+    never-changing URL estimates exactly 0.0 (not IEEE -0.0)."""
+    import math
+
+    from combblas_spark.functions.urls import change_rate
+
+    rows = [(1, s, h) for s, h in enumerate("aabbc")] + [
+        (2, s, "z") for s in range(5)
+    ]
+    hist = spark.createDataFrame(
+        rows, "url_id long, snapshot long, content_hash string"
+    )
+    got = {
+        r["url_id"]: (r["n_obs"], r["n_changes"], r["lambda_hat"])
+        for r in change_rate(hist).collect()
+    }
+    assert got[1][:2] == (4, 2)
+    assert got[1][2] == round(-math.log(2.5 / 4.5), 6)
+    assert got[2] == (4, 0, 0.0)
+    assert math.copysign(1.0, got[2][2]) == 1.0  # +0.0, not -0.0
+
+
+def test_recrawl_classes_separate(spark):
+    """The three planted volatility classes must order by mean observed
+    changes (1/8 < 4/8 < 7/8 per interval over 6 intervals)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_recrawl(spark, "/root/testdata/sf0.001").collect()
+    tot = {0: [0, 0], 1: [0, 0], 2: [0, 0]}
+    for r in rows:
+        tot[r["cls"]][0] += r["n_changes"] * r["n_urls"]
+        tot[r["cls"]][1] += r["n_urls"]
+    means = {c: x / n for c, (x, n) in tot.items()}
+    assert means[0] < means[1] < means[2]
+    assert means[0] < 1.5 and means[2] > 4.5  # near 6/8 and 42/8
+    # lambda_hat is monotone in n_changes within a class
+    lam = sorted((r["n_changes"], r["lambda_hat"]) for r in rows if r["cls"] == 1)
+    assert all(a[1] < b[1] for a, b in zip(lam, lam[1:]))
