@@ -4718,6 +4718,86 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# landmark distance estimation — algorithms/bfs.landmark_estimates
+# --------------------------------------------------------------------------
+
+LM_K = 6  # landmarks (top-degree)
+LM_QV = 24  # query vertex set (the LM_QV smallest srcs), C(24,2) pairs
+
+
+def q_landmark_dist(spark, sf):
+    """Landmark distance service + its quality audit in one pass: est =
+    min_l d(a,l)+d(l,b) from ONE batched msbfs over the top-degree
+    landmark set, joined against exact distances from a second msbfs
+    over the query vertices. The d_est >= d_exact triangle bound is in
+    the value hash for every pair; at 10^10 vertices only the landmark
+    table (O(k*V)) exists and query pairs never run a BFS."""
+    from combblas_spark.algorithms.bfs import (
+        landmark_estimates,
+        msbfs,
+        top_degree_landmarks,
+    )
+
+    e = part_supplier_graph(spark, sf)
+    lms = top_degree_landmarks(e, LM_K)
+    qv = [
+        r["src"]
+        for r in e.select("src").distinct().orderBy("src").limit(LM_QV).collect()
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in qv for b in qv if a < b], "a long, b long"
+    )
+    est = landmark_estimates(spark, e, lms, pairs, max_iter=BFS_DEPTH)
+    exact = (
+        msbfs(spark, e, roots=qv, max_iter=BFS_DEPTH)
+        .select(
+            F.col("s").alias("a"),
+            F.col("id").alias("b"),
+            F.col("depth").cast("long").alias("d_exact"),
+        )
+    )
+    return (
+        pairs.join(exact, ["a", "b"])
+        .join(est, ["a", "b"])
+        .select("a", "b", "d_exact", F.col("est").alias("d_est"))
+    )
+
+
+_LANDMARK_ORACLE = f"""WITH RECURSIVE {PS_CTES},
+lmdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+lms AS MATERIALIZED (
+  SELECT id AS s FROM lmdeg ORDER BY deg DESC, id LIMIT {LM_K}),
+lreach(s, id, depth) AS (
+  SELECT s, s, 0 FROM lms
+  UNION
+  SELECT r.s, e.dst, r.depth + 1
+  FROM lreach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < {BFS_DEPTH}),
+ld AS MATERIALIZED (SELECT s, id, MIN(depth) AS d FROM lreach GROUP BY s, id),
+qv AS MATERIALIZED (
+  SELECT src AS v FROM (
+    SELECT DISTINCT src FROM edges ORDER BY src LIMIT {LM_QV}) t),
+qp AS (SELECT a.v AS a, b.v AS b FROM qv a JOIN qv b ON a.v < b.v),
+qreach(s, id, depth) AS (
+  SELECT v, v, 0 FROM qv
+  UNION
+  SELECT r.s, e.dst, r.depth + 1
+  FROM qreach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < {BFS_DEPTH}),
+qd AS MATERIALIZED (SELECT s, id, MIN(depth) AS d FROM qreach GROUP BY s, id),
+lest AS (
+  SELECT p.a, p.b, MIN(da.d + db.d) AS est
+  FROM qp p
+  JOIN ld da ON da.id = p.a
+  JOIN ld db ON db.s = da.s AND db.id = p.b
+  GROUP BY p.a, p.b)
+SELECT p.a, p.b, CAST(x.d AS BIGINT) AS d_exact, CAST(l.est AS BIGINT) AS d_est
+FROM qp p
+JOIN qd x ON x.s = p.a AND x.id = p.b
+JOIN lest l ON l.a = p.a AND l.b = p.b"""
+
+
+# --------------------------------------------------------------------------
 # recrawl scheduling — functions/urls.change_rate
 # --------------------------------------------------------------------------
 
@@ -5095,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkfarm": q_linkfarm,
         "mirror_hosts": q_mirror_hosts,
         "recrawl": q_recrawl,
+        "landmark_dist": q_landmark_dist,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5308,6 +5389,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "linkfarm": _LINKFARM_ORACLE,
         "mirror_hosts": _MIRROR_ORACLE,
         "recrawl": _RECRAWL_ORACLE,
+        "landmark_dist": _LANDMARK_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

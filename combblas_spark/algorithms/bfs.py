@@ -296,3 +296,54 @@ def bfs_validate(edges, tree):
         "n_bad_root long, n_phantom_link long, n_bad_level long, "
         "n_cross_edge long, n_skip_edge long",
     )
+
+
+def top_degree_landmarks(edges: DataFrame, k: int) -> list[int]:
+    """Deterministic landmark pick: the k highest-degree vertices
+    (ties broken by id) — the standard landmark-selection heuristic
+    (Potamias et al., CIKM'09: high-degree landmarks cover the most
+    shortest paths). One count-aggregate + a k-row driver collect."""
+    return [
+        r["id"]
+        for r in edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), "id")
+        .limit(k)
+        .collect()
+    ]
+
+
+def landmark_estimates(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: list[int],
+    pairs: DataFrame,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Landmark (2-hop sketch) distance estimation: est(a,b) =
+    min over landmarks l of d(a,l) + d(l,b) — the triangle-inequality
+    upper bound every web-scale distance service actually serves,
+    because exact pairwise BFS over 10^10 vertices is not a query-time
+    operation. One batched msbfs from the landmark set (k sources, ONE
+    edge probe per level — the BetwCent batched-fringe shape), then the
+    query pairs join the O(k*V) landmark-distance table twice and take a
+    MIN: no BFS at query time at all.
+
+    ``pairs``: (a, b). Returns (a, b, est); pairs with no landmark in a
+    common component are dropped (no estimate exists).
+    """
+    ld = msbfs(spark, edges, roots=landmarks, max_iter=max_iter)
+    da = ld.select(
+        F.col("s").alias("l"), F.col("id").alias("a"),
+        F.col("depth").alias("d_a"),
+    )
+    db = ld.select(
+        F.col("s").alias("l"), F.col("id").alias("b"),
+        F.col("depth").alias("d_b"),
+    )
+    return (
+        pairs.join(da, "a")
+        .join(db, ["l", "b"])
+        .groupBy("a", "b")
+        .agg(F.min(F.col("d_a") + F.col("d_b")).cast("long").alias("est"))
+    )

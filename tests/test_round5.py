@@ -3966,3 +3966,47 @@ def test_recrawl_classes_separate(spark):
     # lambda_hat is monotone in n_changes within a class
     lam = sorted((r["n_changes"], r["lambda_hat"]) for r in rows if r["cls"] == 1)
     assert all(a[1] < b[1] for a, b in zip(lam, lam[1:]))
+
+
+# --------------------------------------------------------------------------
+# landmark distance estimation (algorithms/bfs.landmark_estimates)
+# --------------------------------------------------------------------------
+
+
+def test_landmark_estimate_hand_case(spark):
+    """Path 1-2-3-4-5 with the single landmark 1: est(2,4) must be
+    d(2,1)+d(1,4) = 4 (the triangle upper bound), est(1,5) exact = 4
+    (one endpoint IS the landmark)."""
+    from combblas_spark.algorithms.bfs import landmark_estimates
+
+    e = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]]
+        + [(b, a) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]],
+        "src long, dst long",
+    )
+    pairs = spark.createDataFrame([(2, 4), (1, 5)], "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["est"]
+        for r in landmark_estimates(spark, e, [1], pairs).collect()
+    }
+    assert got == {(2, 4): 4, (1, 5): 4}
+
+
+def test_landmark_triangle_bound_and_exact_at_landmark(spark):
+    """Law over the contract output at sf0.001: every estimate is an
+    upper bound (d_est >= d_exact), and whenever a query endpoint is
+    itself a landmark the estimate is EXACT."""
+    import __spark_entry__ as entrymod
+    from combblas_spark.algorithms.bfs import top_degree_landmarks
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.q_landmark_dist(spark, sf).collect()
+    assert rows
+    lms = set(
+        top_degree_landmarks(part_supplier_graph(spark, sf), entrymod.LM_K)
+    )
+    for r in rows:
+        assert r["d_est"] >= r["d_exact"]
+        if r["a"] in lms or r["b"] in lms:
+            assert r["d_est"] == r["d_exact"]
