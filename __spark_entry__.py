@@ -4718,6 +4718,92 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# boilerplate-line removal — functions/text.boilerplate_scrub
+# --------------------------------------------------------------------------
+
+
+def q_boilerplate(spark, sf):
+    """CCNet-style host-level boilerplate scrub over a 20-site corpus
+    with planted furniture: a per-host promo line on ~3/4 of each
+    site's pages and a global footer on ~1/2 (both >= the 2/5 host-df
+    threshold), bodies untouched (df 1/n_docs). The clean-text md5 per
+    document puts the exact reassembled content — order, separators,
+    removals — into the value hash."""
+    from combblas_spark.functions.text import boilerplate_scrub
+    from combblas_spark.functions.urls import _h60
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    k = F.col("doc_id")
+    host = F.concat(F.lit("site"), (k % 20).cast("string"))
+    promo = F.when(
+        _h60("bp1", k) % 4 != 0,
+        F.concat(F.lit("PROMO "), host, F.lit(" subscribe now\n")),
+    ).otherwise(F.lit(""))
+    footer = F.when(
+        _h60("bp2", k) % 2 == 0,
+        F.lit("\n(c) example corp all rights reserved"),
+    ).otherwise(F.lit(""))
+    docs = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(promo, F.col("text"), footer).alias("text"),
+    )
+    out = boilerplate_scrub(docs)
+    return out.select(
+        "doc_id",
+        "host",
+        "n_lines",
+        "n_removed",
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+_BOILERPLATE_ORACLE = """WITH bpd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+    'site' || CAST(doc_id % 20 AS VARCHAR) AS host,
+    CAST(('0x' || substr(md5('bp1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT) % 4 <> 0 AS has_promo,
+    CAST(('0x' || substr(md5('bp2|' || CAST(doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT) % 2 = 0 AS has_footer
+  FROM documents),
+bpt AS MATERIALIZED (
+  SELECT doc_id, host,
+    (CASE WHEN has_promo
+      THEN 'PROMO ' || host || ' subscribe now' || chr(10) ELSE '' END)
+    || text ||
+    (CASE WHEN has_footer
+      THEN chr(10) || '(c) example corp all rights reserved' ELSE '' END)
+    AS text2
+  FROM bpd),
+bpl AS MATERIALIZED (
+  SELECT doc_id, host,
+    CAST(generate_subscripts(string_split(text2, chr(10)), 1) - 1
+      AS BIGINT) AS line_no,
+    unnest(string_split(text2, chr(10))) AS line
+  FROM bpt),
+bph AS (SELECT host, COUNT(DISTINCT doc_id) AS n_docs FROM bpt GROUP BY host),
+bpdf AS (
+  SELECT host, md5(line) AS lh, COUNT(DISTINCT doc_id) AS df
+  FROM bpl GROUP BY host, md5(line)),
+bpb AS MATERIALIZED (
+  SELECT d.host, d.lh FROM bpdf d JOIN bph h ON d.host = h.host
+  WHERE d.df * 5 >= 2 * h.n_docs),
+bptag AS (
+  SELECT l.doc_id, l.host, l.line_no, l.line,
+         (b.lh IS NOT NULL) AS is_boiler
+  FROM bpl l LEFT JOIN bpb b
+    ON l.host = b.host AND md5(l.line) = b.lh)
+SELECT doc_id, host,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END, chr(10)
+    ORDER BY line_no), '')) AS clean_fp
+FROM bptag GROUP BY doc_id, host"""
+
+
+# --------------------------------------------------------------------------
 # landmark distance estimation — algorithms/bfs.landmark_estimates
 # --------------------------------------------------------------------------
 
@@ -5176,6 +5262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "recrawl": q_recrawl,
         "landmark_dist": q_landmark_dist,
+        "boilerplate": q_boilerplate,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5390,6 +5477,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "mirror_hosts": _MIRROR_ORACLE,
         "recrawl": _RECRAWL_ORACLE,
         "landmark_dist": _LANDMARK_ORACLE,
+        "boilerplate": _BOILERPLATE_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -1079,3 +1079,70 @@ def anchor_text_index(links: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("dst", "term", "cnt", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_num: int = 2,
+    df_den: int = 5,
+) -> DataFrame:
+    """Host-level boilerplate-line removal — the CCNet/CommonCrawl
+    cleaning pass: a LINE is boilerplate within a host when it appears
+    in >= df_num/df_den of the host's documents (nav bars, cookie
+    banners, footers — per-site furniture that survives doc-level dedup
+    because every page differs in its body). Lines are matched by md5
+    so the per-(host, line) frequency table carries hashes, never text.
+
+    Scale shape: one posexplode over lines, one (host, line_hash)
+    distinct-doc count, one doc-count per host, a broadcastable
+    boilerplate line set (hosts x frequent-lines — tiny vs the corpus),
+    one anti-ish left join back, and a per-doc reassembly groupBy.
+    All counts are exact integers; the threshold is cross-multiplied.
+
+    Returns (doc_id, host, n_lines, n_removed, clean_text): lines in
+    original order with boilerplate dropped.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
+    ).withColumn("lh", F.md5("line"))
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    line_df = lines.groupBy("host", "lh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = (
+        line_df.join(F.broadcast(host_docs), "host")
+        .filter(
+            F.col("df") * F.lit(df_den) >= F.lit(df_num) * F.col("n_docs")
+        )
+        .select("host", "lh", F.lit(True).alias("is_boiler"))
+    )
+    tagged = lines.join(F.broadcast(boiler), ["host", "lh"], "left")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("is_boiler").isNull(),
+                F.struct(F.col("line_no"), F.col("line")),
+            )
+        )
+    )
+    return (
+        tagged.groupBy("doc_id", "host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("is_boiler").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(kept, lambda s: s["line"]), "\n"
+            ).alias("clean_text"),
+        )
+    )

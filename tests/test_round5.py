@@ -4010,3 +4010,67 @@ def test_landmark_triangle_bound_and_exact_at_landmark(spark):
         assert r["d_est"] >= r["d_exact"]
         if r["a"] in lms or r["b"] in lms:
             assert r["d_est"] == r["d_exact"]
+
+
+# --------------------------------------------------------------------------
+# boilerplate-line removal (functions/text.boilerplate_scrub)
+# --------------------------------------------------------------------------
+
+
+def test_boilerplate_hand_case(spark):
+    """Host-df thresholding on a hand corpus: the nav line in 2/3 of a
+    site's docs is removed, a body line unique to one doc is kept, and
+    another host's identical nav text is judged by ITS OWN host df."""
+    from combblas_spark.functions.text import boilerplate_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "NAV\nbody one"),
+            (2, "a", "NAV\nbody two"),
+            (3, "a", "body three"),
+            (4, "b", "NAV\nonly doc keeps its nav? no: df 1/1 >= 2/5"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["clean_text"])
+        for r in boilerplate_scrub(docs).collect()
+    }
+    assert got[1] == (2, 1, "body one")
+    assert got[2] == (2, 1, "body two")
+    assert got[3] == (1, 0, "body three")
+    # host b has ONE doc: every line reaches df 1/1 >= 2/5 and is
+    # scrubbed — the degenerate-host regime callers must size for
+    assert got[4][1] == 2 and got[4][2] == ""
+
+
+def test_boilerplate_untouched_docs_keep_exact_content(spark):
+    """Docs that drew neither promo nor footer must come out of the
+    scrub byte-identical (clean_fp == md5(original text)) — the scrub
+    may never touch body content."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+
+    def h60(salt, key):
+        return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16)
+
+    sf = "/root/testdata/sf0.001"
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    plain = {
+        d
+        for d in orig
+        if h60("bp1", d) % 4 == 0 and h60("bp2", d) % 2 != 0
+    }
+    assert plain  # fixture must exercise the untouched regime
+    rows = {
+        r["doc_id"]: r
+        for r in entrymod.q_boilerplate(spark, sf).collect()
+    }
+    for d in plain:
+        r = rows[d]
+        assert r["n_removed"] == 0
+        assert r["clean_fp"] == hashlib.md5(orig[d].encode()).hexdigest()
