@@ -4718,6 +4718,71 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# conjunctive + phrase retrieval — functions/text.py
+# --------------------------------------------------------------------------
+
+CONJ_TERMS = ["hash", "vector", "stream"]
+CONJ_K = 10
+PHRASE = ["merge", "sort"]
+
+
+def q_conjunctive(spark, sf):
+    """AND-of-3-terms retrieval over the corpus, tf-idf ranked top-10:
+    posting intersection as ONE having-count aggregate (adding query
+    terms never adds a shuffle), rank by rounded score + id tiebreak."""
+    from combblas_spark.functions.text import conjunctive_topk
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return conjunctive_topk(d, CONJ_TERMS, k=CONJ_K)
+
+
+def q_phrase_search(spark, sf):
+    """Positional phrase search ('merge sort' adjacency) via the
+    per-token postings equi-join on (doc, normalized start)."""
+    from combblas_spark.functions.text import phrase_occurrences
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return phrase_occurrences(d, PHRASE)
+
+
+_CONJ_ORACLE = f"""WITH cjt AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+cjn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+cjtf AS MATERIALIZED (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM cjt
+  WHERE term IN ('hash', 'vector', 'stream') GROUP BY id, term),
+cjdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM cjtf
+         GROUP BY term),
+cjs AS (
+  SELECT t.id, COUNT(DISTINCT t.term) AS n_terms,
+         CAST(SUM(t.tf) AS BIGINT) AS n_hits,
+         ROUND(SUM(t.tf * ln(n.n_docs / d.df)), 6) AS score
+  FROM cjtf t JOIN cjdf d ON t.term = d.term CROSS JOIN cjn n
+  GROUP BY t.id)
+SELECT id AS doc_id, n_hits, score FROM cjs
+WHERE n_terms = 3 ORDER BY score DESC, id LIMIT {CONJ_K}"""
+
+
+_PHRASE_ORACLE = """WITH pht AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(string_split(text, ' '),
+           x -> x <> ''), 1) - 1 AS pos
+  FROM documents),
+ph0 AS (SELECT id, pos AS start FROM pht WHERE term = 'merge'),
+ph1 AS (SELECT id, pos - 1 AS start FROM pht WHERE term = 'sort')
+SELECT a.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM ph0 a JOIN ph1 b ON a.id = b.id AND a.start = b.start
+GROUP BY a.id"""
+
+
+# --------------------------------------------------------------------------
 # boilerplate-line removal — functions/text.boilerplate_scrub
 # --------------------------------------------------------------------------
 
@@ -5263,6 +5328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl": q_recrawl,
         "landmark_dist": q_landmark_dist,
         "boilerplate": q_boilerplate,
+        "conjunctive": q_conjunctive,
+        "phrase_search": q_phrase_search,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5478,6 +5545,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "recrawl": _RECRAWL_ORACLE,
         "landmark_dist": _LANDMARK_ORACLE,
         "boilerplate": _BOILERPLATE_ORACLE,
+        "conjunctive": _CONJ_ORACLE,
+        "phrase_search": _PHRASE_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -161,6 +161,8 @@ HEADLINE = [
     "mirror_hosts",
     "recrawl",
     "boilerplate",
+    "conjunctive",
+    "phrase_search",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -1146,3 +1146,91 @@ def boilerplate_scrub(
             ).alias("clean_text"),
         )
     )
+
+
+def conjunctive_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) retrieval with tf-idf ranking — the posting-
+    list intersection a search index serves: only documents containing
+    EVERY query term qualify, ranked by the summed tf*ln(N/df) of the
+    query terms. The postings explode filters to the query terms
+    immediately (a literal IN over the exploded term — tiny fraction of
+    the corpus survives), df comes from the surviving postings
+    themselves, N is a broadcast one-row scalar, and the AND is one
+    HAVING count(distinct term) = |terms| — no per-term join chain, so
+    adding query terms never adds a shuffle. Global top-k executes as
+    TakeOrderedAndProject (rank by ROUND(score, 6) DESC then doc id —
+    the engine-portable ordering convention).
+
+    Returns (doc_id, n_hits, score): n_hits = total occurrences of
+    query terms, score ROUND(.,6).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    n = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        base.select("id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6
+            ).alias("score"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias("doc_id"), "n_hits", "score")
+    )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional-index phrase search: an m-token phrase matches where
+    token i sits at position p+i for all i — the positional-postings
+    intersection. Each phrase token filters the exploded (id, pos,
+    term) postings to ITS positions normalized to the phrase start
+    (p - i), and the m lists meet in (m-1) equi-joins on (id, start) —
+    each join side is only that token's postings (corpus fraction
+    ~1/vocab), never the full positional index.
+
+    Returns (doc_id, n_occ) for documents with >= 1 occurrence.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_occurrences needs >= 2 tokens")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "term"),
+    )
+    cur = None
+    for i, w in enumerate(phrase):
+        part = toks.filter(F.col("term") == w).select(
+            "id", (F.col("pos") - F.lit(i)).alias("start")
+        )
+        cur = part if cur is None else cur.join(part, ["id", "start"])
+    return cur.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )

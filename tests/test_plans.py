@@ -610,3 +610,13 @@ def test_mirror_resemblance_no_cartesian(spark):
 
     plan = _plan(entrymod.q_mirror_hosts(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_conjunctive_topk_take_ordered(spark):
+    """Conjunctive retrieval's global top-k must execute as
+    TakeOrderedAndProject, never a full sort."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_conjunctive(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

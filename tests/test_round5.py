@@ -4074,3 +4074,73 @@ def test_boilerplate_untouched_docs_keep_exact_content(spark):
         r = rows[d]
         assert r["n_removed"] == 0
         assert r["clean_fp"] == hashlib.md5(orig[d].encode()).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# conjunctive + phrase retrieval (functions/text.py)
+# --------------------------------------------------------------------------
+
+
+def test_conjunctive_hand_case(spark):
+    """AND semantics + ranking: docs missing any query term are out;
+    among full matches the higher summed-tf doc ranks first."""
+    from combblas_spark.functions.text import conjunctive_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y z filler"),
+            (2, "x y z"),
+            (3, "x x x y filler"),  # no z -> excluded
+            (4, "z z z filler"),  # no x, y -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = conjunctive_topk(docs, ["x", "y", "z"], k=10).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["n_hits"] == 5 and rows[1]["n_hits"] == 3
+
+
+def test_phrase_hand_cases(spark):
+    """Adjacency incl. the overlapping-occurrence regime: 'a b a b a'
+    has 2 'a b' starts; 'a a a' has 2 overlapping 'a a' starts."""
+    from combblas_spark.functions.text import phrase_occurrences
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a a a"), (3, "b a"), (4, "a c b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_occurrences(docs, ["a", "b"]).collect()
+    }
+    # doc 1 has starts {0, 2}; doc 3 is 'b a' (reversed), doc 4 has a
+    # gap — neither matches
+    assert got == {1: 2}
+    got2 = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_occurrences(docs, ["a", "a"]).collect()
+    }
+    assert got2 == {2: 2}  # overlapping starts {0, 1} both count
+
+
+def test_phrase_python_replay(spark):
+    """Full corpus replay at sf0.001: python bigram scan must reproduce
+    every per-doc occurrence count."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    exp = {}
+    for r in spark.read.parquet(f"{sf}/documents.parquet").collect():
+        toks = [t for t in r["text"].split(" ") if t]
+        c = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "merge" and toks[i + 1] == "sort"
+        )
+        if c:
+            exp[r["doc_id"]] = c
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in entrymod.q_phrase_search(spark, sf).collect()
+    }
+    assert got == exp
