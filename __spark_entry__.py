@@ -4718,6 +4718,45 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# superstep convergence trace — algorithms/cc.cc_trace
+# --------------------------------------------------------------------------
+
+CCT_ITERS = 8
+
+
+def q_cc_trace(spark, sf):
+    """Iteration metrics as a driver-graded table: per min-label-CC
+    superstep, the exact count of labels that moved and distinct labels
+    remaining — the convergence/resume telemetry the SuperstepRunner
+    writes into manifests, here hash-verified against an unrolled
+    oracle. Metric collection adds no in-loop driver action (lazy 1-row
+    aggregates unioned after the loop)."""
+    from combblas_spark.algorithms.cc import cc_trace
+
+    return cc_trace(
+        spark, part_supplier_graph(spark, sf), num_iters=CCT_ITERS
+    )
+
+
+def _cc_trace_oracle() -> str:
+    per_iter = []
+    for k in range(1, CCT_ITERS + 1):
+        per_iter.append(
+            f"""SELECT CAST({k} AS BIGINT) AS iter,
+  CAST(SUM(CASE WHEN a.val <> b.val THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  (SELECT CAST(COUNT(DISTINCT val) AS BIGINT) FROM l{k}) AS n_labels
+FROM l{k} a JOIN l{k-1} b ON a.id = b.id"""
+        )
+    return (
+        f"WITH {PS_CTES},\n"
+        + _minlabel_ctes("edges", CCT_ITERS)
+        + "\n"
+        + "\nUNION ALL\n".join(per_iter)
+    )
+
+
+# --------------------------------------------------------------------------
 # conjunctive + phrase retrieval — functions/text.py
 # --------------------------------------------------------------------------
 
@@ -5330,6 +5369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "conjunctive": q_conjunctive,
         "phrase_search": q_phrase_search,
+        "cc_trace": q_cc_trace,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5547,6 +5587,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "boilerplate": _BOILERPLATE_ORACLE,
         "conjunctive": _CONJ_ORACLE,
         "phrase_search": _PHRASE_ORACLE,
+        "cc_trace": _cc_trace_oracle(),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -163,6 +163,7 @@ HEADLINE = [
     "boilerplate",
     "conjunctive",
     "phrase_search",
+    "cc_trace",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -320,3 +320,67 @@ def canonical_labels(labels: DataFrame) -> DataFrame:
     implementations compare exactly)."""
     rep = labels.groupBy("val").agg(F.min("id").alias("rep"))
     return labels.join(rep, on="val").select("id", F.col("rep").alias("val"))
+
+
+def cc_trace(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_iters: int = 8,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Per-superstep convergence metrics of min-label CC as a DataFrame:
+    (iter, n_changed, n_labels) — the iteration-metrics surface the
+    SuperstepRunner writes into manifests (superstep.py:104's
+    ``metrics``), exposed as a queryable table so convergence dashboards
+    and resume decisions are driver-graded data, not log lines. Both
+    metrics are exact integers (n_changed = labels that moved this
+    superstep, n_labels = distinct labels remaining — a monotone upper
+    bound on components).
+
+    Same plan per superstep as cc_minlabel (one SpMV<Select2ndMin> over
+    A+I with the label vector broadcast, lineage cut per superstep);
+    each iteration contributes one lazy 1-row aggregate, unioned after
+    the loop — metrics collection adds NO driver action inside the loop.
+    """
+    runner = runner or SuperstepRunner(spark)
+    verts = _vertices(edges).select("id")
+    diag = verts.select(
+        F.col("id").alias("src"), F.col("id").alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    e = (
+        edges.select("src", "dst", F.col("w").cast("double"))
+        .unionByName(diag)
+        .repartition(spark.sparkContext.defaultParallelism, "dst")
+    )
+    e.persist()
+    try:
+        labels = verts.select("id", F.col("id").alias("val"))
+        rows = []
+        for it in range(1, num_iters + 1):
+            new_labels = runner.truncate(
+                spmv(e, labels, SELECT2ND_MIN, broadcast_x=True)
+            )
+            delta = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="id")
+                .agg(
+                    F.lit(it).cast("long").alias("iter"),
+                    F.sum(
+                        (F.col("n.val") != F.col("o.val")).cast("int")
+                    )
+                    .cast("long")
+                    .alias("n_changed"),
+                )
+            )
+            ndist = new_labels.agg(
+                F.countDistinct("val").cast("long").alias("n_labels")
+            )
+            rows.append(delta.crossJoin(ndist))
+            labels = new_labels
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+    finally:
+        e.unpersist()

@@ -4144,3 +4144,31 @@ def test_phrase_python_replay(spark):
         for r in entrymod.q_phrase_search(spark, sf).collect()
     }
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# superstep convergence trace (algorithms/cc.cc_trace)
+# --------------------------------------------------------------------------
+
+
+def test_cc_trace_hand_case_and_laws(spark):
+    """On a 4-path + isolated pair: n_changed hits zero exactly when
+    min-label converges and n_labels is monotone non-increasing, ending
+    at the true component count."""
+    from combblas_spark.algorithms.cc import cc_trace
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs],
+        "src long, dst long, w double",
+    )
+    rows = sorted(
+        cc_trace(spark, e, num_iters=5).collect(), key=lambda r: r["iter"]
+    )
+    changed = [r["n_changed"] for r in rows]
+    labels = [r["n_labels"] for r in rows]
+    # path 1-2-3-4: label 1 reaches 4 in 3 supersteps; pair in 1
+    # (labels after step 1: v2,v1->1, v3->2, v4->3, pair->10 = 4 distinct)
+    assert changed == [4, 2, 1, 0, 0]
+    assert labels == [4, 3, 2, 2, 2]
+    assert all(a >= b for a, b in zip(labels, labels[1:]))
