@@ -4718,6 +4718,64 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# histogram quantile sketch — functions/sketch.hist_sketch/hist_quantiles
+# --------------------------------------------------------------------------
+
+HQ_LO, HQ_HI, HQ_BINS = 0.0, 328.0, 64
+HQ_PCTS = [25, 50, 75, 95, 99]
+
+
+def q_hist_quantiles(spark, sf):
+    """Quantile serving from a mergeable sketch, audited against exact
+    order statistics in one result: a 64-bin equi-width histogram (one
+    map-side count aggregate, mergeable like HLL registers) answers
+    p25/50/75/95/99 by in-bin interpolation; each estimate rides next
+    to the exact rank-((p*n+99) DIV 100) value from the sample-sort
+    percentile path, so the one-bin-width error bound is hash-visible."""
+    from combblas_spark.functions.sketch import hist_quantiles, hist_sketch
+    from combblas_spark.operators.kselect import exact_percentiles
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    hist = hist_sketch(ev, "value", HQ_LO, HQ_HI, HQ_BINS)
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    est = hist_quantiles(hist, HQ_LO, HQ_HI, HQ_BINS, n, HQ_PCTS)
+    exact = exact_percentiles(ev, "value", HQ_PCTS, "event_id").select(
+        F.col("pct"), F.col("val").alias("exact_val")
+    )
+    return est.join(exact, "pct").select("pct", "est", "exact_val")
+
+
+_HISTQ_ORACLE = f"""WITH hqv AS (
+  SELECT CAST(event_id AS BIGINT) AS eid, value AS v FROM events),
+hqn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hqv),
+hqh AS MATERIALIZED (
+  SELECT LEAST({HQ_BINS - 1},
+    CAST(FLOOR((v - {HQ_LO!r}) * {float(HQ_BINS)!r} / {HQ_HI - HQ_LO!r})
+      AS BIGINT)) AS bin,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hqv GROUP BY 1),
+hqc AS (
+  SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+    COALESCE(SUM(cnt) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+  FROM hqh),
+hqp AS (SELECT unnest([{", ".join(str(p) for p in HQ_PCTS)}]) AS pct),
+hqr AS (SELECT CAST(pct AS BIGINT) AS pct,
+               CAST((pct * n + 99) // 100 AS BIGINT) AS r
+        FROM hqp CROSS JOIN hqn),
+hqe AS (
+  SELECT pct,
+    ROUND({HQ_LO!r} + bin * {(HQ_HI - HQ_LO) / HQ_BINS!r}
+      + (CAST(r - cumprev AS DOUBLE) / cnt)
+        * {(HQ_HI - HQ_LO) / HQ_BINS!r}, 6) AS est
+  FROM hqr JOIN hqc ON cum >= r AND cumprev < r),
+hqrank AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, eid) AS rk FROM hqv),
+hqx AS (SELECT pct, v AS exact_val FROM hqr JOIN hqrank ON rk = r)
+SELECT e.pct, e.est, x.exact_val FROM hqe e JOIN hqx x ON e.pct = x.pct"""
+
+
+# --------------------------------------------------------------------------
 # superstep convergence trace — algorithms/cc.cc_trace
 # --------------------------------------------------------------------------
 
@@ -5370,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive": q_conjunctive,
         "phrase_search": q_phrase_search,
         "cc_trace": q_cc_trace,
+        "hist_quantiles": q_hist_quantiles,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5588,6 +5647,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "conjunctive": _CONJ_ORACLE,
         "phrase_search": _PHRASE_ORACLE,
         "cc_trace": _cc_trace_oracle(),
+        "hist_quantiles": _HISTQ_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -373,3 +373,92 @@ def bloom_audit(
             (~F.col("bloom_hit") & F.col("is_member")).cast("long")
         ).cast("long").alias("n_false_neg"),
     )
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Mergeable equi-width histogram sketch: ONE map-side-combinable
+    count aggregate onto <= n_bins rows — like the HLL register plane,
+    the result merges across any partitioning / stream batches by
+    summing bins, so the monitoring shape is shuffle-light at any scale.
+    ``lo``/``hi`` are caller-provided bounds (at scale: a prior min/max
+    pass or domain knowledge); values at/above ``hi`` clamp into the
+    last bin. Bin arithmetic is a fixed IEEE expression — identical
+    structure on the oracle side, so bins replay bit-exactly.
+
+    Returns (bin BIGINT, cnt BIGINT).
+    """
+    v = F.col(value_col)
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.floor((v - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo)),
+    )
+    return df.groupBy(b.cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    n_total: DataFrame,
+    pcts: list[int],
+) -> DataFrame:
+    """Interpolated quantile estimates from an equi-width histogram
+    sketch: for each integer percentile p the 1-based target rank is
+    (p*n + 99) DIV 100 (pure integer math, matching
+    operators/kselect.exact_percentiles), located in the bin where the
+    cumulative count first reaches it, linearly interpolated inside the
+    bin. The cumulative window runs over <= n_bins rows — a deliberate
+    single-task window on a sketch-sized input, never on data.
+
+    ``n_total``: 1-row DataFrame with column n (broadcast). Returns
+    (pct BIGINT, est ROUND 6). Estimate error is bounded by one bin
+    width by construction (the rank-r element lives in the chosen bin).
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = Window.orderBy("bin")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn(
+            "cumprev", F.coalesce(F.lag("cum").over(w), F.lit(0))
+        )
+    )
+    targets = (
+        hist.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(int(p)) for p in pcts])
+            ).alias("pct")
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.expr("CAST((pct * n + 99) DIV 100 AS BIGINT)").alias("r"),
+        )
+    )
+    est = (
+        F.lit(lo)
+        + F.col("bin") * F.lit(width)
+        + (
+            (F.col("r") - F.col("cumprev")).cast("double")
+            / F.col("cnt")
+        )
+        * F.lit(width)
+    )
+    return (
+        targets.join(
+            cum,
+            (F.col("cum") >= F.col("r")) & (F.col("cumprev") < F.col("r")),
+        )
+        .select("pct", F.round(est, 6).alias("est"))
+    )

@@ -4172,3 +4172,41 @@ def test_cc_trace_hand_case_and_laws(spark):
     assert changed == [4, 2, 1, 0, 0]
     assert labels == [4, 3, 2, 2, 2]
     assert all(a >= b for a, b in zip(labels, labels[1:]))
+
+
+# --------------------------------------------------------------------------
+# histogram quantile sketch (functions/sketch.hist_sketch/hist_quantiles)
+# --------------------------------------------------------------------------
+
+
+def test_hist_sketch_hand_case_and_merge(spark):
+    """Bin placement (edges clamp into the last bin) and mergeability:
+    the sketch of a union equals the bin-wise sum of the parts."""
+    from combblas_spark.functions.sketch import hist_sketch
+
+    a = spark.createDataFrame([(v,) for v in [0.0, 1.0, 9.9]], "v double")
+    b = spark.createDataFrame(
+        [(v,) for v in [5.0, 10.0, 99.0]], "v double"
+    )
+    # lo=0, hi=10, 4 bins of width 2.5; 10.0 and 99.0 clamp to bin 3
+    got_a = {r["bin"]: r["cnt"] for r in hist_sketch(a, "v", 0.0, 10.0, 4).collect()}
+    got_b = {r["bin"]: r["cnt"] for r in hist_sketch(b, "v", 0.0, 10.0, 4).collect()}
+    assert got_a == {0: 2, 3: 1}
+    assert got_b == {2: 1, 3: 2}
+    u = hist_sketch(a.unionByName(b), "v", 0.0, 10.0, 4)
+    merged = {r["bin"]: r["cnt"] for r in u.collect()}
+    assert merged == {
+        k: got_a.get(k, 0) + got_b.get(k, 0) for k in set(got_a) | set(got_b)
+    }
+
+
+def test_hist_quantile_error_bounded_by_bin_width(spark):
+    """Law over the contract output: every interpolated estimate sits
+    within one bin width of the exact order statistic."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_hist_quantiles(spark, "/root/testdata/sf0.001").collect()
+    assert {r["pct"] for r in rows} == set(entrymod.HQ_PCTS)
+    width = (entrymod.HQ_HI - entrymod.HQ_LO) / entrymod.HQ_BINS
+    for r in rows:
+        assert abs(r["est"] - r["exact_val"]) <= width
