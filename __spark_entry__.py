@@ -4718,6 +4718,66 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# politeness fetch scheduling — functions/urls.fetch_schedule
+# --------------------------------------------------------------------------
+
+
+def q_fetch_schedule(spark, sf):
+    """Frontier dispatch under per-host politeness: 50 host queues
+    drained in md5-60bit priority order with host-specific delays
+    (500 + 250*(draw%5) ms); every URL's (queue rank, fetch slot) is in
+    the value hash, so any defect in the priority ordering or the
+    serial-queue arithmetic moves some row."""
+    from combblas_spark.functions.urls import _h60, fetch_schedule
+
+    u = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("url_id")
+    )
+    k = F.col("url_id")
+    frontier = u.select(
+        "url_id",
+        F.concat(
+            F.lit("shop"), (k % 50).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        _h60("pri", k).alias("priority"),
+    )
+    h = F.col("id")
+    delays = spark.range(50).select(
+        F.concat(
+            F.lit("shop"), h.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        (F.lit(500) + (_h60("cd", h) % 5) * F.lit(250))
+        .cast("long")
+        .alias("delay_ms"),
+    )
+    return fetch_schedule(frontier, delays)
+
+
+_FETCH_ORACLE = """WITH fsu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS url_id FROM orders),
+fsf AS MATERIALIZED (
+  SELECT url_id,
+    'shop' || CAST(url_id % 50 AS VARCHAR) || '.example.com' AS host,
+    CAST(('0x' || substr(md5('pri|' || CAST(url_id AS VARCHAR)), 1, 15))
+      AS BIGINT) AS priority
+  FROM fsu),
+fsd AS (
+  SELECT 'shop' || CAST(k AS VARCHAR) || '.example.com' AS host,
+    500 + (CAST(('0x' || substr(md5('cd|' || CAST(k AS VARCHAR)), 1, 15))
+      AS BIGINT) % 5) * 250 AS delay_ms
+  FROM (SELECT CAST(range AS BIGINT) AS k FROM range(50)) t),
+fsr AS (
+  SELECT f.url_id, f.host,
+    ROW_NUMBER() OVER (PARTITION BY f.host
+      ORDER BY f.priority DESC, f.url_id) AS sched_rank,
+    d.delay_ms
+  FROM fsf f JOIN fsd d ON f.host = d.host)
+SELECT url_id, host, CAST(sched_rank AS BIGINT) AS sched_rank,
+       CAST((sched_rank - 1) * delay_ms AS BIGINT) AS slot_ms
+FROM fsr"""
+
+
+# --------------------------------------------------------------------------
 # histogram quantile sketch — functions/sketch.hist_sketch/hist_quantiles
 # --------------------------------------------------------------------------
 
@@ -5429,6 +5489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "cc_trace": q_cc_trace,
         "hist_quantiles": q_hist_quantiles,
+        "fetch_schedule": q_fetch_schedule,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5648,6 +5709,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "phrase_search": _PHRASE_ORACLE,
         "cc_trace": _cc_trace_oracle(),
         "hist_quantiles": _HISTQ_ORACLE,
+        "fetch_schedule": _FETCH_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

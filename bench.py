@@ -165,6 +165,7 @@ HEADLINE = [
     "phrase_search",
     "cc_trace",
     "hist_quantiles",
+    "fetch_schedule",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

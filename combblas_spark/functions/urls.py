@@ -345,3 +345,43 @@ def crawl_history(spark: SparkSession, sf_dir: str, n_snapshots: int = 7):
             )
         ).alias("content_hash"),
     )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    id_col: str = "url_id",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Politeness-constrained fetch scheduling — the dispatch pass
+    between frontier scoring and the fetchers: each host is a serial
+    queue (one connection per host, the universal crawler politeness
+    rule), drained in priority order with ``delay_ms`` between hits, so
+    URL at queue rank r fetches at slot (r-1)*delay_ms. One row_number
+    window whose partition IS the host queue (millions of hosts, each
+    queue tiny-to-moderate: balanced at any scale; a mega-host queue is
+    bounded by the frontier's own per-host budget upstream) plus a
+    broadcast join of the O(hosts) delay table. All outputs exact
+    integers.
+
+    ``frontier``: (url_id, host, priority); ``delays``: (host,
+    delay_ms). Returns (url_id, host, sched_rank, slot_ms).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(id_col)
+    )
+    return (
+        frontier.join(F.broadcast(delays), host_col)
+        .withColumn("sched_rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col(id_col).alias("url_id"),
+            F.col(host_col).alias("host"),
+            "sched_rank",
+            ((F.col("sched_rank") - 1) * F.col("delay_ms"))
+            .cast("long")
+            .alias("slot_ms"),
+        )
+    )

@@ -4210,3 +4210,57 @@ def test_hist_quantile_error_bounded_by_bin_width(spark):
     width = (entrymod.HQ_HI - entrymod.HQ_LO) / entrymod.HQ_BINS
     for r in rows:
         assert abs(r["est"] - r["exact_val"]) <= width
+
+
+# --------------------------------------------------------------------------
+# politeness fetch scheduling (functions/urls.fetch_schedule)
+# --------------------------------------------------------------------------
+
+
+def test_fetch_schedule_hand_case(spark):
+    """Serial-queue semantics: per-host ranks follow priority DESC with
+    id tiebreak, slots step by the host's own delay, queues never
+    interleave."""
+    from combblas_spark.functions.urls import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 30),
+            (3, "a", 30),
+            (4, "b", 99),
+        ],
+        "url_id long, host string, priority long",
+    )
+    delays = spark.createDataFrame(
+        [("a", 1000), ("b", 250)], "host string, delay_ms long"
+    )
+    got = {
+        r["url_id"]: (r["sched_rank"], r["slot_ms"])
+        for r in fetch_schedule(frontier, delays).collect()
+    }
+    # host a: 2 (pri 30, id 2) -> rank 1, 3 -> rank 2, 1 -> rank 3
+    assert got[2] == (1, 0)
+    assert got[3] == (2, 1000)
+    assert got[1] == (3, 2000)
+    assert got[4] == (1, 0)
+
+
+def test_fetch_schedule_politeness_law(spark):
+    """Law over the contract output at sf0.001: within every host the
+    slot gap between consecutive ranks is exactly the host's delay, and
+    no two fetches of a host share a slot."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_fetch_schedule(spark, "/root/testdata/sf0.001").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(
+            (r["sched_rank"], r["slot_ms"])
+        )
+    for host, q in by_host.items():
+        q.sort()
+        assert [r for r, _ in q] == list(range(1, len(q) + 1))
+        gaps = {b - a for (_, a), (_, b) in zip(q, q[1:])}
+        assert len(gaps) == 1  # constant per-host delay
+        assert gaps.pop() >= 500
