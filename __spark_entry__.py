@@ -4718,6 +4718,50 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# independent-cascade influence — algorithms/cascade.py
+# --------------------------------------------------------------------------
+
+IC_P_NUM, IC_P_DEN = 30, 100
+IC_SEEDS = 3
+
+
+def q_ic_cascade(spark, sf):
+    """One replayable IC realization (KKT live-edge equivalence): 30%%
+    md5-coin per edge, activation round = msbfs depth from the 3
+    smallest source vertices over the surviving subgraph. Every
+    (vertex, activation round) is in the value hash."""
+    from combblas_spark.algorithms.cascade import ic_cascade
+
+    e = part_supplier_graph(spark, sf)
+    seeds = [
+        r["src"]
+        for r in e.select("src").distinct().orderBy("src").limit(IC_SEEDS).collect()
+    ]
+    return ic_cascade(
+        spark, e, seeds, IC_P_NUM, IC_P_DEN, max_iter=BFS_DEPTH
+    )
+
+
+_IC_ORACLE = f"""WITH RECURSIVE {PS_CTES},
+icl AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  WHERE CAST(('0x' || substr(md5('ic|' || CAST(src AS VARCHAR) || '|'
+    || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % {IC_P_DEN} < {IC_P_NUM}),
+icseeds AS MATERIALIZED (
+  SELECT src AS s FROM (
+    SELECT DISTINCT src FROM edges ORDER BY src LIMIT {IC_SEEDS}) t),
+icreach(id, depth) AS (
+  SELECT s, 0 FROM icseeds
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM icreach r JOIN icl e ON e.src = r.id
+  WHERE r.depth < {BFS_DEPTH}
+)
+SELECT id, CAST(MIN(depth) AS BIGINT) AS round
+FROM icreach GROUP BY id"""
+
+
+# --------------------------------------------------------------------------
 # politeness fetch scheduling — functions/urls.fetch_schedule
 # --------------------------------------------------------------------------
 
@@ -5490,6 +5534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_trace": q_cc_trace,
         "hist_quantiles": q_hist_quantiles,
         "fetch_schedule": q_fetch_schedule,
+        "ic_cascade": q_ic_cascade,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5710,6 +5755,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "cc_trace": _cc_trace_oracle(),
         "hist_quantiles": _HISTQ_ORACLE,
         "fetch_schedule": _FETCH_ORACLE,
+        "ic_cascade": _IC_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

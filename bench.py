@@ -166,6 +166,7 @@ HEADLINE = [
     "cc_trace",
     "hist_quantiles",
     "fetch_schedule",
+    "ic_cascade",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

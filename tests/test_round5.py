@@ -4264,3 +4264,64 @@ def test_fetch_schedule_politeness_law(spark):
         gaps = {b - a for (_, a), (_, b) in zip(q, q[1:])}
         assert len(gaps) == 1  # constant per-host delay
         assert gaps.pop() >= 500
+
+
+# --------------------------------------------------------------------------
+# independent-cascade influence (algorithms/cascade.py)
+# --------------------------------------------------------------------------
+
+
+def test_ic_cascade_python_replay(spark):
+    """Full realization replay: python BFS over the same md5-coin live
+    subgraph must give the identical (vertex, round) table at sf0.001."""
+    import hashlib
+    from collections import deque
+
+    import __spark_entry__ as entrymod
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    sf = "/root/testdata/sf0.001"
+    e = part_supplier_graph(spark, sf)
+    edges = [(r["src"], r["dst"]) for r in e.select("src", "dst").collect()]
+    seeds = sorted({s for s, _ in edges})[: entrymod.IC_SEEDS]
+
+    def coin(u, v):
+        h = int(
+            hashlib.md5(f"ic|{u}|{v}".encode()).hexdigest()[:15], 16
+        )
+        return h % entrymod.IC_P_DEN < entrymod.IC_P_NUM
+
+    adj = {}
+    for u, v in edges:
+        if coin(u, v):
+            adj.setdefault(u, []).append(v)
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    got = {
+        r["id"]: r["round"]
+        for r in entrymod.q_ic_cascade(spark, sf).collect()
+    }
+    assert got == dist
+
+
+def test_ic_cascade_monotone_in_p(spark):
+    """Live-edge law: a realization at higher p activates a superset of
+    vertices (same salt -> coin sets are nested: h%100 < 15 implies
+    h%100 < 60)."""
+    from combblas_spark.algorithms.cascade import ic_cascade
+    from combblas_spark.sources.graphs import part_supplier_graph
+
+    e = part_supplier_graph(spark, "/root/testdata/sf0.001")
+    seeds = [
+        r["src"] for r in e.select("src").distinct().orderBy("src").limit(2).collect()
+    ]
+    lo = {r["id"] for r in ic_cascade(spark, e, seeds, 15, 100).collect()}
+    hi = {r["id"] for r in ic_cascade(spark, e, seeds, 60, 100).collect()}
+    assert lo <= hi
+    assert len(hi) > len(lo)
