@@ -4718,6 +4718,59 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# burst detection — functions/sessions.burst_days
+# --------------------------------------------------------------------------
+
+
+def q_bursts(spark, sf):
+    """Trending detection over the per-(type, day) event counts with
+    planted spikes (+40 on 'click' days 10 and 20): a day bursts when
+    its count beats 3x the trailing-7-observed-days mean with >= 3 days
+    of history — the whole test in cross-multiplied exact integers, so
+    every (day, trail, flag) row hashes bit-exactly."""
+    from combblas_spark.functions.sessions import burst_days
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cnt = (
+        ev.groupBy(
+            F.col("event_type").alias("key"),
+            F.dayofmonth("ts").cast("long").alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "cnt",
+            F.col("cnt")
+            + F.when(
+                (F.col("key") == "click") & F.col("t").isin(10, 20), 40
+            ).otherwise(0),
+        )
+    )
+    return burst_days(cnt)
+
+
+_BURSTS_ORACLE = """WITH bde AS (
+  SELECT event_type AS key,
+         CAST(EXTRACT(day FROM ts) AS BIGINT) AS t
+  FROM events),
+bdc AS MATERIALIZED (
+  SELECT key, t,
+    CAST(COUNT(*) + (CASE WHEN key = 'click' AND t IN (10, 20)
+      THEN 40 ELSE 0 END) AS BIGINT) AS cnt
+  FROM bde GROUP BY key, t),
+bdw AS (
+  SELECT key, t, cnt,
+    CAST(COALESCE(SUM(cnt) OVER (PARTITION BY key ORDER BY t
+      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS trail_sum,
+    CAST(COUNT(cnt) OVER (PARTITION BY key ORDER BY t
+      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_n
+  FROM bdc)
+SELECT key, t, cnt, trail_sum, trail_n,
+       (trail_n >= 3 AND cnt * trail_n * 1 > 3 * trail_sum) AS is_burst
+FROM bdw"""
+
+
+# --------------------------------------------------------------------------
 # independent-cascade influence — algorithms/cascade.py
 # --------------------------------------------------------------------------
 
@@ -5535,6 +5588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "fetch_schedule": q_fetch_schedule,
         "ic_cascade": q_ic_cascade,
+        "bursts": q_bursts,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5756,6 +5810,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "hist_quantiles": _HISTQ_ORACLE,
         "fetch_schedule": _FETCH_ORACLE,
         "ic_cascade": _IC_ORACLE,
+        "bursts": _BURSTS_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

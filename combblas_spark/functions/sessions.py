@@ -285,3 +285,52 @@ def event_rollup(events: DataFrame) -> DataFrame:
         F.sum("v_e3").cast("long").alias("value_e3"),
         (F.grouping("event_type") * 2 + F.grouping("day")).cast("long").alias("lvl"),
     )
+
+
+def burst_days(
+    series: DataFrame,
+    key_col: str = "key",
+    t_col: str = "t",
+    cnt_col: str = "cnt",
+    window: int = 7,
+    factor_num: int = 3,
+    factor_den: int = 1,
+    min_trail: int = 3,
+) -> DataFrame:
+    """Burst detection over a per-key count series — the trending-topics
+    pass: period t bursts when its count exceeds factor (default 3x) of
+    the trailing mean over the previous ``window`` OBSERVED periods,
+    with at least ``min_trail`` of history (cold keys never burst). The
+    test is cross-multiplied exact-integer (cnt * trail_n * factor_den >
+    factor_num * trail_sum) — no float mean, no variance estimate, so
+    the flag replays bit-exactly in any engine. One lag-frame window per
+    key: keys partition the stream, per-key frames are tiny, nothing
+    global.
+
+    Returns (key, t, cnt, trail_sum, trail_n, is_burst).
+    """
+    trail = (
+        Window.partitionBy("key").orderBy("t").rowsBetween(-window, -1)
+    )
+    base = series.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).alias("t"),
+        F.col(cnt_col).cast("long").alias("cnt"),
+    )
+    out = base.select(
+        "key",
+        "t",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(trail), F.lit(0))
+        .cast("long")
+        .alias("trail_sum"),
+        F.count("cnt").over(trail).cast("long").alias("trail_n"),
+    )
+    return out.withColumn(
+        "is_burst",
+        (F.col("trail_n") >= min_trail)
+        & (
+            F.col("cnt") * F.col("trail_n") * F.lit(factor_den)
+            > F.lit(factor_num) * F.col("trail_sum")
+        ),
+    )

@@ -4325,3 +4325,40 @@ def test_ic_cascade_monotone_in_p(spark):
     hi = {r["id"] for r in ic_cascade(spark, e, seeds, 60, 100).collect()}
     assert lo <= hi
     assert len(hi) > len(lo)
+
+
+# --------------------------------------------------------------------------
+# burst detection (functions/sessions.burst_days)
+# --------------------------------------------------------------------------
+
+
+def test_burst_days_hand_case(spark):
+    """Hand series: a 10x spike after steady history bursts; the first
+    days (insufficient trail) and the steady days never do; the spike
+    itself then inflates the next days' trailing sum."""
+    from combblas_spark.functions.sessions import burst_days
+
+    series = spark.createDataFrame(
+        [("k", t, c) for t, c in [(1, 5), (2, 5), (3, 5), (4, 5), (5, 50), (6, 5)]],
+        "key string, t long, cnt long",
+    )
+    got = {
+        r["t"]: (r["trail_sum"], r["trail_n"], r["is_burst"])
+        for r in burst_days(series).collect()
+    }
+    assert got[1] == (0, 0, False)  # no history
+    assert got[3] == (10, 2, False)  # trail_n < min_trail
+    assert got[4] == (15, 3, False)  # 5*3 = 15 not > 3*15
+    assert got[5] == (20, 4, True)  # 50*4 = 200 > 3*20
+    assert got[6] == (70, 5, False)  # 5*5 < 3*70
+
+
+def test_bursts_planted_spikes_flag(spark):
+    """Contract fixture: exactly the two planted click spikes burst at
+    sf0.001 (uniform ~7/day background cannot triple its trailing
+    mean)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_bursts(spark, "/root/testdata/sf0.001").collect()
+    flagged = {(r["key"], r["t"]) for r in rows if r["is_burst"]}
+    assert flagged == {("click", 10), ("click", 20)}
