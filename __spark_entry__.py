@@ -4718,6 +4718,85 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# KWIC snippets + Hamilton crawl-budget apportionment
+# --------------------------------------------------------------------------
+
+
+def q_kwic(spark, sf):
+    """Keyword-in-context serving snippets for 'vector': first-hit
+    token window (radius 3) per doc, pure array arithmetic, no explode
+    — the exact snippet strings are the value hash."""
+    from combblas_spark.functions.text import kwic_snippets
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return kwic_snippets(d, "vector", radius=3)
+
+
+_KWIC_ORACLE = """WITH kwt AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+kwp AS (
+  SELECT doc_id, toks,
+         CAST(list_position(toks, 'vector') AS BIGINT) AS pos
+  FROM kwt)
+SELECT doc_id, pos,
+  array_to_string(list_slice(toks, GREATEST(1, pos - 3),
+    LEAST(pos + 3, len(toks))), ' ') AS snippet
+FROM kwp WHERE pos IS NOT NULL AND pos > 0"""
+
+
+HAM_BUDGET = 100_000
+
+
+def q_crawl_budget(spark, sf):
+    """Hamilton (largest-remainder) apportionment of a 100k-fetch crawl
+    budget across the 50 fixture hosts proportional to their out-link
+    counts: floor shares + remainder-ranked top-ups, all exact int64 —
+    the allocation sums to the budget EXACTLY (law pytest) and every
+    (host, quota) is in the value hash."""
+    from combblas_spark.functions.sampling import hamilton_quota
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("u")
+    )
+    scores = o.groupBy(
+        F.concat(
+            F.lit("shop"), (F.col("u") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("score"))
+    return hamilton_quota(scores, HAM_BUDGET).select(
+        F.col("key").alias("host"), "score", "quota"
+    )
+
+
+_HAM_ORACLE = f"""WITH hmu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS u FROM orders),
+hms AS MATERIALIZED (
+  SELECT 'shop' || CAST(u % 50 AS VARCHAR) || '.example.com' AS key,
+         CAST(COUNT(*) AS BIGINT) AS score
+  FROM hmu GROUP BY 1),
+hmt AS (SELECT CAST(SUM(score) AS BIGINT) AS s_total FROM hms),
+hmb AS (
+  SELECT key, score,
+    CAST(({HAM_BUDGET} * score) // s_total AS BIGINT) AS base,
+    CAST(({HAM_BUDGET} * score) % s_total AS BIGINT) AS rem
+  FROM hms CROSS JOIN hmt),
+hml AS (SELECT CAST({HAM_BUDGET} - SUM(base) AS BIGINT) AS k FROM hmb),
+hmr AS (
+  SELECT key, score, base, rem,
+    ROW_NUMBER() OVER (ORDER BY rem DESC, key) AS rr
+  FROM hmb)
+SELECT key AS host, score,
+  CAST(base + (CASE WHEN rr <= (SELECT k FROM hml) THEN 1 ELSE 0 END)
+    AS BIGINT) AS quota
+FROM hmr"""
+
+
+# --------------------------------------------------------------------------
 # burst detection — functions/sessions.burst_days
 # --------------------------------------------------------------------------
 
@@ -5589,6 +5668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "ic_cascade": q_ic_cascade,
         "bursts": q_bursts,
+        "kwic": q_kwic,
+        "crawl_budget": q_crawl_budget,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5811,6 +5892,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "fetch_schedule": _FETCH_ORACLE,
         "ic_cascade": _IC_ORACLE,
         "bursts": _BURSTS_ORACLE,
+        "kwic": _KWIC_ORACLE,
+        "crawl_budget": _HAM_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

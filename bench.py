@@ -168,6 +168,8 @@ HEADLINE = [
     "fetch_schedule",
     "ic_cascade",
     "bursts",
+    "kwic",
+    "crawl_budget",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

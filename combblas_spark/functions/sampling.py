@@ -215,3 +215,53 @@ def chunk_docs(
             "chunk_text"
         ),
     )
+
+
+def hamilton_quota(
+    scores: DataFrame,
+    total_budget: int,
+    key_col: str = "key",
+    score_col: str = "score",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer budget
+    across keys proportionally to integer scores — the crawl-budget /
+    sampling-quota allocator: every key gets floor(B*score/S), and the
+    B - sum(floors) leftover units go to the largest remainders
+    (B*score mod S, ties by key). All arithmetic is exact int64
+    (requires B * max_score < 2^63), so the allocation replays
+    bit-exactly and sums to EXACTLY the budget — no float shares, no
+    drift. One O(keys) aggregate for S + two windows over the O(keys)
+    score table (orders smaller than the data that produced it).
+
+    Returns (key, score, quota).
+    """
+    from pyspark.sql import Window
+
+    s = scores.agg(F.sum(score_col).cast("long").alias("s_total"))
+    j = scores.select(
+        F.col(key_col).alias("key"),
+        F.col(score_col).cast("long").alias("score"),
+    ).crossJoin(F.broadcast(s))
+    base = j.select(
+        "key",
+        "score",
+        F.expr(f"CAST(({int(total_budget)} * score) DIV s_total AS BIGINT)")
+        .alias("base"),
+        F.expr(f"CAST(({int(total_budget)} * score) % s_total AS BIGINT)")
+        .alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(int(total_budget)) - F.sum("base")).cast("long").alias("k")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("key"))
+    return (
+        base.withColumn("rr", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "key",
+            "score",
+            (F.col("base") + (F.col("rr") <= F.col("k")).cast("long"))
+            .cast("long")
+            .alias("quota"),
+        )
+    )

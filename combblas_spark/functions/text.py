@@ -1234,3 +1234,34 @@ def phrase_occurrences(
     return cur.groupBy(F.col("id").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_occ")
     )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    term: str,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context snippet extraction — the serving-side result
+    rendering pass: for documents containing ``term``, the tokens
+    within ``radius`` positions of its FIRST occurrence, rejoined as
+    the display snippet. Pure Column arithmetic (array_position +
+    slice), no explode at all: the whole pass is a map over the
+    documents, embarrassingly parallel at any scale.
+
+    Returns (doc_id, pos, snippet) with pos the 1-based token position;
+    documents without the term are dropped.
+    """
+    t = tokens_col(F.col(text_col))
+    pos = F.array_position(t, term)
+    start = F.greatest(F.lit(1), pos - radius)
+    length = F.least(pos + radius, F.size(t)) - start + 1
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            pos.cast("long").alias("pos"),
+            F.array_join(F.slice(t, start, length), " ").alias("snippet"),
+        )
+        .filter(F.col("pos") > 0)
+    )

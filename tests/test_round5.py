@@ -4362,3 +4362,61 @@ def test_bursts_planted_spikes_flag(spark):
     rows = entrymod.q_bursts(spark, "/root/testdata/sf0.001").collect()
     flagged = {(r["key"], r["t"]) for r in rows if r["is_burst"]}
     assert flagged == {("click", 10), ("click", 20)}
+
+
+# --------------------------------------------------------------------------
+# KWIC snippets + Hamilton apportionment
+# --------------------------------------------------------------------------
+
+
+def test_kwic_hand_cases(spark):
+    """Window clamping at both document edges, first-occurrence
+    semantics, absent-term drop."""
+    from combblas_spark.functions.text import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c TERM d e f g"),
+            (2, "TERM x y z"),
+            (3, "p q r s TERM"),
+            (4, "TERM m TERM n"),
+            (5, "no hit here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["pos"], r["snippet"])
+        for r in kwic_snippets(docs, "TERM", radius=2).collect()
+    }
+    assert got[1] == (4, "b c TERM d e")
+    assert got[2] == (1, "TERM x y")  # left-clamped
+    assert got[3] == (5, "r s TERM")  # right-clamped
+    assert got[4] == (1, "TERM m TERM")  # first occurrence wins
+    assert 5 not in got
+
+
+def test_hamilton_quota_laws(spark):
+    """Exactness laws on the contract output: quotas sum to EXACTLY the
+    budget and each quota is within 1 of the real-valued share."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_crawl_budget(spark, "/root/testdata/sf0.001").collect()
+    total_score = sum(r["score"] for r in rows)
+    assert sum(r["quota"] for r in rows) == entrymod.HAM_BUDGET
+    for r in rows:
+        share = entrymod.HAM_BUDGET * r["score"] / total_score
+        assert share - 1 < r["quota"] < share + 1
+
+
+def test_hamilton_hand_case(spark):
+    """Equal scores over budget 10: floors 3,3,3 leave one unit, which
+    the remainder tie sends to the smallest key."""
+    from combblas_spark.functions.sampling import hamilton_quota
+
+    s = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "key string, score long"
+    )
+    got = {
+        r["key"]: r["quota"] for r in hamilton_quota(s, 10).collect()
+    }
+    assert got == {"a": 4, "b": 3, "c": 3}
