@@ -1340,6 +1340,39 @@ FROM documents d LEFT JOIN l{iters} l ON d.doc_id = l.id"""
     )
 
 
+def _split_leakage_sql(iters: int) -> str:
+    """Same cluster pipeline as _dedup_clusters_sql, post-processed into
+    the train/test leakage audit: per cluster the split-membership
+    counts, summed into cross-split pair totals."""
+    base = _dedup_clusters_sql(iters)
+    head, tail = base.rsplit("\nSELECT ", 1)
+    assert tail.startswith("CAST(d.doc_id")
+    return (
+        head
+        + f""",
+slcl AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(COALESCE(l.val, d.doc_id) AS BIGINT) AS canonical_id
+  FROM documents d LEFT JOIN l{iters} l ON d.doc_id = l.id),
+slsp AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) % 1000 < 100 THEN 'test' ELSE 'train' END AS split
+  FROM documents),
+slper AS (
+  SELECT c.canonical_id,
+    SUM(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END) AS n_train,
+    SUM(CASE WHEN s.split = 'test' THEN 1 ELSE 0 END) AS n_test
+  FROM slcl c JOIN slsp s ON c.doc_id = s.doc_id
+  GROUP BY c.canonical_id),
+slk AS (SELECT * FROM slper WHERE n_train > 0 AND n_test > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters,
+  CAST(COALESCE(SUM(n_train * n_test), 0) AS BIGINT) AS n_cross_pairs,
+  CAST(COALESCE(SUM(n_train + n_test), 0) AS BIGINT) AS n_docs_affected
+FROM slk"""
+    )
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style repetition quality signals: most-frequent token /
     bigram counts and their x1e6 floor-scaled fractions."""
@@ -4718,6 +4751,44 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# split-leakage audit — near-dup clusters x train/test split
+# --------------------------------------------------------------------------
+
+
+def q_split_leakage(spark, sf):
+    """Train/test contamination audit — the eval-integrity pass every
+    pretraining pipeline needs: near-dup clusters (LSH -> exact-Jaccard
+    verify -> CC) crossed with the deterministic hash split; a cluster
+    with members on BOTH sides leaks test signal into training. One row
+    of exact totals: leaky clusters, cross-split near-dup pairs, docs
+    affected."""
+    from combblas_spark.functions.dedup import near_dup_clusters
+    from combblas_spark.functions.sampling import split_by_hash
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cl = near_dup_clusters(docs, k=3, num_hashes=4, bands=2, rows_per_band=2)
+    sp = split_by_hash(docs, test_permille=100).select("doc_id", "split")
+    per = (
+        cl.join(sp, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
+            F.sum((F.col("split") == "test").cast("int")).alias("n_test"),
+        )
+    )
+    leaky = per.filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
+    return leaky.agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaky_clusters"),
+        F.coalesce(F.sum(F.col("n_train") * F.col("n_test")), F.lit(0))
+        .cast("long")
+        .alias("n_cross_pairs"),
+        F.coalesce(F.sum(F.col("n_train") + F.col("n_test")), F.lit(0))
+        .cast("long")
+        .alias("n_docs_affected"),
+    )
+
+
+# --------------------------------------------------------------------------
 # KWIC snippets + Hamilton crawl-budget apportionment
 # --------------------------------------------------------------------------
 
@@ -5670,6 +5741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bursts": q_bursts,
         "kwic": q_kwic,
         "crawl_budget": q_crawl_budget,
+        "split_leakage": q_split_leakage,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5894,6 +5966,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "bursts": _BURSTS_ORACLE,
         "kwic": _KWIC_ORACLE,
         "crawl_budget": _HAM_ORACLE,
+        "split_leakage": _split_leakage_sql(DEDUP_CC_ITERS),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

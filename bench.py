@@ -170,6 +170,7 @@ HEADLINE = [
     "bursts",
     "kwic",
     "crawl_budget",
+    "split_leakage",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

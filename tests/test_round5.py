@@ -4420,3 +4420,50 @@ def test_hamilton_hand_case(spark):
         r["key"]: r["quota"] for r in hamilton_quota(s, 10).collect()
     }
     assert got == {"a": 4, "b": 3, "c": 3}
+
+
+# --------------------------------------------------------------------------
+# split-leakage audit
+# --------------------------------------------------------------------------
+
+
+def test_split_leakage_hand_case(spark):
+    """Two byte-identical docs placed on opposite sides of the hash
+    split must surface as exactly one leaky cluster / one cross pair;
+    a unique doc never does."""
+    import hashlib
+
+    from combblas_spark.functions.dedup import near_dup_clusters
+    from combblas_spark.functions.sampling import split_by_hash
+
+    def split_of(d):
+        h = int(hashlib.md5(f"split|{d}".encode()).hexdigest()[:15], 16)
+        return "test" if h % 1000 < 100 else "train"
+
+    train_id = next(d for d in range(1000) if split_of(d) == "train")
+    test_id = next(d for d in range(1000) if split_of(d) == "test")
+    other = next(
+        d for d in range(1000) if d not in (train_id, test_id)
+    )
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (train_id, dup),
+            (test_id, dup),
+            (other, "completely different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    cl = near_dup_clusters(docs, k=3, num_hashes=4, bands=2, rows_per_band=2)
+    sp = split_by_hash(docs, test_permille=100).select("doc_id", "split")
+    per = (
+        cl.join(sp, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.sum((F.col("split") == "train").cast("int")).alias("a"),
+            F.sum((F.col("split") == "test").cast("int")).alias("b"),
+        )
+    )
+    leaky = [r for r in per.collect() if r["a"] > 0 and r["b"] > 0]
+    assert len(leaky) == 1
+    assert leaky[0]["a"] == 1 and leaky[0]["b"] == 1
