@@ -4751,6 +4751,40 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# proximity retrieval — functions/text.proximity_pairs
+# --------------------------------------------------------------------------
+
+
+def q_proximity(spark, sf):
+    """'hash NEAR/4 join' retrieval: per-doc closest co-occurrence gap
+    and in-window pair count from the two terms' positional postings
+    (either order)."""
+    from combblas_spark.functions.text import proximity_pairs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return proximity_pairs(d, "hash", "join", max_gap=4)
+
+
+_PROX_ORACLE = """WITH pxt AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(string_split(text, ' '),
+           x -> x <> ''), 1) - 1 AS pos
+  FROM documents),
+pxa AS (SELECT id, pos AS pa FROM pxt WHERE term = 'hash'),
+pxb AS (SELECT id, pos AS pb FROM pxt WHERE term = 'join'),
+pxg AS (
+  SELECT a.id, ABS(a.pa - b.pb) AS gap
+  FROM pxa a JOIN pxb b ON a.id = b.id)
+SELECT id AS doc_id, CAST(MIN(gap) AS BIGINT) AS min_gap,
+  CAST(SUM(CASE WHEN gap <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pairs_within
+FROM pxg GROUP BY id HAVING MIN(gap) <= 4"""
+
+
+# --------------------------------------------------------------------------
 # split-leakage audit — near-dup clusters x train/test split
 # --------------------------------------------------------------------------
 
@@ -5742,6 +5776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic": q_kwic,
         "crawl_budget": q_crawl_budget,
         "split_leakage": q_split_leakage,
+        "proximity": q_proximity,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -5967,6 +6002,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "kwic": _KWIC_ORACLE,
         "crawl_budget": _HAM_ORACLE,
         "split_leakage": _split_leakage_sql(DEDUP_CC_ITERS),
+        "proximity": _PROX_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

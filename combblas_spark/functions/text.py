@@ -1265,3 +1265,47 @@ def kwic_snippets(
         )
         .filter(F.col("pos") > 0)
     )
+
+
+def proximity_pairs(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_gap: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity retrieval — the middle ground between bag-of-words AND
+    and exact phrase: documents where ``term_a`` and ``term_b`` occur
+    within ``max_gap`` token positions (either order). Each term's
+    positional postings are a ~1/vocab sliver of the corpus; they meet
+    in one per-document join whose fan-out is tf_a * tf_b (bounded by
+    per-doc term frequency, never corpus-scale).
+
+    Returns (doc_id, min_gap, n_pairs_within): the closest co-occurrence
+    distance and how many position pairs fall inside the window —
+    documents failing the window are dropped.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "term"),
+    )
+    a = toks.filter(F.col("term") == term_a).select(
+        "id", F.col("pos").alias("pa")
+    )
+    b = toks.filter(F.col("term") == term_b).select(
+        "id", F.col("pos").alias("pb")
+    )
+    gap = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        a.join(b, "id")
+        .select("id", gap.alias("gap"))
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.min("gap").cast("long").alias("min_gap"),
+            F.sum((F.col("gap") <= max_gap).cast("int"))
+            .cast("long")
+            .alias("n_pairs_within"),
+        )
+        .filter(F.col("min_gap") <= max_gap)
+    )

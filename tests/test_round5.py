@@ -4467,3 +4467,26 @@ def test_split_leakage_hand_case(spark):
     leaky = [r for r in per.collect() if r["a"] > 0 and r["b"] > 0]
     assert len(leaky) == 1
     assert leaky[0]["a"] == 1 and leaky[0]["b"] == 1
+
+
+def test_proximity_hand_case(spark):
+    """Either-order window semantics with overlap counting: 'x . . y'
+    gap 3 passes max_gap 3; 'y x' gap 1; a doc with min gap 5 drops."""
+    from combblas_spark.functions.text import proximity_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b y"),
+            (2, "y x"),
+            (3, "x a b c d y"),
+            (4, "x only"),
+            (5, "x y a x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["min_gap"], r["n_pairs_within"])
+        for r in proximity_pairs(docs, "x", "y", max_gap=3).collect()
+    }
+    # doc 5: x@0,x@3, y@1 -> gaps {1, 2}, both within
+    assert got == {1: (3, 1), 2: (1, 1), 5: (1, 2)}
