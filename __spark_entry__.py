@@ -4751,6 +4751,58 @@ FROM bfaud GROUP BY g"""
 
 
 # --------------------------------------------------------------------------
+# triangular-solve level scheduling — algorithms/ordering.level_schedule
+# --------------------------------------------------------------------------
+
+
+def q_level_schedule(spark, sf):
+    """SpTRSV wavefront levels over a 12-layer DAG (id = layer*83+slot,
+    edges only layer -> layer+1 by md5 draws, so the longest chain is
+    bounded and the fixpoint provably converges): level(v) = longest
+    dependency chain into v via one MAX_PLUS SpMV per superstep — the
+    max-plus sibling of sssp's MIN_PLUS relaxation. Every (vertex,
+    level) is in the value hash."""
+    from combblas_spark.algorithms.ordering import level_schedule
+    from combblas_spark.functions.urls import _h60
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("o")
+    )
+    k = F.col("o")
+    layer = _h60("ll", k) % 11
+    e = o.select(
+        (layer * 83 + _h60("ls", k) % 83).alias("src"),
+        ((layer + 1) * 83 + _h60("ld", k) % 83).alias("dst"),
+    ).distinct()
+    return level_schedule(spark, e, max_iter=20)
+
+
+_LEVEL_ORACLE = """WITH RECURSIVE lvu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o FROM orders),
+lve AS MATERIALIZED (
+  SELECT DISTINCT
+    (CAST(('0x' || substr(md5('ll|' || CAST(o AS VARCHAR)), 1, 15))
+       AS BIGINT) % 11) * 83
+      + CAST(('0x' || substr(md5('ls|' || CAST(o AS VARCHAR)), 1, 15))
+          AS BIGINT) % 83 AS src,
+    (CAST(('0x' || substr(md5('ll|' || CAST(o AS VARCHAR)), 1, 15))
+       AS BIGINT) % 11 + 1) * 83
+      + CAST(('0x' || substr(md5('ld|' || CAST(o AS VARCHAR)), 1, 15))
+          AS BIGINT) % 83 AS dst
+  FROM lvu),
+lvv AS (SELECT DISTINCT src AS id FROM lve
+        UNION SELECT DISTINCT dst FROM lve),
+lvroots AS (
+  SELECT id FROM lvv WHERE id NOT IN (SELECT dst FROM lve)),
+lvw(id, d) AS (
+  SELECT id, 0 FROM lvroots
+  UNION
+  SELECT e.dst, w.d + 1 FROM lvw w JOIN lve e ON e.src = w.id
+  WHERE w.d < 15)
+SELECT id, CAST(MAX(d) AS BIGINT) AS level FROM lvw GROUP BY id"""
+
+
+# --------------------------------------------------------------------------
 # proximity retrieval — functions/text.proximity_pairs
 # --------------------------------------------------------------------------
 
@@ -5777,6 +5829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "split_leakage": q_split_leakage,
         "proximity": q_proximity,
+        "level_schedule": q_level_schedule,
         "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
@@ -6003,6 +6056,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "crawl_budget": _HAM_ORACLE,
         "split_leakage": _split_leakage_sql(DEDUP_CC_ITERS),
         "proximity": _PROX_ORACLE,
+        "level_schedule": _LEVEL_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from combblas_spark.algorithms.bfs import bfs
+from combblas_spark.core.semiring import MAX_PLUS
 from combblas_spark.operators.indexing import _global_ranks
+from combblas_spark.operators.multiply import spmv
 from combblas_spark.plans.superstep import SuperstepRunner
 
 
@@ -217,3 +219,79 @@ def md_order_blocked(
         )
     )
     return ordered.unionByName(tail)
+
+
+def level_schedule(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 64,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Dependency level sets over a DAG — the sparse triangular-solve
+    (SpTRSV) level-scheduling pass: level(v) = length of the longest
+    dependency chain into v, so every vertex in a level can execute in
+    parallel once prior levels are done (Anderson-Saad / Saltz wavefront
+    scheduling; the ordering-analytics sibling of RCM above — reference
+    orderings live in ApplyPermutation/RCM.cpp territory, reference has
+    no level-set kernel itself).
+
+    One MAX_PLUS SpMV per superstep (longest-path relaxation is the
+    max-plus analogue of sssp's MIN_PLUS), merged with the standing
+    levels via a coalesced GREATEST; edges stay cached and
+    dst-partitioned while the level vector is broadcast per superstep;
+    lineage cut via runner.truncate. Raises on non-convergence within
+    ``max_iter`` — a truncated fixpoint would silently mis-level every
+    downstream vertex (and a cycle never converges: cycles make level
+    sets undefined, so raising is the contract).
+
+    ``edges``: (src, dst) meaning dst depends on src. Returns
+    (id, level BIGINT).
+    """
+    runner = runner or SuperstepRunner(spark)
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, "dst")
+    )
+    e.persist()
+    try:
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        lvl = runner.truncate(
+            verts.select("id", F.lit(0).cast("long").alias("val"))
+        )
+        for _ in range(max_iter):
+            contrib = spmv(e, lvl, MAX_PLUS, broadcast_x=True).select(
+                "id", F.col("val").alias("cand")
+            )
+            merged = (
+                lvl.join(contrib, "id", "left")
+                .select(
+                    "id",
+                    F.greatest(
+                        F.col("val"), F.coalesce(F.col("cand"), F.lit(0))
+                    ).alias("val"),
+                )
+            )
+            new_lvl = runner.truncate(merged)
+            changed = (
+                new_lvl.alias("n")
+                .join(F.broadcast(lvl.alias("o")), on="id")
+                .filter(F.col("n.val") != F.col("o.val"))
+                .count()
+            )
+            lvl = new_lvl
+            if changed == 0:
+                return lvl.select("id", F.col("val").alias("level"))
+        raise RuntimeError(
+            f"level_schedule: no fixpoint within max_iter={max_iter} "
+            "supersteps — the longest dependency chain exceeds the "
+            "budget, or the input graph has a cycle (level sets are "
+            "undefined on cycles)."
+        )
+    finally:
+        e.unpersist()

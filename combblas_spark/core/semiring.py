@@ -56,3 +56,7 @@ SELECT2ND_MAX = Semiring("select2nd_max", lambda a, b: b, F.max)
 BOOL_OR_AND = Semiring(
     "bool_or_and", lambda a, b: (a.cast("boolean") & b.cast("boolean")), F.max
 )
+
+#: Max-plus (the other tropical semiring) — longest-path / critical-path
+#: propagation, e.g. triangular-solve level scheduling.
+MAX_PLUS = Semiring("max_plus", lambda a, b: a + b, F.max)

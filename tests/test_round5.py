@@ -4490,3 +4490,68 @@ def test_proximity_hand_case(spark):
     }
     # doc 5: x@0,x@3, y@1 -> gaps {1, 2}, both within
     assert got == {1: (3, 1), 2: (1, 1), 5: (1, 2)}
+
+
+# --------------------------------------------------------------------------
+# triangular-solve level scheduling (algorithms/ordering.level_schedule)
+# --------------------------------------------------------------------------
+
+
+def test_level_schedule_hand_case(spark):
+    """Diamond + tail DAG: level = longest chain, not shortest (the
+    diamond's join node takes the 2-long arm), independent roots stay
+    at level 0."""
+    from combblas_spark.algorithms.ordering import level_schedule
+
+    # 1 -> 2 -> 4, 1 -> 4 (diamond), 4 -> 5; root 9 -> 5 as well
+    e = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 4), (4, 5), (9, 5)],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["level"]
+        for r in level_schedule(spark, e, max_iter=10).collect()
+    }
+    assert got == {1: 0, 9: 0, 2: 1, 4: 2, 5: 3}
+
+
+def test_level_schedule_cycle_raises(spark):
+    """Cycles make level sets undefined: the fixpoint never arrives and
+    the loop must raise rather than return truncated levels."""
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.ordering import level_schedule
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="cycle|fixpoint|max_iter"):
+        level_schedule(spark, e, max_iter=6)
+
+
+def test_level_schedule_is_valid_topological_layering(spark):
+    """Law over the contract output at sf0.001: every edge goes to a
+    strictly higher level (the wavefront property that makes each level
+    safe to execute in parallel)."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    lv = {
+        r["id"]: r["level"]
+        for r in entrymod.q_level_schedule(spark, sf).collect()
+    }
+
+    def h60(salt, key):
+        return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16)
+
+    orders = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(f"{sf}/orders.parquet").collect()
+    ]
+    for o in orders:
+        layer = h60("ll", o) % 11
+        s = layer * 83 + h60("ls", o) % 83
+        d = (layer + 1) * 83 + h60("ld", o) % 83
+        assert lv[d] > lv[s]
