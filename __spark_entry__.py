@@ -5787,6 +5787,87 @@ FROM rbm GROUP BY host"""
 
 
 # --------------------------------------------------------------------------
+# SymSpell fuzzy self-join + A-ES weighted reservoir sample
+# --------------------------------------------------------------------------
+
+
+def q_fuzzy_pairs(spark, sf):
+    """Edit-distance-<=1 fuzzy self-join (SymSpell deletion-neighborhood
+    blocking, exact levenshtein verify on candidates only): 400 distinct
+    SKU strings in 100 families x 4 versions (base '-x', deletion '-',
+    substitution '-y', and an exact duplicate of the base), so every
+    family yields its typo triangle plus a dist-0 duplicate pair, and
+    cross-family single-digit indels ('sku-1-' vs 'sku-12-') are caught
+    too. The oracle is the BRUTE-FORCE all-pairs levenshtein join — an
+    independent proof the pigeonhole blocking is complete for d = 1."""
+    from combblas_spark.functions.dedup import fuzzy_pairs
+
+    g = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select((F.col("o_orderkey").cast("long") % 400).alias("g"))
+        .distinct()
+    )
+    ver = F.expr("g div 100")
+    s = F.concat(
+        F.lit("sku-"),
+        (F.col("g") % 100).cast("string"),
+        F.when(ver == 1, F.lit("-"))
+        .when(ver == 2, F.lit("-y"))
+        .otherwise(F.lit("-x")),
+    )
+    strings = g.select(F.col("g").alias("key"), s.alias("s"))
+    return fuzzy_pairs(strings, max_bucket=64)
+
+
+_FUZZY_ORACLE = """WITH fzu AS (
+  SELECT DISTINCT CAST(o_orderkey AS BIGINT) % 400 AS g FROM orders),
+fzs AS MATERIALIZED (
+  SELECT g AS key,
+         'sku-' || CAST(g % 100 AS VARCHAR) ||
+         CASE WHEN g // 100 = 1 THEN '-'
+              WHEN g // 100 = 2 THEN '-y'
+              ELSE '-x' END AS s
+  FROM fzu)
+SELECT a.key AS key_a, b.key AS key_b, a.s AS s_a, b.s AS s_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM fzs a JOIN fzs b ON a.key < b.key
+WHERE levenshtein(a.s, b.s) <= 1"""
+
+
+RES_K = 200
+
+
+def q_reservoir_sample(spark, sf):
+    """Exact-k weighted sample without replacement (Efraimidis-Spirakis
+    A-ES) over orders, weight = o_orderkey % 9 + 1: the 200 rows with
+    the largest md5-replayable priority ln(u)/w win; the full (key, w,
+    prio, rank) selection is in the value hash, so the oracle proves
+    the exact selected SET and its order, not just the count."""
+    from combblas_spark.functions.sampling import reservoir_sample
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        (F.col("o_orderkey").cast("long") % 9 + 1).alias("w"),
+    )
+    return reservoir_sample(o, RES_K, "w")
+
+
+_RES_ORACLE = f"""WITH rsu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS key,
+         CAST(o_orderkey AS BIGINT) % 9 + 1 AS w
+  FROM orders),
+rsp AS (
+  SELECT key, w,
+    ROUND(LN((CAST(('0x' || substr(md5('res|' || CAST(key AS VARCHAR)),
+        1, 15)) AS BIGINT) + 1) / 1152921504606846976.0) / w, 6) + 0.0
+      AS prio
+  FROM rsu)
+SELECT key, w, prio,
+  CAST(ROW_NUMBER() OVER (ORDER BY prio DESC, key ASC) AS BIGINT) AS rank
+FROM rsp ORDER BY prio DESC, key ASC LIMIT {RES_K}"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -6002,6 +6083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "len_percentiles": q_len_percentiles,
         "len_robust": q_len_robust,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "reservoir_sample": q_reservoir_sample,
     }
 
 
@@ -6057,6 +6140,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "split_leakage": _split_leakage_sql(DEDUP_CC_ITERS),
         "proximity": _PROX_ORACLE,
         "level_schedule": _LEVEL_ORACLE,
+        "fuzzy_pairs": _FUZZY_ORACLE,
+        "reservoir_sample": _RES_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

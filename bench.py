@@ -173,6 +173,8 @@ HEADLINE = [
     "split_leakage",
     "proximity",
     "level_schedule",
+    "fuzzy_pairs",
+    "reservoir_sample",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -861,3 +861,79 @@ def set_resemblance_pairs(
         F.lit(tau_den) * F.col("n_common")
         >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     )
+
+
+def fuzzy_pairs(
+    strings: DataFrame,
+    max_bucket: int = 256,
+    key_col: str = "key",
+    str_col: str = "s",
+) -> DataFrame:
+    """SymSpell deletion-neighborhood fuzzy self-join: every unordered
+    pair (key_a < key_b) of strings within Levenshtein distance <= 1 —
+    the TYPO-level near-dup regime the shingle/MinHash family
+    structurally misses (a one-character edit moves k adjacent k-grams,
+    so short strings — queries, titles, entity names, SKUs — land far
+    below every Jaccard threshold while being obvious duplicates).
+
+    Blocking is the exact deletion-neighborhood pigeonhole: each string
+    emits L+1 signatures (itself plus every single-character deletion).
+    Two strings with ed(a,b) <= 1 ALWAYS share one — equal strings share
+    the string itself; a substitution at position i makes both del-i
+    variants equal; for an indel the longer side's deletion IS the
+    shorter string. So the candidate join on signature is complete for
+    d = 1, and the built-in ``levenshtein`` (exact integer, identical in
+    Spark and DuckDB) verifies candidates only — never all pairs.
+
+    Scale shape: fan-out is exactly L+1 rows per string (bounded by the
+    string length — this is a short-string operator; for documents use
+    the shingle family), the self-join is an equi-join on the signature
+    hash, and signatures shared by > ``max_bucket`` strings are dropped
+    before the join (the one documented false-negative source, shared
+    with every LSH sibling: a deletion variant hit by >max_bucket
+    distinct strings is stop-fragment mass, e.g. the empty string from
+    a corpus of single characters). Empty strings are filtered (they
+    have no deletion neighborhood and pair only with 1-char strings,
+    which their own signatures already cover).
+
+    Reference parity: the reference has no edit-distance kernel; this is
+    an engine-original in the dedup family (SURVEY.md §2 training-data
+    ops). Output: (key_a, key_b, s_a, s_b, dist), dist in {0, 1}.
+    """
+    s = str_col
+    base = strings.select(
+        F.col(key_col).alias("key"), F.col(s).alias("s")
+    ).filter(F.length("s") >= 1)
+    sigs = base.select(
+        "key",
+        "s",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(s), "
+                "transform(sequence(1, length(s)), "
+                "i -> concat(left(s, i-1), substring(s, i+1, length(s)-i)))))"
+            )
+        ).alias("sig"),
+    )
+    ok = (
+        sigs.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("sig")
+    )
+    capped = sigs.join(ok, on="sig")
+    a = capped.select(
+        "sig", F.col("key").alias("key_a"), F.col("s").alias("s_a")
+    )
+    b = capped.select(
+        "sig", F.col("key").alias("key_b"), F.col("s").alias("s_b")
+    )
+    cand = (
+        a.join(b, on="sig")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "s_a", "s_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("s_a", "s_b").cast("long")
+    ).filter(F.col("dist") <= 1)

@@ -265,3 +265,68 @@ def hamilton_quota(
             .alias("quota"),
         )
     )
+
+
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "key",
+    salt: str = "res",
+) -> DataFrame:
+    """Fixed-SIZE weighted sample without replacement (Efraimidis–
+    Spirakis A-ES): every row draws u = (md5_60bit(salt|key)+1)/2^60 and
+    the k rows with the largest u^(1/w) win. This is the exact-k
+    companion to :func:`importance_sample` (Poisson inclusion, variable
+    size): quota-bound jobs — eval-set carving, per-source caps, fixed
+    annotation budgets — need EXACTLY k rows, not k in expectation.
+
+    Determinism: the draw is the replayable md5-60bit coin, so the
+    selected set is a pure function of (salt, keys, weights) —
+    partition-count-invariant, growth-stable ranking (a new row never
+    changes an old row's priority, only the cutoff), engine-portable.
+    The selection key is ln(u)/w (monotone in u^(1/w), no pow
+    under/overflow at w = 10^9); ranking uses ROUND(.,6) + key tiebreak
+    so both engines sort identically (the rounded-score rule every
+    ranked contract query follows), and +0.0 normalizes the IEEE -0.0
+    that ROUND can emit for priorities in (-5e-7, 0].
+
+    Scale shape: one pure Column expression then a global top-k —
+    Spark plans orderBy(...).limit(k) as TakeOrderedAndProject (per-
+    partition heap top-k, single k-row reduce), so nothing resembling a
+    global sort ever materializes. Weights must be >= 1; a nonpositive
+    weight raises at execution time (raise_error) rather than silently
+    skewing the draw.
+
+    Returns (key, w, prio, rank), rank 1..k by priority descending.
+    """
+    from pyspark.sql import Window
+
+    two60 = F.lit(float(1 << 60))
+    h = md5_60bit(
+        F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))
+    )
+    w = F.col(weight_col).cast("long")
+    wchk = F.when(w >= 1, w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("reservoir_sample: nonpositive weight for key "),
+                F.col(key_col).cast("string"),
+            )
+        )
+    )
+    u = (h + F.lit(1)).cast("double") / two60
+    prio = F.round(F.log(u) / wchk, 6) + F.lit(0.0)
+    ranked = (
+        df.select(
+            F.col(key_col).alias("key"),
+            w.alias("w"),
+            prio.alias("prio"),
+        )
+        .orderBy(F.col("prio").desc(), F.col("key").asc())
+        .limit(k)
+    )
+    wr = Window.orderBy(F.col("prio").desc(), F.col("key").asc())
+    return ranked.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    )

@@ -4555,3 +4555,159 @@ def test_level_schedule_is_valid_topological_layering(spark):
         s = layer * 83 + h60("ls", o) % 83
         d = (layer + 1) * 83 + h60("ld", o) % 83
         assert lv[d] > lv[s]
+
+
+# --------------------------------------------------------------------------
+# SymSpell fuzzy self-join (functions/dedup.fuzzy_pairs)
+# --------------------------------------------------------------------------
+
+
+def test_fuzzy_pairs_hand_case(spark):
+    """Substitution, deletion, insertion and exact-dup all pair at
+    dist <= 1; a 2-edit string pairs with nothing."""
+    from combblas_spark.functions.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "cat"),
+        (2, "cut"),   # substitution vs 1
+        (3, "ca"),    # deletion vs 1
+        (4, "cart"),  # insertion vs 1
+        (5, "cat"),   # exact dup of 1
+        (6, "dog"),   # 3 edits from everything
+    ]
+    df = spark.createDataFrame(rows, "key long, s string")
+    got = {
+        (r["key_a"], r["key_b"]): r["dist"]
+        for r in fuzzy_pairs(df).collect()
+    }
+    assert got == {
+        (1, 2): 1,
+        (1, 3): 1,
+        (1, 4): 1,
+        (1, 5): 0,
+        (2, 5): 1,
+        (3, 5): 1,
+        (4, 5): 1,
+        # (2,3) 'cut'/'ca' = 2 edits, (3,4) 'ca'/'cart' = 2 edits: absent
+    }
+
+
+def test_fuzzy_pairs_completeness_law(spark):
+    """Blocking completeness for d = 1: on a deterministic 120-string
+    set, fuzzy_pairs == python brute-force levenshtein over all pairs."""
+    import hashlib
+
+    from combblas_spark.functions.dedup import fuzzy_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    strs = []
+    for k in range(120):
+        h = hashlib.md5(f"fz|{k}".encode()).hexdigest()
+        base = f"w{h[0]}{h[1]}{k % 12}"
+        if k % 3 == 1:
+            base = base[:-1]          # deletion variant
+        elif k % 3 == 2:
+            base = base[:2] + "q" + base[3:]  # substitution variant
+        strs.append((k, base))
+    df = spark.createDataFrame(strs, "key long, s string")
+    got = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in fuzzy_pairs(df, max_bucket=1000).collect()
+    }
+    want = {
+        (a, b, lev(sa, sb))
+        for (a, sa) in strs
+        for (b, sb) in strs
+        if a < b and lev(sa, sb) <= 1
+    }
+    assert got == want and len(want) > 0
+
+
+def test_fuzzy_pairs_bucket_cap_drops_stop_fragments(spark):
+    """A signature shared by > max_bucket strings is dropped before the
+    join (the documented false-negative source): 70 strings '<c>zz'
+    pairwise differ only in the first character, so every pair's ONLY
+    shared signature is the deletion fragment 'zz' — a 70-string bucket
+    that max_bucket=64 kills entirely while a loose cap finds all
+    C(70,2) substitution pairs."""
+    from combblas_spark.functions.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(k, chr(48 + k) + "zz") for k in range(70)],
+        "key long, s string",
+    )
+    loose = fuzzy_pairs(df, max_bucket=1000).count()
+    tight = fuzzy_pairs(df, max_bucket=64).count()
+    assert loose == 70 * 69 // 2
+    assert tight == 0
+
+
+# --------------------------------------------------------------------------
+# A-ES weighted reservoir sample (functions/sampling.reservoir_sample)
+# --------------------------------------------------------------------------
+
+
+def test_reservoir_sample_python_replay(spark):
+    """Exact selection replay: the k winners and their ranks equal the
+    python A-ES computation with the same md5-60bit draws."""
+    import hashlib
+    import math
+
+    from combblas_spark.functions.sampling import reservoir_sample
+
+    rows = [(k, k % 7 + 1) for k in range(500)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    got = [
+        (r["key"], r["w"], r["prio"], r["rank"])
+        for r in reservoir_sample(df, 50, "w")
+        .orderBy("rank")
+        .collect()
+    ]
+
+    def prio(k, w):
+        h = int(hashlib.md5(f"res|{k}".encode()).hexdigest()[:15], 16)
+        return round(math.log((h + 1) / float(1 << 60)) / w, 6) + 0.0
+
+    want = sorted(
+        ((k, w, prio(k, w)) for k, w in rows),
+        key=lambda t: (-t[2], t[0]),
+    )[:50]
+    assert got == [
+        (k, w, p, i + 1) for i, (k, w, p) in enumerate(want)
+    ]
+
+
+def test_reservoir_sample_partition_invariance(spark):
+    """The selected set is a pure function of (salt, keys, weights):
+    identical across input partitionings."""
+    from combblas_spark.functions.sampling import reservoir_sample
+
+    rows = [(k, k % 5 + 1) for k in range(300)]
+    a = spark.createDataFrame(rows, "key long, w long").repartition(1)
+    b = spark.createDataFrame(rows, "key long, w long").repartition(13)
+    ra = [tuple(r) for r in reservoir_sample(a, 40, "w").orderBy("rank").collect()]
+    rb = [tuple(r) for r in reservoir_sample(b, 40, "w").orderBy("rank").collect()]
+    assert ra == rb and len(ra) == 40
+
+
+def test_reservoir_sample_nonpositive_weight_raises(spark):
+    """Weights must be >= 1: a zero weight raises at execution time
+    instead of silently skewing the draw."""
+    import pytest as _pytest
+
+    from combblas_spark.functions.sampling import reservoir_sample
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 0)], "key long, w long"
+    )
+    with _pytest.raises(Exception, match="nonpositive weight"):
+        reservoir_sample(df, 2, "w").collect()
