@@ -5868,6 +5868,476 @@ FROM rsp ORDER BY prio DESC, key ASC LIMIT {RES_K}"""
 
 
 # --------------------------------------------------------------------------
+# DAG path counting — the PLUS_TIMES wavefront (algorithms/ordering)
+# --------------------------------------------------------------------------
+
+
+def q_path_count(spark, sf):
+    """Root-to-vertex path counts over the layered DAG (id = layer*83 +
+    slot, edges layer -> layer+1 from md5 draws on a 2000-key space, so
+    fan-in stays ~2 and counts fit comfortably in int64): one
+    PLUS_TIMES frontier SpMV per superstep, drained into a union
+    accumulator — the plus-times member of the semiring triptych next
+    to sssp (MIN_PLUS) and level_schedule (MAX_PLUS). Every (vertex,
+    n_paths) is in the value hash."""
+    from combblas_spark.algorithms.ordering import path_count
+    from combblas_spark.functions.urls import _h60
+
+    g = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select((F.col("o_orderkey").cast("long") % 2000).alias("g"))
+        .distinct()
+    )
+    k = F.col("g")
+    layer = _h60("pl", k) % 11
+    e = g.select(
+        (layer * 83 + _h60("ps", k) % 83).alias("src"),
+        ((layer + 1) * 83 + _h60("pd", k) % 83).alias("dst"),
+    ).distinct()
+    return path_count(spark, e, max_iter=20)
+
+
+def _path_count_sql(steps: int) -> str:
+    """Unrolled PLUS_TIMES frontier supersteps (the DuckDB replay of
+    path_count's loop): y_{t+1} = SUM(y_t) grouped by dst, accumulated
+    by a final UNION ALL + SUM."""
+    h = (
+        "CAST(('0x' || substr(md5('{s}|' || CAST(g AS VARCHAR)), 1, 15)) "
+        "AS BIGINT)"
+    )
+    ctes = [
+        "pcu AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) % 2000 AS g "
+        "FROM orders)",
+        "pce AS MATERIALIZED (SELECT DISTINCT "
+        f"({h.format(s='pl')} % 11) * 83 + {h.format(s='ps')} % 83 AS src, "
+        f"({h.format(s='pl')} % 11 + 1) * 83 + {h.format(s='pd')} % 83 AS dst "
+        "FROM pcu)",
+        "pcy0 AS (SELECT src AS id, CAST(1 AS BIGINT) AS val "
+        "FROM (SELECT DISTINCT src FROM pce "
+        "WHERE src NOT IN (SELECT dst FROM pce)))",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"pcy{t} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"CAST(SUM(y.val) AS BIGINT) AS val "
+            f"FROM pcy{t - 1} y JOIN pce e ON e.src = y.id GROUP BY e.dst)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM pcy{t}" for t in range(steps + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(SUM(val) AS BIGINT) AS n_paths FROM ({union}) "
+        "GROUP BY id"
+    )
+
+
+# --------------------------------------------------------------------------
+# crawler-trap audit — functions/urls.trap_signals
+# --------------------------------------------------------------------------
+
+
+def q_trap_hosts(spark, sf):
+    """Per-host spider-trap audit over a deterministic URL fixture: 7
+    of 50 hosts are traps (3/4 of their URLs are the self-similar
+    /sN/x/sN/x/sN loop a cyclic link maze unrolls into), every host
+    carries a 1-in-29 sprinkle of deep-but-legit 10-segment URLs, the
+    rest are normal 2-segment paths. The Spark side PARSES the real
+    URL strings (split + exists, pure Columns); the oracle replays the
+    fixture's closed-form depth/loop intent — any defect in the
+    segment parsing breaks the value hash."""
+    from combblas_spark.functions.urls import _h60, trap_signals
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("u")
+    )
+    u = F.col("u")
+    K = u % 50
+    r = _h60("tp", u) % 4
+    d29 = _h60("dp", u) % 29
+    s3 = (u % 3).cast("string")
+    loopy_path = F.concat(
+        F.lit("/s"), s3, F.lit("/x/s"), s3, F.lit("/x/s"), s3
+    )
+    deep_path = F.lit("/q0/q1/q2/q3/q4/q5/q6/q7/q8/q9")
+    norm_path = F.concat(
+        F.lit("/cat"), (u % 12).cast("string"),
+        F.lit("/item"), (u % 997).cast("string"),
+    )
+    urls = o.select(
+        F.concat(F.lit("shop"), K.cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.when((K % 7 == 3) & (r < 3), loopy_path)
+        .when(d29 == 0, deep_path)
+        .otherwise(norm_path)
+        .alias("path"),
+    )
+    t = trap_signals(urls, depth_limit=8)
+    return t.select(
+        "host", "n_urls", "n_loopy", "n_deep", "max_depth",
+        F.col("is_trap").cast("long").alias("is_trap"),
+    )
+
+
+_TRAP_ORACLE = """WITH tpu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS u FROM orders),
+tpd AS (
+  SELECT u, u % 50 AS k,
+    CAST(('0x' || substr(md5('tp|' || CAST(u AS VARCHAR)), 1, 15))
+      AS BIGINT) % 4 AS r,
+    CAST(('0x' || substr(md5('dp|' || CAST(u AS VARCHAR)), 1, 15))
+      AS BIGINT) % 29 AS d29
+  FROM tpu),
+tpc AS (
+  SELECT 'shop' || CAST(k AS VARCHAR) || '.example.com' AS host,
+    CASE WHEN k % 7 = 3 AND r < 3 THEN 5
+         WHEN d29 = 0 THEN 10 ELSE 2 END AS depth,
+    CASE WHEN k % 7 = 3 AND r < 3 THEN 1 ELSE 0 END AS loopy,
+    CASE WHEN NOT (k % 7 = 3 AND r < 3) AND d29 = 0 THEN 1 ELSE 0 END
+      AS deep
+  FROM tpd)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(SUM(loopy) AS BIGINT) AS n_loopy,
+  CAST(SUM(deep) AS BIGINT) AS n_deep,
+  CAST(MAX(depth) AS BIGINT) AS max_depth,
+  CAST(CASE WHEN 3 * GREATEST(SUM(loopy), SUM(deep)) >= COUNT(*)
+       THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+FROM tpc GROUP BY host"""
+
+
+# --------------------------------------------------------------------------
+# Dunning LLR co-occurrence — functions/sessions.llr_pairs
+# --------------------------------------------------------------------------
+
+
+def q_llr_pairs(spark, sf):
+    """Co-visitation LLR scores over a planted-association fixture:
+    each order contributes its customer's interaction with item
+    i(h%30), and half the orders also touch the ADJACENT item
+    i((h+1)%30) — so neighboring items carry genuine association that
+    LLR must surface above the popularity-driven background. Full 2x2
+    contingency cells (exact int64) + the rounded G^2 score for every
+    co-occurring pair are in the value hash."""
+    from combblas_spark.functions.sessions import llr_pairs
+    from combblas_spark.functions.urls import _h60
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("ok"),
+        F.col("o_custkey").cast("long").alias("u"),
+    )
+    p = _h60("l1", F.col("ok")) % 30
+    two = _h60("l2", F.col("ok")) % 2
+    prim = o.select(
+        F.col("u").alias("user_id"),
+        F.concat(F.lit("i"), p.cast("string")).alias("event_type"),
+    )
+    sec = o.filter(two == 0).select(
+        F.col("u").alias("user_id"),
+        F.concat(F.lit("i"), ((p + 1) % 30).cast("string"))
+        .alias("event_type"),
+    )
+    return llr_pairs(prim.unionByName(sec))
+
+
+def _xlx(e: str) -> str:
+    return f"(CASE WHEN ({e}) > 0 THEN ({e}) * LN({e}) ELSE 0 END)"
+
+
+_LLR_ORACLE = f"""WITH llo AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS ok, CAST(o_custkey AS BIGINT) AS u
+  FROM orders),
+lld AS (
+  SELECT ok, u,
+    CAST(('0x' || substr(md5('l1|' || CAST(ok AS VARCHAR)), 1, 15))
+      AS BIGINT) % 30 AS p,
+    CAST(('0x' || substr(md5('l2|' || CAST(ok AS VARCHAR)), 1, 15))
+      AS BIGINT) % 2 AS two
+  FROM llo),
+llut AS MATERIALIZED (
+  SELECT DISTINCT u, 'i' || CAST(p AS VARCHAR) AS t FROM lld
+  UNION
+  SELECT DISTINCT u, 'i' || CAST((p + 1) % 30 AS VARCHAR) FROM lld
+  WHERE two = 0),
+lln AS (SELECT COUNT(DISTINCT u) AS n FROM llut),
+llm AS (SELECT t, COUNT(*) AS nt FROM llut GROUP BY t),
+llk AS (
+  SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS k11
+  FROM llut a JOIN llut b ON a.u = b.u AND a.t < b.t
+  GROUP BY a.t, b.t)
+SELECT type_a, type_b, CAST(k11 AS BIGINT) AS k11,
+  CAST(ma.nt - k11 AS BIGINT) AS k12,
+  CAST(mb.nt - k11 AS BIGINT) AS k21,
+  CAST(n - ma.nt - mb.nt + k11 AS BIGINT) AS k22,
+  ROUND(2.0 * ({_xlx('k11')} + {_xlx('ma.nt - k11')}
+    + {_xlx('mb.nt - k11')} + {_xlx('n - ma.nt - mb.nt + k11')}
+    - {_xlx('ma.nt')} - {_xlx('n - ma.nt')}
+    - {_xlx('mb.nt')} - {_xlx('n - mb.nt')} + {_xlx('n')}), 6) + 0.0
+    AS llr
+FROM llk JOIN llm ma ON ma.t = type_a
+         JOIN llm mb ON mb.t = type_b, lln"""
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k Jaccard — functions/sketch.kmv_jaccard
+# --------------------------------------------------------------------------
+
+
+KMVJ_K = 256
+
+
+def q_kmv_jaccard(spark, sf):
+    """Pairwise set-similarity between 6 md5-assigned customer groups
+    via shared bottom-256 KMV sketches: at sf0.001 the ~150-customer
+    unions sit under k (exact regime — the estimate IS the true
+    Jaccard), at sf0.01+ the ~1500-customer unions truncate (sketch
+    regime) — both branches land in the value hash across the gate
+    scales. Reuses the salted two-phase kselect for the bottom-k, so
+    no pair's union ever sorts in one task."""
+    from combblas_spark.functions.sketch import kmv_jaccard
+    from combblas_spark.functions.urls import _h60
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("ok"),
+        F.col("o_custkey").cast("long").alias("m"),
+    )
+    g = F.concat(
+        F.lit("g"), (_h60("kg", F.col("ok")) % 6).cast("string")
+    )
+    gm = o.select(g.alias("grp"), F.col("m").alias("member"))
+    return kmv_jaccard(gm, k=KMVJ_K)
+
+
+_KMVJ_ORACLE = f"""WITH kjo AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS ok, CAST(o_custkey AS BIGINT) AS m
+  FROM orders),
+kjgm AS MATERIALIZED (
+  SELECT DISTINCT
+    'g' || CAST(CAST(('0x' || substr(md5('kg|' || CAST(ok AS VARCHAR)),
+      1, 15)) AS BIGINT) % 6 AS VARCHAR) AS g, m
+  FROM kjo),
+kjg AS (SELECT DISTINCT g FROM kjgm),
+kjp AS (SELECT a.g AS grp_a, b.g AS grp_b
+        FROM kjg a JOIN kjg b ON a.g < b.g),
+kjf AS MATERIALIZED (
+  SELECT p.grp_a, p.grp_b, gm.m,
+    MAX(CASE WHEN gm.g = p.grp_a THEN 1 ELSE 0 END) AS ha,
+    MAX(CASE WHEN gm.g = p.grp_b THEN 1 ELSE 0 END) AS hb
+  FROM kjp p JOIN kjgm gm ON gm.g = p.grp_a OR gm.g = p.grp_b
+  GROUP BY p.grp_a, p.grp_b, gm.m),
+kjr AS (
+  SELECT grp_a, grp_b, ha, hb,
+    ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b
+      ORDER BY CAST(('0x' || substr(md5('kj|' || CAST(m AS VARCHAR)),
+        1, 15)) AS BIGINT) ASC, m ASC) AS rn
+  FROM kjf)
+SELECT grp_a, grp_b, CAST(COUNT(*) AS BIGINT) AS n_kmv,
+  CAST(SUM(ha * hb) AS BIGINT) AS n_shared,
+  ROUND(CAST(SUM(ha * hb) AS DOUBLE) / COUNT(*), 6) + 0.0 AS jacc_est
+FROM kjr WHERE rn <= {KMVJ_K} GROUP BY grp_a, grp_b"""
+
+
+# --------------------------------------------------------------------------
+# bond-percolation robustness — algorithms/stats.percolation_profile
+# --------------------------------------------------------------------------
+
+
+PERC_LEVELS = (25, 120, 400)
+
+
+def q_percolation(spark, sf):
+    """Random-failure resilience curve of the part-supplier graph:
+    retain 2.5% / 12% / 40% of undirected edges by a replayable
+    md5 coin on the canonical endpoint pair, then converged min-label
+    CC per level — (edges kept, vertices touched, giant-component
+    size, component count) exact int64 per level. At sf0.001 the 2.5%
+    level shatters the graph (gcc 10 of 46 touched vertices, 8
+    components) while 40% holds one giant component — the percolation
+    transition itself is in the value hash."""
+    from combblas_spark.algorithms.stats import percolation_profile
+
+    return percolation_profile(
+        spark, part_supplier_graph(spark, sf), levels=PERC_LEVELS
+    )
+
+
+def _percolation_sql(levels, iters: int) -> str:
+    """Per level: filter the shared coin table, symmetrize, unrolled
+    min-label CC (prefixed CTEs per level), one summary row."""
+    ctes = [
+        "pund AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS BIGINT) "
+        "AS a, CAST(l_suppkey + 1000000 AS BIGINT) AS b FROM lineitem)",
+        "pundc AS MATERIALIZED (SELECT a, b, "
+        "CAST(('0x' || substr(md5('rb|' || CAST(a AS VARCHAR) || '|' || "
+        "CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS coin FROM pund)",
+    ]
+    finals = []
+    for p in levels:
+        x = f"q{p}"
+        ctes.append(
+            f"{x}k AS MATERIALIZED (SELECT a, b FROM pundc WHERE coin < {p})"
+        )
+        ctes.append(
+            f"{x}e AS MATERIALIZED (SELECT a AS src, b AS dst FROM {x}k "
+            f"UNION ALL SELECT b, a FROM {x}k)"
+        )
+        ctes.append(
+            f"{x}l0 AS MATERIALIZED (SELECT id, id AS val FROM "
+            f"(SELECT DISTINCT src AS id FROM {x}e) t)"
+        )
+        for k in range(1, iters + 1):
+            ctes.append(
+                f"""{x}l{k} AS MATERIALIZED (
+  SELECT l.id,
+    CASE WHEN m.mn IS NOT NULL AND m.mn < l.val THEN m.mn ELSE l.val END
+      AS val
+  FROM {x}l{k - 1} l LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.val) AS mn
+    FROM {x}e e JOIN {x}l{k - 1} p ON e.src = p.id GROUP BY e.dst) m
+  ON l.id = m.id)"""
+            )
+        ctes.append(
+            f"{x}c AS (SELECT val, COUNT(*) AS c FROM {x}l{iters} "
+            "GROUP BY val)"
+        )
+        finals.append(
+            f"""SELECT CAST({p} AS BIGINT) AS p_permille,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {x}k) AS n_edges,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {x}l{iters}) AS n_vertices,
+  (SELECT CAST(MAX(c) AS BIGINT) FROM {x}c) AS gcc_size,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {x}c) AS n_components"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+# --------------------------------------------------------------------------
+# ranking drift — algorithms/stats.rank_correlation
+# --------------------------------------------------------------------------
+
+
+def q_rank_drift(spark, sf):
+    """Ranker-regression audit: PageRank vs raw weighted in-degree over
+    the part-supplier graph — tie-broken Spearman rho on the full order
+    plus top-100 member overlap, ONE exact-int row (n, sum_d2,
+    topk_overlap, spearman). The production question this answers: how
+    much does the expensive iterative ranker actually reorder the graph
+    vs the one-aggregate baseline?"""
+    from combblas_spark.algorithms.stats import rank_correlation
+
+    e = part_supplier_graph(spark, sf)
+    pr = pagerank(spark, e, alpha=0.85, num_iters=PR_ITERS)
+    indeg = e.groupBy(F.col("dst").alias("id")).agg(
+        F.sum("w").alias("val")
+    )
+    return rank_correlation(pr, indeg, k=100)
+
+
+def _rank_drift_sql() -> str:
+    pr = _pagerank_sql(PS_CTES, "edges", PR_ITERS)
+    d2 = "(ra - rb) * (ra - rb)"
+    cnt = "CAST(COUNT(*) AS DOUBLE)"
+    return f"""WITH rka AS MATERIALIZED ({pr}),
+rkb AS MATERIALIZED (WITH {PS_CTES}
+  SELECT dst AS id, ROUND(SUM(w), 6) AS s FROM edges GROUP BY dst),
+rra AS (SELECT id,
+  ROW_NUMBER() OVER (ORDER BY val DESC, id ASC) AS ra FROM rka),
+rrb AS (SELECT id,
+  ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS rb FROM rkb),
+rj AS (SELECT a.id, a.ra, b.rb FROM rra a JOIN rrb b ON a.id = b.id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM({d2}) AS BIGINT) AS sum_d2,
+  CAST(SUM(CASE WHEN ra <= 100 AND rb <= 100 THEN 1 ELSE 0 END)
+    AS BIGINT) AS topk_overlap,
+  ROUND(1.0 - 6.0 * CAST(SUM({d2}) AS DOUBLE)
+    / ({cnt} * ({cnt} * {cnt} - 1.0)), 6) + 0.0 AS spearman
+FROM rj"""
+
+
+# --------------------------------------------------------------------------
+# DOULION sampled triangles — algorithms/triangles.doulion_estimate
+# --------------------------------------------------------------------------
+
+
+def q_doulion(spark, sf):
+    """Coin-flip triangle estimation on the symmetrized events graph at
+    p = 1/2 (estimate = 8 x sampled count, exact int64): the sampled
+    count, the scaled estimate AND the exact count share one audited
+    row, so the estimator's error at this scale is hash-proven, not
+    claimed."""
+    from combblas_spark.algorithms.triangles import doulion_estimate
+
+    return doulion_estimate(symmetrize_ev(spark, sf), p_permille=500)
+
+
+_DOULION_ORACLE = f"""WITH {EV_CTES},
+dsym AS MATERIALIZED (
+  SELECT src, dst FROM evedges
+  UNION ALL SELECT dst, src FROM evedges),
+dund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM dsym WHERE src <> dst),
+dkeep AS MATERIALIZED (
+  SELECT a, b FROM dund
+  WHERE CAST(('0x' || substr(md5('dl|' || CAST(a AS VARCHAR) || '|' ||
+    CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 500),
+dts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dkeep x
+  JOIN dkeep y ON x.b = y.a
+  JOIN dkeep z ON z.a = x.a AND z.b = y.b),
+dtf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dund x
+  JOIN dund y ON x.b = y.a
+  JOIN dund z ON z.a = x.a AND z.b = y.b)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dkeep) AS n_edges_kept,
+  (SELECT n FROM dts) AS n_tri_sampled,
+  (SELECT CAST(8 * n AS BIGINT) FROM dts) AS est_triangles,
+  (SELECT n FROM dtf) AS n_tri_exact"""
+
+
+# --------------------------------------------------------------------------
+# widest path — MAX_MIN bottleneck relaxation (algorithms/sssp.widest_path)
+# --------------------------------------------------------------------------
+
+
+WIDEST_ITERS = 15
+
+
+def q_widest_ps(spark, sf):
+    """Maximum-bottleneck capacities from MIN(src) over the weighted
+    part-supplier graph — the MAX_MIN member of the semiring family
+    (plus_times / min_plus / max_plus / select2nd_min / max_min all
+    driver-graded now); every reached (vertex, capacity) is in the
+    value hash, the source carrying the finite +inf stand-in."""
+    from combblas_spark.algorithms.sssp import widest_path
+
+    e = part_supplier_graph(spark, sf)
+    root = e.agg(F.min("src")).collect()[0][0]
+    return widest_path(spark, e, source=int(root), num_iters=WIDEST_ITERS)
+
+
+def _widest_sql(prefix: str, edges_cte: str, iters: int) -> str:
+    """Unrolled MAX_MIN relaxation from MIN(src): mirror of _sssp_sql
+    with (MIN, +) swapped for (MAX, LEAST) and the 1e18 source cap."""
+    parts = [
+        f"w0 AS MATERIALIZED (SELECT (SELECT MIN(src) FROM {edges_cte}) "
+        "AS id, CAST(1.0e18 AS DOUBLE) AS val)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT COALESCE(d.id, r.id) AS id,
+         CASE WHEN d.val IS NULL THEN r.mx
+              WHEN r.mx IS NULL THEN d.val
+              WHEN r.mx > d.val THEN r.mx ELSE d.val END AS val
+  FROM w{k - 1} d FULL OUTER JOIN (
+    SELECT e.dst AS id, MAX(LEAST(e.w, p.val)) AS mx
+    FROM {edges_cte} e JOIN w{k - 1} p ON e.src = p.id GROUP BY e.dst) r
+  ON d.id = r.id)"""
+        )
+    return (
+        f"WITH {prefix},\n" + ",\n".join(parts)
+        + f"\nSELECT id, val FROM w{iters}"
+    )
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -6085,6 +6555,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_robust": q_len_robust,
         "fuzzy_pairs": q_fuzzy_pairs,
         "reservoir_sample": q_reservoir_sample,
+        "path_count": q_path_count,
+        "trap_hosts": q_trap_hosts,
+        "llr_pairs": q_llr_pairs,
+        "kmv_jaccard": q_kmv_jaccard,
+        "percolation": q_percolation,
+        "rank_drift": q_rank_drift,
+        "doulion": q_doulion,
+        "widest_ps": q_widest_ps,
     }
 
 
@@ -6142,6 +6620,14 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "level_schedule": _LEVEL_ORACLE,
         "fuzzy_pairs": _FUZZY_ORACLE,
         "reservoir_sample": _RES_ORACLE,
+        "path_count": _path_count_sql(12),
+        "trap_hosts": _TRAP_ORACLE,
+        "llr_pairs": _LLR_ORACLE,
+        "kmv_jaccard": _KMVJ_ORACLE,
+        "percolation": _percolation_sql(PERC_LEVELS, 12),
+        "rank_drift": _rank_drift_sql(),
+        "doulion": _DOULION_ORACLE,
+        "widest_ps": _widest_sql(PS_CTES, "edges", WIDEST_ITERS),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -175,6 +175,14 @@ HEADLINE = [
     "level_schedule",
     "fuzzy_pairs",
     "reservoir_sample",
+    "path_count",
+    "trap_hosts",
+    "llr_pairs",
+    "kmv_jaccard",
+    "percolation",
+    "rank_drift",
+    "doulion",
+    "widest_ps",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

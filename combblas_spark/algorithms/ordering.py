@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from combblas_spark.algorithms.bfs import bfs
-from combblas_spark.core.semiring import MAX_PLUS
+from combblas_spark.core.semiring import MAX_PLUS, PLUS_TIMES
 from combblas_spark.operators.indexing import _global_ranks
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.plans.superstep import SuperstepRunner
@@ -292,6 +292,75 @@ def level_schedule(
             "supersteps — the longest dependency chain exceeds the "
             "budget, or the input graph has a cycle (level sets are "
             "undefined on cycles)."
+        )
+    finally:
+        e.unpersist()
+
+
+def path_count(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 64,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Source-to-vertex path counting over a DAG: n_paths(v) = number of
+    distinct root->v paths, roots = vertices with no in-edge, each root
+    counting its own empty path. Completes the wavefront semiring
+    triptych — sssp relaxes MIN_PLUS, :func:`level_schedule` MAX_PLUS,
+    and this is the PLUS_TIMES member (path enumeration IS the
+    plus-times closure A* over the DAG; reference semiring catalogue at
+    /root/reference/include/CombBLAS/Operations.h, which has min/max/
+    plus monoids but no DAG path kernel).
+
+    Plan shape: the frontier y_t holds the count of length-t paths
+    ending at each vertex — one PLUS_TIMES SpMV per superstep
+    (y_{t+1}[d] = sum over edges (s,d) of y_t[s]) against the cached
+    dst-partitioned edge table with the (small, O(active)) frontier
+    broadcast, drained into a union accumulator that one final groupBy
+    SUM collapses. On a DAG the frontier empties within longest-path
+    supersteps; a cycle never drains, so exhausting ``max_iter``
+    RAISES rather than returning truncated counts (a cycle makes the
+    path count infinite — any finite answer would be wrong).
+
+    ``edges``: (src, dst). Returns (id, n_paths BIGINT) for every
+    vertex reachable from a root, roots included. Counts are exact
+    int64 — callers on dense layered DAGs must bound depth*fanin so
+    the count stays under 2^63 (the layered contract fixture does).
+    A cycle UNREACHABLE from any root simply contributes no rows (no
+    root path enters it — on a fully root-less input the output is
+    empty); only a root-fed cycle trips the non-convergence raise.
+    """
+    runner = runner or SuperstepRunner(spark)
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, "dst")
+    )
+    e.persist()
+    try:
+        dsts = e.select(F.col("dst").alias("id")).distinct()
+        roots = (
+            e.select(F.col("src").alias("id"))
+            .distinct()
+            .join(dsts, "id", "left_anti")
+        )
+        y = runner.truncate(
+            roots.select("id", F.lit(1).cast("long").alias("val"))
+        )
+        acc = y
+        for _ in range(max_iter):
+            y = runner.truncate(spmv(e, y, PLUS_TIMES, broadcast_x=True))
+            if y.limit(1).count() == 0:
+                return acc.groupBy("id").agg(
+                    F.sum("val").cast("long").alias("n_paths")
+                )
+            acc = runner.truncate(acc.unionByName(y))
+        raise RuntimeError(
+            f"path_count: frontier not drained within max_iter={max_iter} "
+            "supersteps — the longest root-path exceeds the budget, or "
+            "the input graph has a cycle (path counts are infinite on "
+            "cycles); refusing to return truncated counts."
         )
     finally:
         e.unpersist()

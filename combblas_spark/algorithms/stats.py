@@ -576,3 +576,145 @@ def gap_encoding_audit(edges: DataFrame) -> DataFrame:
             F.sum("raw_bits").cast("long").alias("raw_bits"),
         )
     )
+
+
+def percolation_profile(
+    spark,
+    edges: DataFrame,
+    levels=(25, 120, 400),
+    salt: str = "rb",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Bond-percolation robustness curve: retain each undirected edge
+    independently with probability p/1000 (a replayable md5-60bit coin
+    on the canonical (min,max) endpoint pair, so both directions live
+    or die together and the draw is engine/partitioning-invariant),
+    then measure what survives — edges kept, vertices touched, giant-
+    component size and component count via the converged min-label CC
+    kernel. The classic attack/resilience audit for a link graph
+    (Albert-Jeong-Barabasi style random-failure curve): how much of
+    the crawl's connectivity survives losing (1 - p/1000) of its
+    links, e.g. dead links between snapshots or a partial fetch.
+
+    Scale shape: the canonical edge set is computed once and cached;
+    each level is one pure-Column filter (no resampling pass) feeding
+    the standard CC superstep kernel, and the per-level summary is a
+    two-stage aggregate (component sizes, then one row) — the curve
+    costs |levels| CC runs on graphs that are strict subsets of the
+    input. Returns one exact-int64 row per level:
+    (p_permille, n_edges, n_vertices, gcc_size, n_components).
+    """
+    from combblas_spark.algorithms.cc import cc_minlabel
+    from combblas_spark.functions.dedup import md5_60bit
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    und = und.withColumn(
+        "_coin",
+        md5_60bit(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col("a").cast("string"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 1000,
+    )
+    und.persist()
+    try:
+        rows = []
+        for p in levels:
+            keep = und.filter(F.col("_coin") < F.lit(int(p)))
+            e = (
+                keep.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .unionByName(
+                    keep.select(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
+                    )
+                )
+                .withColumn("w", F.lit(1.0))
+            )
+            lab = cc_minlabel(spark, e, max_iter=max_iter)
+            comp = lab.groupBy("val").agg(
+                F.count(F.lit(1)).cast("long").alias("sz")
+            )
+            summary = comp.agg(
+                F.max("sz").cast("long").alias("gcc_size"),
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.sum("sz").cast("long").alias("n_vertices"),
+            )
+            n_e = keep.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            rows.append(
+                n_e.crossJoin(summary).select(
+                    F.lit(int(p)).cast("long").alias("p_permille"),
+                    "n_edges",
+                    "n_vertices",
+                    "gcc_size",
+                    "n_components",
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+    finally:
+        und.unpersist()
+
+
+def rank_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 100,
+    score_col: str = "val",
+) -> DataFrame:
+    """Ranking-drift audit between two scorings of the same id universe
+    — the regression gate every ranker change ships through: Spearman
+    rho over the full order plus top-k member overlap. Ranks are taken
+    on the TOTAL order (ROUND(score, 6) DESC, id ASC) — the repo-wide
+    rounded-score rule — so tie handling is deterministic and engine-
+    portable (tie-broken Spearman, not the averaged-rank variant; with
+    64-bit scores ties are rare and the audit is about drift, not the
+    textbook statistic).
+
+    Scale shape: each ranking gets its global rank from the range-
+    partitioned sample sort (_global_ranks — no single-task window),
+    one equi-join on id aligns them, and everything collapses through
+    ONE map-side-combinable aggregate to a single row: n, sum of
+    squared rank displacements (exact int64), top-k overlap (exact),
+    and rho = 1 - 6*sum_d2/(n(n^2-1)) rounded at 6. Ids present in
+    only one ranking are dropped by the inner join (compare rankings
+    over the same universe; the n column discloses the overlap size).
+    """
+    from combblas_spark.operators.indexing import _global_ranks
+
+    def ranked(df, name):
+        r = _global_ranks(
+            df.select("id", F.round(score_col, 6).alias("_s")),
+            [F.col("_s").desc(), F.col("id").asc()],
+        )
+        return r.select("id", (F.col("rank") + 1).alias(name))
+
+    j = ranked(a, "ra").join(ranked(b, "rb"), "id")
+    d = F.col("ra") - F.col("rb")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d * d).cast("long").alias("sum_d2"),
+        F.sum(
+            ((F.col("ra") <= k) & (F.col("rb") <= k)).cast("long")
+        ).cast("long").alias("topk_overlap"),
+    )
+    n = F.col("n").cast("double")
+    rho = F.lit(1.0) - F.lit(6.0) * F.col("sum_d2").cast("double") / (
+        n * (n * n - F.lit(1.0))
+    )
+    return agg.select(
+        "n", "sum_d2", "topk_overlap",
+        (F.round(rho, 6) + F.lit(0.0)).alias("spearman"),
+    )

@@ -60,3 +60,7 @@ BOOL_OR_AND = Semiring(
 #: Max-plus (the other tropical semiring) — longest-path / critical-path
 #: propagation, e.g. triangular-solve level scheduling.
 MAX_PLUS = Semiring("max_plus", lambda a, b: a + b, F.max)
+
+#: Bottleneck semiring — widest-path / maximum-capacity relaxation:
+#: a path's value is its narrowest edge, the best path the widest one.
+MAX_MIN = Semiring("max_min", lambda a, b: F.least(a, b), F.max)

@@ -334,3 +334,85 @@ def burst_days(
             > F.lit(factor_num) * F.col("trail_sum")
         ),
     )
+
+
+def llr_pairs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Dunning log-likelihood-ratio co-occurrence scores between event
+    types — the classic co-visitation / "people who did A also did B"
+    recommendation signal (Dunning 1993; the G^2 test behind every
+    production co-occurrence recommender). Raw counts over-rank
+    popular-with-popular pairs; LLR scores the 2x2 user contingency
+    table (both / only-A / only-B / neither) against independence, so a
+    niche pair with perfect overlap outranks two blockbusters that
+    merely share the audience every pair shares.
+
+    Plan shape: distinct (user, type) once; k11 via a per-user
+    self-join whose fan-out is bounded by the per-user distinct-type
+    count (at web scale cap activity per user upstream — the standard
+    interaction-cap — so the join is linear in interactions, never
+    user-quadratic); margins are one tiny per-type aggregate and a
+    1-row total, both broadcast. All contingency cells exact int64;
+    the only doubles are the final x*ln(x) entropy terms, ROUND(.,6)
+    with the +0.0 -0.0-normalization so both engines hash identically.
+
+    Returns (type_a, type_b, k11, k12, k21, k22, llr) for co-occurring
+    unordered pairs, type_a < type_b.
+    """
+    ut = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).distinct()
+    n_tot = ut.select("u").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    per_t = ut.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = ut.select("u", F.col("t").alias("type_a"))
+    b = ut.select("u", F.col("t").alias("type_b"))
+    k11 = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("k11"))
+    )
+    j = (
+        k11.join(
+            F.broadcast(
+                per_t.select(F.col("t").alias("type_a"), F.col("n_t").alias("_na"))
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                per_t.select(F.col("t").alias("type_b"), F.col("n_t").alias("_nb"))
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    k12 = F.col("_na") - F.col("k11")
+    k21 = F.col("_nb") - F.col("k11")
+    k22 = F.col("_n") - F.col("_na") - F.col("_nb") + F.col("k11")
+
+    def _s(c):
+        return F.when(c > 0, c.cast("double") * F.log(c.cast("double"))).otherwise(
+            F.lit(0.0)
+        )
+
+    llr = F.lit(2.0) * (
+        _s(F.col("k11")) + _s(k12) + _s(k21) + _s(k22)
+        - _s(F.col("_na")) - _s(F.col("_n") - F.col("_na"))
+        - _s(F.col("_nb")) - _s(F.col("_n") - F.col("_nb"))
+        + _s(F.col("_n"))
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        "k11",
+        k12.cast("long").alias("k12"),
+        k21.cast("long").alias("k21"),
+        k22.cast("long").alias("k22"),
+        (F.round(llr, 6) + F.lit(0.0)).alias("llr"),
+    )

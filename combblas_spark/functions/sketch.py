@@ -462,3 +462,86 @@ def hist_quantiles(
         )
         .select("pct", F.round(est, 6).alias("est"))
     )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    k: int = 256,
+    group_col: str = "grp",
+    member_col: str = "member",
+    salt: str = "kj",
+) -> DataFrame:
+    """Pairwise Jaccard similarity between member sets via shared
+    k-minimum-values sketches (Beyer et al. 2007) — the set-similarity
+    member of the sketch plane (hll = cardinality, kmv = distinct,
+    cms = heavy hitters, bloom = membership): J(A,B) is estimated as
+    the both-sides fraction of the k smallest member hashes of the
+    union, an unbiased bottom-k estimator that never materializes
+    either set.
+
+    Determinism: the sketch hash is the replayable md5-60bit draw, so
+    the selected bottom-k — and therefore the estimate — is a pure
+    function of (salt, members), partition-invariant and engine-
+    portable; ties cannot occur (distinct members, 60-bit hashes, and
+    the member-id tiebreak makes the order total anyway).
+
+    Plan shape: distinct (group, member) once; each row fans out to
+    the pairs containing its group via two joins against the tiny
+    pair table (fan-out = n_groups - 1, the small-cardinality-groups
+    regime — event types, sources, shards; NOT for billions of
+    groups); per-(member, pair) flags collapse with one MAX agg; the
+    bottom-k per pair reuses the salted two-phase kselect so a mega
+    union never sorts in one task. Estimates are exact-integer
+    n_shared / n_kmv with one final ROUND(.,6).
+
+    Returns (grp_a, grp_b, n_kmv, n_shared, jacc_est) for every
+    unordered group pair, grp_a < grp_b.
+    """
+    from combblas_spark.functions.dedup import md5_60bit
+    from combblas_spark.operators.kselect import kselect
+
+    gm = df.select(
+        F.col(group_col).alias("g"), F.col(member_col).alias("m")
+    ).distinct()
+    groups = gm.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("grp_a"))
+        .crossJoin(F.broadcast(groups.select(F.col("g").alias("grp_b"))))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    via_a = gm.join(
+        F.broadcast(pairs), on=F.col("g") == F.col("grp_a")
+    ).select("m", "grp_a", "grp_b", F.lit(1).alias("ha"), F.lit(0).alias("hb"))
+    via_b = gm.join(
+        F.broadcast(pairs), on=F.col("g") == F.col("grp_b")
+    ).select("m", "grp_a", "grp_b", F.lit(0).alias("ha"), F.lit(1).alias("hb"))
+    flagged = (
+        via_a.unionByName(via_b)
+        .groupBy("m", "grp_a", "grp_b")
+        .agg(F.max("ha").alias("ha"), F.max("hb").alias("hb"))
+    )
+    h = md5_60bit(F.concat(F.lit(salt + "|"), F.col("m").cast("string")))
+    ranked = flagged.select(
+        F.col("m").alias("src"),
+        F.concat_ws("|", "grp_a", "grp_b").alias("dst"),
+        (-h).alias("w"),
+        "grp_a",
+        "grp_b",
+        "ha",
+        "hb",
+    )
+    bottomk = kselect(ranked, k, by="dst")
+    return (
+        bottomk.groupBy("grp_a", "grp_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kmv"),
+            F.sum((F.col("ha") * F.col("hb")).cast("long"))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "jacc_est",
+            F.round(F.col("n_shared").cast("double") / F.col("n_kmv"), 6)
+            + F.lit(0.0),
+        )
+    )

@@ -385,3 +385,65 @@ def fetch_schedule(
             .alias("slot_ms"),
         )
     )
+
+
+def trap_signals(
+    urls: DataFrame,
+    depth_limit: int = 8,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-host crawler-trap audit — the frontier-hygiene pass between
+    discovery and scheduling: spider traps (calendar pages, session-id
+    mazes, symlink loops) manufacture unbounded URL spaces that eat a
+    host's crawl budget without new content. The two classic per-URL
+    signals (IRLbot-style heuristics; the reference has no crawl
+    plane):
+
+    - ``deep``: path depth (non-empty '/'-segments) > ``depth_limit``;
+    - ``loopy``: some segment repeats two positions earlier
+      (s[i] = s[i-2], the /a/b/a/b/... self-similar pattern a cyclic
+      link structure unrolls into).
+
+    Both are pure Column expressions (split + one ``exists`` over an
+    index sequence — JVM codegen, no UDF, no join), then ONE map-side-
+    combinable groupBy(host) — at crawl scale this is a single pass
+    over the frontier with a tiny per-host result. A host is flagged
+    ``is_trap`` when a third or more of its URLs are loopy or deep:
+    ratio test on exact int64 counts (3*n_bad >= n_urls), no doubles.
+
+    Returns (host, n_urls, n_loopy, n_deep, max_depth, is_trap).
+    """
+    segs = F.expr(
+        f"filter(split({path_col}, '/'), x -> x != '')"
+    )
+    d = urls.withColumn("_segs", segs).withColumn(
+        "_depth", F.size("_segs").cast("long")
+    )
+    # CASE WHEN for the depth guard: sequence(3, n) flips to a DESCENDING
+    # [3,2,..] when n < 3 and element_at(_, 0) then throws — WHEN is the
+    # one construct with guaranteed lazy branch evaluation.
+    loopy = F.when(
+        F.col("_depth") >= 3,
+        F.expr(
+            "exists(sequence(3, size(_segs)), "
+            "i -> element_at(_segs, i) = element_at(_segs, i - 2))"
+        ),
+    ).otherwise(F.lit(False))
+    deep = F.col("_depth") > depth_limit
+    per = d.select(
+        F.col(host_col).alias("host"),
+        F.col("_depth").alias("depth"),
+        loopy.cast("long").alias("loopy"),
+        deep.cast("long").alias("deep"),
+    )
+    agg = per.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("loopy").cast("long").alias("n_loopy"),
+        F.sum("deep").cast("long").alias("n_deep"),
+        F.max("depth").cast("long").alias("max_depth"),
+    )
+    return agg.withColumn(
+        "is_trap",
+        (F.lit(3) * F.greatest("n_loopy", "n_deep")) >= F.col("n_urls"),
+    )

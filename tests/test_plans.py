@@ -620,3 +620,73 @@ def test_conjunctive_topk_take_ordered(spark):
     plan = _plan(entrymod.q_conjunctive(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_signature_equi_join_no_cartesian(spark):
+    """SymSpell blocking must candidate-join on the signature key — a
+    cartesian here would be the all-pairs plan the pigeonhole exists to
+    avoid."""
+    from combblas_spark.functions.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(k, f"w{k % 9}x") for k in range(50)], "key long, s string"
+    )
+    plan = _plan(fuzzy_pairs(df))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_reservoir_sample_is_take_ordered_not_global_sort(spark):
+    """A-ES selection must plan as TakeOrderedAndProject (per-partition
+    heap + k-row reduce), never a global Sort + Limit."""
+    from combblas_spark.functions.sampling import reservoir_sample
+
+    df = spark.createDataFrame(
+        [(k, k % 5 + 1) for k in range(200)], "key long, w long"
+    )
+    plan = _plan(reservoir_sample(df, 20, "w"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_trap_signals_single_aggregate_no_join(spark):
+    """Per-URL signals are pure Columns; the host rollup is ONE
+    two-level hash aggregate — no join, no window, no explode."""
+    from combblas_spark.functions.urls import trap_signals
+
+    df = spark.createDataFrame(
+        [("h.com", "/a/b/c")], "host string, path string"
+    )
+    plan = _plan(trap_signals(df))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_llr_margins_broadcast_onto_pair_counts(spark):
+    """The per-type margin table and the 1-row total must broadcast —
+    the only shuffles are the distinct and the k11 pair aggregate."""
+    from combblas_spark.functions.sessions import llr_pairs
+
+    df = spark.createDataFrame(
+        [(u, f"t{u % 4}") for u in range(40)],
+        "user_id long, event_type string",
+    )
+    plan = _plan(llr_pairs(df))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Cartesian" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmv_jaccard_bottomk_salted_two_phase(spark):
+    """The bottom-k reuses the salted two-phase kselect: two Window
+    row_number passes (salted local, then global) and no cartesian on
+    the member side (the only nested-loop is the tiny group-pair
+    broadcast)."""
+    from combblas_spark.functions.sketch import kmv_jaccard
+
+    df = spark.createDataFrame(
+        [("g" + str(m % 3), m) for m in range(60)],
+        "grp string, member long",
+    )
+    plan = _plan(kmv_jaccard(df, k=8))
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan

@@ -4711,3 +4711,440 @@ def test_reservoir_sample_nonpositive_weight_raises(spark):
     )
     with _pytest.raises(Exception, match="nonpositive weight"):
         reservoir_sample(df, 2, "w").collect()
+
+
+# --------------------------------------------------------------------------
+# DAG path counting (algorithms/ordering.path_count)
+# --------------------------------------------------------------------------
+
+
+def test_path_count_hand_case(spark):
+    """Diamond: the join vertex multiplies (2 paths), downstream
+    inherits the product; an independent extra root adds additively;
+    roots count their own empty path."""
+    from combblas_spark.algorithms.ordering import path_count
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (9, 5)],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["n_paths"]
+        for r in path_count(spark, e, max_iter=10).collect()
+    }
+    assert got == {1: 1, 9: 1, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_path_count_cycle_raises(spark):
+    """A root-reachable cycle never drains the frontier: path counts
+    are infinite, so the kernel must raise rather than return truncated
+    counts. A ROOT-LESS cycle has no root paths at all — empty output,
+    not an error (nothing is reachable from a root)."""
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.ordering import path_count
+
+    rooted = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="cycle|drained|max_iter"):
+        path_count(spark, rooted, max_iter=6)
+
+    rootless = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    assert path_count(spark, rootless, max_iter=6).count() == 0
+
+
+def test_path_count_recurrence_law(spark):
+    """Defining recurrence on the contract output at sf0.001: roots
+    count exactly 1 and every non-root's count equals the sum of its
+    in-neighbors' counts — with the DAG property this pins the unique
+    correct fixpoint."""
+    import hashlib
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["id"]: r["n_paths"]
+        for r in entrymod.q_path_count(spark, sf).collect()
+    }
+
+    def h60(salt, key):
+        return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16)
+
+    gs = {
+        r["o_orderkey"] % 2000
+        for r in spark.read.parquet(f"{sf}/orders.parquet").collect()
+    }
+    edges = set()
+    for g in gs:
+        layer = h60("pl", g) % 11
+        edges.add((layer * 83 + h60("ps", g) % 83,
+                   (layer + 1) * 83 + h60("pd", g) % 83))
+    preds = defaultdict(list)
+    dsts = {d for _, d in edges}
+    for s, d in edges:
+        preds[d].append(s)
+    for v, n in got.items():
+        if v not in dsts:
+            assert n == 1
+        else:
+            assert n == sum(got[s] for s in preds[v])
+    # every reachable vertex is present
+    assert {s for s, _ in edges if s not in dsts} <= set(got)
+
+
+# --------------------------------------------------------------------------
+# crawler-trap audit (functions/urls.trap_signals)
+# --------------------------------------------------------------------------
+
+
+def test_trap_signals_hand_case(spark):
+    """Loop detection (s[i] = s[i-2]), depth counting with messy
+    slashes, the depth-guard on short paths, and the 1/3-ratio flag."""
+    from combblas_spark.functions.urls import trap_signals
+
+    rows = [
+        ("t.com", "/a/b/a/b/a"),      # loopy, depth 5
+        ("t.com", "/a/b/a"),          # loopy, depth 3
+        ("t.com", "/x/y/z"),          # clean
+        ("n.com", "/p1/p2//p3/"),     # depth 3 (empty segs dropped)
+        ("n.com", "/"),               # depth 0, must not error
+        ("n.com", "/q0/q1/q2/q3/q4/q5/q6/q7/q8"),  # depth 9 > 8: deep
+        ("n.com", "/one/two"),
+        ("n.com", "/solo"),
+        ("n.com", "/cat3/item7"),
+        ("n.com", "/cat4/item9"),
+    ]
+    df = spark.createDataFrame(rows, "host string, path string")
+    got = {
+        r["host"]: (
+            r["n_urls"], r["n_loopy"], r["n_deep"],
+            r["max_depth"], r["is_trap"],
+        )
+        for r in trap_signals(df, depth_limit=8).collect()
+    }
+    assert got == {
+        "t.com": (3, 2, 0, 5, True),   # 3*2 >= 3
+        "n.com": (7, 0, 1, 9, False),  # 3*1 < 7
+    }
+
+
+# --------------------------------------------------------------------------
+# Dunning LLR co-occurrence (functions/sessions.llr_pairs)
+# --------------------------------------------------------------------------
+
+
+def test_llr_pairs_hand_case(spark):
+    """Hand 2x2 table vs python-computed G^2, and the independence
+    table scoring EXACTLY zero (its llr term cancels analytically)."""
+    import math
+
+    from combblas_spark.functions.sessions import llr_pairs
+
+    # A: u1,u2,u3  B: u1,u2,u4  -> k11=2 k12=1 k21=1 k22=1 (N=5: u5 C-only)
+    rows = [
+        (1, "A"), (2, "A"), (3, "A"),
+        (1, "B"), (2, "B"), (4, "B"),
+        (5, "C"),
+        # independence block: D/E over the same 5 users
+        # D: u1..u4 (4), E: u1,u2,u5? -> keep simple below
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["k11"], r["k12"], r["k21"], r["k22"], r["llr"]
+        )
+        for r in llr_pairs(df).collect()
+    }
+
+    def s(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    def llr(k11, k12, k21, k22):
+        na, nb, n = k11 + k12, k11 + k21, k11 + k12 + k21 + k22
+        return round(2.0 * (s(k11) + s(k12) + s(k21) + s(k22)
+                            - s(na) - s(n - na) - s(nb) - s(n - nb)
+                            + s(n)), 6) + 0.0
+
+    assert got[("A", "B")] == (2, 1, 1, 1, llr(2, 1, 1, 1))
+    # co-occurrence pairs only: (A, C) never share a user -> absent
+    assert ("A", "C") not in got
+
+
+def test_llr_independence_scores_zero(spark):
+    """A perfectly independent 2x2 (1,1,1,1) must score llr = 0.0 (and
+    normalize away -0.0 so both engines hash identically)."""
+    from combblas_spark.functions.sessions import llr_pairs
+
+    # user 4 carries only C, putting one user in the neither-A-nor-B
+    # cell: table (1,1,1,1) with N = 4
+    rows = [(1, "A"), (1, "B"), (2, "A"), (3, "B"), (4, "C")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    [r] = llr_pairs(df).filter("type_a = 'A' AND type_b = 'B'").collect()
+    assert (r["k11"], r["k12"], r["k21"], r["k22"]) == (1, 1, 1, 1)
+    assert r["llr"] == 0.0 and str(r["llr"]) == "0.0"
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k Jaccard (functions/sketch.kmv_jaccard)
+# --------------------------------------------------------------------------
+
+
+def test_kmv_jaccard_exact_regime(spark):
+    """Unions under k: the sketch degenerates to the exact Jaccard of
+    every pair."""
+    from combblas_spark.functions.sketch import kmv_jaccard
+
+    rows = (
+        [("a", m) for m in range(0, 30)]
+        + [("b", m) for m in range(15, 45)]   # |a^b|=15 |aub|=45
+        + [("c", m) for m in range(100, 110)]  # disjoint
+    )
+    df = spark.createDataFrame(rows, "grp string, member long")
+    got = {
+        (r["grp_a"], r["grp_b"]): (r["n_kmv"], r["n_shared"], r["jacc_est"])
+        for r in kmv_jaccard(df, k=1000).collect()
+    }
+    assert got[("a", "b")] == (45, 15, round(15 / 45, 6))
+    assert got[("a", "c")] == (40, 0, 0.0)
+    assert got[("b", "c")] == (40, 0, 0.0)
+
+
+def test_kmv_jaccard_sketch_regime_python_replay(spark):
+    """Truncating k: the estimate equals the python bottom-k replay
+    with the same md5 draws, and is partition-invariant."""
+    import hashlib
+
+    from combblas_spark.functions.sketch import kmv_jaccard
+
+    a = set(range(0, 150))
+    b = set(range(100, 260))
+    rows = [("a", m) for m in a] + [("b", m) for m in b]
+    k = 32
+
+    def h(m):
+        return int(hashlib.md5(f"kj|{m}".encode()).hexdigest()[:15], 16)
+
+    union = sorted(a | b, key=lambda m: (h(m), m))[:k]
+    n_shared = sum(1 for m in union if m in a and m in b)
+    want = (k, n_shared, round(n_shared / k, 6) + 0.0)
+
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "grp string, member long"
+        ).repartition(parts)
+        [r] = kmv_jaccard(df, k=k).collect()
+        assert (r["n_kmv"], r["n_shared"], r["jacc_est"]) == want
+
+
+# --------------------------------------------------------------------------
+# bond-percolation robustness (algorithms/stats.percolation_profile)
+# --------------------------------------------------------------------------
+
+
+def test_percolation_profile_python_replay(spark):
+    """Full union-find replay with the same md5 coins on a two-cluster
+    bridge graph, plus the nesting law (keep sets nest upward in p, so
+    n_edges and gcc_size are monotone along the curve)."""
+    import hashlib
+
+    from combblas_spark.algorithms.stats import percolation_profile
+
+    edges = [(i, i + 1) for i in range(0, 9)] + [
+        (20, 21), (21, 22), (22, 20), (9, 20),  # bridge 9-20
+        (2, 1), (5, 5),  # reverse dup + self loop: both must be ignored
+    ]
+    df = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, w double"
+    )
+    levels = (200, 500, 900)
+    got = {
+        r["p_permille"]: (
+            r["n_edges"], r["n_vertices"], r["gcc_size"], r["n_components"]
+        )
+        for r in percolation_profile(spark, df, levels=levels).collect()
+    }
+
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+
+    def coin(a, b):
+        h = hashlib.md5(f"rb|{a}|{b}".encode()).hexdigest()
+        return int(h[:15], 16) % 1000
+
+    for p in levels:
+        keep = [(a, b) for a, b in und if coin(a, b) < p]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in keep:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comps = {}
+        for v in {v for e in keep for v in e}:
+            comps.setdefault(find(v), set()).add(v)
+        want = (
+            len(keep),
+            sum(len(c) for c in comps.values()),
+            max((len(c) for c in comps.values()), default=None),
+            len(comps),
+        )
+        assert got[p] == want
+    # nesting law
+    ps = sorted(levels)
+    for lo, hi in zip(ps, ps[1:]):
+        assert got[lo][0] <= got[hi][0] and got[lo][2] <= got[hi][2]
+
+
+# --------------------------------------------------------------------------
+# ranking drift (algorithms/stats.rank_correlation)
+# --------------------------------------------------------------------------
+
+
+def test_rank_correlation_identity_and_reversal(spark):
+    """Identical rankings score exactly 1.0; an exact reversal scores
+    exactly -1.0 (sum_d2 = n(n^2-1)/3); disjoint-id rows drop into n."""
+    from combblas_spark.algorithms.stats import rank_correlation
+
+    n = 40
+    a = spark.createDataFrame(
+        [(i, float(n - i)) for i in range(n)], "id long, val double"
+    )
+    [r] = rank_correlation(a, a, k=10).collect()
+    assert (r["n"], r["sum_d2"], r["topk_overlap"], r["spearman"]) == (
+        n, 0, 10, 1.0,
+    )
+
+    rev = spark.createDataFrame(
+        [(i, float(i)) for i in range(n)], "id long, val double"
+    )
+    [r] = rank_correlation(a, rev, k=10).collect()
+    assert r["sum_d2"] == n * (n * n - 1) // 3
+    assert r["spearman"] == -1.0 and r["topk_overlap"] == 0
+
+    # id present in only one ranking drops out of the audit, n discloses
+    extra = spark.createDataFrame(
+        [(i, float(n - i)) for i in range(n + 5)], "id long, val double"
+    )
+    [r] = rank_correlation(a, extra, k=10).collect()
+    assert r["n"] == n and r["spearman"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# DOULION sampled triangles (algorithms/triangles.doulion_estimate)
+# --------------------------------------------------------------------------
+
+
+def test_doulion_full_retention_is_exact_and_replay(spark):
+    """p=1000 keeps everything (estimate == exact, scale 1); p=500 must
+    equal the python brute-force count over the md5-kept edge set; a
+    non-divisor p raises."""
+    import hashlib
+    from itertools import combinations
+
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.triangles import doulion_estimate
+
+    verts = list(range(8))
+    und = list(combinations(verts, 2))  # K8: C(8,3)=56 triangles
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in und], "src long, dst long, w double"
+    )
+    [r] = doulion_estimate(df, p_permille=1000).collect()
+    assert (r["n_edges_kept"], r["n_tri_sampled"],
+            r["est_triangles"], r["n_tri_exact"]) == (28, 56, 56, 56)
+
+    def coin(a, b):
+        h = hashlib.md5(f"dl|{a}|{b}".encode()).hexdigest()
+        return int(h[:15], 16) % 1000
+
+    keep = {(a, b) for a, b in und if coin(a, b) < 500}
+    tri = sum(
+        1
+        for x, y, z in combinations(verts, 3)
+        if (x, y) in keep and (y, z) in keep and (x, z) in keep
+    )
+    [r] = doulion_estimate(df, p_permille=500).collect()
+    assert (r["n_edges_kept"], r["n_tri_sampled"], r["est_triangles"]) == (
+        len(keep), tri, 8 * tri,
+    )
+    assert r["n_tri_exact"] == 56
+
+    with _pytest.raises(ValueError, match="divisor"):
+        doulion_estimate(df, p_permille=300)
+
+
+# --------------------------------------------------------------------------
+# widest path / MAX_MIN bottleneck (algorithms/sssp.widest_path)
+# --------------------------------------------------------------------------
+
+
+def test_widest_path_hand_case(spark):
+    """Bottleneck beats shortness: the 2-hop wide route (capacity 5)
+    must win over the direct thin edge (capacity 2); unreachable
+    vertices stay absent; the source carries the finite inf stand-in."""
+    from combblas_spark.algorithms.sssp import WIDEST_SOURCE_CAP, widest_path
+
+    e = spark.createDataFrame(
+        [
+            (1, 4, 2.0),          # direct but thin
+            (1, 2, 9.0), (2, 4, 5.0),   # wide detour: bottleneck 5
+            (4, 5, 3.0),
+            (8, 9, 7.0),          # disconnected from source
+        ],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["id"]: r["val"] for r in widest_path(spark, e, source=1).collect()
+    }
+    assert got == {1: WIDEST_SOURCE_CAP, 2: 9.0, 4: 5.0, 5: 3.0}
+
+
+def test_widest_path_monotone_law(spark):
+    """Law on the contract output at sf0.001: for every edge (s,d),
+    cap[d] >= LEAST(cap[s], w) (relaxation fixpoint), and every
+    non-source capacity is achieved by some in-edge."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    cap = {
+        r["id"]: r["val"] for r in entrymod.q_widest_ps(spark, sf).collect()
+    }
+    e = entrymod.part_supplier_graph(spark, sf).collect()
+    src0 = min(r["src"] for r in e)
+    achieved = {src0}
+    for r in e:
+        s, d, w = r["src"], r["dst"], r["w"]
+        if s in cap and d in cap:
+            assert cap[d] >= min(cap[s], w)
+            if cap[d] == min(cap[s], w):
+                achieved.add(d)
+    assert achieved == set(cap)
+
+
+def test_reservoir_sample_growth_stability(spark):
+    """Growth law from the A-ES docstring: adding one new row never
+    reorders surviving rows (priorities are per-key pure functions);
+    the selected set changes by at most one displacement."""
+    from combblas_spark.functions.sampling import reservoir_sample
+
+    base = [(k, k % 3 + 1) for k in range(120)]
+    df0 = spark.createDataFrame(base, "key long, w long")
+    df1 = spark.createDataFrame(base + [(999, 3)], "key long, w long")
+    s0 = [r["key"] for r in reservoir_sample(df0, 30, "w").orderBy("rank").collect()]
+    s1 = [r["key"] for r in reservoir_sample(df1, 30, "w").orderBy("rank").collect()]
+    assert len(set(s0) - set(s1)) <= 1
+    # survivors keep their relative order
+    surv = [k for k in s0 if k in set(s1)]
+    assert [k for k in s1 if k in set(s0)] == surv
