@@ -6338,6 +6338,190 @@ def _widest_sql(prefix: str, edges_cte: str, iters: int) -> str:
 
 
 # --------------------------------------------------------------------------
+# targeted-attack robustness — algorithms/stats.attack_profile
+# --------------------------------------------------------------------------
+
+
+ATTACK_LEVELS = (0, 5, 25)
+
+
+def q_attack(spark, sf):
+    """Hub-removal robustness of the part-supplier graph (the targeted
+    companion to q_percolation): delete the 0 / 5 / 25 highest-degree
+    vertices (deterministic deg-desc, id-asc order) and re-measure
+    connectivity. At sf0.001 removing 25 hubs deletes every supplier —
+    total collapse to (0,0,0,0) — while sf0.01 barely notices: the
+    scale-free attack asymmetry itself is in the value hash."""
+    from combblas_spark.algorithms.stats import attack_profile
+
+    return attack_profile(
+        spark, part_supplier_graph(spark, sf), levels=ATTACK_LEVELS
+    )
+
+
+def _attack_sql(levels, iters: int) -> str:
+    """Shared degree ranking, then per-level anti-filter + unrolled
+    min-label CC (prefixed CTEs) + zero-coalesced summary row."""
+    ctes = [
+        "aund AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS BIGINT) "
+        "AS a, CAST(l_suppkey + 1000000 AS BIGINT) AS b FROM lineitem)",
+        "adeg AS (SELECT id, COUNT(*) AS deg FROM "
+        "(SELECT a AS id FROM aund UNION ALL SELECT b FROM aund) t "
+        "GROUP BY id)",
+        "arank AS MATERIALIZED (SELECT id, "
+        "ROW_NUMBER() OVER (ORDER BY deg DESC, id ASC) AS rn FROM adeg)",
+    ]
+    finals = []
+    for n in levels:
+        x = f"t{n}"
+        ctes.append(
+            f"{x}k AS MATERIALIZED (SELECT a, b FROM aund "
+            f"WHERE a NOT IN (SELECT id FROM arank WHERE rn <= {n}) "
+            f"AND b NOT IN (SELECT id FROM arank WHERE rn <= {n}))"
+        )
+        ctes.append(
+            f"{x}e AS MATERIALIZED (SELECT a AS src, b AS dst FROM {x}k "
+            f"UNION ALL SELECT b, a FROM {x}k)"
+        )
+        ctes.append(
+            f"{x}l0 AS MATERIALIZED (SELECT id, id AS val FROM "
+            f"(SELECT DISTINCT src AS id FROM {x}e) t)"
+        )
+        for k in range(1, iters + 1):
+            ctes.append(
+                f"""{x}l{k} AS MATERIALIZED (
+  SELECT l.id,
+    CASE WHEN m.mn IS NOT NULL AND m.mn < l.val THEN m.mn ELSE l.val END
+      AS val
+  FROM {x}l{k - 1} l LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.val) AS mn
+    FROM {x}e e JOIN {x}l{k - 1} p ON e.src = p.id GROUP BY e.dst) m
+  ON l.id = m.id)"""
+            )
+        ctes.append(
+            f"{x}c AS (SELECT val, COUNT(*) AS c FROM {x}l{iters} "
+            "GROUP BY val)"
+        )
+        finals.append(
+            f"""SELECT CAST({n} AS BIGINT) AS n_removed,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {x}k) AS n_edges,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {x}l{iters}) AS n_vertices,
+  (SELECT CAST(COALESCE(MAX(c), 0) AS BIGINT) FROM {x}c) AS gcc_size,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {x}c) AS n_components"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join + per-group reservoir cap
+# --------------------------------------------------------------------------
+
+
+VIEW_W_US = 600 * 1_000_000
+ERR_W_US = 1800 * 1_000_000
+
+
+def q_overlap_events(spark, sf):
+    """Interval x interval overlap join (operators/interval.
+    overlap_join): every same-user pair of a 10-minute view window and
+    a 30-minute error window that intersect — bucketed to the time
+    grid with each verified pair kept ONLY at its canonical cell, so
+    the output is exactly-once with NO distinct and never a per-user
+    cross product. The exact overlap length rides in the value hash."""
+    from combblas_spark.operators.interval import overlap_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        us = F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', `ts`)"
+        )
+    else:
+        us = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        us.alias("us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type"),
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("us").alias("v_start"),
+        (F.col("us") + F.lit(VIEW_W_US)).alias("v_end"),
+    )
+    errs = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("us").alias("e_start"),
+        (F.col("us") + F.lit(ERR_W_US)).alias("e_end"),
+    )
+    out = overlap_join(
+        views, errs, key="user_id",
+        l_start="v_start", l_end="v_end",
+        r_start="e_start", r_end="e_end",
+        bucket=ERR_W_US,
+    )
+    return out.select(
+        "user_id", "view_id", "err_id",
+        (
+            F.least("v_end", "e_end") - F.greatest("v_start", "e_start")
+        ).cast("long").alias("overlap_us"),
+    )
+
+
+_OVERLAP_ORACLE = f"""WITH ovb AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us,
+         CAST(event_id AS BIGINT) AS event_id, event_type
+  FROM events)
+SELECT v.user_id, v.event_id AS view_id, e.event_id AS err_id,
+  LEAST(v.us + {VIEW_W_US}, e.us + {ERR_W_US})
+    - GREATEST(v.us, e.us) AS overlap_us
+FROM ovb v JOIN ovb e ON v.user_id = e.user_id
+WHERE v.event_type = 'view' AND e.event_type = 'error'
+  AND v.us <= e.us + {ERR_W_US} AND e.us <= v.us + {VIEW_W_US}"""
+
+
+GRES_K = 20
+
+
+def q_grouped_reservoir(spark, sf):
+    """Per-source exact-k document cap (functions/sampling.
+    grouped_reservoir): at most 20 docs per source, A-ES odds
+    proportional to n_chars, selected through the salted two-phase
+    kselect so a mega-source never sorts in one task; the full
+    (source, doc, weight, priority, rank) selection is the value
+    hash."""
+    from combblas_spark.functions.sampling import grouped_reservoir
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("source").alias("grp"),
+        F.greatest(F.col("n_chars").cast("long"), F.lit(1)).alias("w"),
+    )
+    return grouped_reservoir(docs, GRES_K, "w")
+
+
+_GRES_ORACLE = f"""WITH gru AS (
+  SELECT CAST(doc_id AS BIGINT) AS key, source AS grp,
+         GREATEST(CAST(n_chars AS BIGINT), 1) AS w
+  FROM documents),
+grp2 AS (
+  SELECT grp, key, w,
+    ROUND(LN((CAST(('0x' || substr(md5('gres|' || CAST(key AS VARCHAR)),
+        1, 15)) AS BIGINT) + 1) / 1152921504606846976.0) / w, 6) + 0.0
+      AS prio
+  FROM gru),
+grr AS (
+  SELECT grp, key, w, prio,
+    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY prio DESC, key ASC)
+      AS rank
+  FROM grp2)
+SELECT grp, key, w, prio, CAST(rank AS BIGINT) AS rank
+FROM grr WHERE rank <= {GRES_K}"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -6563,6 +6747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_drift": q_rank_drift,
         "doulion": q_doulion,
         "widest_ps": q_widest_ps,
+        "attack": q_attack,
+        "overlap_events": q_overlap_events,
+        "grouped_reservoir": q_grouped_reservoir,
     }
 
 
@@ -6628,6 +6815,9 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "rank_drift": _rank_drift_sql(),
         "doulion": _DOULION_ORACLE,
         "widest_ps": _widest_sql(PS_CTES, "edges", WIDEST_ITERS),
+        "attack": _attack_sql(ATTACK_LEVELS, 10),
+        "overlap_events": _OVERLAP_ORACLE,
+        "grouped_reservoir": _GRES_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -183,6 +183,9 @@ HEADLINE = [
     "rank_drift",
     "doulion",
     "widest_ps",
+    "attack",
+    "overlap_events",
+    "grouped_reservoir",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -718,3 +718,94 @@ def rank_correlation(
         "n", "sum_d2", "topk_overlap",
         (F.round(rho, 6) + F.lit(0.0)).alias("spearman"),
     )
+
+
+def attack_profile(
+    spark,
+    edges: DataFrame,
+    levels=(0, 5, 25),
+    max_iter: int = 60,
+) -> DataFrame:
+    """Targeted-attack robustness curve — the hub-removal companion to
+    :func:`percolation_profile` (Albert-Jeong-Barabasi: scale-free
+    graphs shrug off random failure but shatter under targeted hub
+    removal): for each n in ``levels``, delete the n highest-degree
+    vertices of the undirected simple support (distinct-neighbor
+    degree, ties broken by id ascending — a deterministic total order)
+    and measure what survives with the converged min-label CC kernel.
+
+    Scale shape: the canonical edge set and the degree table are
+    computed once; the top-n hub set is a TakeOrderedAndProject (n is
+    small by definition of the audit) broadcast into two anti-joins;
+    each level then runs the standard CC supersteps on a strict
+    subgraph. One exact-int64 row per level, zero-coalesced so a total
+    collapse (every edge incident to a removed hub) reads
+    (n_removed, 0, 0, 0, 0) rather than nulls:
+    (n_removed, n_edges, n_vertices, gcc_size, n_components).
+    """
+    from combblas_spark.algorithms.cc import cc_minlabel
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    und.persist()
+    try:
+        deg = (
+            und.select(F.col("a").alias("id"))
+            .unionByName(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        rows = []
+        for n in levels:
+            hubs = F.broadcast(
+                deg.orderBy(F.col("deg").desc(), F.col("id").asc())
+                .limit(int(n))
+                .select("id")
+            )
+            keep = und.join(
+                hubs, on=F.col("a") == F.col("id"), how="left_anti"
+            ).join(hubs, on=F.col("b") == F.col("id"), how="left_anti")
+            e = (
+                keep.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .unionByName(
+                    keep.select(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
+                    )
+                )
+                .withColumn("w", F.lit(1.0))
+            )
+            lab = cc_minlabel(spark, e, max_iter=max_iter)
+            comp = lab.groupBy("val").agg(
+                F.count(F.lit(1)).cast("long").alias("sz")
+            )
+            summary = comp.agg(
+                F.coalesce(F.max("sz"), F.lit(0))
+                .cast("long")
+                .alias("gcc_size"),
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.coalesce(F.sum("sz"), F.lit(0))
+                .cast("long")
+                .alias("n_vertices"),
+            )
+            n_e = keep.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            rows.append(
+                n_e.crossJoin(summary).select(
+                    F.lit(int(n)).cast("long").alias("n_removed"),
+                    "n_edges",
+                    "n_vertices",
+                    "gcc_size",
+                    "n_components",
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+    finally:
+        und.unpersist()

@@ -330,3 +330,65 @@ def reservoir_sample(
     return ranked.withColumn(
         "rank", F.row_number().over(wr).cast("long")
     )
+
+
+def grouped_reservoir(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "grp",
+    key_col: str = "key",
+    salt: str = "gres",
+) -> DataFrame:
+    """Per-group exact-k weighted sample without replacement — the
+    per-source cap every mixture pipeline applies before global
+    resampling (keep at most k docs per crawl/source/shard, odds
+    proportional to weight): the A-ES priority of
+    :func:`reservoir_sample` (replayable ln(u)/w on the md5-60bit
+    coin, same nonpositive-weight raise) selected per GROUP through
+    the salted two-phase kselect, so a mega-group never sorts in one
+    task — exactly the top-k discipline every ranked kernel here uses.
+
+    The per-group rank window runs on the ALREADY-SELECTED <= k rows
+    per group (bounded by construction). Returns
+    (grp, key, w, prio, rank 1..k per group), deterministic and
+    engine-portable like its global sibling.
+    """
+    from pyspark.sql import Window
+
+    from combblas_spark.operators.kselect import kselect
+
+    two60 = F.lit(float(1 << 60))
+    h = md5_60bit(
+        F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))
+    )
+    w = F.col(weight_col).cast("long")
+    wchk = F.when(w >= 1, w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("grouped_reservoir: nonpositive weight for key "),
+                F.col(key_col).cast("string"),
+            )
+        )
+    )
+    u = (h + F.lit(1)).cast("double") / two60
+    prio = F.round(F.log(u) / wchk, 6) + F.lit(0.0)
+    ranked = df.select(
+        F.col(group_col).alias("dst"),
+        F.col(key_col).alias("src"),
+        prio.alias("w"),
+        w.alias("_w"),
+    )
+    sel = kselect(ranked, k, by="dst")
+    wr = Window.partitionBy("dst").orderBy(
+        F.col("w").desc(), F.col("src").asc()
+    )
+    return sel.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).select(
+        F.col("dst").alias("grp"),
+        F.col("src").alias("key"),
+        F.col("_w").alias("w"),
+        F.col("w").alias("prio"),
+        "rank",
+    )

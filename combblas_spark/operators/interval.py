@@ -131,3 +131,68 @@ def interval_join(
         .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
         .drop("_cell")
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: int,
+    max_buckets: int = 64,
+) -> DataFrame:
+    """Interval-x-interval overlap join — every (left, right) pair on
+    the same ``key`` whose [start, end] windows intersect (inclusive
+    ends): the third member of the temporal-join family after
+    :func:`asof_latest` and :func:`interval_join`, and the classic
+    Spark pain point (a naive theta-join is a per-key cross product).
+
+    Same bucketed grid as :func:`interval_join`, both sides replicated
+    to their cell ranges and equi-joined on (key, cell) — but two
+    overlapping intervals can share MANY cells, so the join keeps each
+    verified pair ONLY at its canonical cell, the cell containing
+    GREATEST(l_start, r_start) (the overlap's first instant). That
+    makes the output exactly-once by construction — no distinct over
+    the pair set, which at scale would be a second full shuffle.
+    Over-long (or reversed) intervals raise AT EXECUTION, same
+    contract as interval_join. The two inputs must share only ``key``.
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket must be > 0, got {bucket}")
+    overlap_cols = (set(left.columns) & set(right.columns)) - {key}
+    if overlap_cols:
+        raise ValueError(
+            f"non-key column collision: {sorted(overlap_cols)}"
+        )
+    b = F.lit(int(bucket)).cast("long")
+
+    def cells(start, end):
+        c0, c1 = F.floor(F.col(start) / b), F.floor(F.col(end) / b)
+        return F.when(
+            (F.col(end) >= F.col(start)) & (c1 - c0 < int(max_buckets)),
+            F.sequence(c0, c1),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"overlap_join: interval spans >= {max_buckets} "
+                        f"buckets of {bucket} (or end < start) at {key}="
+                    ),
+                    F.col(key).cast("string"),
+                )
+            )
+        )
+
+    lv = left.withColumn("_cell", F.explode(cells(l_start, l_end)))
+    rv = right.withColumn("_cell", F.explode(cells(r_start, r_end)))
+    j = lv.join(rv, on=[key, "_cell"])
+    overlaps = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    canonical = F.col("_cell") == F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / b
+    )
+    return j.filter(overlaps & canonical).drop("_cell")

@@ -5148,3 +5148,154 @@ def test_reservoir_sample_growth_stability(spark):
     # survivors keep their relative order
     surv = [k for k in s0 if k in set(s1)]
     assert [k for k in s1 if k in set(s0)] == surv
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join (operators/interval.overlap_join)
+# --------------------------------------------------------------------------
+
+
+def test_overlap_join_exactly_once_and_edges(spark):
+    """Two long intervals sharing MANY grid cells must pair exactly
+    once (canonical-cell dedup, no distinct); touching endpoints count
+    (inclusive); disjoint and cross-key pairs do not; an over-long
+    interval raises at execution."""
+    import pytest as _pytest
+
+    from combblas_spark.operators.interval import overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, 0, 1000),     # spans cells 0..10 at bucket=100
+            (1, 11, 2000, 2100),
+            (1, 12, 3000, 3050),
+            (2, 20, 0, 1000),     # other key: must not pair with key 1
+        ],
+        "k long, lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 50, 500, 1500),   # overlaps lid=10 over cells 5..10
+            (1, 51, 1000, 1100),  # touches lid=10 at exactly 1000
+            (1, 52, 2101, 2200),  # adjacent but NOT touching lid=11
+        ],
+        "k long, rid long, rs long, re long",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(
+            left, right, key="k", l_start="ls", l_end="le",
+            r_start="rs", r_end="re", bucket=100,
+        ).collect()
+    )
+    assert got == [(10, 50), (10, 51)]
+
+    bad = spark.createDataFrame(
+        [(1, 9, 0, 100_000)], "k long, rid long, rs long, re long"
+    )
+    with _pytest.raises(Exception, match="overlap_join"):
+        overlap_join(
+            left.select("k", "lid", "ls", "le"), bad, key="k",
+            l_start="ls", l_end="le", r_start="rs", r_end="re",
+            bucket=100,
+        ).collect()
+
+
+def test_overlap_join_brute_force_law(spark):
+    """Random-ish deterministic fixture vs the O(n^2) predicate join."""
+    import hashlib
+
+    from combblas_spark.operators.interval import overlap_join
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    L = [(h(f"k{i}") % 3, i, h(f"a{i}") % 500, 0) for i in range(40)]
+    L = [(k, i, s, s + h(f"l{i}") % 300) for k, i, s, _ in L]
+    R = [(h(f"K{i}") % 3, 100 + i, h(f"b{i}") % 500, 0) for i in range(40)]
+    R = [(k, i, s, s + h(f"r{i}") % 300) for k, i, s, _ in R]
+    lf = spark.createDataFrame(L, "k long, lid long, ls long, le long")
+    rf = spark.createDataFrame(R, "k long, rid long, rs long, re long")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(
+            lf, rf, key="k", l_start="ls", l_end="le",
+            r_start="rs", r_end="re", bucket=64,
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for (lk, li, ls, le) in L
+        for (rk, ri, rs, re) in R
+        if lk == rk and ls <= re and rs <= le
+    )
+    assert got == want and len(want) > 0
+
+
+# --------------------------------------------------------------------------
+# targeted-attack robustness (algorithms/stats.attack_profile)
+# --------------------------------------------------------------------------
+
+
+def test_attack_profile_python_replay(spark):
+    """Union-find replay after deterministic hub removal on a star+ring
+    graph: removing the star center shatters the leaves while the ring
+    survives; removing enough hubs collapses to all-zero (coalesced,
+    not null)."""
+    from combblas_spark.algorithms.stats import attack_profile
+
+    edges = (
+        [(0, i, 1.0) for i in range(1, 8)]          # star center 0, 7 leaves
+        + [(10, 11, 1.0), (11, 12, 1.0), (12, 10, 1.0)]  # ring
+    )
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["n_removed"]: (
+            r["n_edges"], r["n_vertices"], r["gcc_size"], r["n_components"]
+        )
+        for r in attack_profile(spark, df, levels=(0, 1, 11)).collect()
+    }
+    # n=1 removes vertex 0 (deg 7): leaves isolate (no edges), ring stays
+    assert got[0] == (10, 11, 8, 2)
+    assert got[1] == (3, 3, 3, 1)
+    # n=11 removes every vertex: total collapse reads zeros
+    assert got[11] == (0, 0, 0, 0)
+
+
+# --------------------------------------------------------------------------
+# per-group reservoir (functions/sampling.grouped_reservoir)
+# --------------------------------------------------------------------------
+
+
+def test_grouped_reservoir_python_replay(spark):
+    """Per-group A-ES replay: each group's k winners and ranks equal
+    the python computation; groups smaller than k keep everything."""
+    import hashlib
+    import math
+
+    from combblas_spark.functions.sampling import grouped_reservoir
+
+    rows = [(f"g{k % 4}", k, k % 6 + 1) for k in range(200)] + [
+        ("tiny", 900, 3), ("tiny", 901, 1)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long, w long")
+    got = {}
+    for r in grouped_reservoir(df, 10, "w").collect():
+        got.setdefault(r["grp"], []).append(
+            (r["rank"], r["key"], r["w"], r["prio"])
+        )
+
+    def prio(k, w):
+        h = int(hashlib.md5(f"gres|{k}".encode()).hexdigest()[:15], 16)
+        return round(math.log((h + 1) / float(1 << 60)) / w, 6) + 0.0
+
+    for g in {g for g, _, _ in rows}:
+        members = [(k, w) for gg, k, w in rows if gg == g]
+        want = sorted(
+            ((k, w, prio(k, w)) for k, w in members),
+            key=lambda t: (-t[2], t[0]),
+        )[:10]
+        assert sorted(got[g]) == [
+            (i + 1, k, w, p) for i, (k, w, p) in enumerate(want)
+        ]
+    assert len(got["tiny"]) == 2
