@@ -6522,6 +6522,160 @@ FROM grr WHERE rank <= {GRES_K}"""
 
 
 # --------------------------------------------------------------------------
+# lakehouse plane: salted skew join, Z-order locality, CDC merge
+# --------------------------------------------------------------------------
+
+
+def q_skew_join(spark, sf):
+    """Per-nation quantity rollup through the salted skew join
+    (operators/skew.skew_join): lineitem fact salted 8 ways against
+    the replicated supplier dim, equi-joined on (suppkey, salt) — the
+    deterministic hot-key mitigation whose RESULT the oracle proves
+    identical to the plain join (the salt only routes rows)."""
+    from combblas_spark.operators.skew import skew_join
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("l_suppkey").cast("long").alias("skey"),
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.floor(F.col("l_quantity") * 1000).cast("long").alias("qm"),
+    )
+    su = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("skey"),
+        F.col("s_nationkey").cast("long").alias("nat"),
+    )
+    j = skew_join(li, su, key="skey", salt_col="okey", n_salt=8)
+    return j.groupBy("nat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("qm").cast("long").alias("qty_total"),
+    )
+
+
+_SKEW_ORACLE = """SELECT CAST(s_nationkey AS BIGINT) AS nat,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(FLOOR(l_quantity * 1000) AS BIGINT)) AS BIGINT)
+    AS qty_total
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey"""
+
+
+ZORDER_BITS = 8
+
+
+def q_zorder(spark, sf):
+    """Z-order locality audit (operators/layout.locality_audit): total
+    consecutive-row Manhattan distance under the Morton sort vs the
+    x-then-y sort on a uniform 256x256 point set — the exact-integer
+    number a layout/clustering decision should be made on (smaller Z
+    total = fewer files touched by 2-D min/max pruning)."""
+    from combblas_spark.functions.urls import _h60
+    from combblas_spark.operators.layout import locality_audit
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("u")
+    )
+    pts = o.select(
+        (_h60("zx", F.col("u")) % 256).alias("x"),
+        (_h60("zy", F.col("u")) % 256).alias("y"),
+    )
+    return locality_audit(pts, bits=ZORDER_BITS)
+
+
+def _zorder_sql(bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    zexpr = " | ".join(terms)
+    h = (
+        "CAST(('0x' || substr(md5('{s}|' || CAST(u AS VARCHAR)), 1, 15)) "
+        "AS BIGINT)"
+    )
+    return f"""WITH zu AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS u FROM orders),
+zp AS MATERIALIZED (
+  SELECT {h.format(s='zx')} % 256 AS x, {h.format(s='zy')} % 256 AS y
+  FROM zu),
+zk AS MATERIALIZED (SELECT x, y, {zexpr} AS zkey FROM zp),
+zo AS (SELECT x, y,
+  ROW_NUMBER() OVER (ORDER BY zkey ASC, x ASC, y ASC) AS rn FROM zk),
+ro AS (SELECT x, y,
+  ROW_NUMBER() OVER (ORDER BY x ASC, y ASC) AS rn FROM zk),
+zt AS (SELECT SUM(ABS(a.x - b.x) + ABS(a.y - b.y)) AS t
+  FROM zo a JOIN zo b ON b.rn = a.rn + 1),
+rt AS (SELECT SUM(ABS(a.x - b.x) + ABS(a.y - b.y)) AS t
+  FROM ro a JOIN ro b ON b.rn = a.rn + 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM zk) AS n_rows,
+  (SELECT CAST(t AS BIGINT) FROM zt) AS z_total_manhattan,
+  (SELECT CAST(t AS BIGINT) FROM rt) AS row_total_manhattan"""
+
+
+def q_cdc_merge(spark, sf):
+    """CDC MERGE without a table format (functions/cdc.cdc_apply):
+    orders snapshot + a three-version synthetic change log (md5-drawn
+    updates, deletes, and post-delete resurrections) compacted to the
+    final state — every surviving (key, value, last_version) is in the
+    value hash, so a wrong winner or an undead delete breaks it."""
+    from combblas_spark.functions.cdc import cdc_apply
+    from combblas_spark.functions.urls import _h60
+
+    snap = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("vm"),
+    )
+    k = snap.select("key")
+    kk = F.col("key")
+    upd1 = k.filter(_h60("c1", kk) % 5 == 0).select(
+        "key", F.lit(1).cast("long").alias("version"),
+        F.lit("u").alias("op"), (_h60("cv", kk) % 100000).alias("vm"),
+    )
+    dele = k.filter(_h60("c2", kk) % 7 == 0).select(
+        "key", F.lit(2).cast("long").alias("version"),
+        F.lit("d").alias("op"), F.lit(None).cast("long").alias("vm"),
+    )
+    upd3 = k.filter(_h60("c3", kk) % 11 == 0).select(
+        "key", F.lit(3).cast("long").alias("version"),
+        F.lit("u").alias("op"), (_h60("cw", kk) % 100000).alias("vm"),
+    )
+    ch = upd1.unionByName(dele).unionByName(upd3)
+    return cdc_apply(snap, ch)
+
+
+_CDC_ORACLE = """WITH cds AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS key,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS vm
+  FROM orders),
+cdh AS (
+  SELECT key,
+    CAST(('0x' || substr(md5('c1|' || CAST(key AS VARCHAR)), 1, 15))
+      AS BIGINT) % 5 AS h1,
+    CAST(('0x' || substr(md5('c2|' || CAST(key AS VARCHAR)), 1, 15))
+      AS BIGINT) % 7 AS h2,
+    CAST(('0x' || substr(md5('c3|' || CAST(key AS VARCHAR)), 1, 15))
+      AS BIGINT) % 11 AS h3
+  FROM cds),
+cdu AS MATERIALIZED (
+  SELECT key, CAST(0 AS BIGINT) AS v, 'u' AS op, vm FROM cds
+  UNION ALL
+  SELECT c.key, 1, 'u',
+    CAST(('0x' || substr(md5('cv|' || CAST(c.key AS VARCHAR)), 1, 15))
+      AS BIGINT) % 100000
+  FROM cdh c WHERE c.h1 = 0
+  UNION ALL
+  SELECT key, 2, 'd', NULL FROM cdh WHERE h2 = 0
+  UNION ALL
+  SELECT c.key, 3, 'u',
+    CAST(('0x' || substr(md5('cw|' || CAST(c.key AS VARCHAR)), 1, 15))
+      AS BIGINT) % 100000
+  FROM cdh c WHERE c.h3 = 0),
+cdr AS (
+  SELECT key, v, op, vm,
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY v DESC, op ASC) AS rn
+  FROM cdu)
+SELECT key, vm, CAST(v AS BIGINT) AS last_version
+FROM cdr WHERE rn = 1 AND op = 'u'"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -6750,6 +6904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack": q_attack,
         "overlap_events": q_overlap_events,
         "grouped_reservoir": q_grouped_reservoir,
+        "skew_join": q_skew_join,
+        "zorder": q_zorder,
+        "cdc_merge": q_cdc_merge,
     }
 
 
@@ -6818,6 +6975,9 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "attack": _attack_sql(ATTACK_LEVELS, 10),
         "overlap_events": _OVERLAP_ORACLE,
         "grouped_reservoir": _GRES_ORACLE,
+        "skew_join": _SKEW_ORACLE,
+        "zorder": _zorder_sql(ZORDER_BITS),
+        "cdc_merge": _CDC_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

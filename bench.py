@@ -186,6 +186,9 @@ HEADLINE = [
     "attack",
     "overlap_events",
     "grouped_reservoir",
+    "skew_join",
+    "zorder",
+    "cdc_merge",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -690,3 +690,45 @@ def test_kmv_jaccard_bottomk_salted_two_phase(spark):
     plan = _plan(kmv_jaccard(df, k=8))
     assert plan.count("Window") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_skew_join_salts_the_join_key(spark):
+    """The physical join must key on (k, _salt) — the whole point is
+    that the hot key's rows land in n_salt different tasks."""
+    from combblas_spark.operators.skew import skew_join
+
+    fact = spark.createDataFrame(
+        [(1, i, i) for i in range(50)], "k long, rid long, v long"
+    )
+    dim = spark.createDataFrame([(1, "a")], "k long, name string")
+    plan = _plan(skew_join(fact, dim, key="k", salt_col="rid", n_salt=8))
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert joins and all("_salt" in ln for ln in joins)
+
+
+def test_locality_audit_no_single_task_window(spark):
+    """Consecutive pairs come from the range-partitioned global-rank
+    sample sort — the plan must contain NO Window at all (a global
+    Window.orderBy would bottleneck one task at scale)."""
+    from combblas_spark.operators.layout import locality_audit
+
+    pts = spark.createDataFrame(
+        [(x % 16, x // 16) for x in range(64)], "x long, y long"
+    )
+    assert "Window" not in _plan(locality_audit(pts, bits=4))
+
+
+def test_cdc_apply_single_shuffle_window(spark):
+    """The merge is one key-partitioned window over the unioned log —
+    exactly one Window operator, no joins."""
+    from combblas_spark.functions.cdc import cdc_apply
+
+    snap = spark.createDataFrame([(1, 10)], "key long, vm long")
+    ch = spark.createDataFrame(
+        [(1, 1, "u", 11)], "key long, version long, op string, vm long"
+    )
+    plan = _plan(cdc_apply(snap, ch))
+    assert plan.count("Window [") == 1 and "Join" not in plan
+    # Spark pushes the rank-1 limit below the shuffle (WindowGroupLimit
+    # partial+final) — the map-side combine of the merge, keep it
+    assert plan.count("WindowGroupLimit") >= 2

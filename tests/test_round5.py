@@ -5299,3 +5299,137 @@ def test_grouped_reservoir_python_replay(spark):
             (i + 1, k, w, p) for i, (k, w, p) in enumerate(want)
         ]
     assert len(got["tiny"]) == 2
+
+
+# --------------------------------------------------------------------------
+# lakehouse plane: skew_join / zorder / cdc_apply
+# --------------------------------------------------------------------------
+
+
+def test_skew_join_equals_plain_join(spark):
+    """The salt only routes rows: on a pathologically skewed fact (one
+    hot key carrying 90% of rows) the salted join's result must equal
+    the plain join exactly, for inner and left, any n_salt."""
+    from combblas_spark.operators.skew import skew_join
+
+    fact = spark.createDataFrame(
+        [(1, i, i * 10) for i in range(90)]
+        + [(2, 1000 + i, i) for i in range(8)]
+        + [(99, 2000, 5)],  # no dim match
+        "k long, rid long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unused")], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            tuple(r) for r in fact.join(dim, "k", how).collect()
+        )
+        for n in (1, 4, 16):
+            got = sorted(
+                tuple(r)
+                for r in skew_join(
+                    fact, dim, key="k", salt_col="rid", n_salt=n, how=how
+                ).collect()
+            )
+            assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        skew_join(fact, dim, key="k", salt_col="rid", how="outer")
+
+
+def test_zorder_key_hand_interleave_and_range_guard(spark):
+    """Bit-interleave against hand-computed Morton codes; out-of-range
+    input raises at execution instead of aliasing."""
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+
+    from combblas_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (255, 255)],
+        "x long, y long",
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key(SF.col("x"), SF.col("y"), bits=8).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in got}
+    bad = spark.createDataFrame([(256, 0)], "x long, y long")
+    with _pytest.raises(Exception, match="zorder_key"):
+        bad.select(zorder_key(SF.col("x"), SF.col("y"), bits=8)).collect()
+
+
+def test_locality_audit_z_beats_row_sort_on_sparse_points(spark):
+    """On a COMPLETE grid both walks tie (unit steps everywhere), so
+    the audit is exercised where layout actually matters: a sparse
+    hash-selected point set, where the x-then-y sort pays a full
+    y-range jump at every x wrap while the Z walk stays block-local.
+    Also pins the complete-grid tie as a hand-checkable total."""
+    import hashlib
+
+    from combblas_spark.operators.layout import locality_audit
+
+    full = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+    )
+    [r] = locality_audit(full, bits=5).collect()
+    assert r["n_rows"] == 1024
+    # row-major: 31 unit steps per column sweep + 31 wrap jumps of 31
+    assert r["row_total_manhattan"] == 1023 * 1 + 31 * 31
+    assert r["z_total_manhattan"] == r["row_total_manhattan"]  # the tie
+
+    sparse = [
+        (x, y)
+        for x in range(64)
+        for y in range(64)
+        if int(hashlib.md5(f"zt|{x}|{y}".encode()).hexdigest()[:8], 16) % 5
+        == 0
+    ]
+    df = spark.createDataFrame(sparse, "x long, y long")
+    [r] = locality_audit(df, bits=6).collect()
+    assert r["n_rows"] == len(sparse)
+    assert r["z_total_manhattan"] < r["row_total_manhattan"]
+
+
+def test_cdc_apply_hand_case(spark):
+    """Update wins over snapshot, delete removes, post-delete update
+    resurrects, untouched keys keep version 0, malformed op raises."""
+    import pytest as _pytest
+
+    from combblas_spark.functions.cdc import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "key long, vm long"
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, 1, "u", 11),       # plain update
+            (2, 1, "d", None),     # delete
+            (3, 1, "d", None), (3, 2, "u", 33),  # delete then resurrect
+        ],
+        "key long, version long, op string, vm long",
+    )
+    got = {
+        r["key"]: (r["vm"], r["last_version"])
+        for r in cdc_apply(snap, ch).collect()
+    }
+    assert got == {1: (11, 1), 3: (33, 2), 4: (40, 0)}
+
+    bad = spark.createDataFrame(
+        [(1, 1, "x", 5)], "key long, version long, op string, vm long"
+    )
+    with _pytest.raises(Exception, match="cdc_apply"):
+        cdc_apply(snap, bad).collect()
