@@ -6676,6 +6676,128 @@ FROM cdr WHERE rn = 1 AND op = 'u'"""
 
 
 # --------------------------------------------------------------------------
+# most-reliable path (MAX_TIMES) + SCC-condensation levels
+# --------------------------------------------------------------------------
+
+
+RELIAB_ITERS = 15
+
+
+def q_reliability_ps(spark, sf):
+    """Most-reliable route from MIN(src) over the part-supplier graph
+    with per-edge success probability p = (99 - w%10)/100 (exact
+    two-decimal doubles, deterministic from the weights): MAX_TIMES
+    relaxation — the Viterbi member of the semiring catalog, a
+    one-line swap over the same audited superstep body as widest_ps;
+    every reached (vertex, max path probability ROUND 6) is the value
+    hash."""
+    from combblas_spark.algorithms.sssp import reliability_path
+
+    e = part_supplier_graph(spark, sf)
+    root = e.agg(F.min("src")).collect()[0][0]
+    pe = e.select(
+        "src", "dst",
+        ((F.lit(99) - F.col("w").cast("long") % 10) / F.lit(100.0))
+        .alias("w"),
+    )
+    r = reliability_path(spark, pe, source=int(root), num_iters=RELIAB_ITERS)
+    return r.select("id", F.round("val", 6).alias("val"))
+
+
+def _reliab_sql(prefix: str, edges_cte: str, iters: int) -> str:
+    """Unrolled MAX_TIMES relaxation: mirror of _widest_sql with the
+    product step and probability-1 source."""
+    parts = [
+        f"re AS MATERIALIZED (SELECT src, dst, "
+        f"(99 - CAST(w AS BIGINT) % 10) / 100.0 AS p FROM {edges_cte})",
+        f"r0 AS MATERIALIZED (SELECT (SELECT MIN(src) FROM {edges_cte}) "
+        "AS id, CAST(1.0 AS DOUBLE) AS val)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT COALESCE(d.id, r.id) AS id,
+         CASE WHEN d.val IS NULL THEN r.mx
+              WHEN r.mx IS NULL THEN d.val
+              WHEN r.mx > d.val THEN r.mx ELSE d.val END AS val
+  FROM r{k - 1} d FULL OUTER JOIN (
+    SELECT e.dst AS id, MAX(e.p * p.val) AS mx
+    FROM re e JOIN r{k - 1} p ON e.src = p.id GROUP BY e.dst) r
+  ON d.id = r.id)"""
+        )
+    return (
+        f"WITH {prefix},\n" + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(val, 6) AS val FROM r{iters}"
+    )
+
+
+def q_condensation(spark, sf):
+    """Composition showcase: SCC labels of the directed events graph ->
+    quotient (condensation) edges -> MAX_PLUS level scheduling. The
+    condensation is a DAG by construction, so level_schedule's
+    cycle-raise doubles as an SCC-correctness canary; output is
+    (scc_id, level) for every SCC with an external edge — the
+    execution ordering of the web's bow-tie."""
+    from combblas_spark.algorithms.ordering import level_schedule
+    from combblas_spark.algorithms.scc import scc
+
+    e = events_digraph(spark, sf).select("src", "dst")
+    lab = scc(spark, e)
+    qe = (
+        e.join(
+            lab.select(F.col("id").alias("src"), F.col("scc_id").alias("la")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("id").alias("dst"), F.col("scc_id").alias("lb")),
+            "dst",
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        .distinct()
+    )
+    return level_schedule(spark, qe, max_iter=30)
+
+
+CONDENSE_LEVEL_ITERS = 12
+
+
+def _condensation_sql(iters: int = CONDENSE_LEVEL_ITERS) -> str:
+    """Unrolled max-plus level iterations over the condensation (NO
+    WITH RECURSIVE: a recursive CTE disables DuckDB's materialization
+    of the big SCC CTE chain and it re-inlines exponentially). Mirrors
+    level_schedule's loop: every vertex starts at 0, level' =
+    GREATEST(level, max over in-edges of level[src] + 1); extra
+    rounds past the fixpoint are no-ops on both engines."""
+    parts, lab = _scc_parts("evedges", SCC_PEELS, SCC_FW_DEPTH, SCC_BW_DEPTH)
+    lv = [
+        f"cnlab AS MATERIALIZED (SELECT id, scc_id FROM ({lab}) u)",
+        """cnq AS MATERIALIZED (
+  SELECT DISTINCT a.scc_id AS src, b.scc_id AS dst
+  FROM evedges e JOIN cnlab a ON e.src = a.id
+                 JOIN cnlab b ON e.dst = b.id
+  WHERE a.scc_id <> b.scc_id)""",
+        "cnl0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS lvl FROM "
+        "(SELECT DISTINCT src AS id FROM cnq "
+        "UNION SELECT DISTINCT dst FROM cnq) v)",
+    ]
+    for k in range(1, iters + 1):
+        lv.append(
+            f"""cnl{k} AS MATERIALIZED (
+  SELECT l.id, GREATEST(l.lvl, COALESCE(m.mx, 0)) AS lvl
+  FROM cnl{k - 1} l LEFT JOIN (
+    SELECT q.dst AS id, MAX(p.lvl + 1) AS mx
+    FROM cnq q JOIN cnl{k - 1} p ON q.src = p.id GROUP BY q.dst) m
+  ON l.id = m.id)"""
+        )
+    return (
+        f"WITH {EV_CTES},\n"
+        + ",\n".join(parts + lv)
+        + f"\nSELECT id, CAST(lvl AS BIGINT) AS level FROM cnl{iters}"
+    )
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -6907,6 +7029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "zorder": q_zorder,
         "cdc_merge": q_cdc_merge,
+        "reliability_ps": q_reliability_ps,
+        "condensation": q_condensation,
     }
 
 
@@ -6978,6 +7102,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "skew_join": _SKEW_ORACLE,
         "zorder": _zorder_sql(ZORDER_BITS),
         "cdc_merge": _CDC_ORACLE,
+        "reliability_ps": _reliab_sql(PS_CTES, "edges", RELIAB_ITERS),
+        "condensation": _condensation_sql(CONDENSE_LEVEL_ITERS),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

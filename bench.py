@@ -189,6 +189,8 @@ HEADLINE = [
     "skew_join",
     "zorder",
     "cdc_merge",
+    "reliability_ps",
+    "condensation",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -100,6 +100,64 @@ def _sssp_loop(spark, edges, source, num_iters, max_iter, runner, bb):
 WIDEST_SOURCE_CAP = 1.0e18
 
 
+def _max_relax_loop(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    sr,
+    source_val: float,
+    num_iters: Optional[int],
+    max_iter: int,
+    runner: Optional[SuperstepRunner],
+    broadcast_vectors: bool,
+) -> DataFrame:
+    """Shared maximize-relaxation skeleton for the widest-path (MAX_MIN)
+    and most-reliable-path (MAX_TIMES) kernels: same cached
+    dst-partitioned edges, size-gated vector broadcast, GREATEST merge,
+    per-superstep lineage cut as sssp — only the semiring differs."""
+    runner = runner or SuperstepRunner(spark)
+    edges = edges.select("src", "dst", "w").repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    )
+    edges.persist()
+    try:
+        vec = spark.createDataFrame(
+            [(int(source), float(source_val))], "id long, val double"
+        )
+        vec = runner.truncate(vec)
+        n_vec = 1
+        iters = num_iters if num_iters is not None else max_iter
+        for it in range(iters):
+            gated = broadcast_vectors and n_vec <= BROADCAST_MAX_ROWS
+            relax = spmv(edges, vec, sr, broadcast_x=gated)
+            new = ewise_apply_vec(
+                vec, relax, F.greatest, how="full",
+                x_fill=F.col("val_y"), y_fill=F.col("val_x"),
+                broadcast_y=gated,
+            )
+            new = runner.truncate(new)
+            if broadcast_vectors:
+                n_vec = new.count()
+            if num_iters is None:
+                changed = (
+                    new.alias("n")
+                    .join(vec.alias("o"), on="id", how="left")
+                    .filter(
+                        F.col("o.val").isNull()
+                        | (F.col("n.val") > F.col("o.val"))
+                    )
+                    .count()
+                )
+                vec = new
+                if changed == 0:
+                    break
+            else:
+                vec = new
+        return vec
+    finally:
+        edges.unpersist()
+
+
 def widest_path(
     spark: SparkSession,
     edges: DataFrame,
@@ -119,7 +177,7 @@ def widest_path(
     plumbing for exactly this swap (Semirings.h template over SR);
     here it is literally ``sr=MAX_MIN`` against the same cached
     dst-partitioned edges with the same size-gated vector broadcast
-    and per-superstep lineage cut.
+    and per-superstep lineage cut (shared loop: _max_relax_loop).
 
     The capacity vector is sparse (unreached = absent); the source
     carries WIDEST_SOURCE_CAP (finite stand-in for +inf, exact in both
@@ -129,44 +187,48 @@ def widest_path(
     """
     from combblas_spark.core.semiring import MAX_MIN
 
-    runner = runner or SuperstepRunner(spark)
-    edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "dst"
+    return _max_relax_loop(
+        spark, edges, source, MAX_MIN, WIDEST_SOURCE_CAP,
+        num_iters, max_iter, runner, broadcast_vectors,
     )
-    edges.persist()
-    try:
-        cap = spark.createDataFrame(
-            [(int(source), float(WIDEST_SOURCE_CAP))], "id long, val double"
-        )
-        cap = runner.truncate(cap)
-        n_cap = 1
-        iters = num_iters if num_iters is not None else max_iter
-        for it in range(iters):
-            gated = broadcast_vectors and n_cap <= BROADCAST_MAX_ROWS
-            relax = spmv(edges, cap, MAX_MIN, broadcast_x=gated)
-            new = ewise_apply_vec(
-                cap, relax, F.greatest, how="full",
-                x_fill=F.col("val_y"), y_fill=F.col("val_x"),
-                broadcast_y=gated,
+
+
+def reliability_path(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    num_iters: Optional[int] = None,
+    max_iter: int = 10_000,
+    runner: Optional[SuperstepRunner] = None,
+    broadcast_vectors: bool = True,
+) -> DataFrame:
+    """(id, val = maximum product of edge probabilities over any
+    source->id path) — the MAX_TIMES (Viterbi/reliability) semiring:
+    ``w`` is a success probability in (0, 1] and the best route is the
+    one most likely to survive end to end (link reliability, max-
+    probability decoding paths). Third instantiation of the shared
+    maximize-relaxation loop after widest_path — the semiring catalog's
+    point is exactly that these are one-line swaps over the same
+    engine-audited superstep body. Source carries probability 1.0.
+    Weights outside (0, 1] would make the "probability" reading
+    meaningless and the relaxation non-monotone at w > 1, so they
+    raise at execution.
+    """
+    from combblas_spark.core.semiring import MAX_TIMES
+
+    wchk = F.when(
+        (F.col("w") > 0) & (F.col("w") <= 1.0), F.col("w")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("reliability_path: edge probability outside (0,1] "
+                      "at src="),
+                F.col("src").cast("string"),
             )
-            new = runner.truncate(new)
-            if broadcast_vectors:
-                n_cap = new.count()
-            if num_iters is None:
-                changed = (
-                    new.alias("n")
-                    .join(cap.alias("o"), on="id", how="left")
-                    .filter(
-                        F.col("o.val").isNull()
-                        | (F.col("n.val") > F.col("o.val"))
-                    )
-                    .count()
-                )
-                cap = new
-                if changed == 0:
-                    break
-            else:
-                cap = new
-        return cap
-    finally:
-        edges.unpersist()
+        )
+    )
+    e = edges.select("src", "dst", wchk.alias("w"))
+    return _max_relax_loop(
+        spark, e, source, MAX_TIMES, 1.0,
+        num_iters, max_iter, runner, broadcast_vectors,
+    )

@@ -5433,3 +5433,61 @@ def test_cdc_apply_hand_case(spark):
     )
     with _pytest.raises(Exception, match="cdc_apply"):
         cdc_apply(snap, bad).collect()
+
+
+# --------------------------------------------------------------------------
+# most-reliable path (algorithms/sssp.reliability_path)
+# --------------------------------------------------------------------------
+
+
+def test_reliability_path_hand_case(spark):
+    """Max product beats fewest hops: the 2-hop 0.9*0.9 = 0.81 route
+    must win over the direct 0.5 edge; out-of-range probabilities
+    raise at execution."""
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.sssp import reliability_path
+
+    e = spark.createDataFrame(
+        [
+            (1, 4, 0.5),
+            (1, 2, 0.9), (2, 4, 0.9),
+            (4, 5, 1.0),
+        ],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["id"]: round(r["val"], 6)
+        for r in reliability_path(spark, e, source=1).collect()
+    }
+    assert got == {1: 1.0, 2: 0.9, 4: 0.81, 5: 0.81}
+
+    bad = spark.createDataFrame([(1, 2, 1.5)], "src long, dst long, w double")
+    with _pytest.raises(Exception, match="reliability_path"):
+        reliability_path(spark, bad, source=1, num_iters=1).collect()
+
+
+def test_condensation_levels_law(spark):
+    """Laws on the contract output at sf0.001: level_schedule did not
+    raise (the condensation is acyclic — an SCC-correctness canary),
+    and every quotient edge strictly climbs levels."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    lv = {
+        r["id"]: r["level"]
+        for r in entrymod.q_condensation(spark, sf).collect()
+    }
+    from combblas_spark.algorithms.scc import scc
+    import pyspark.sql.functions as SF
+
+    e = entrymod.events_digraph(spark, sf).select("src", "dst")
+    lab = {r["id"]: r["scc_id"] for r in scc(spark, e).collect()}
+    qedges = {
+        (lab[r["src"]], lab[r["dst"]])
+        for r in e.collect()
+        if lab[r["src"]] != lab[r["dst"]]
+    }
+    assert len(lv) > 0
+    for s, d in qedges:
+        assert lv[d] > lv[s]
