@@ -6798,6 +6798,124 @@ def _condensation_sql(iters: int = CONDENSE_LEVEL_ITERS) -> str:
 
 
 # --------------------------------------------------------------------------
+# HLL rollup mergeability + cluster-aware split healing
+# --------------------------------------------------------------------------
+
+
+def q_hll_rollup(spark, sf):
+    """Sketch mergeability as an audited fact: per-(event_type, day)
+    HLL register planes MAX-merged up to event_type must score exactly
+    the directly-built per-type sketch — the property that lets 100-TB
+    pipelines keep per-day sketches and union them later without
+    re-reading raw data; merge_consistent = 1 rides in the value
+    hash."""
+    from combblas_spark.functions.sketch import hll_rollup
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_type").alias("grp"),
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("user_id").cast("long").cast("string").alias("v"),
+    )
+    return hll_rollup(ev, "grp", "day", F.col("v"), p=_HLL_P)
+
+
+_HLLR_ORACLE = f"""WITH hr AS MATERIALIZED (
+  SELECT event_type AS grp, CAST(CAST(ts AS DATE) AS VARCHAR) AS f,
+         CAST(('0x' || substr(md5(CAST(CAST(user_id AS BIGINT) AS VARCHAR)),
+           1, 15)) AS BIGINT) AS h
+  FROM events),
+hrfine AS MATERIALIZED (
+  SELECT grp, f, h % {_HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_K}
+             ELSE {_HLL_K} - LENGTH(bin(h >> {_HLL_P})) END) AS rho
+  FROM hr GROUP BY grp, f, h % {_HLL_M}),
+hrm AS MATERIALIZED (
+  SELECT grp, bucket, MAX(rho) AS rho FROM hrfine GROUP BY grp, bucket),
+hrpg AS (
+  SELECT grp,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_K} - rho)) AS BIGINT)
+           AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM hrm GROUP BY grp),
+hrn AS (
+  SELECT grp, CAST(COUNT(DISTINCT f) AS BIGINT) AS n_fine
+  FROM hr GROUP BY grp)
+SELECT n.grp, n.n_fine,
+  CAST({_HLL_M} - p.n_present AS BIGINT) AS v_zero,
+  CAST(p.s_present + ({_HLL_M} - p.n_present)
+       * (CAST(1 AS BIGINT) << {_HLL_K}) AS BIGINT) AS s_harm,
+  ROUND(CASE WHEN {_HLL_M} - p.n_present > 0
+              AND {_HLL_CONST!r} / CAST(p.s_present
+                  + ({_HLL_M} - p.n_present)
+                  * (CAST(1 AS BIGINT) << {_HLL_K}) AS DOUBLE)
+                  <= {2.5 * _HLL_M!r}
+             THEN {float(_HLL_M)!r}
+                  * LN({float(_HLL_M)!r} / ({_HLL_M} - p.n_present))
+             ELSE {_HLL_CONST!r} / CAST(p.s_present
+                  + ({_HLL_M} - p.n_present)
+                  * (CAST(1 AS BIGINT) << {_HLL_K}) AS DOUBLE) END,
+        6) AS hll_est,
+  CAST(1 AS BIGINT) AS merge_consistent
+FROM hrn n JOIN hrpg p ON n.grp = p.grp"""
+
+
+def q_split_heal(spark, sf):
+    """The FIX for what q_split_leakage measures: reassign every
+    near-dup cluster wholesale to its canonical (min-id) member's
+    split, and emit the docs that must move (doc, cluster, from, to) —
+    applying these moves provably zeroes the leak (law pytest). The
+    oracle replays the full cluster pipeline + hash split + healing
+    rule."""
+    from combblas_spark.functions.dedup import near_dup_clusters
+    from combblas_spark.functions.sampling import split_by_hash
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cl = near_dup_clusters(docs, k=3, num_hashes=4, bands=2, rows_per_band=2)
+    sp = split_by_hash(docs, test_permille=100).select("doc_id", "split")
+    joined = cl.join(sp, "doc_id")
+    canon = joined.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        "canonical_id", F.col("split").alias("to_split")
+    )
+    return (
+        joined.join(canon, "canonical_id")
+        .filter(F.col("split") != F.col("to_split"))
+        .select(
+            "doc_id", "canonical_id",
+            F.col("split").alias("from_split"), "to_split",
+        )
+    )
+
+
+def _split_heal_sql(iters: int) -> str:
+    """Cluster pipeline head shared with _split_leakage_sql, then the
+    healing rule: target split = canonical member's split."""
+    base = _dedup_clusters_sql(iters)
+    head, tail = base.rsplit("\nSELECT ", 1)
+    assert tail.startswith("CAST(d.doc_id")
+    return (
+        head
+        + f""",
+shcl AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(COALESCE(l.val, d.doc_id) AS BIGINT) AS canonical_id
+  FROM documents d LEFT JOIN l{iters} l ON d.doc_id = l.id),
+shsp AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) % 1000 < 100 THEN 'test' ELSE 'train' END AS split
+  FROM documents),
+shcanon AS (
+  SELECT c.canonical_id, s.split AS to_split
+  FROM shcl c JOIN shsp s ON c.doc_id = s.doc_id
+  WHERE c.doc_id = c.canonical_id)
+SELECT c.doc_id, c.canonical_id, s.split AS from_split, k.to_split
+FROM shcl c JOIN shsp s ON c.doc_id = s.doc_id
+            JOIN shcanon k ON c.canonical_id = k.canonical_id
+WHERE s.split <> k.to_split"""
+    )
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -7031,6 +7149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": q_cdc_merge,
         "reliability_ps": q_reliability_ps,
         "condensation": q_condensation,
+        "hll_rollup": q_hll_rollup,
+        "split_heal": q_split_heal,
     }
 
 
@@ -7104,6 +7224,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "cdc_merge": _CDC_ORACLE,
         "reliability_ps": _reliab_sql(PS_CTES, "edges", RELIAB_ITERS),
         "condensation": _condensation_sql(CONDENSE_LEVEL_ITERS),
+        "hll_rollup": _HLLR_ORACLE,
+        "split_heal": _split_heal_sql(DEDUP_CC_ITERS),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

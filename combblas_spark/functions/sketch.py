@@ -545,3 +545,98 @@ def kmv_jaccard(
             + F.lit(0.0),
         )
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_col: str,
+    fine_col: str,
+    value: Column,
+    p: int = 6,
+) -> DataFrame:
+    """Sketch MERGEABILITY made auditable: build HLL registers at the
+    FINE grain (group, fine) — e.g. per (event_type, day) — then roll
+    them up to the group with one more MAX aggregation, and score BOTH
+    the merged registers and a directly-built per-group plane. Because
+    MAX-merge is exactly HLL's union, the two estimates are equal BY
+    THEOREM — and this operator puts that equality into the audited
+    output (``merge_consistent``), which is the property that lets a
+    100-TB pipeline keep per-partition/per-day sketches and combine
+    them later without ever re-touching the raw data. Same register
+    plane, rho trick and exact-integer harmonic sum as
+    :func:`hll_distinct`.
+
+    Returns (group_col, n_fine, v_zero, s_harm, hll_est,
+    merge_consistent) — merge_consistent is int64 1 when the rolled-up
+    estimate equals the direct one (always, or the sketch plane is
+    broken).
+    """
+    m = 1 << p
+    if m not in _HLL_ALPHA:
+        raise ValueError(f"unsupported p={p}")
+    w = 60 - p
+    k_exp = w + 1
+    alpha = _HLL_ALPHA[m]
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(fine_col).alias("f"),
+        md5_60bit(value).alias("h"),
+    )
+    rho = F.expr(
+        f"CASE WHEN (h >> {p}) = 0 THEN {k_exp} "
+        f"ELSE {k_exp} - LENGTH(bin(h >> {p})) END"
+    )
+    bucketed = base.select(
+        "g", "f", F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+        rho.alias("rho"),
+    )
+    fine_regs = bucketed.groupBy("g", "f", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    merged = fine_regs.groupBy("g", "bucket").agg(F.max("rho").alias("rho"))
+    direct = bucketed.groupBy("g", "bucket").agg(F.max("rho").alias("rho"))
+
+    def score(regs, est_name):
+        per = regs.groupBy("g").agg(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"{k_exp} - CAST(rho AS INT))"
+                )
+            ).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        vz = (F.lit(m) - F.col("n_present")).cast("long")
+        sh = F.col("s_present") + vz * F.lit(1 << k_exp).cast("long")
+        raw = F.lit(alpha * m * m * float(1 << k_exp)) / sh.cast("double")
+        est = F.round(
+            F.when(
+                (vz > 0) & (raw <= F.lit(2.5 * m)),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / vz),
+            ).otherwise(raw),
+            6,
+        )
+        return per.select(
+            "g", vz.alias(f"_vz_{est_name}"), sh.alias(f"_sh_{est_name}"),
+            est.alias(est_name),
+        )
+
+    n_fine = base.select("g", "f").distinct().groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fine")
+    )
+    out = (
+        n_fine.join(score(merged, "hll_est"), "g")
+        .join(score(direct, "est_direct"), "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_fine",
+            F.col("_vz_hll_est").alias("v_zero"),
+            F.col("_sh_hll_est").alias("s_harm"),
+            "hll_est",
+            (F.col("hll_est") == F.col("est_direct"))
+            .cast("long")
+            .alias("merge_consistent"),
+        )
+    )
+    return out

@@ -5491,3 +5491,77 @@ def test_condensation_levels_law(spark):
     assert len(lv) > 0
     for s, d in qedges:
         assert lv[d] > lv[s]
+
+
+# --------------------------------------------------------------------------
+# HLL rollup mergeability + split healing
+# --------------------------------------------------------------------------
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    """Theorem check on data: MAX-merging per-fine register planes
+    scores exactly the directly-built group sketch (merge_consistent=1
+    for every group), and the merged estimate equals hll_distinct's on
+    the same rows."""
+    import pyspark.sql.functions as SF
+
+    from combblas_spark.functions.sketch import hll_distinct, hll_rollup
+
+    rows = [
+        (f"g{v % 3}", f"d{v % 7}", str(v * 13 % 500)) for v in range(900)
+    ]
+    df = spark.createDataFrame(rows, "grp string, f string, v string")
+    roll = {
+        r["grp"]: (r["hll_est"], r["merge_consistent"], r["n_fine"])
+        for r in hll_rollup(df, "grp", "f", SF.col("v")).collect()
+    }
+    direct = {
+        r["grp"]: r["hll_est"]
+        for r in hll_distinct(df, "grp", SF.col("v")).collect()
+    }
+    assert set(roll) == set(direct) and len(roll) == 3
+    for g, (est, ok, n_fine) in roll.items():
+        assert ok == 1 and est == direct[g] and n_fine == 7
+
+
+def test_split_heal_zeroes_the_leak(spark):
+    """Law over the contract output at sf0.001: applying the emitted
+    moves makes every near-dup cluster single-sided (re-audited leak
+    count drops to exactly zero), and every move targets its cluster
+    canonical's side."""
+    import __spark_entry__ as entrymod
+    from combblas_spark.functions.dedup import near_dup_clusters
+    from combblas_spark.functions.sampling import split_by_hash
+
+    sf = "/root/testdata/sf0.001"
+    moves = {
+        r["doc_id"]: r["to_split"]
+        for r in entrymod.q_split_heal(spark, sf).collect()
+    }
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    cl = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(
+            d, k=3, num_hashes=4, bands=2, rows_per_band=2
+        ).collect()
+    }
+    sp = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(d, test_permille=100)
+        .select("doc_id", "split")
+        .collect()
+    }
+    healed = {k: moves.get(k, sp[k]) for k in sp}
+    # per-cluster sides after healing: exactly one side each
+    sides = {}
+    for doc, canon in cl.items():
+        sides.setdefault(canon, set()).add(healed[doc])
+    assert all(len(s) == 1 for s in sides.values())
+    # the original split DID leak (the audit exists for a reason)
+    before = {}
+    for doc, canon in cl.items():
+        before.setdefault(canon, set()).add(sp[doc])
+    assert any(len(s) > 1 for s in before.values())
+    # and every move lands on its canonical's side
+    for doc, to in moves.items():
+        assert to == sp[cl[doc]]
