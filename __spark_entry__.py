@@ -6916,6 +6916,68 @@ WHERE s.split <> k.to_split"""
 
 
 # --------------------------------------------------------------------------
+# metronome-bot regularity audit — functions/sessions.regularity_audit
+# --------------------------------------------------------------------------
+
+
+def q_bot_users(spark, sf):
+    """Inter-event regularity audit over the real event stream PLUS
+    five planted metronome clients (user 90000+b ticking at an exact
+    3600+b-second period): exact-integer CV^2 cross-multiplication
+    flags precisely the metronomes while every organic user's bursty
+    gaps pass — (user, n_gaps, gap sums, is_bot) all in the value
+    hash."""
+    from combblas_spark.functions.sessions import regularity_audit
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        us = F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', `ts`)"
+        )
+    else:
+        us = F.unix_micros(F.col("ts"))
+    real = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(us / F.lit(1_000_000)).cast("long").alias("t_s"),
+    )
+    bots = (
+        spark.range(5 * 50)
+        .select(
+            (F.lit(90000) + F.col("id") % 5).alias("user_id"),
+            (
+                F.lit(1_600_000_000)
+                + F.floor(F.col("id") / 5) * (F.lit(3600) + F.col("id") % 5)
+            ).cast("long").alias("t_s"),
+        )
+    )
+    return regularity_audit(real.unionByName(bots))
+
+
+_BOT_ORACLE = """WITH bte AS (
+  SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) AS t
+  FROM events
+  UNION ALL
+  SELECT 90000 + i % 5, 1600000000 + (i // 5) * (3600 + i % 5)
+  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(250))),
+btg AS (
+  SELECT u, t - LAG(t) OVER (PARTITION BY u ORDER BY t ASC) AS gap
+  FROM bte),
+bta AS (
+  SELECT u AS user, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS gap_total,
+         CAST(SUM(gap * gap) AS BIGINT) AS gap_sq_total
+  FROM btg WHERE gap IS NOT NULL GROUP BY u)
+SELECT user, n_gaps, gap_total, gap_sq_total,
+  CAST(CASE WHEN n_gaps >= 8
+        AND 100 * (n_gaps * gap_sq_total - gap_total * gap_total)
+            < 1 * gap_total * gap_total
+       THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+FROM bta"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -7151,6 +7213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation": q_condensation,
         "hll_rollup": q_hll_rollup,
         "split_heal": q_split_heal,
+        "bot_users": q_bot_users,
     }
 
 
@@ -7226,6 +7289,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "condensation": _condensation_sql(CONDENSE_LEVEL_ITERS),
         "hll_rollup": _HLLR_ORACLE,
         "split_heal": _split_heal_sql(DEDUP_CC_ITERS),
+        "bot_users": _BOT_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -193,6 +193,7 @@ HEADLINE = [
     "condensation",
     "hll_rollup",
     "split_heal",
+    "bot_users",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

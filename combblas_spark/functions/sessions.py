@@ -416,3 +416,56 @@ def llr_pairs(
         k22.cast("long").alias("k22"),
         (F.round(llr, 6) + F.lit(0.0)).alias("llr"),
     )
+
+
+def regularity_audit(
+    df: DataFrame,
+    user_col: str = "user_id",
+    t_col: str = "t_s",
+    min_gaps: int = 8,
+    cv2_num: int = 1,
+    cv2_den: int = 100,
+) -> DataFrame:
+    """Metronome-bot detection by inter-event regularity: humans arrive
+    with bursty, high-variance gaps; scripted clients tick. Flag users
+    whose squared coefficient of variation CV^2 = var/mean^2 of
+    inter-event gaps falls below ``cv2_num/cv2_den`` (default 1%) —
+    the classic abuse/crawler heuristic, here as EXACT integer
+    arithmetic: with n gaps g_i, CV^2 < c/d iff
+    d * (n * sum(g^2) - sum(g)^2) < c * sum(g)^2 — cross-multiplied,
+    no doubles anywhere (callers keep t in seconds so the squares stay
+    far inside int64).
+
+    Plan shape: one per-user lag window ordered by (t) — rows per task
+    bounded by the busiest user, the sessionize skew note applies —
+    then one map-side-combinable per-user aggregate. The gap MULTISET
+    is order-independent under timestamp ties (tied events contribute
+    zero gaps wherever they sort), so the output is deterministic
+    without a tiebreak column. Users with fewer than ``min_gaps`` gaps
+    are reported with is_bot = 0 (too little evidence — flagging a
+    2-event user as a metronome is noise, and the threshold is in the
+    output so the policy is auditable).
+
+    Returns (user, n_gaps, gap_total, gap_sq_total, is_bot) — all
+    int64.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(t_col).asc())
+    g = df.select(
+        F.col(user_col).alias("user"),
+        (F.col(t_col) - F.lag(t_col).over(w)).cast("long").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    agg = g.groupBy("user").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("gap_total"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("gap_sq_total"),
+    )
+    s = F.col("gap_total")
+    regular = (
+        F.lit(int(cv2_den))
+        * (F.col("n_gaps") * F.col("gap_sq_total") - s * s)
+        < F.lit(int(cv2_num)) * s * s
+    )
+    return agg.withColumn(
+        "is_bot",
+        ((F.col("n_gaps") >= int(min_gaps)) & regular).cast("long"),
+    )

@@ -5565,3 +5565,27 @@ def test_split_heal_zeroes_the_leak(spark):
     # and every move lands on its canonical's side
     for doc, to in moves.items():
         assert to == sp[cl[doc]]
+
+
+def test_regularity_audit_hand_case(spark):
+    """An exact metronome (CV=0) flags; jittered gaps with CV ~ 25%
+    don't; below min_gaps never flags even at CV=0; timestamp ties
+    contribute zero gaps deterministically."""
+    from combblas_spark.functions.sessions import regularity_audit
+
+    rows = (
+        [(1, 1000 + 60 * i) for i in range(20)]            # metronome
+        + [(2, 1000 + s) for s in [0, 50, 150, 180, 260,   # bursty human
+                                   400, 410, 600, 900, 1000, 1300]]
+        + [(3, 1000 + 60 * i) for i in range(4)]           # regular, short
+        + [(4, 500), (4, 500), (4, 560)]                   # ties
+    )
+    df = spark.createDataFrame(rows, "user_id long, t_s long")
+    got = {
+        r["user"]: (r["n_gaps"], r["is_bot"])
+        for r in regularity_audit(df, min_gaps=8).collect()
+    }
+    assert got[1] == (19, 1)
+    assert got[2][1] == 0
+    assert got[3] == (3, 0)
+    assert got[4] == (2, 0)  # gaps {0, 60} regardless of tie order
