@@ -6978,6 +6978,109 @@ FROM bta"""
 
 
 # --------------------------------------------------------------------------
+# blocked record linkage — functions/linkage.blocked_link
+# --------------------------------------------------------------------------
+
+
+def q_record_link(spark, sf):
+    """Cross-table entity resolution: a synthetic vendor feed (1/3 of
+    customers duplicated with md5-drawn name deletions and phone-digit
+    bumps, plus 1/5 unrelated decoys) linked back to the master by
+    nation-blocked first2/last2 name keys + integer Fellegi-Sunter
+    scoring. The oracle is the BRUTE-FORCE within-nation comparison —
+    hash-equality proves the blocking loses no qualifying pair (every
+    score>=2 pair has name distance <= 1, which the first2/last2
+    pigeonhole covers structurally)."""
+    from combblas_spark.functions.linkage import blocked_link
+    from combblas_spark.functions.urls import _h60
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("rid"),
+        F.col("c_nationkey").cast("long").alias("blk"),
+    )
+    c = F.col("rid")
+    master = cu.select(
+        "rid", "blk",
+        F.expr("substr(md5(concat('nm|', CAST(rid AS STRING))), 1, 6)")
+        .alias("name"),
+        (_h60("pn", c) % 10_000_000).alias("phone"),
+    )
+    dup_base = master.filter(_h60("dup", c) % 3 == 0)
+    dups = dup_base.select(
+        (c + 1_000_000).alias("rid"), "blk",
+        F.when(
+            _h60("ty", c) % 2 == 0,
+            F.concat(
+                F.expr(
+                    "substr(name, 1, CAST(conv(substring(md5(concat("
+                    "'tp|', CAST(rid AS STRING))), 1, 15), 16, 10) "
+                    "AS BIGINT) % 6)"
+                ),
+                F.expr(
+                    "substr(name, CAST(conv(substring(md5(concat("
+                    "'tp|', CAST(rid AS STRING))), 1, 15), 16, 10) "
+                    "AS BIGINT) % 6 + 2)"
+                ),
+            ),
+        ).otherwise(F.col("name")).alias("name"),
+        F.when(
+            _h60("ph", c) % 4 == 0, (F.col("phone") + 1) % 10_000_000
+        ).otherwise(F.col("phone")).alias("phone"),
+    )
+    decoys = cu.filter(_h60("noise", c) % 5 == 0).select(
+        (c + 2_000_000).alias("rid"), "blk",
+        F.expr("substr(md5(concat('zz|', CAST(rid AS STRING))), 1, 6)")
+        .alias("name"),
+        (_h60("zp", c) % 10_000_000).alias("phone"),
+    )
+    return blocked_link(master, dups.unionByName(decoys))
+
+
+_LINK_ORACLE = """WITH rlm AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(c_nationkey AS BIGINT) AS ck,
+         substr(md5('nm|' || CAST(c_custkey AS VARCHAR)), 1, 6) AS name,
+         CAST(('0x' || substr(md5('pn|' || CAST(c_custkey AS VARCHAR)),
+           1, 15)) AS BIGINT) % 10000000 AS phone
+  FROM customer),
+rlh AS (
+  SELECT m.*,
+    CAST(('0x' || substr(md5('dup|' || CAST(id AS VARCHAR)), 1, 15))
+      AS BIGINT) % 3 AS hdup,
+    CAST(('0x' || substr(md5('ty|' || CAST(id AS VARCHAR)),
+      1, 15)) AS BIGINT) % 2 AS hty,
+    CAST(('0x' || substr(md5('tp|' || CAST(id AS VARCHAR)),
+      1, 15)) AS BIGINT) % 6 AS hp,
+    CAST(('0x' || substr(md5('ph|' || CAST(id AS VARCHAR)),
+      1, 15)) AS BIGINT) % 4 AS hph
+  FROM rlm m),
+rld AS MATERIALIZED (
+  SELECT id + 1000000 AS id, ck,
+    CASE WHEN hty = 0
+         THEN substr(name, 1, hp) || substr(name, hp + 2)
+         ELSE name END AS name,
+    CASE WHEN hph = 0 THEN (phone + 1) % 10000000 ELSE phone END AS phone
+  FROM rlh WHERE hdup = 0
+  UNION ALL
+  SELECT id + 2000000, ck,
+    substr(md5('zz|' || CAST(id AS VARCHAR)), 1, 6),
+    CAST(('0x' || substr(md5('zp|' || CAST(id AS VARCHAR)),
+      1, 15)) AS BIGINT) % 10000000
+  FROM rlm
+  WHERE CAST(('0x' || substr(md5('noise|' || CAST(id AS VARCHAR)),
+    1, 15)) AS BIGINT) % 5 = 0)
+SELECT m.id AS master_id, d.id AS dirty_id,
+  CAST(levenshtein(m.name, d.name) AS BIGINT) AS name_dist,
+  CAST(CASE WHEN m.phone = d.phone THEN 1 ELSE 0 END AS BIGINT)
+    AS phone_match,
+  CAST(2 * (CASE WHEN levenshtein(m.name, d.name) <= 1 THEN 1 ELSE 0 END)
+    + (CASE WHEN m.phone = d.phone THEN 1 ELSE 0 END) AS BIGINT) AS score
+FROM rlm m JOIN rld d ON m.ck = d.ck
+WHERE 2 * (CASE WHEN levenshtein(m.name, d.name) <= 1 THEN 1 ELSE 0 END)
+    + (CASE WHEN m.phone = d.phone THEN 1 ELSE 0 END) >= 2"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -7214,6 +7317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup": q_hll_rollup,
         "split_heal": q_split_heal,
         "bot_users": q_bot_users,
+        "record_link": q_record_link,
     }
 
 
@@ -7290,6 +7394,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "hll_rollup": _HLLR_ORACLE,
         "split_heal": _split_heal_sql(DEDUP_CC_ITERS),
         "bot_users": _BOT_ORACLE,
+        "record_link": _LINK_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

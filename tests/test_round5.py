@@ -5589,3 +5589,40 @@ def test_regularity_audit_hand_case(spark):
     assert got[2][1] == 0
     assert got[3] == (3, 0)
     assert got[4] == (2, 0)  # gaps {0, 60} regardless of tie order
+
+
+def test_blocked_link_hand_case(spark):
+    """Edits at EVERY position are recovered (front edits via the
+    last-2 key, back edits via the first-2 key), phone-only agreement
+    does not reach threshold, and cross-block pairs never meet."""
+    from combblas_spark.functions.linkage import blocked_link
+
+    master = spark.createDataFrame(
+        [
+            (1, 7, "abcdef", 5551234),
+            (2, 7, "zzzzzz", 5550000),
+            (3, 8, "abcdef", 5551234),  # same name, other block
+        ],
+        "rid long, blk long, name string, phone long",
+    )
+    dirty = spark.createDataFrame(
+        [
+            (101, 7, "bcdef", 5551234),   # deletion at pos 0 -> last2 key
+            (102, 7, "abcde", 1111111),   # deletion at end -> first2 key
+            (103, 7, "abXdef", 5551234),  # substitution mid
+            (104, 7, "qwerty", 5550000),  # phone-only: score 1, excluded
+            (105, 9, "abcdef", 5551234),  # block 9: no master there
+        ],
+        "rid long, blk long, name string, phone long",
+    )
+    got = {
+        (r["master_id"], r["dirty_id"]): (
+            r["name_dist"], r["phone_match"], r["score"]
+        )
+        for r in blocked_link(master, dirty).collect()
+    }
+    assert got == {
+        (1, 101): (1, 1, 3),
+        (1, 102): (1, 0, 2),
+        (1, 103): (1, 1, 3),
+    }
