@@ -7148,14 +7148,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msbfs_ps": q_msbfs_ps,
         "coloring_nation": q_coloring_nation,
         "transitivity_ev": q_transitivity_ev,
-        "edge_jaccard_ev": q_edge_jaccard_ev,
-        "harmonic_ps": q_harmonic_ps,
-        "hop_hist_ps": q_hop_hist_ps,
-        "conductance_ps": q_conductance_ps,
-        "importance_sample": q_importance_sample,
-        "coreness_ps": q_coreness_ps,
-        "cocite_ev": q_cocite_ev,
-        "pseudo_diameter_ps": q_pseudo_diameter_ps,
+        # --- continuation-session-3 flagships promoted into the graded
+        #     front-50 (one per new family: typo dedup, exact-k sampling,
+        #     MAX_MIN semiring, robustness, ranker drift, skew join, CDC,
+        #     entity resolution); the displaced eight ride the mirror ---
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "reservoir_sample": q_reservoir_sample,
+        "widest_ps": q_widest_ps,
+        "percolation": q_percolation,
+        "rank_drift": q_rank_drift,
+        "skew_join": q_skew_join,
+        "cdc_merge": q_cdc_merge,
+        "record_link": q_record_link,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "unigram_xent": q_unigram_xent,
@@ -7190,6 +7194,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         # --- deferred r05 additions (mirror-verified, tiny fixed outputs,
         #     or landed after the 50-row budget filled) ---
+        "edge_jaccard_ev": q_edge_jaccard_ev,
+        "harmonic_ps": q_harmonic_ps,
+        "hop_hist_ps": q_hop_hist_ps,
+        "conductance_ps": q_conductance_ps,
+        "importance_sample": q_importance_sample,
+        "coreness_ps": q_coreness_ps,
+        "cocite_ev": q_cocite_ev,
+        "pseudo_diameter_ps": q_pseudo_diameter_ps,
         "bigram_xent": q_bigram_xent,
         "chunk_docs": q_chunk_docs,
         "pmi_pairs": q_pmi_pairs,
@@ -7296,28 +7308,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "len_percentiles": q_len_percentiles,
         "len_robust": q_len_robust,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "reservoir_sample": q_reservoir_sample,
         "path_count": q_path_count,
         "trap_hosts": q_trap_hosts,
         "llr_pairs": q_llr_pairs,
         "kmv_jaccard": q_kmv_jaccard,
-        "percolation": q_percolation,
-        "rank_drift": q_rank_drift,
         "doulion": q_doulion,
-        "widest_ps": q_widest_ps,
         "attack": q_attack,
         "overlap_events": q_overlap_events,
         "grouped_reservoir": q_grouped_reservoir,
-        "skew_join": q_skew_join,
         "zorder": q_zorder,
-        "cdc_merge": q_cdc_merge,
         "reliability_ps": q_reliability_ps,
         "condensation": q_condensation,
         "hll_rollup": q_hll_rollup,
         "split_heal": q_split_heal,
         "bot_users": q_bot_users,
-        "record_link": q_record_link,
     }
 
 
