@@ -7081,6 +7081,69 @@ WHERE 2 * (CASE WHEN levenshtein(m.name, d.name) <= 1 THEN 1 ELSE 0 END)
 
 
 # --------------------------------------------------------------------------
+# rendezvous reshard audit — operators/layout.reshard_audit
+# --------------------------------------------------------------------------
+
+
+RESHARD_OLD, RESHARD_NEW = 8, 9
+
+
+def q_reshard(spark, sf):
+    """Consistent-hashing reshard audit over the order keyspace: HRW
+    assignment at 8 and at 9 shards, per-shard population and flows —
+    the minimal-movement guarantee (n_arrived = 0 on every pre-existing
+    shard; only shard 8 receives) is hash-proven in the audited
+    output."""
+    from combblas_spark.operators.layout import reshard_audit
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    return reshard_audit(o, "k", RESHARD_OLD, RESHARD_NEW)
+
+
+def _reshard_sql(n_old: int, n_new: int) -> str:
+    def h(r):
+        return (
+            f"CAST(('0x' || substr(md5('sh{r}|' || CAST(k AS VARCHAR)), "
+            "1, 15)) AS BIGINT)"
+        )
+
+    def assign(n, name):
+        hs = ", ".join(f"h{r}" for r in range(n))
+        cases = " ".join(
+            f"WHEN h{r} = GREATEST({hs}) THEN {r}" for r in range(n - 1)
+        )
+        return f"CASE {cases} ELSE {n - 1} END AS {name}"
+
+    hcols = ",\n    ".join(f"{h(r)} AS h{r}" for r in range(n_new))
+    return f"""WITH rsk AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+rsh AS MATERIALIZED (
+  SELECT k,
+    {hcols}
+  FROM rsk),
+rsa AS MATERIALIZED (
+  SELECT k, {assign(n_old, 'so')}, {assign(n_new, 'sn')} FROM rsh),
+rarr AS (
+  SELECT sn AS shard, CAST(COUNT(*) AS BIGINT) AS n_new_keys,
+    CAST(SUM(CASE WHEN so <> sn THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_arrived
+  FROM rsa GROUP BY sn),
+rdep AS (
+  SELECT so AS shard, CAST(COUNT(*) AS BIGINT) AS n_old_keys,
+    CAST(SUM(CASE WHEN so <> sn THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_departed
+  FROM rsa GROUP BY so)
+SELECT COALESCE(a.shard, d.shard) AS shard,
+  CAST(COALESCE(d.n_old_keys, 0) AS BIGINT) AS n_old_keys,
+  CAST(COALESCE(a.n_new_keys, 0) AS BIGINT) AS n_new_keys,
+  CAST(COALESCE(a.n_arrived, 0) AS BIGINT) AS n_arrived,
+  CAST(COALESCE(d.n_departed, 0) AS BIGINT) AS n_departed
+FROM rarr a FULL OUTER JOIN rdep d ON a.shard = d.shard"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -7322,6 +7385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup": q_hll_rollup,
         "split_heal": q_split_heal,
         "bot_users": q_bot_users,
+        "reshard": q_reshard,
     }
 
 
@@ -7399,6 +7463,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "split_heal": _split_heal_sql(DEDUP_CC_ITERS),
         "bot_users": _BOT_ORACLE,
         "record_link": _LINK_ORACLE,
+        "reshard": _reshard_sql(RESHARD_OLD, RESHARD_NEW),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

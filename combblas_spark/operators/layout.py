@@ -98,3 +98,70 @@ def locality_audit(
         [F.col("x").asc(), F.col("y").asc()], "row_total_manhattan"
     )
     return n.crossJoin(z).crossJoin(rw)
+
+
+def rendezvous_shard(key: Column, n_shards: int, salt: str = "sh") -> Column:
+    """Highest-random-weight (rendezvous) shard assignment: the shard
+    r in [0, n_shards) maximizing md5_60bit(salt|r|key). The property
+    that makes this THE partition-management hash (Thaler-Ravishankar):
+    growing the cluster by one shard moves ONLY the keys the new shard
+    wins (~1/(n+1) of them) — modulo-hashing would reshuffle nearly
+    everything. Pure Column fold (one GREATEST + a CASE chain, no UDF);
+    ties are broken toward the smallest shard id by CASE order, and at
+    60 hash bits they are astronomically rare anyway.
+    """
+    from combblas_spark.functions.dedup import md5_60bit
+
+    hs = [
+        md5_60bit(
+            F.concat(F.lit(f"{salt}{r}|"), key.cast("string"))
+        )
+        for r in range(int(n_shards))
+    ]
+    mx = F.greatest(*hs) if len(hs) > 1 else hs[0]
+    out = F.lit(int(n_shards) - 1).cast("long")
+    for r in range(int(n_shards) - 2, -1, -1):
+        out = F.when(hs[r] == mx, F.lit(r).cast("long")).otherwise(out)
+    return out
+
+
+def reshard_audit(
+    df: DataFrame,
+    key_col: str,
+    n_old: int,
+    n_new: int,
+    salt: str = "sh",
+) -> DataFrame:
+    """Per-shard movement audit of an ``n_old -> n_new`` rendezvous
+    reshard: one exact-int64 row per target shard with the old/new
+    population and the arrival/departure flows. The minimal-movement
+    guarantee is IN the value hash: when growing by one shard,
+    n_arrived must be 0 for every pre-existing shard (keys only ever
+    move TO the new shard) — a wrong hash or tiebreak anywhere breaks
+    that column. One pass, one map-side-combinable aggregate.
+    """
+    s_old = rendezvous_shard(F.col(key_col), n_old, salt)
+    s_new = rendezvous_shard(F.col(key_col), n_new, salt)
+    tagged = df.select(s_old.alias("_so"), s_new.alias("_sn"))
+    arr = tagged.groupBy(F.col("_sn").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_keys"),
+        F.sum((F.col("_so") != F.col("_sn")).cast("long"))
+        .cast("long")
+        .alias("n_arrived"),
+    )
+    dep = tagged.groupBy(F.col("_so").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_old_keys"),
+        F.sum((F.col("_so") != F.col("_sn")).cast("long"))
+        .cast("long")
+        .alias("n_departed"),
+    )
+    return (
+        arr.join(dep, "shard", "full")
+        .select(
+            "shard",
+            F.coalesce("n_old_keys", F.lit(0)).cast("long").alias("n_old_keys"),
+            F.coalesce("n_new_keys", F.lit(0)).cast("long").alias("n_new_keys"),
+            F.coalesce("n_arrived", F.lit(0)).cast("long").alias("n_arrived"),
+            F.coalesce("n_departed", F.lit(0)).cast("long").alias("n_departed"),
+        )
+    )

@@ -5626,3 +5626,42 @@ def test_blocked_link_hand_case(spark):
         (1, 102): (1, 0, 2),
         (1, 103): (1, 1, 3),
     }
+
+
+def test_reshard_audit_python_replay_and_minimal_movement(spark):
+    """HRW replay: assignments match the python argmax with the same
+    md5 draws; growing 4 -> 5 moves keys ONLY to the new shard and
+    totals balance (sum departed == sum arrived == new shard's
+    population)."""
+    import hashlib
+
+    from combblas_spark.operators.layout import reshard_audit
+
+    keys = list(range(400))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = {r["shard"]: r for r in reshard_audit(df, "k", 4, 5).collect()}
+
+    def hrw(k, n):
+        return max(
+            range(n),
+            key=lambda r: (
+                int(hashlib.md5(f"sh{r}|{k}".encode()).hexdigest()[:15], 16),
+                -r,
+            ),
+        )
+
+    import collections
+
+    old = collections.Counter(hrw(k, 4) for k in keys)
+    new = collections.Counter(hrw(k, 5) for k in keys)
+    moved = collections.Counter(
+        hrw(k, 5) for k in keys if hrw(k, 4) != hrw(k, 5)
+    )
+    for s in range(5):
+        r = rows[s]
+        assert r["n_old_keys"] == old.get(s, 0)
+        assert r["n_new_keys"] == new.get(s, 0)
+        assert r["n_arrived"] == moved.get(s, 0)
+    assert all(rows[s]["n_arrived"] == 0 for s in range(4))
+    assert rows[4]["n_arrived"] == rows[4]["n_new_keys"] > 0
+    assert sum(r["n_departed"] for r in rows.values()) == rows[4]["n_arrived"]
