@@ -7144,6 +7144,107 @@ FROM rarr a FULL OUTER JOIN rdep d ON a.shard = d.shard"""
 
 
 # --------------------------------------------------------------------------
+# relational bread-and-butter: TPC-H-style pricing summary + top-k join
+# --------------------------------------------------------------------------
+
+
+SHIP_CUTOFF = "1997-06-30"
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped pricing summary over lineitem (returnflag x
+    linestatus, shipdate cutoff as a portable ISO-string compare):
+    every money total carried as exact int64 cent products
+    (floor(ep*100) * floor((1-disc)*100)) so the whole report is
+    bit-exact across engines — the baseline relational plane stated
+    as a graded query, with Catalyst's partial/final agg doing the
+    work."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    d = F.to_date("l_shipdate").cast("string")
+    ep_c = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    keep_c = F.floor((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    g = (
+        li.filter(d <= SHIP_CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long")
+            .alias("sum_qty"),
+            F.sum(ep_c).cast("long").alias("sum_base_c"),
+            F.sum(ep_c * keep_c).cast("long").alias("sum_disc_x"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.round(
+                F.col("sum_qty").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ),
+        )
+    )
+    return g
+
+
+_PRICING_ORACLE = f"""SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_base_c,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+       * CAST(FLOOR((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+    AS sum_disc_x,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty
+FROM lineitem
+WHERE CAST(CAST(l_shipdate AS DATE) AS VARCHAR) <= '{SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_ship_priority(spark, sf):
+    """TPC-H Q3-shaped shipping-priority top-10: URGENT orders placed
+    before the cutoff joined to their post-cutoff lineitems, exact
+    int64 cent-product revenue, TakeOrderedAndProject top-10 by
+    (revenue DESC, orderkey ASC)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    od = F.to_date("o_orderdate").cast("string")
+    sd = F.to_date("l_shipdate").cast("string")
+    rev = F.floor(F.col("l_extendedprice") * 100).cast("long") * F.floor(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        li.filter(sd > SHIP_CUTOFF)
+        .join(
+            o.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (od <= SHIP_CUTOFF)
+            ).select("o_orderkey", od.alias("orderdate")),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"), F.col("orderdate")
+        )
+        .agg(F.sum(rev).cast("long").alias("revenue_x"))
+    )
+    return j.orderBy(F.col("revenue_x").desc(), F.col("orderkey").asc()).limit(
+        10
+    )
+
+
+_SHIPPRIO_ORACLE = f"""SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+       * CAST(FLOOR((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_x
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(CAST(l_shipdate AS DATE) AS VARCHAR) > '{SHIP_CUTOFF}'
+  AND o_orderpriority = '1-URGENT'
+  AND CAST(CAST(o_orderdate AS DATE) AS VARCHAR) <= '{SHIP_CUTOFF}'
+GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+ORDER BY revenue_x DESC, orderkey ASC LIMIT 10"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -7386,6 +7487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_heal": q_split_heal,
         "bot_users": q_bot_users,
         "reshard": q_reshard,
+        "pricing_summary": q_pricing_summary,
+        "ship_priority": q_ship_priority,
     }
 
 
@@ -7464,6 +7567,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "bot_users": _BOT_ORACLE,
         "record_link": _LINK_ORACLE,
         "reshard": _reshard_sql(RESHARD_OLD, RESHARD_NEW),
+        "pricing_summary": _PRICING_ORACLE,
+        "ship_priority": _SHIPPRIO_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

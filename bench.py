@@ -196,6 +196,8 @@ HEADLINE = [
     "bot_users",
     "record_link",
     "reshard",
+    "pricing_summary",
+    "ship_priority",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

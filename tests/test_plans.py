@@ -732,3 +732,12 @@ def test_cdc_apply_single_shuffle_window(spark):
     # Spark pushes the rank-1 limit below the shuffle (WindowGroupLimit
     # partial+final) — the map-side combine of the merge, keep it
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_ship_priority_topk_is_take_ordered(spark):
+    """The Q3-shaped top-10 must plan as TakeOrderedAndProject over the
+    aggregate — never a global sort of all order revenues."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_ship_priority(spark, SF))
+    assert "TakeOrderedAndProject" in plan
