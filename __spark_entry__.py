@@ -7244,6 +7244,62 @@ GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
 ORDER BY revenue_x DESC, orderkey ASC LIMIT 10"""
 
 
+def q_local_volume(spark, sf):
+    """TPC-H Q5-shaped local-supplier volume: five-table join
+    (customer-orders-lineitem-supplier-nation) with the same-nation
+    customer/supplier condition and the date cutoff, revenue as exact
+    int64 cent products per nation — the multi-join relational plane
+    with Catalyst free to reorder (dims broadcast, fact never
+    re-shuffled more than once)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey",
+        (
+            F.floor(F.col("l_extendedprice") * 100).cast("long")
+            * F.floor((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+        ).alias("rev"),
+    )
+    o = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.to_date("o_orderdate").cast("string") <= SHIP_CUTOFF)
+        .select("o_orderkey", "o_custkey")
+    )
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    su = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    na = spark.read.parquet(f"{sf}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.sum("rev").cast("long").alias("revenue_x"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+_LOCALVOL_ORACLE = f"""SELECT n_name,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+       * CAST(FLOOR((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_x,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+  AND CAST(CAST(o_orderdate AS DATE) AS VARCHAR) <= '{SHIP_CUTOFF}'
+GROUP BY n_name"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -7489,6 +7545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshard": q_reshard,
         "pricing_summary": q_pricing_summary,
         "ship_priority": q_ship_priority,
+        "local_volume": q_local_volume,
     }
 
 
@@ -7569,6 +7626,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "reshard": _reshard_sql(RESHARD_OLD, RESHARD_NEW),
         "pricing_summary": _PRICING_ORACLE,
         "ship_priority": _SHIPPRIO_ORACLE,
+        "local_volume": _LOCALVOL_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (
