@@ -7300,6 +7300,76 @@ WHERE c_nationkey = s_nationkey
 GROUP BY n_name"""
 
 
+def q_waterfill(spark, sf):
+    """Max-min fair crawl-capacity allocation across the 50 fixture
+    hosts with skewed demands (order count x (1 + K%7)) and capacity
+    = 2.4x the order count: small hosts saturate at full demand, big
+    hosts get rationed to the integer water level (+1 remainder by
+    md5 rank) — sums to EXACTLY min(capacity, total demand), every
+    (host, demand, alloc, saturated) in the value hash."""
+    from combblas_spark.functions.sampling import waterfill_quota
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        (F.col("o_orderkey").cast("long") % 50).alias("k")
+    )
+    dem = (
+        o.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.concat(
+                F.lit("shop"), F.col("k").cast("string"),
+                F.lit(".example.com"),
+            ).alias("key"),
+            (F.col("n") * (1 + F.col("k") % 7)).cast("long").alias("demand"),
+        )
+    )
+    n_orders = o.count()
+    return waterfill_quota(dem, n_orders * 12 // 5)
+
+
+_WFILL_ORACLE = """WITH wfo AS (
+  SELECT CAST(o_orderkey AS BIGINT) % 50 AS k, COUNT(*) AS n
+  FROM orders GROUP BY 1),
+wfc AS (SELECT CAST(COUNT(*) * 12 // 5 AS BIGINT) AS c FROM orders),
+wfd AS MATERIALIZED (
+  SELECT 'shop' || CAST(k AS VARCHAR) || '.example.com' AS key,
+         CAST(n * (1 + k % 7) AS BIGINT) AS demand
+  FROM wfo),
+wfr AS MATERIALIZED (
+  SELECT key, demand,
+    ROW_NUMBER() OVER (ORDER BY demand ASC, key ASC) - 1 AS r,
+    CAST(COALESCE(SUM(demand) OVER (ORDER BY demand ASC, key ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS pfx
+  FROM wfd),
+wfs AS MATERIALIZED (
+  SELECT w.*, CASE WHEN w.pfx + ((SELECT COUNT(*) FROM wfd) - w.r)
+      * w.demand <= (SELECT c FROM wfc) THEN 1 ELSE 0 END AS saturated
+  FROM wfr w),
+wfp AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN saturated = 1 THEN demand END), 0)
+      AS BIGINT) AS s,
+    CAST(COALESCE(SUM(CASE WHEN saturated = 0 THEN 1 END), 0) AS BIGINT)
+      AS m
+  FROM wfs),
+wft AS (
+  SELECT key,
+    ROW_NUMBER() OVER (ORDER BY CAST(('0x' || substr(md5('wf|' || key),
+      1, 15)) AS BIGINT) ASC, key ASC) - 1 AS trank
+  FROM wfs WHERE saturated = 0)
+SELECT w.key, w.demand,
+  CAST(CASE WHEN w.saturated = 1 THEN w.demand
+       ELSE ((SELECT c FROM wfc) - (SELECT s FROM wfp))
+              // GREATEST((SELECT m FROM wfp), 1)
+            + (CASE WHEN t.trank <
+                 ((SELECT c FROM wfc) - (SELECT s FROM wfp))
+                   % GREATEST((SELECT m FROM wfp), 1)
+               THEN 1 ELSE 0 END)
+       END AS BIGINT) AS alloc,
+  CAST(w.saturated AS BIGINT) AS saturated
+FROM wfs w LEFT JOIN wft t ON w.key = t.key"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -7546,6 +7616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "ship_priority": q_ship_priority,
         "local_volume": q_local_volume,
+        "waterfill": q_waterfill,
     }
 
 
@@ -7627,6 +7698,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "pricing_summary": _PRICING_ORACLE,
         "ship_priority": _SHIPPRIO_ORACLE,
         "local_volume": _LOCALVOL_ORACLE,
+        "waterfill": _WFILL_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

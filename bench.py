@@ -199,6 +199,7 @@ HEADLINE = [
     "pricing_summary",
     "ship_priority",
     "local_volume",
+    "waterfill",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

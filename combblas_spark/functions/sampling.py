@@ -392,3 +392,125 @@ def grouped_reservoir(
         F.col("w").alias("prio"),
         "rank",
     )
+
+
+def waterfill_quota(
+    demands: DataFrame,
+    capacity: int,
+    key_col: str = "key",
+    demand_col: str = "demand",
+    salt: str = "wf",
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of an integer capacity
+    across competing integer demands — the fairness-first sibling of
+    :func:`hamilton_quota` (which is proportional): every demand below
+    the water level is fully satisfied, everyone else gets the level,
+    and no key can gain without a smaller allocation losing (the
+    max-min property). The bandwidth/crawl-capacity/annotation-budget
+    allocator when starving small tenants is not acceptable.
+
+    Exact-integer construction: rows sorted by (demand asc, key asc)
+    through the range-partitioned global-rank sample sort; a row is
+    SATURATED iff prefix(demand) + rows_at_or_after * its demand fits
+    the capacity (the standard water-level test, all int64); the
+    unsaturated rows share the residual as level = residual // m with
+    the remainder's +1 going to the m' rows ranked first by the
+    replayable md5 draw (hamilton's remainder discipline) — so the
+    allocation sums to EXACTLY min(capacity, total demand), every
+    alloc <= demand, and the whole thing is a pure function of
+    (capacity, keys, demands).
+
+    Returns (key, demand, alloc, saturated) — all int64.
+    """
+    from combblas_spark.functions.dedup import md5_60bit
+    from combblas_spark.operators.indexing import _global_ranks
+
+    base = demands.select(
+        F.col(key_col).alias("key"),
+        F.col(demand_col).cast("long").alias("demand"),
+    )
+    r = _global_ranks(
+        base, [F.col("demand").asc(), F.col("key").asc()]
+    )  # rank 0..n-1
+    # two-phase global prefix sum of demand in rank order (the
+    # pack_sequences idiom): ranks are already range-partitioned
+    r = r.localCheckpoint()
+    from pyspark.sql import Window
+
+    counts = {
+        row["p"]: row["s"]
+        for row in r.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.sum("demand").alias("s"))
+        .collect()
+    }
+    n_parts = (max(counts) + 1) if counts else 1
+    offsets, acc = [], 0
+    for p in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+    pid = F.spark_partition_id()
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(F.col("rank").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.element_at(off_arr, pid + 1) + F.coalesce(
+        F.sum("demand").over(w), F.lit(0)
+    )
+    n_total = r.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("demand").cast("long").alias("_td"),
+    )
+    staged = (
+        r.withColumn("_prefix", prefix)
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "saturated",
+            (
+                F.col("_prefix")
+                + (F.col("_n") - F.col("rank")) * F.col("demand")
+                <= F.lit(int(capacity))
+            ).cast("long"),
+        )
+    )
+    staged = staged.localCheckpoint()
+    pools = staged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated") == 1, F.col("demand"))), F.lit(0)
+        ).cast("long").alias("_s"),
+        F.coalesce(
+            F.sum(F.when(F.col("saturated") == 0, F.lit(1))), F.lit(0)
+        ).cast("long").alias("_m"),
+    )
+    unsat = staged.filter(F.col("saturated") == 0).select("key", "demand")
+    h = md5_60bit(
+        F.concat(F.lit(salt + "|"), F.col("key").cast("string"))
+    )
+    topped = _global_ranks(
+        unsat.withColumn("_h", h), [F.col("_h").asc(), F.col("key").asc()]
+    ).select("key", F.col("rank").alias("_trank"))
+    alloc = F.when(
+        F.col("saturated") == 1, F.col("demand")
+    ).otherwise(
+        F.floor(
+            (F.lit(int(capacity)) - F.col("_s")) / F.greatest("_m", F.lit(1))
+        ).cast("long")
+        + (
+            F.col("_trank")
+            < F.pmod(
+                F.lit(int(capacity)) - F.col("_s"),
+                F.greatest("_m", F.lit(1)),
+            )
+        ).cast("long")
+    )
+    return (
+        staged.join(topped, "key", "left")
+        .crossJoin(F.broadcast(pools))
+        .select(
+            "key",
+            "demand",
+            alloc.cast("long").alias("alloc"),
+            "saturated",
+        )
+    )

@@ -5665,3 +5665,32 @@ def test_reshard_audit_python_replay_and_minimal_movement(spark):
     assert all(rows[s]["n_arrived"] == 0 for s in range(4))
     assert rows[4]["n_arrived"] == rows[4]["n_new_keys"] > 0
     assert sum(r["n_departed"] for r in rows.values()) == rows[4]["n_arrived"]
+
+
+def test_waterfill_laws_and_hand_case(spark):
+    """Water-filling laws: allocations sum to EXACTLY min(capacity,
+    total demand), alloc <= demand everywhere, saturated rows get full
+    demand, unsaturated allocations differ by at most 1 (the max-min
+    level), and the under-capacity regime saturates everyone."""
+    from combblas_spark.functions.sampling import waterfill_quota
+
+    dem = spark.createDataFrame(
+        [("a", 5), ("b", 10), ("c", 100), ("d", 200), ("e", 7)],
+        "key string, demand long",
+    )
+    rows = {r["key"]: r for r in waterfill_quota(dem, 100).collect()}
+    assert sum(r["alloc"] for r in rows.values()) == 100
+    for r in rows.values():
+        assert r["alloc"] <= r["demand"]
+        if r["saturated"]:
+            assert r["alloc"] == r["demand"]
+    unsat = [r["alloc"] for r in rows.values() if not r["saturated"]]
+    assert unsat and max(unsat) - min(unsat) <= 1
+    # a, b, e (5+10+7=22) saturate; c and d split the remaining 78: 39+39
+    assert rows["a"]["alloc"] == 5 and rows["e"]["alloc"] == 7
+    assert sorted([rows["c"]["alloc"], rows["d"]["alloc"]]) == [39, 39]
+
+    # capacity above total demand: everyone saturated, leftover unspent
+    rows = {r["key"]: r for r in waterfill_quota(dem, 10_000).collect()}
+    assert all(r["alloc"] == r["demand"] == rows[k]["demand"]
+               for k, r in rows.items())
