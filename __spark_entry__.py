@@ -7370,6 +7370,96 @@ SELECT w.key, w.demand,
 FROM wfs w LEFT JOIN wft t ON w.key = t.key"""
 
 
+def q_ab_test(spark, sf):
+    """Two-proportion z-test over a deterministic A/B user split: arms
+    by md5 parity, conversion = user logged at least 14 purchase
+    events (a threshold near the per-user median, so both arms carry a
+    real, non-degenerate rate); one row of exact arm/conversion counts
+    plus the pooled z statistic. sqrt is IEEE-correctly-rounded on
+    both engines (unlike ln), so the statistic is bit-portable at
+    ROUND 6 — the experimentation plane's bread-and-butter readout as
+    a graded query."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("user_id").cast("long").alias("u"), "event_type"
+    )
+    users = ev.select("u").distinct()
+    from combblas_spark.functions.dedup import md5_60bit
+
+    arm = (md5_60bit(F.concat(F.lit("ab|"), F.col("u").cast("string"))) % 2)
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_np"))
+        .filter(F.col("_np") >= 14)
+        .select("u")
+    )
+    per = (
+        users.withColumn("arm", arm)
+        .join(conv.withColumn("c", F.lit(1)), "u", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("k"),
+        )
+    )
+    a = per.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("k").alias("k_a")
+    )
+    b = per.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("k").alias("k_b")
+    )
+    j = a.crossJoin(b)
+    na, ka = F.col("n_a").cast("double"), F.col("k_a").cast("double")
+    nb, kb = F.col("n_b").cast("double"), F.col("k_b").cast("double")
+    p_pool = (ka + kb) / (na + nb)
+    se = F.sqrt(p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    # degenerate arms (pooled rate 0 or 1 -> se = 0): no evidence of a
+    # difference, z defined as 0 — and the WHEN guard keeps ANSI mode
+    # from tripping on the 0/0
+    z = F.when(se > 0, (ka / na - kb / nb) / se).otherwise(F.lit(0.0))
+    return j.select(
+        "n_a", "k_a", "n_b", "k_b",
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+_ABTEST_ORACLE = """WITH abu AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS u FROM events),
+abarm AS (
+  SELECT u, CAST(('0x' || substr(md5('ab|' || CAST(u AS VARCHAR)), 1, 15))
+    AS BIGINT) % 2 AS arm
+  FROM abu),
+abc AS (
+  SELECT u FROM (
+    SELECT CAST(user_id AS BIGINT) AS u, COUNT(*) AS np FROM events
+    WHERE event_type = 'purchase' GROUP BY 1)
+  WHERE np >= 14),
+abper AS (
+  SELECT a.arm, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN c.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM abarm a LEFT JOIN abc c ON a.u = c.u GROUP BY a.arm),
+abj AS (
+  SELECT (SELECT n FROM abper WHERE arm = 0) AS n_a,
+         (SELECT k FROM abper WHERE arm = 0) AS k_a,
+         (SELECT n FROM abper WHERE arm = 1) AS n_b,
+         (SELECT k FROM abper WHERE arm = 1) AS k_b)
+SELECT n_a, k_a, n_b, k_b,
+  ROUND(CASE WHEN SQRT((CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      * (1.0 - (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+    THEN (CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / SQRT((CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      * (1.0 - (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+    ELSE 0.0 END, 6) + 0.0 AS z
+FROM abj"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -7617,6 +7707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_priority": q_ship_priority,
         "local_volume": q_local_volume,
         "waterfill": q_waterfill,
+        "ab_test": q_ab_test,
     }
 
 
@@ -7699,6 +7790,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "ship_priority": _SHIPPRIO_ORACLE,
         "local_volume": _LOCALVOL_ORACLE,
         "waterfill": _WFILL_ORACLE,
+        "ab_test": _ABTEST_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

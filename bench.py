@@ -200,6 +200,7 @@ HEADLINE = [
     "ship_priority",
     "local_volume",
     "waterfill",
+    "ab_test",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count
