@@ -7460,6 +7460,83 @@ SELECT n_a, k_a, n_b, k_b,
 FROM abj"""
 
 
+def q_textrank(spark, sf):
+    """TextRank keyword extraction — the composition showcase for the
+    text plane: adjacent-token co-occurrence pairs (directed count >=
+    2, then symmetrized and re-aggregated) form a word graph whose
+    PageRank (same kernel, STRING ids like hostrank) ranks the
+    corpus's keywords; top-20 by (rounded score, term) via
+    TakeOrderedAndProject. Graph build, rank loop and selection all
+    under one value hash."""
+    from combblas_spark.functions.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        tokens_col(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    pr_pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            )
+        ).alias("pr")
+    ).select(
+        F.col("pr").getField("0").alias("t1"),
+        F.col("pr").getField("1").alias("t2"),
+    )
+    directed = (
+        pr_pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    sym = (
+        directed.select(
+            F.col("t1").alias("src"), F.col("t2").alias("dst"), "c"
+        )
+        .unionByName(
+            directed.select(
+                F.col("t2").alias("src"), F.col("t1").alias("dst"), "c"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("double").alias("w"))
+    ).localCheckpoint()
+    r = pagerank(spark, sym, alpha=0.85, num_iters=PR_ITERS)
+    ranked = r.select(
+        F.col("id").alias("term"), F.round("val", 6).alias("val")
+    )
+    return ranked.orderBy(
+        F.col("val").desc(), F.col("term").asc()
+    ).limit(20)
+
+
+_TEXTRANK_PREFIX = (
+    TOKS_CTES
+    + """,
+trpair AS MATERIALIZED (
+  SELECT t1, t2, COUNT(*) AS c FROM (
+    SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS t1,
+           unnest(list_slice(toks, 2, len(toks))) AS t2
+    FROM toklists WHERE len(toks) >= 2)
+  GROUP BY t1, t2 HAVING COUNT(*) >= 2),
+wedges AS MATERIALIZED (
+  SELECT src, dst, CAST(SUM(c) AS DOUBLE) AS w FROM (
+    SELECT t1 AS src, t2 AS dst, c FROM trpair
+    UNION ALL SELECT t2, t1, c FROM trpair)
+  GROUP BY src, dst)"""
+)
+
+
+def _textrank_sql() -> str:
+    pr = _pagerank_sql(_TEXTRANK_PREFIX, "wedges", PR_ITERS)
+    return f"""WITH trx AS MATERIALIZED ({pr})
+SELECT term, val FROM (
+  SELECT id AS term, val,
+    ROW_NUMBER() OVER (ORDER BY val DESC, id ASC) AS rn
+  FROM trx) x
+WHERE rn <= 20"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -7708,6 +7785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_volume": q_local_volume,
         "waterfill": q_waterfill,
         "ab_test": q_ab_test,
+        "textrank": q_textrank,
     }
 
 
@@ -7791,6 +7869,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "local_volume": _LOCALVOL_ORACLE,
         "waterfill": _WFILL_ORACLE,
         "ab_test": _ABTEST_ORACLE,
+        "textrank": _textrank_sql(),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -201,6 +201,7 @@ HEADLINE = [
     "local_volume",
     "waterfill",
     "ab_test",
+    "textrank",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count
