@@ -7537,6 +7537,51 @@ SELECT term, val FROM (
 WHERE rn <= 20"""
 
 
+def q_value_outliers(spark, sf):
+    """MAD-outlier counts of events.value per event type — the
+    robust-anomaly decision the median/MAD machinery exists for:
+    |x - med| > 3.5 * 1.4826 * MAD cross-multiplied into exact
+    integers over floor(value*1000) milli-units; (type, n, med, mad,
+    n_outliers) per type in the value hash."""
+    from combblas_spark.operators.kselect import robust_outlier_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    return robust_outlier_counts(ev, "event_type", "vm", "event_id")
+
+
+_VOUT_ORACLE = """WITH vo AS MATERIALIZED (
+  SELECT event_type AS g, CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+         CAST(event_id AS BIGINT) AS tb
+  FROM events),
+vr1 AS MATERIALIZED (
+  SELECT g, v,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, tb) AS rk,
+    COUNT(*) OVER (PARTITION BY g) AS n
+  FROM vo),
+vmed AS MATERIALIZED (
+  SELECT g, v AS med FROM vr1 WHERE rk = (50 * n + 99) // 100),
+vdv AS MATERIALIZED (
+  SELECT d.g, ABS(d.v - m.med) AS dev, d.tb
+  FROM vo d JOIN vmed m USING (g)),
+vr2 AS MATERIALIZED (
+  SELECT g, dev,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev, tb) AS rk,
+    COUNT(*) OVER (PARTITION BY g) AS n
+  FROM vdv),
+vmad AS (SELECT g, dev AS mad FROM vr2 WHERE rk = (50 * n + 99) // 100)
+SELECT d.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MAX(m.med) AS BIGINT) AS med,
+  CAST(MAX(a.mad) AS BIGINT) AS mad,
+  CAST(SUM(CASE WHEN ABS(d.v - m.med) * 10000 > 51891 * a.mad
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM vo d JOIN vmed m USING (g) JOIN vmad a USING (g)
+GROUP BY d.g"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -7786,6 +7831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waterfill": q_waterfill,
         "ab_test": q_ab_test,
         "textrank": q_textrank,
+        "value_outliers": q_value_outliers,
     }
 
 
@@ -7870,6 +7916,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "waterfill": _WFILL_ORACLE,
         "ab_test": _ABTEST_ORACLE,
         "textrank": _textrank_sql(),
+        "value_outliers": _VOUT_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

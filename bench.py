@@ -202,6 +202,7 @@ HEADLINE = [
     "waterfill",
     "ab_test",
     "textrank",
+    "value_outliers",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

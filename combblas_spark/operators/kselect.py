@@ -212,3 +212,37 @@ def robust_stats(
         F.col(group_col), F.col("val").alias("mad")
     )
     return med.join(mad, group_col)
+
+
+def robust_outlier_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    z_x10000: int = 51891,
+) -> DataFrame:
+    """The decision the robust statistics exist FOR: per-group counts
+    of MAD-outliers under the classic |x - med| > 3.5 * 1.4826 * MAD
+    rule (Iglewicz-Hoaglin), cross-multiplied into exact integers —
+    |x - med| * 10000 > z_x10000 * MAD with z_x10000 = 51891 =
+    round(3.5 * 1.4826 * 10000) — so the flag needs no doubles and no
+    rounding discipline. A zero-MAD group (constant-majority values)
+    flags every non-median value, which is the rule's documented
+    behavior, not a special case.
+
+    -> (group, n, med, mad, n_outliers), one row per group; the
+    robust-stats pass is :func:`robust_stats` (two sample sorts), the
+    flagging one broadcast join + one map-side-combinable aggregate.
+    """
+    rs = robust_stats(df, group_col, value_col, tiebreak_col)
+    j = df.join(F.broadcast(rs), group_col)
+    flag = (
+        F.abs(F.col(value_col) - F.col("med")) * 10000
+        > F.lit(int(z_x10000)) * F.col("mad")
+    ).cast("long")
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("med").cast("long").alias("med"),
+        F.max("mad").cast("long").alias("mad"),
+        F.sum(flag).cast("long").alias("n_outliers"),
+    )
