@@ -7582,6 +7582,261 @@ FROM vo d JOIN vmed m USING (g) JOIN vmad a USING (g)
 GROUP BY d.g"""
 
 
+def q_fk_audit(spark, sf):
+    """Referential-integrity audit of the star schema — the lakehouse
+    DQ pass that runs before any graph build. Two dimension feeds are
+    deterministically corrupted (md5-survivor thinning of orders and
+    customer) so the orphan counters are LIVE: the audit must find
+    exactly the children whose parents were dropped, while the two
+    clean relationships hash-prove zero false orphans. One row per
+    relationship with exact BIGINT row/key/orphan counts."""
+    from combblas_spark.functions.dq import fk_audit
+    from combblas_spark.functions.dedup import md5_60bit
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    o_thin = orders.filter(
+        md5_60bit(F.concat(F.lit("fk|"), F.col("o_orderkey").cast("string")))
+        % 20
+        != 0
+    )
+    c_thin = cust.filter(
+        md5_60bit(F.concat(F.lit("fk|"), F.col("c_custkey").cast("string")))
+        % 25
+        != 0
+    )
+    rows = [
+        fk_audit(li, "l_orderkey", o_thin, "o_orderkey", "li->orders_thin"),
+        fk_audit(li, "l_partkey", part, "p_partkey", "li->part"),
+        fk_audit(li, "l_suppkey", supp, "s_suppkey", "li->supplier"),
+        fk_audit(orders, "o_custkey", c_thin, "c_custkey", "orders->cust_thin"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _fk_block(rel: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""(
+  SELECT '{rel}' AS rel,
+    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_keys,
+    CAST(SUM(CASE WHEN hit IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+      AS n_orphan_rows,
+    CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_orphan_keys
+  FROM (SELECT {ckey} AS k, COUNT(*) AS cnt FROM {child} GROUP BY 1) c
+  LEFT JOIN (SELECT DISTINCT {pkey} AS k, 1 AS hit FROM {parent}) p
+    USING (k))"""
+
+
+_FK_ORACLE = (
+    """WITH othin AS MATERIALIZED (
+  SELECT * FROM orders
+  WHERE CAST(('0x' || substr(md5('fk|' || CAST(o_orderkey AS VARCHAR)),
+    1, 15)) AS BIGINT) % 20 != 0),
+cthin AS MATERIALIZED (
+  SELECT * FROM customer
+  WHERE CAST(('0x' || substr(md5('fk|' || CAST(c_custkey AS VARCHAR)),
+    1, 15)) AS BIGINT) % 25 != 0)
+SELECT * FROM """
+    + _fk_block("li->orders_thin", "lineitem", "l_orderkey", "othin", "o_orderkey")
+    + "\nUNION ALL SELECT * FROM "
+    + _fk_block("li->part", "lineitem", "l_partkey", "part", "p_partkey")
+    + "\nUNION ALL SELECT * FROM "
+    + _fk_block("li->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")
+    + "\nUNION ALL SELECT * FROM "
+    + _fk_block("orders->cust_thin", "orders", "o_custkey", "cthin", "c_custkey")
+)
+
+
+def q_profile(spark, sf):
+    """Single-pass exact column profiler over a deterministically
+    dirtied orders feed (md5-drawn NULL injection into cents and
+    priority) — per column (n, n_null, n_distinct, min, max), the
+    schema-drift / null-regression alarm a production ingest runs on
+    every batch. Doubles pre-scaled to exact cents and timestamps to
+    date strings so min/max hash identically across engines."""
+    from combblas_spark.functions.dq import column_profile
+    from combblas_spark.functions.dedup import md5_60bit
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    h1 = md5_60bit(
+        F.concat(F.lit("pn1|"), F.col("o_orderkey").cast("string"))
+    )
+    h2 = md5_60bit(
+        F.concat(F.lit("pn2|"), F.col("o_orderkey").cast("string"))
+    )
+    dirty = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(
+            h1 % 32 != 0,
+            F.floor(F.col("o_totalprice") * 100).cast("long"),
+        ).alias("cents"),
+        F.when(h2 % 37 != 0, F.col("o_orderpriority")).alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    )
+    return column_profile(
+        dirty,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "cents", "prio", "odate"],
+    )
+
+
+_PROFILE_ORACLE = """WITH pdirty AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    CASE WHEN CAST(('0x' || substr(md5('pn1|' || CAST(o_orderkey AS VARCHAR)),
+        1, 15)) AS BIGINT) % 32 != 0
+      THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents,
+    CASE WHEN CAST(('0x' || substr(md5('pn2|' || CAST(o_orderkey AS VARCHAR)),
+        1, 15)) AS BIGINT) % 37 != 0
+      THEN o_orderpriority END AS prio,
+    strftime(o_orderdate, '%Y-%m-%d') AS odate
+  FROM orders),
+pcols(col_name, n, n_null, n_distinct, min_s, max_s) AS (
+  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+    COUNT(DISTINCT o_orderkey), CAST(MIN(o_orderkey) AS VARCHAR),
+    CAST(MAX(o_orderkey) AS VARCHAR) FROM pdirty
+  UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+    COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR),
+    CAST(MAX(o_custkey) AS VARCHAR) FROM pdirty
+  UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+    COUNT(DISTINCT o_orderstatus), CAST(MIN(o_orderstatus) AS VARCHAR),
+    CAST(MAX(o_orderstatus) AS VARCHAR) FROM pdirty
+  UNION ALL SELECT 'cents', COUNT(*), COUNT(*) - COUNT(cents),
+    COUNT(DISTINCT cents), CAST(MIN(cents) AS VARCHAR),
+    CAST(MAX(cents) AS VARCHAR) FROM pdirty
+  UNION ALL SELECT 'prio', COUNT(*), COUNT(*) - COUNT(prio),
+    COUNT(DISTINCT prio), CAST(MIN(prio) AS VARCHAR),
+    CAST(MAX(prio) AS VARCHAR) FROM pdirty
+  UNION ALL SELECT 'odate', COUNT(*), COUNT(*) - COUNT(odate),
+    COUNT(DISTINCT odate), CAST(MIN(odate) AS VARCHAR),
+    CAST(MAX(odate) AS VARCHAR) FROM pdirty)
+SELECT col_name, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s FROM pcols"""
+
+
+def q_key_audit(spark, sf):
+    """Candidate-key / functional-dependency discovery over the star
+    schema: two true keys, one non-key pair, and three FDs (two of
+    which the synthetic data genuinely violates). Exact group /
+    violation / worst-multiplicity counts per audit — the metadata
+    pass that decides bucketing and MERGE keys before a 100-TB
+    layout is committed."""
+    from combblas_spark.functions.dq import fd_audit
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    rows = [
+        fd_audit(orders, ["o_orderkey"], None, "orders:key(orderkey)"),
+        fd_audit(
+            orders,
+            ["o_custkey", "o_orderdate"],
+            None,
+            "orders:key(custkey,orderdate)",
+        ),
+        fd_audit(
+            li,
+            ["l_orderkey", "l_linenumber"],
+            None,
+            "lineitem:key(orderkey,linenumber)",
+        ),
+        fd_audit(li, ["l_partkey"], ["l_suppkey"], "lineitem:fd(part->supp)"),
+        fd_audit(part, ["p_brand"], ["p_type"], "part:fd(brand->type)"),
+        fd_audit(ev, ["user_id"], ["event_type"], "events:fd(user->type)"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _ka_block(name: str, inner: str) -> str:
+    return f"""(
+  SELECT '{name}' AS audit, CAST(COUNT(*) AS BIGINT) AS n_groups,
+    CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+    CAST(MAX(m) AS BIGINT) AS max_mult,
+    CAST(CASE WHEN SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) = 0
+      THEN 1 ELSE 0 END AS BIGINT) AS holds
+  FROM ({inner}) g)"""
+
+
+_KEYAUDIT_ORACLE = (
+    "SELECT * FROM "
+    + _ka_block(
+        "orders:key(orderkey)",
+        "SELECT COUNT(*) AS m FROM orders GROUP BY o_orderkey",
+    )
+    + "\nUNION ALL SELECT * FROM "
+    + _ka_block(
+        "orders:key(custkey,orderdate)",
+        "SELECT COUNT(*) AS m FROM orders GROUP BY o_custkey, o_orderdate",
+    )
+    + "\nUNION ALL SELECT * FROM "
+    + _ka_block(
+        "lineitem:key(orderkey,linenumber)",
+        "SELECT COUNT(*) AS m FROM lineitem GROUP BY l_orderkey, l_linenumber",
+    )
+    + "\nUNION ALL SELECT * FROM "
+    + _ka_block(
+        "lineitem:fd(part->supp)",
+        "SELECT COUNT(DISTINCT l_suppkey) AS m FROM lineitem GROUP BY l_partkey",
+    )
+    + "\nUNION ALL SELECT * FROM "
+    + _ka_block(
+        "part:fd(brand->type)",
+        "SELECT COUNT(DISTINCT p_type) AS m FROM part GROUP BY p_brand",
+    )
+    + "\nUNION ALL SELECT * FROM "
+    + _ka_block(
+        "events:fd(user->type)",
+        "SELECT COUNT(DISTINCT event_type) AS m FROM events GROUP BY user_id",
+    )
+)
+
+
+def q_benford(spark, sf):
+    """Benford first-significant-digit forensics over order totals in
+    exact cents: per-digit observed counts against the 6-decimal
+    Benford literals with each digit's chi-square term — the
+    fabricated-numbers alarm of the audit plane. Squaring is x*x and
+    both engines evaluate the SAME literal expression tree, so the
+    rounded terms are bit-portable."""
+    from combblas_spark.functions.dq import benford_audit
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford_audit(o, "cents")
+
+
+_BENFORD_ORACLE = """WITH bf AS MATERIALIZED (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders),
+bc AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM bf GROUP BY digit),
+bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM bf),
+bs AS (
+  SELECT t.d AS digit,
+    CAST(([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757])[t.d] AS DOUBLE) AS p,
+    bt.n_total
+  FROM bt, UNNEST([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS t(d))
+SELECT bs.digit, CAST(COALESCE(bc.n, 0) AS BIGINT) AS n,
+  bs.p AS p_expected,
+  ROUND((CAST(COALESCE(bc.n, 0) AS DOUBLE) - bs.p * CAST(bs.n_total AS DOUBLE))
+      * (CAST(COALESCE(bc.n, 0) AS DOUBLE) - bs.p * CAST(bs.n_total AS DOUBLE))
+      / (bs.p * CAST(bs.n_total AS DOUBLE)), 6) AS chi2_term
+FROM bs LEFT JOIN bc ON bs.digit = bc.digit"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -7832,6 +8087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "textrank": q_textrank,
         "value_outliers": q_value_outliers,
+        "fk_audit": q_fk_audit,
+        "profile_table": q_profile,
+        "key_audit": q_key_audit,
+        "benford": q_benford,
     }
 
 
@@ -7917,6 +8176,10 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "ab_test": _ABTEST_ORACLE,
         "textrank": _textrank_sql(),
         "value_outliers": _VOUT_ORACLE,
+        "fk_audit": _FK_ORACLE,
+        "profile_table": _PROFILE_ORACLE,
+        "key_audit": _KEYAUDIT_ORACLE,
+        "benford": _BENFORD_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

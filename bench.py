@@ -203,6 +203,10 @@ HEADLINE = [
     "ab_test",
     "textrank",
     "value_outliers",
+    "fk_audit",
+    "profile_table",
+    "key_audit",
+    "benford",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

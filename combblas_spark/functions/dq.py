@@ -1,0 +1,208 @@
+"""Data-quality / audit plane: referential-integrity audit, single-pass
+column profiling, key / functional-dependency discovery, and Benford
+first-digit forensics.
+
+These are the lakehouse DQ passes a 100-TB ingest pipeline runs before
+the graph build (the same extras plane as pii_scan / cdc_apply /
+reshard_audit — the reference engine stops at the matrix surface;
+cf. /root/reference/include/CombBLAS/SpParMat.h for the ingest
+boundary these audits sit in front of). Scale shapes:
+
+* ``fk_audit`` — child rows pre-aggregated onto their key (map-side
+  combinable), ONE hash join against the distinct parent-key set, one
+  final aggregate. Join cardinality is the KEY space, never the row
+  space.
+* ``column_profile`` — one scan, one aggregate row (exact distincts go
+  through Spark's Expand, k replicas for k audited columns — the
+  documented cost of exact profiling), unpivoted with ``stack``.
+* ``fd_audit`` — one groupBy on the determinant, one final aggregate.
+* ``benford_audit`` — one groupBy(digit) + a broadcast 1-row total;
+  expected probabilities are 6-decimal literals so the chi-square
+  terms are bit-identical across engines (multiply/subtract/x*x/
+  divide only — no POWER, no engine-local log10).
+
+Everything is pure Column expressions — no UDFs, no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["fk_audit", "column_profile", "fd_audit", "benford_audit"]
+
+
+def fk_audit(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    rel: str,
+) -> DataFrame:
+    """Referential-integrity audit of ``child.child_key`` against
+    ``parent.parent_key``.
+
+    Returns ONE row ``(rel, n_rows, n_keys, n_orphan_rows,
+    n_orphan_keys)`` — exact BIGINT counts of child rows/keys and of
+    those whose key has no parent. NULL child keys are counted as
+    orphans (a NULL FK cannot reference anything); union rows from
+    several calls for a whole-schema audit.
+    """
+    keys = (
+        child.select(F.col(child_key).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    pk = (
+        parent.select(F.col(parent_key).alias("_k"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    j = keys.join(pk, on="_k", how="left")
+    orphan = F.col("_hit").isNull()
+    return j.agg(
+        F.lit(rel).alias("rel"),
+        F.sum("_cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(orphan, F.col("_cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_orphan_rows"),
+        F.sum(F.when(orphan, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_orphan_keys"),
+    )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass exact column profiler.
+
+    One row per audited column: ``(col_name, n, n_null, n_distinct,
+    min_s, max_s)``. min/max are computed on the NATIVE type and cast
+    to string afterwards (so numeric order, not lexicographic, wins);
+    callers should pre-cast doubles to exact integers (cents,
+    milli-units) and timestamps to date strings for cross-engine
+    stability. n_distinct ignores NULLs (SQL COUNT DISTINCT
+    semantics); n_null = n - count(col).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"_{c}_n"),
+            F.count(F.col(c)).cast("long").alias(f"_{c}_nn"),
+            F.countDistinct(F.col(c)).cast("long").alias(f"_{c}_nd"),
+            F.min(F.col(c)).cast("string").alias(f"_{c}_min"),
+            F.max(F.col(c)).cast("string").alias(f"_{c}_max"),
+        ]
+    row = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', _{c}_n, _{c}_n - _{c}_nn, _{c}_nd, _{c}_min, _{c}_max"
+        for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {parts}) AS "
+        "(col_name, n, n_null, n_distinct, min_s, max_s)"
+    )
+
+
+def fd_audit(
+    df: DataFrame,
+    determinant: list[str],
+    dependent: list[str] | None,
+    name: str,
+) -> DataFrame:
+    """Key / functional-dependency audit.
+
+    With ``dependent=None``: is ``determinant`` a candidate KEY?
+    Groups by the determinant; a group of size > 1 violates.
+    With a dependent list: does ``determinant -> dependent`` hold?
+    A group seeing > 1 distinct dependent combination violates.
+
+    Returns ONE row ``(audit, n_groups, n_violations, max_mult,
+    holds)`` — exact BIGINTs; ``max_mult`` is the worst group's
+    multiplicity (row count for key audits, distinct dependent count
+    for FDs), ``holds`` is 1 iff n_violations = 0.
+    """
+    det = [F.col(c) for c in determinant]
+    if dependent is None:
+        mult = F.count(F.lit(1)).alias("_m")
+    else:
+        mult = F.countDistinct(
+            F.struct(*[F.col(c) for c in dependent])
+        ).alias("_m")
+    g = df.groupBy(*det).agg(mult)
+    return g.agg(
+        F.lit(name).alias("audit"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_m") > 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_violations"),
+        F.max("_m").cast("long").alias("max_mult"),
+        F.when(
+            F.sum(F.when(F.col("_m") > 1, F.lit(1)).otherwise(F.lit(0))) == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("holds"),
+    )
+
+
+# log10(1 + 1/d) to 6 decimals, d = 1..9 — fixed literals so both
+# engines compute chi-square from the SAME constants (engine log10
+# implementations may differ in the last ulp; a 6-decimal literal
+# cannot).
+BENFORD_P = [
+    0.301030,
+    0.176091,
+    0.124939,
+    0.096910,
+    0.079181,
+    0.066947,
+    0.057992,
+    0.051153,
+    0.045757,
+]
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-significant-digit audit over a POSITIVE BIGINT
+    column (pre-scale doubles to cents/milli-units first).
+
+    Returns 9 rows ``(digit, n, p_expected, chi2_term)`` — the
+    observed count per leading digit (zero-filled via a 1..9 spine),
+    the 6-decimal Benford literal, and that digit's chi-square
+    contribution ``(n_d - p*N)^2 / (p*N)`` rounded to 6 — squared via
+    ``x*x`` (never POWER) so the IEEE op sequence is identical on both
+    engines. Rows with a non-positive value raise at execution time
+    rather than silently mis-bucketing.
+    """
+    digit = F.substring(F.col(value_col).cast("string"), 1, 1).cast("int")
+    guarded = F.when(F.col(value_col) > 0, digit).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("benford_audit: non-positive value "),
+                F.col(value_col).cast("string"),
+            )
+        )
+    )
+    counts = (
+        df.select(guarded.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    spine = total.select(
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"), "n_total"
+    )
+    p = F.element_at(F.array(*[F.lit(x) for x in BENFORD_P]), F.col("digit"))
+    exp = p * F.col("n_total").cast("double")
+    dev = F.col("n").cast("double") - exp
+    return (
+        spine.join(F.broadcast(counts), on="digit", how="left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+        .select(
+            "digit",
+            "n",
+            p.alias("p_expected"),
+            F.round(dev * dev / exp, 6).alias("chi2_term"),
+        )
+    )

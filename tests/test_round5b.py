@@ -1,0 +1,140 @@
+"""Round-5 continuation: data-quality/audit plane (fk_audit,
+column_profile, fd_audit, benford_audit) — hand-case oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from combblas_spark.functions.dq import (
+    BENFORD_P,
+    benford_audit,
+    column_profile,
+    fd_audit,
+    fk_audit,
+)
+
+
+# ------------------------------------------------------------------ fk_audit
+
+
+def test_fk_audit_hand_case(spark):
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")],
+        "k long, payload string",
+    )
+    parent = spark.createDataFrame([(1,), (3,), (9,)], "pk long")
+    row = fk_audit(child, "k", parent, "pk", "t").collect()[0]
+    assert (
+        row.rel,
+        row.n_rows,
+        row.n_keys,
+        row.n_orphan_rows,
+        row.n_orphan_keys,
+    ) == ("t", 6, 3, 1, 1)
+
+
+def test_fk_audit_null_child_key_is_orphan(spark):
+    child = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c")], "k long, payload string"
+    )
+    parent = spark.createDataFrame([(1,)], "pk long")
+    row = fk_audit(child, "k", parent, "pk", "t").collect()[0]
+    # the two NULL-key rows form one orphan key with two orphan rows
+    assert (row.n_rows, row.n_keys, row.n_orphan_rows, row.n_orphan_keys) == (
+        3,
+        2,
+        2,
+        1,
+    )
+
+
+def test_fk_audit_clean_relationship(spark):
+    child = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = fk_audit(child, "k", parent, "pk", "clean").collect()[0]
+    assert (row.n_orphan_rows, row.n_orphan_keys) == (0, 0)
+
+
+# ------------------------------------------------------------ column_profile
+
+
+def test_column_profile_hand_case(spark):
+    df = spark.createDataFrame(
+        [(9, "x"), (10, "y"), (None, "y"), (2, None)],
+        "v long, s string",
+    )
+    rows = {r.col_name: r for r in column_profile(df, ["v", "s"]).collect()}
+    v = rows["v"]
+    # min is NUMERIC 2, not lexicographic "10"
+    assert (v.n, v.n_null, v.n_distinct, v.min_s, v.max_s) == (
+        4,
+        1,
+        3,
+        "2",
+        "10",
+    )
+    s = rows["s"]
+    assert (s.n, s.n_null, s.n_distinct, s.min_s, s.max_s) == (
+        4,
+        1,
+        2,
+        "x",
+        "y",
+    )
+
+
+# ------------------------------------------------------------------ fd_audit
+
+
+def test_fd_key_audit(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 30), (3, 40)], "a long, b long"
+    )
+    row = fd_audit(df, ["a"], None, "key_a").collect()[0]
+    assert (row.n_groups, row.n_violations, row.max_mult, row.holds) == (
+        3,
+        1,
+        2,
+        0,
+    )
+    row2 = fd_audit(df, ["a", "b"], None, "key_ab").collect()[0]
+    assert (row2.n_violations, row2.holds) == (0, 1)
+
+
+def test_fd_dependency_audit(spark):
+    # a -> c holds; a -> b fails on a=2
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y"), (2, 30, "y"), (3, 40, "z")],
+        "a long, b long, c string",
+    )
+    good = fd_audit(df, ["a"], ["c"], "fd_ac").collect()[0]
+    assert (good.n_violations, good.max_mult, good.holds) == (0, 1, 1)
+    bad = fd_audit(df, ["a"], ["b"], "fd_ab").collect()[0]
+    assert (bad.n_violations, bad.max_mult, bad.holds) == (1, 2, 0)
+
+
+# ------------------------------------------------------------------- benford
+
+
+def test_benford_hand_counts(spark):
+    # values: leading digits 1,1,2,9 — digits 3..8 zero-filled
+    df = spark.createDataFrame(
+        [(1,), (123,), (25,), (900,)], "v long"
+    )
+    rows = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert len(rows) == 9
+    assert [rows[d].n for d in range(1, 10)] == [2, 1, 0, 0, 0, 0, 0, 0, 1]
+    # chi-square term replayed in python with the same literals
+    for d in range(1, 10):
+        exp = BENFORD_P[d - 1] * 4.0
+        want = round((rows[d].n - exp) * (rows[d].n - exp) / exp, 6)
+        assert math.isclose(rows[d].chi2_term, want, rel_tol=0, abs_tol=1e-12)
+
+
+def test_benford_rejects_nonpositive(spark):
+    df = spark.createDataFrame([(5,), (0,)], "v long")
+    with pytest.raises(Exception, match="non-positive"):
+        benford_audit(df, "v").collect()
