@@ -7837,6 +7837,44 @@ SELECT bs.digit, CAST(COALESCE(bc.n, 0) AS BIGINT) AS n,
 FROM bs LEFT JOIN bc ON bs.digit = bc.digit"""
 
 
+def q_spatial_pairs(spark, sf):
+    """Grid-bucketed radius self-join — the 2-D range-join family:
+    customers placed on a 100k x 100k integer grid by md5-60bit draws,
+    all pairs within Euclidean distance 1500 with the exact BIGINT
+    squared distance in the value hash. The oracle is the BRUTE-FORCE
+    quadratic join, so hash equality proves the 9-cell candidate set
+    is complete (no lost pair) and exactly-once (no distinct)."""
+    from combblas_spark.operators.spatial import grid_radius_join
+    from combblas_spark.functions.dedup import md5_60bit
+
+    pts = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (
+            md5_60bit(F.concat(F.lit("sx|"), F.col("c_custkey").cast("string")))
+            % 100000
+        ).alias("x"),
+        (
+            md5_60bit(F.concat(F.lit("sy|"), F.col("c_custkey").cast("string")))
+            % 100000
+        ).alias("y"),
+    )
+    return grid_radius_join(pts, "id", "x", "y", radius=1500)
+
+
+_SPATIAL_ORACLE = """WITH spts AS MATERIALIZED (
+  SELECT c_custkey AS id,
+    CAST(('0x' || substr(md5('sx|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+      AS BIGINT) % 100000 AS x,
+    CAST(('0x' || substr(md5('sy|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+      AS BIGINT) % 100000 AS y
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+FROM spts a JOIN spts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+  <= 1500 * 1500"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8091,6 +8129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile,
         "key_audit": q_key_audit,
         "benford": q_benford,
+        "spatial_pairs": q_spatial_pairs,
     }
 
 
@@ -8180,6 +8219,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "profile_table": _PROFILE_ORACLE,
         "key_audit": _KEYAUDIT_ORACLE,
         "benford": _BENFORD_ORACLE,
+        "spatial_pairs": _SPATIAL_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -207,6 +207,7 @@ HEADLINE = [
     "profile_table",
     "key_audit",
     "benford",
+    "spatial_pairs",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

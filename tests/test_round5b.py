@@ -138,3 +138,95 @@ def test_benford_rejects_nonpositive(spark):
     df = spark.createDataFrame([(5,), (0,)], "v long")
     with pytest.raises(Exception, match="non-positive"):
         benford_audit(df, "v").collect()
+
+
+# --------------------------------------------------------- grid_radius_join
+
+
+def _brute_pairs(pts, r):
+    out = set()
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1:]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= r * r:
+                a, b = sorted((ia, ib))
+                out.add((a, b, d2))
+    return out
+
+
+def _spatial_fixture():
+    # deterministic scatter incl. same-cell, adjacent-cell and
+    # boundary-exact pairs
+    import hashlib
+
+    pts = []
+    for i in range(80):
+        h = hashlib.md5(f"sp|{i}".encode()).hexdigest()
+        pts.append((i, int(h[:8], 16) % 1000, int(h[8:16], 16) % 1000))
+    # exact-boundary pair: d2 == r^2 must be INCLUDED
+    pts.append((1000, 5000, 5000))
+    pts.append((1001, 5100, 5000))  # d = 100 == r below
+    return pts
+
+
+def test_grid_radius_join_brute_force_law(spark):
+    from combblas_spark.operators.spatial import grid_radius_join
+
+    pts = _spatial_fixture()
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r.id_a, r.id_b, r.d2)
+        for r in grid_radius_join(df, "id", "x", "y", 100).collect()
+    }
+    assert got == _brute_pairs(pts, 100)
+    assert (1000, 1001, 10000) in got  # inclusive boundary
+
+
+def test_grid_radius_join_partition_invariance(spark):
+    from combblas_spark.operators.spatial import grid_radius_join
+
+    pts = _spatial_fixture()
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    a = sorted(
+        (r.id_a, r.id_b, r.d2)
+        for r in grid_radius_join(df, "id", "x", "y", 150).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.d2)
+        for r in grid_radius_join(
+            df.repartition(7), "id", "x", "y", 150
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_grid_radius_join_rejects_negative(spark):
+    from combblas_spark.operators.spatial import grid_radius_join
+
+    df = spark.createDataFrame([(1, 5, 5), (2, -3, 4)], "id long, x long, y long")
+    with pytest.raises(Exception, match="negative coordinate"):
+        grid_radius_join(df, "id", "x", "y", 10).collect()
+
+
+def test_grid_radius_join_hot_cell_raises(spark):
+    from combblas_spark.operators.spatial import grid_radius_join
+
+    rows = [(i, 7, 7) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    with pytest.raises(Exception, match="max_cell"):
+        grid_radius_join(df, "id", "x", "y", 10, max_cell=20).collect()
+
+
+def test_grid_radius_join_no_cartesian(spark):
+    from combblas_spark.operators.spatial import grid_radius_join
+
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, 8, 8), (3, 500, 500)], "id long, x long, y long"
+    )
+    plan = (
+        grid_radius_join(df, "id", "x", "y", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
