@@ -4755,14 +4755,10 @@ FROM bfaud GROUP BY g"""
 # --------------------------------------------------------------------------
 
 
-def q_level_schedule(spark, sf):
-    """SpTRSV wavefront levels over a 12-layer DAG (id = layer*83+slot,
-    edges only layer -> layer+1 by md5 draws, so the longest chain is
-    bounded and the fixpoint provably converges): level(v) = longest
-    dependency chain into v via one MAX_PLUS SpMV per superstep — the
-    max-plus sibling of sssp's MIN_PLUS relaxation. Every (vertex,
-    level) is in the value hash."""
-    from combblas_spark.algorithms.ordering import level_schedule
+def _level_dag(spark, sf):
+    """The 12-layer DAG fixture shared by level_schedule / topo_order:
+    id = layer*83+slot, edges only layer -> layer+1 by md5 draws, so
+    the longest chain is bounded and the fixpoint provably converges."""
     from combblas_spark.functions.urls import _h60
 
     o = spark.read.parquet(f"{sf}/orders.parquet").select(
@@ -4770,11 +4766,20 @@ def q_level_schedule(spark, sf):
     )
     k = F.col("o")
     layer = _h60("ll", k) % 11
-    e = o.select(
+    return o.select(
         (layer * 83 + _h60("ls", k) % 83).alias("src"),
         ((layer + 1) * 83 + _h60("ld", k) % 83).alias("dst"),
     ).distinct()
-    return level_schedule(spark, e, max_iter=20)
+
+
+def q_level_schedule(spark, sf):
+    """SpTRSV wavefront levels over the 12-layer DAG fixture:
+    level(v) = longest dependency chain into v via one MAX_PLUS SpMV
+    per superstep — the max-plus sibling of sssp's MIN_PLUS
+    relaxation. Every (vertex, level) is in the value hash."""
+    from combblas_spark.algorithms.ordering import level_schedule
+
+    return level_schedule(spark, _level_dag(spark, sf), max_iter=20)
 
 
 _LEVEL_ORACLE = """WITH RECURSIVE lvu AS (
@@ -7875,6 +7880,83 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
   <= 1500 * 1500"""
 
 
+def q_reciprocity(spark, sf):
+    """Edge reciprocity of the DIRECTED events graph (Newman): the
+    fraction of edges whose reverse also exists — exact BIGINT counts
+    + 6-decimal ratio in one row. One reverse-orientation hash join +
+    one aggregate; the directed sibling of the A .* A^T mask."""
+    from combblas_spark.algorithms.stats import reciprocity
+
+    return reciprocity(events_digraph(spark, sf))
+
+
+_RECIP_ORACLE = f"""WITH {EV_CTES},
+rrev AS (SELECT dst AS src, src AS dst, 1 AS rc FROM evedges)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+  CAST(SUM(COALESCE(r.rc, 0)) AS BIGINT) AS n_recip,
+  ROUND(CAST(SUM(COALESCE(r.rc, 0)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS reciprocity
+FROM evedges e LEFT JOIN rrev r ON e.src = r.src AND e.dst = r.dst"""
+
+
+def q_assortativity(spark, sf):
+    """Degree assortativity (Newman 2002) of the part—supplier graph:
+    Pearson correlation of endpoint degrees across directed edge
+    slots, reduced to five EXACT BIGINT sums (in the value hash) plus
+    the one final double r assembled as sqrt(a)*sqrt(b) so ROUND(.,6)
+    is bit-portable. Bipartite graphs are disassortative by
+    construction — r < 0 is itself a structural check."""
+    from combblas_spark.algorithms.stats import degree_assortativity
+
+    return degree_assortativity(part_supplier_graph(spark, sf))
+
+
+_ASSORT_ORACLE = f"""WITH {PS_CTES},
+adeg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+aj AS MATERIALIZED (
+  SELECT dj.d AS dj, dk.d AS dk
+  FROM edges e
+  JOIN adeg dj ON e.src = dj.src
+  JOIN adeg dk ON e.dst = dk.src),
+asums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+    CAST(SUM(dj * dk) AS BIGINT) AS s_jk,
+    CAST(SUM(dj) AS BIGINT) AS s_j,
+    CAST(SUM(dk) AS BIGINT) AS s_k,
+    CAST(SUM(dj * dj) AS BIGINT) AS s_jj,
+    CAST(SUM(dk * dk) AS BIGINT) AS s_kk
+  FROM aj)
+SELECT m, s_jk, s_j, s_k, s_jj, s_kk,
+  ROUND((CAST(m AS DOUBLE) * CAST(s_jk AS DOUBLE)
+      - CAST(s_j AS DOUBLE) * CAST(s_k AS DOUBLE))
+    / (SQRT(CAST(m AS DOUBLE) * CAST(s_jj AS DOUBLE)
+        - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE))
+     * SQRT(CAST(m AS DOUBLE) * CAST(s_kk AS DOUBLE)
+        - CAST(s_k AS DOUBLE) * CAST(s_k AS DOUBLE))), 6) AS r
+FROM asums"""
+
+
+def q_topo_order(spark, sf):
+    """Deterministic topological ordering of the 12-layer DAG fixture:
+    MAX_PLUS wavefront level (cycle-raising) then a dense global rank
+    over (level, id) through the range-partitioned sample sort — every
+    (id, level, rank) is in the value hash, and every edge climbs
+    ranks by construction."""
+    from combblas_spark.algorithms.ordering import topological_order
+
+    return topological_order(spark, _level_dag(spark, sf), max_iter=20)
+
+
+_TOPO_ORACLE = _LEVEL_ORACLE.replace(
+    "SELECT id, CAST(MAX(d) AS BIGINT) AS level FROM lvw GROUP BY id",
+    """SELECT id, level,
+  CAST(ROW_NUMBER() OVER (ORDER BY level, id) - 1 AS BIGINT) AS rank
+FROM (SELECT id, CAST(MAX(d) AS BIGINT) AS level
+      FROM lvw GROUP BY id) lvfin""",
+)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8130,6 +8212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_audit": q_key_audit,
         "benford": q_benford,
         "spatial_pairs": q_spatial_pairs,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "topo_order": q_topo_order,
     }
 
 
@@ -8220,6 +8305,9 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "key_audit": _KEYAUDIT_ORACLE,
         "benford": _BENFORD_ORACLE,
         "spatial_pairs": _SPATIAL_ORACLE,
+        "reciprocity": _RECIP_ORACLE,
+        "assortativity": _ASSORT_ORACLE,
+        "topo_order": _TOPO_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -208,6 +208,9 @@ HEADLINE = [
     "key_audit",
     "benford",
     "spatial_pairs",
+    "reciprocity",
+    "assortativity",
+    "topo_order",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -364,3 +364,27 @@ def path_count(
         )
     finally:
         e.unpersist()
+
+
+def topological_order(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Deterministic total topological ordering of a DAG.
+
+    Composition: wavefront level via :func:`level_schedule` (MAX_PLUS
+    longest-chain fixpoint — its cycle raise makes a cyclic input loud,
+    never a bogus order), then a global dense rank over (level, id)
+    through the range-partitioned sample sort
+    (operators/indexing._global_ranks — no single-task window). Every
+    edge goes from a strictly lower rank to a higher one: level
+    strictly increases along edges by the fixpoint, and rank respects
+    (level, id) lexicographic order. Output (id, level, rank).
+    """
+    from combblas_spark.operators.indexing import _global_ranks
+
+    lv = level_schedule(spark, edges, max_iter=max_iter)
+    return _global_ranks(
+        lv, [F.col("level").asc(), F.col("id").asc()]
+    ).select("id", "level", F.col("rank").cast("long").alias("rank"))

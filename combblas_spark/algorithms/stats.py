@@ -809,3 +809,77 @@ def attack_profile(
         return out
     finally:
         und.unpersist()
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Edge reciprocity of a DIRECTED graph (Newman): the fraction of
+    directed edges whose reverse edge also exists.
+
+    One row ``(n_edges, n_recip, reciprocity)`` — exact BIGINT counts
+    and the 6-decimal ratio. Scale shape: one self-join on the
+    (src, dst) key (hash join, never all-pairs) + one aggregate; the
+    edge table is assumed deduplicated and loop-free (build_graph's
+    contract). Semantic anchor: the reference's A .* A^T elementwise
+    mask (/root/reference/include/CombBLAS/ParFriends.h EWiseMult) —
+    here the mask IS the reverse-orientation join.
+    """
+    d = edges.select("src", "dst")
+    rev = d.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("_r", F.lit(1))
+    flag = d.join(rev, on=["src", "dst"], how="left")
+    return flag.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("long").alias("n_recip"),
+        F.round(
+            F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, Phys Rev Lett
+    89:208701) over a SYMMETRIC edge table: the Pearson correlation of
+    (deg(src), deg(dst)) across directed edge slots.
+
+    One row ``(m, s_jk, s_j, s_k, s_jj, s_kk, r)``: the five sums are
+    EXACT BIGINTs (the whole correlation reduced to integer
+    arithmetic; overflow envelope m * s_jk < 2^63 holds to ~1e9-edge
+    graphs at web-hub degrees ~1e4) and r is assembled from them in
+    one final double expression, sqrt(a)*sqrt(b) with both factors
+    correctly rounded so the ROUND(.,6) is engine-portable. Scale
+    shape: one degree aggregate + two hash joins of the degree table
+    onto the edge list + one aggregate — no windows, no all-pairs.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    j = (
+        edges.select("src", "dst")
+        .join(deg.select(F.col("src"), F.col("_d").alias("_dj")), on="src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("_d").alias("_dk")
+            ),
+            on="dst",
+        )
+    )
+    sums = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("_dj") * F.col("_dk")).cast("long").alias("s_jk"),
+        F.sum("_dj").cast("long").alias("s_j"),
+        F.sum("_dk").cast("long").alias("s_k"),
+        F.sum(F.col("_dj") * F.col("_dj")).cast("long").alias("s_jj"),
+        F.sum(F.col("_dk") * F.col("_dk")).cast("long").alias("s_kk"),
+    )
+    md = F.col("m").cast("double")
+    num = (md * F.col("s_jk").cast("double")
+           - F.col("s_j").cast("double") * F.col("s_k").cast("double"))
+    va = (md * F.col("s_jj").cast("double")
+          - F.col("s_j").cast("double") * F.col("s_j").cast("double"))
+    vb = (md * F.col("s_kk").cast("double")
+          - F.col("s_k").cast("double") * F.col("s_k").cast("double"))
+    return sums.select(
+        "m", "s_jk", "s_j", "s_k", "s_jj", "s_kk",
+        F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6).alias("r"),
+    )

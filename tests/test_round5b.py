@@ -230,3 +230,109 @@ def test_grid_radius_join_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- reciprocity/assortativity
+
+
+def test_reciprocity_hand_case(spark):
+    from combblas_spark.algorithms.stats import reciprocity
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0)], "src long, dst long, w double"
+    )
+    row = reciprocity(e).collect()[0]
+    assert (row.n_edges, row.n_recip) == (3, 2)
+    assert row.reciprocity == round(2 / 3, 6)
+
+
+def test_assortativity_path_graph_is_minus_one(spark):
+    from combblas_spark.algorithms.stats import degree_assortativity
+
+    # P3 (1-2-3) symmetric: the textbook r = -1 case
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+        "src long, dst long, w double",
+    )
+    row = degree_assortativity(e).collect()[0]
+    assert (row.m, row.s_jk, row.s_j, row.s_jj) == (4, 8, 6, 10)
+    assert row.r == -1.0
+
+
+def test_assortativity_python_replay(spark):
+    import hashlib
+
+    from combblas_spark.algorithms.stats import degree_assortativity
+
+    pairs = set()
+    for i in range(60):
+        h = hashlib.md5(f"as|{i}".encode()).hexdigest()
+        a, b = int(h[:6], 16) % 20, int(h[6:12], 16) % 20
+        if a != b:
+            pairs.add((a, b))
+            pairs.add((b, a))
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+    m = len(pairs)
+    s_jk = sum(deg[a] * deg[b] for a, b in pairs)
+    s_j = sum(deg[a] for a, _ in pairs)
+    s_jj = sum(deg[a] ** 2 for a, _ in pairs)
+    num = m * s_jk - s_j * s_j
+    den = math.sqrt(m * s_jj - s_j * s_j) * math.sqrt(m * s_jj - s_j * s_j)
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sorted(pairs)], "src long, dst long, w double"
+    )
+    row = degree_assortativity(e).collect()[0]
+    assert (row.m, row.s_jk, row.s_j, row.s_jj) == (m, s_jk, s_j, s_jj)
+    assert row.r == round(num / den, 6)
+
+
+# ---------------------------------------------------------------- topo_order
+
+
+def test_topological_order_diamond(spark):
+    from combblas_spark.algorithms.ordering import topological_order
+
+    # diamond 1 -> {2,3} -> 4: levels 0,1,1,2; rank order 1,2,3,4
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    rows = sorted(
+        topological_order(spark, e).collect(), key=lambda r: r.rank
+    )
+    assert [(r.id, r.level, r.rank) for r in rows] == [
+        (1, 0, 0),
+        (2, 1, 1),
+        (3, 1, 2),
+        (4, 2, 3),
+    ]
+
+
+def test_topological_order_every_edge_climbs(spark):
+    import hashlib
+
+    from combblas_spark.algorithms.ordering import topological_order
+
+    edges = set()
+    for i in range(200):
+        h = hashlib.md5(f"to|{i}".encode()).hexdigest()
+        layer = int(h[:4], 16) % 6
+        edges.add(
+            (layer * 10 + int(h[4:8], 16) % 10,
+             (layer + 1) * 10 + int(h[8:12], 16) % 10)
+        )
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    out = topological_order(spark, e).collect()
+    rank = {r.id: r.rank for r in out}
+    assert sorted(rank.values()) == list(range(len(rank)))  # dense perm
+    for s, d in edges:
+        assert rank[s] < rank[d]
+
+
+def test_topological_order_cycle_raises(spark):
+    from combblas_spark.algorithms.ordering import topological_order
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="cycle|fixpoint"):
+        topological_order(spark, e, max_iter=8)
