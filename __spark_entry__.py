@@ -7957,6 +7957,135 @@ FROM (SELECT id, CAST(MAX(d) AS BIGINT) AS level
 )
 
 
+PROMO_LO, PROMO_HI = "1997-06-01", "1997-09-01"
+BIGORD_QTY = 180
+
+
+def q_promo_share(spark, sf):
+    """TPC-H Q14-shaped promotion-revenue share: lineitems shipped in
+    a summer-97 window joined to the (broadcast) part dim, PROMO-type
+    revenue over total revenue — both carried as exact int64 cent
+    products so the one-row report is bit-exact, with only the final
+    share a ROUND(.,6) double."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    d = F.to_date("l_shipdate").cast("string")
+    ep_c = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    keep_c = F.floor((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    j = (
+        li.filter((d >= PROMO_LO) & (d < PROMO_HI))
+        .withColumn("rev_x", ep_c * keep_c)
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              on=F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_x"))
+              .otherwise(F.lit(0))).cast("long").alias("promo_rev_x"),
+        F.sum("rev_x").cast("long").alias("total_rev_x"),
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_x"))
+                  .otherwise(F.lit(0))).cast("double")
+            / F.sum("rev_x").cast("double"),
+            6,
+        ).alias("promo_share"),
+    )
+
+
+_PROMO_ORACLE = f"""WITH pj AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+       * CAST(FLOOR((1.0 - l_discount) * 100) AS BIGINT) AS rev_x,
+    p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE CAST(CAST(l_shipdate AS DATE) AS VARCHAR) >= '{PROMO_LO}'
+    AND CAST(CAST(l_shipdate AS DATE) AS VARCHAR) < '{PROMO_HI}')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_x ELSE 0 END) AS BIGINT)
+    AS promo_rev_x,
+  CAST(SUM(rev_x) AS BIGINT) AS total_rev_x,
+  ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_x ELSE 0 END)
+      AS DOUBLE) / CAST(SUM(rev_x) AS DOUBLE), 6) AS promo_share
+FROM pj"""
+
+
+def q_big_orders(spark, sf):
+    """TPC-H Q18-shaped large-volume orders: orders whose total line
+    quantity exceeds {BIGORD_QTY}, top 10 by exact total-price cents
+    (orderkey tiebreak) via TakeOrderedAndProject — the
+    having-over-aggregate + top-k relational shape."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    sums = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+             .alias("sum_qty"))
+        .filter(F.col("sum_qty") > BIGORD_QTY)
+    )
+    j = orders.join(sums, on="o_orderkey").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "sum_qty",
+    )
+    return j.orderBy(
+        F.col("price_c").desc(), F.col("o_orderkey").asc()
+    ).limit(10)
+
+
+_BIGORD_ORACLE = f"""WITH bq AS (
+  SELECT l_orderkey AS o_orderkey,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT))
+    > {BIGORD_QTY})
+SELECT o_orderkey, o_custkey, price_c, sum_qty FROM (
+  SELECT o.o_orderkey, o.o_custkey,
+    CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS price_c, bq.sum_qty,
+    ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+      DESC, o.o_orderkey ASC) AS rn
+  FROM orders o JOIN bq USING (o_orderkey)) t
+WHERE rn <= 10"""
+
+
+def q_cust_returns(spark, sf):
+    """TPC-H Q10-shaped returned-item loss report: revenue of
+    returnflag='R' lineitems rolled up through orders to the customer,
+    top 20 customers by exact cent-product revenue (custkey tiebreak)
+    — the three-table fact-to-dim rollup with the dims broadcast."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    ep_c = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    keep_c = F.floor((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"),
+                (ep_c * keep_c).alias("rev_x"))
+        .join(orders.select("o_orderkey", "o_custkey"), on="o_orderkey")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("rev_x").cast("long").alias("rev_x"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name")),
+              on="c_custkey")
+    )
+    return rev.select("c_custkey", "c_name", "rev_x").orderBy(
+        F.col("rev_x").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
+_CUSTRET_ORACLE = """WITH cr AS (
+  SELECT o.o_custkey AS c_custkey,
+    CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+         * CAST(FLOOR((1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+      AS rev_x
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey)
+SELECT c_custkey, c_name, rev_x FROM (
+  SELECT cr.c_custkey, c.c_name, cr.rev_x,
+    ROW_NUMBER() OVER (ORDER BY cr.rev_x DESC, cr.c_custkey ASC) AS rn
+  FROM cr JOIN customer c USING (c_custkey)) t
+WHERE rn <= 20"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8215,6 +8344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "topo_order": q_topo_order,
+        "promo_share": q_promo_share,
+        "big_orders": q_big_orders,
+        "cust_returns": q_cust_returns,
     }
 
 
@@ -8308,6 +8440,9 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "reciprocity": _RECIP_ORACLE,
         "assortativity": _ASSORT_ORACLE,
         "topo_order": _TOPO_ORACLE,
+        "promo_share": _PROMO_ORACLE,
+        "big_orders": _BIGORD_ORACLE,
+        "cust_returns": _CUSTRET_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -211,6 +211,9 @@ HEADLINE = [
     "reciprocity",
     "assortativity",
     "topo_order",
+    "promo_share",
+    "big_orders",
+    "cust_returns",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

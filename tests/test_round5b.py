@@ -336,3 +336,31 @@ def test_topological_order_cycle_raises(spark):
     e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
     with pytest.raises(RuntimeError, match="cycle|fixpoint"):
         topological_order(spark, e, max_iter=8)
+
+
+# ------------------------------------------------------- relational plans
+
+
+def test_relational_topk_plans(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+
+    for q in ("big_orders", "cust_returns"):
+        plan = (
+            em.queries()[q](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, q
+    promo = (
+        em.queries()["promo_share"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in promo
