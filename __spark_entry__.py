@@ -8086,6 +8086,58 @@ SELECT c_custkey, c_name, rev_x FROM (
 WHERE rn <= 20"""
 
 
+CLIQUE_CC_ITERS = 16  # min-label rounds over the star-form triangle graph
+
+
+def q_clique_comm(spark, sf):
+    """3-clique percolation communities (Palla et al. 2005) of the
+    symmetrized events graph: triangles adjacent iff they share an
+    edge, communities = CC over the triangle graph (star-to-min form,
+    linear in the triangle-edge incidence), every overlapping
+    (vertex, community) membership in the value hash. The composition
+    showcase for the triangle + CC kernels."""
+    from combblas_spark.algorithms.clustering import clique_communities
+
+    return clique_communities(spark, symmetrize_ev(spark, sf))
+
+
+def _clique_comm_sql() -> str:
+    prefix = f"""{EV_CTES},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM evedges
+  UNION SELECT dst AS src, src AS dst FROM evedges),
+L AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM sym WHERE src <> dst),
+ct AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z,
+    (a.src * 1048576 + a.dst) * 1048576 + b.dst AS tid
+  FROM L a JOIN L b ON a.dst = b.src
+           JOIN L c ON c.src = a.src AND c.dst = b.dst),
+te AS MATERIALIZED (
+  SELECT tid, x AS u, y AS v FROM ct
+  UNION ALL SELECT tid, x, z FROM ct
+  UNION ALL SELECT tid, y, z FROM ct),
+stedge AS MATERIALIZED (
+  SELECT r.root AS src, t.tid AS dst
+  FROM (SELECT u, v, MIN(tid) AS root FROM te GROUP BY u, v) r
+  JOIN te t ON r.u = t.u AND r.v = t.v
+  WHERE r.root <> t.tid),
+csym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM stedge
+    UNION ALL SELECT dst AS src, src AS dst FROM stedge
+    UNION ALL SELECT tid AS src, tid AS dst FROM ct) u)"""
+    body = _minlabel_ctes("csym", CLIQUE_CC_ITERS)
+    return f"""WITH {prefix},
+{body}
+SELECT DISTINCT m.v AS id, l.val AS comm FROM (
+  SELECT x AS v, tid FROM ct
+  UNION ALL SELECT y, tid FROM ct
+  UNION ALL SELECT z, tid FROM ct) m
+JOIN l{CLIQUE_CC_ITERS} l ON m.tid = l.id"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8347,6 +8399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_share": q_promo_share,
         "big_orders": q_big_orders,
         "cust_returns": q_cust_returns,
+        "clique_comm": q_clique_comm,
     }
 
 
@@ -8443,6 +8496,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "promo_share": _PROMO_ORACLE,
         "big_orders": _BIGORD_ORACLE,
         "cust_returns": _CUSTRET_ORACLE,
+        "clique_comm": _clique_comm_sql(),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

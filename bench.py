@@ -214,6 +214,7 @@ HEADLINE = [
     "promo_share",
     "big_orders",
     "cust_returns",
+    "clique_comm",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

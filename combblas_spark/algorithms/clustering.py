@@ -296,3 +296,81 @@ def triangle_centrality(edges: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def clique_communities(spark, edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """3-clique percolation communities (Palla et al., Nature 435:814,
+    2005): two triangles are adjacent iff they share an edge; a
+    community is a connected set of triangles, and a vertex belongs to
+    every community whose triangles contain it (overlapping membership
+    — the property k-clique percolation exists for).
+
+    Output (id, comm) — one row per (vertex, community) membership;
+    comm is the minimum canonical triangle id in the community, where a
+    triangle (x < y < z) encodes as (x*2^20 + y)*2^20 + z. Vertices in
+    no triangle are absent. Ids must be < 2^20 (raises at execution
+    otherwise — rename first for bigger graphs; the encode keeps the
+    whole pipeline in exact int64).
+
+    Scale shape: triangles from the degree-ordered wedge join (_tris,
+    compact-forward hub bound); per shared edge the adjacency is the
+    STAR to the edge's minimum triangle — |tris on edge| - 1 rows
+    instead of the quadratic clique, same connectivity — so the
+    triangle graph is linear in the triangle-edge incidence; CC over it
+    is the standard min-label superstep kernel (cc_minlabel).
+    """
+    S = 1 << 20
+    tris = _tris(edges)
+    x = F.least("a", "b", "c")
+    z = F.greatest("a", "b", "c")
+    y = F.col("a") + F.col("b") + F.col("c") - x - z
+    tid = F.when(
+        z < S, (x * S + y) * S + z
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("clique_communities: vertex id >= 2^20 at "),
+                z.cast("string"),
+            )
+        )
+    )
+    t = tris.select(
+        x.alias("x"), y.alias("y"), z.alias("z"), tid.alias("tid")
+    ).localCheckpoint()
+    tedge = t.select(
+        "tid",
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
+                F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
+            )
+        ).alias("e"),
+    )
+    star = (
+        tedge.groupBy("e").agg(F.min("tid").alias("root"))
+        .join(tedge, on="e")
+        .filter(F.col("root") != F.col("tid"))
+        .select("root", "tid")
+        .distinct()
+    )
+    sym = star.select(
+        F.col("root").alias("src"), F.col("tid").alias("dst"),
+        F.lit(1.0).alias("w"),
+    ).unionByName(
+        star.select(
+            F.col("tid").alias("src"), F.col("root").alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    from combblas_spark.algorithms.cc import cc_minlabel
+
+    labels = cc_minlabel(
+        spark, sym, max_iter=max_iter,
+        vertices=t.select(F.col("tid").alias("id")).distinct(),
+    )
+    member = t.join(labels, on=t.tid == labels.id).select(
+        F.explode(F.array("x", "y", "z")).alias("id"),
+        F.col("val").alias("comm"),
+    )
+    return member.distinct()

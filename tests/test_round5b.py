@@ -364,3 +364,119 @@ def test_relational_topk_plans(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in promo
+
+
+# --------------------------------------------------------- clique_communities
+
+
+def _py_clique_comms(pairs):
+    """Pure-python 3-clique percolation replay."""
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    tris = set()
+    for x in adj:
+        for y in adj[x]:
+            if y <= x:
+                continue
+            for z in adj[x] & adj[y]:
+                if z > y:
+                    tris.add((x, y, z))
+    S = 1 << 20
+    tid = {t: (t[0] * S + t[1]) * S + t[2] for t in tris}
+    # union-find over triangles sharing an edge
+    parent = {tid[t]: tid[t] for t in tris}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    by_edge = {}
+    for t in tris:
+        x, y, z = t
+        for e in ((x, y), (x, z), (y, z)):
+            by_edge.setdefault(e, []).append(tid[t])
+    for ts in by_edge.values():
+        for other in ts[1:]:
+            ra, rb = find(ts[0]), find(other)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    out = set()
+    for t in tris:
+        comm = find(tid[t])
+        for v in t:
+            out.add((v, comm))
+    return out
+
+
+def test_clique_comm_overlap_bowtie(spark):
+    from combblas_spark.algorithms.clustering import clique_communities
+
+    # bowtie: triangles (1,2,3) and (3,4,5) share only vertex 3 ->
+    # two communities, vertex 3 in BOTH (the overlap k-clique
+    # percolation exists for)
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs],
+        "src long, dst long, w double",
+    )
+    got = {
+        (r.id, r.comm) for r in clique_communities(spark, e).collect()
+    }
+    assert got == _py_clique_comms(pairs)
+    comms = {c for v, c in got}
+    assert len(comms) == 2
+    assert sum(1 for v, c in got if v == 3) == 2  # overlap membership
+
+
+def test_clique_comm_shared_edge_merges(spark):
+    from combblas_spark.algorithms.clustering import clique_communities
+
+    # triangles (1,2,3) and (2,3,4) share edge (2,3) -> ONE community
+    pairs = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs],
+        "src long, dst long, w double",
+    )
+    got = {(r.id, r.comm) for r in clique_communities(spark, e).collect()}
+    assert got == _py_clique_comms(pairs)
+    assert len({c for _, c in got}) == 1
+    assert {v for v, _ in got} == {1, 2, 3, 4}
+
+
+def test_clique_comm_python_replay(spark):
+    import hashlib
+
+    from combblas_spark.algorithms.clustering import clique_communities
+
+    pairs = set()
+    for i in range(150):
+        h = hashlib.md5(f"cq|{i}".encode()).hexdigest()
+        a, b = int(h[:6], 16) % 25, int(h[6:12], 16) % 25
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sorted(pairs)]
+        + [(b, a, 1.0) for a, b in sorted(pairs)],
+        "src long, dst long, w double",
+    )
+    got = {(r.id, r.comm) for r in clique_communities(spark, e).collect()}
+    assert got == _py_clique_comms(pairs)
+    assert len(got) > 0
+
+
+def test_clique_comm_big_id_raises(spark):
+    from combblas_spark.algorithms.clustering import clique_communities
+
+    big = 1 << 21
+    pairs = [(big, big + 1), (big + 1, big + 2), (big, big + 2)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs],
+        "src long, dst long, w double",
+    )
+    with pytest.raises(Exception, match="2\\^20"):
+        clique_communities(spark, e).collect()
