@@ -8138,6 +8138,87 @@ SELECT DISTINCT m.v AS id, l.val AS comm FROM (
 JOIN l{CLIQUE_CC_ITERS} l ON m.tid = l.id"""
 
 
+def q_hll_setops(spark, sf):
+    """HLL set algebra over the per-event-type user sets: every pair
+    gets union-by-register-MAX-merge and inclusion-exclusion
+    intersection estimates NEXT TO the exact counts, so the sketch's
+    error envelope is hash-visible per pair — the keep-sketches-not-
+    keys workflow (rollup proved per-group in hll_rollup, set algebra
+    proved per-pair here)."""
+    from combblas_spark.functions.sketch import hll_setops
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return hll_setops(
+        ev, "event_type", F.col("user_id").cast("long").cast("string")
+    )
+
+
+_SETOPS_EST = (
+    f"ROUND(CASE WHEN {{vz}} > 0 AND {_HLL_CONST!r} / CAST({{sh}} AS DOUBLE)"
+    f" <= {2.5 * _HLL_M!r}"
+    f" THEN {float(_HLL_M)!r} * LN({float(_HLL_M)!r} / {{vz}})"
+    f" ELSE {_HLL_CONST!r} / CAST({{sh}} AS DOUBLE) END, 6)"
+)
+
+_SETOPS_ORACLE = f"""WITH hs AS MATERIALIZED (
+  SELECT event_type AS g,
+    CAST(('0x' || substr(md5(CAST(CAST(user_id AS BIGINT) AS VARCHAR)),
+      1, 15)) AS BIGINT) AS h
+  FROM events),
+hr AS MATERIALIZED (
+  SELECT g, h % {_HLL_M} AS bucket,
+    MAX(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_K}
+        ELSE {_HLL_K} - LENGTH(bin(h >> {_HLL_P})) END) AS rho
+  FROM hs GROUP BY g, h % {_HLL_M}),
+hp AS (
+  SELECT a.g AS ga, b.g AS gb
+  FROM (SELECT DISTINCT g FROM hr) a
+  JOIN (SELECT DISTINCT g FROM hr) b ON a.g < b.g),
+gsc AS (
+  SELECT g,
+    CAST({_HLL_M} - COUNT(*) AS BIGINT) AS vz,
+    CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_K} - rho))
+      + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_K}) AS BIGINT)
+      AS sh
+  FROM hr GROUP BY g),
+ur AS MATERIALIZED (
+  SELECT ga, gb, bucket, MAX(rho) AS rho FROM (
+    SELECT p.ga, p.gb, r.bucket, r.rho FROM hp p JOIN hr r ON r.g = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, r.bucket, r.rho FROM hp p JOIN hr r ON r.g = p.gb)
+  GROUP BY ga, gb, bucket),
+usc AS (
+  SELECT ga, gb,
+    CAST({_HLL_M} - COUNT(*) AS BIGINT) AS vz,
+    CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_K} - rho))
+      + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_K}) AS BIGINT)
+      AS sh
+  FROM ur GROUP BY ga, gb),
+eh AS MATERIALIZED (SELECT DISTINCT g, h FROM hs),
+exg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM eh GROUP BY g),
+exi AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM eh a JOIN eh b ON a.h = b.h AND a.g < b.g
+  GROUP BY a.g, b.g)
+SELECT p.ga AS set_a, p.gb AS set_b,
+  na.n AS n_a, nb.n AS n_b,
+  CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+  {_SETOPS_EST.format(vz="sa.vz", sh="sa.sh")} AS est_a,
+  {_SETOPS_EST.format(vz="sb.vz", sh="sb.sh")} AS est_b,
+  {_SETOPS_EST.format(vz="su.vz", sh="su.sh")} AS est_union,
+  ROUND({_SETOPS_EST.format(vz="sa.vz", sh="sa.sh")}
+    + {_SETOPS_EST.format(vz="sb.vz", sh="sb.sh")}
+    - {_SETOPS_EST.format(vz="su.vz", sh="su.sh")}, 6) AS est_inter
+FROM hp p
+JOIN exg na ON na.g = p.ga
+JOIN exg nb ON nb.g = p.gb
+LEFT JOIN exi i ON i.ga = p.ga AND i.gb = p.gb
+JOIN gsc sa ON sa.g = p.ga
+JOIN gsc sb ON sb.g = p.gb
+JOIN usc su ON su.ga = p.ga AND su.gb = p.gb"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8400,6 +8481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "cust_returns": q_cust_returns,
         "clique_comm": q_clique_comm,
+        "hll_setops": q_hll_setops,
     }
 
 
@@ -8497,6 +8579,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "big_orders": _BIGORD_ORACLE,
         "cust_returns": _CUSTRET_ORACLE,
         "clique_comm": _clique_comm_sql(),
+        "hll_setops": _SETOPS_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

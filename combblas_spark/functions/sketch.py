@@ -640,3 +640,156 @@ def hll_rollup(
         )
     )
     return out
+
+
+def hll_setops(
+    df: DataFrame, group_col: str, value: Column, p: int = 6
+) -> DataFrame:
+    """HLL set algebra across every pair of groups: union by register
+    MAX-merge, intersection by inclusion-exclusion — the reason
+    pipelines keep sketches instead of raw keys: |A ∪ B| costs an O(m)
+    register merge, never a re-scan.
+
+    One row per unordered group pair (set_a < set_b):
+    ``(set_a, set_b, n_a, n_b, n_union, n_inter, est_a, est_b,
+    est_union, est_inter)`` — the n_* are EXACT audit counts (n_union
+    derived as n_a + n_b - n_inter) the estimates are graded against;
+    est_inter = est_a + est_b - est_union can be negative for near-
+    disjoint sets (the documented inclusion-exclusion failure mode —
+    it is emitted as-is, not clamped, so the error is visible).
+
+    Scale shape: the register build is the same map-side-combinable
+    MAX agg as hll_distinct; the pair expansion joins the O(groups)
+    pair table onto the O(groups * m) register plane — everything
+    downstream of the one base scan is sketch-sized.
+    """
+    m = 1 << p
+    if m not in _HLL_ALPHA:
+        raise ValueError(f"unsupported p={p}")
+    k_exp = 60 - p + 1
+    alpha = _HLL_ALPHA[m]
+    const = alpha * m * m * float(1 << k_exp)
+
+    base = df.select(
+        F.col(group_col).alias("g"), md5_60bit(value).alias("h")
+    )
+    regs = (
+        base.select(
+            "g",
+            F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+            F.expr(
+                f"CASE WHEN (h >> {p}) = 0 THEN {k_exp} "
+                f"ELSE {k_exp} - LENGTH(bin(h >> {p})) END"
+            ).alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    ).localCheckpoint()
+    groups = regs.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+
+    def _score(regdf, keys):
+        pg = regdf.groupBy(*keys).agg(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {k_exp} - CAST(rho AS INT))"
+                )
+            ).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        return pg.select(
+            *keys,
+            (F.lit(m) - F.col("n_present")).cast("long").alias("v_zero"),
+            (
+                F.col("s_present")
+                + (F.lit(m) - F.col("n_present"))
+                * F.lit(1 << k_exp).cast("long")
+            ).alias("s_harm"),
+        )
+
+    def _est(v_zero, s_harm):
+        raw = F.lit(const) / s_harm.cast("double")
+        return F.round(
+            F.when(
+                (v_zero > 0) & (raw <= F.lit(2.5 * m)),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+            ).otherwise(raw),
+            6,
+        )
+
+    g_score = _score(regs, ["g"]).select(
+        "g", F.col("v_zero").alias("vz"), F.col("s_harm").alias("sh")
+    )
+    rpa = pairs.join(regs, on=pairs.ga == regs.g).select(
+        "ga", "gb", "bucket", "rho"
+    )
+    rpb = pairs.join(regs, on=pairs.gb == regs.g).select(
+        "ga", "gb", "bucket", "rho"
+    )
+    u_regs = (
+        rpa.unionByName(rpb)
+        .groupBy("ga", "gb", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    u_score = _score(u_regs, ["ga", "gb"])
+
+    eh = base.distinct()
+    ex_g = eh.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        eh.select(F.col("g").alias("ga"), "h")
+        .join(eh.select(F.col("g").alias("gb"), "h"), on="h")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+
+    out = (
+        pairs.join(
+            ex_g.select(F.col("g").alias("ga"), F.col("n").alias("n_a")),
+            on="ga",
+        )
+        .join(
+            ex_g.select(F.col("g").alias("gb"), F.col("n").alias("n_b")),
+            on="gb",
+        )
+        .join(inter, on=["ga", "gb"], how="left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(
+            g_score.select(
+                F.col("g").alias("ga"),
+                F.col("vz").alias("vz_a"),
+                F.col("sh").alias("sh_a"),
+            ),
+            on="ga",
+        )
+        .join(
+            g_score.select(
+                F.col("g").alias("gb"),
+                F.col("vz").alias("vz_b"),
+                F.col("sh").alias("sh_b"),
+            ),
+            on="gb",
+        )
+        .join(u_score, on=["ga", "gb"])
+    )
+    est_a = _est(F.col("vz_a"), F.col("sh_a"))
+    est_b = _est(F.col("vz_b"), F.col("sh_b"))
+    est_u = _est(F.col("v_zero"), F.col("s_harm"))
+    return out.select(
+        F.col("ga").alias("set_a"),
+        F.col("gb").alias("set_b"),
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .cast("long")
+        .alias("n_union"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        F.round(est_a + est_b - est_u, 6).alias("est_inter"),
+    )

@@ -480,3 +480,65 @@ def test_clique_comm_big_id_raises(spark):
     )
     with pytest.raises(Exception, match="2\\^20"):
         clique_communities(spark, e).collect()
+
+
+# ------------------------------------------------------------------ hll_setops
+
+
+def _setops_fixture(spark):
+    rows = []
+    for i in range(400):
+        rows.append(("a", f"k{i}"))
+    for i in range(200, 700):
+        rows.append(("b", f"k{i}"))
+    for i in range(5000, 5300):
+        rows.append(("c", f"k{i}"))  # disjoint from a and b
+    # duplicates must not matter
+    rows += [("a", "k0"), ("b", "k200")]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_hll_setops_exact_columns(spark):
+    from combblas_spark.functions.sketch import hll_setops
+
+    df = _setops_fixture(spark)
+    out = {
+        (r.set_a, r.set_b): r
+        for r in hll_setops(df, "g", F.col("v")).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab.n_a, ab.n_b, ab.n_inter, ab.n_union) == (400, 500, 200, 700)
+    ac = out[("a", "c")]
+    assert (ac.n_inter, ac.n_union) == (0, 700)
+    # disjoint-set inclusion-exclusion error is emitted, not clamped
+    assert ac.est_inter == round(ac.est_a + ac.est_b - ac.est_union, 6)
+
+
+def test_hll_setops_union_merge_equals_direct(spark):
+    from combblas_spark.functions.sketch import hll_distinct, hll_setops
+
+    df = _setops_fixture(spark)
+    merged = {
+        (r.set_a, r.set_b): r.est_union
+        for r in hll_setops(df, "g", F.col("v")).collect()
+    }
+    for ga, gb in merged:
+        direct_df = df.filter(F.col("g").isin([ga, gb])).withColumn(
+            "g", F.lit("u")
+        )
+        direct = hll_distinct(direct_df, "g", F.col("v")).collect()[0]
+        # register MAX-merge must equal the directly-built union sketch
+        assert merged[(ga, gb)] == direct.hll_est, (ga, gb)
+
+
+def test_hll_setops_identical_sets(spark):
+    from combblas_spark.functions.sketch import hll_setops
+
+    rows = [("x", f"k{i}") for i in range(300)] + [
+        ("y", f"k{i}") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = hll_setops(df, "g", F.col("v")).collect()[0]
+    assert r.est_a == r.est_b == r.est_union
+    assert r.est_inter == round(r.est_a, 6)
+    assert (r.n_inter, r.n_union) == (300, 300)
