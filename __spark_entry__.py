@@ -8219,6 +8219,93 @@ JOIN gsc sb ON sb.g = p.gb
 JOIN usc su ON su.ga = p.ga AND su.gb = p.gb"""
 
 
+def q_streaks(spark, sf):
+    """Gaps-and-islands over the event stream: per-user consecutive-
+    day activity runs via the day-number-minus-row-number island trick
+    — one distinct, one per-user window, two aggregates; exact island
+    counts, longest streak and ISO date bounds per user in the value
+    hash."""
+    from combblas_spark.functions.sessions import activity_streaks
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return activity_streaks(ev, "user_id", "ts").withColumnRenamed(
+        "user", "user_id"
+    )
+
+
+_STREAKS_ORACLE = """WITH sd AS MATERIALIZED (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS usr, CAST(ts AS DATE) AS day
+  FROM events),
+sg AS (
+  SELECT usr, day,
+    date_diff('day', DATE '1995-01-01', day)
+      - ROW_NUMBER() OVER (PARTITION BY usr ORDER BY day) AS grp
+  FROM sd),
+si AS (
+  SELECT usr, grp, COUNT(*) AS len, MIN(day) AS d0, MAX(day) AS d1
+  FROM sg GROUP BY usr, grp)
+SELECT usr AS user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+  CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(MAX(len) AS BIGINT) AS max_streak,
+  CAST(MIN(d0) AS VARCHAR) AS first_day,
+  CAST(MAX(d1) AS VARCHAR) AS last_day
+FROM si GROUP BY usr"""
+
+
+def q_scd2(spark, sf):
+    """SCD type-2 history builder: four md5-drawn versions per
+    customer (adjacent repeats ~1/5, so the no-change compression path
+    is live), change points kept by a lag window, validity closed at
+    the next change by a lead window — every (key, value, valid_from,
+    valid_to, is_current) interval in the value hash. The history-
+    table sibling of cdc_merge."""
+    from combblas_spark.functions.cdc import scd2_compress
+    from combblas_spark.functions.dedup import md5_60bit
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    ver = cust.select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("v"),
+    )
+    rows = ver.select(
+        "k",
+        F.date_add(
+            F.lit("2020-01-01").cast("date"), F.col("v") * 7
+        ).cast("string").alias("ts"),
+        (
+            md5_60bit(
+                F.concat(
+                    F.lit("scd|"),
+                    F.col("k").cast("string"),
+                    F.lit("|"),
+                    F.col("v").cast("string"),
+                )
+            )
+            % 5
+        ).alias("val"),
+    )
+    return scd2_compress(rows, "k", "ts", "val")
+
+
+_SCD2_ORACLE = """WITH s0 AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS k,
+    CAST(CAST(DATE '2020-01-01' + (t.v * 7) * INTERVAL 1 DAY AS DATE)
+      AS VARCHAR) AS ts,
+    CAST(('0x' || substr(md5('scd|' || CAST(c_custkey AS VARCHAR) || '|'
+      || CAST(t.v AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS val
+  FROM customer, UNNEST([0, 1, 2, 3]) AS t(v)),
+sc AS (
+  SELECT k, ts, val, LAG(val) OVER (PARTITION BY k ORDER BY ts) AS pv
+  FROM s0),
+sf2 AS (SELECT k, ts, val FROM sc WHERE pv IS NULL OR pv <> val),
+sl AS (
+  SELECT k, ts, val, LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS nts
+  FROM sf2)
+SELECT k AS key, val AS value, ts AS valid_from, nts AS valid_to,
+  CAST(CASE WHEN nts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM sl"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8482,6 +8569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_returns": q_cust_returns,
         "clique_comm": q_clique_comm,
         "hll_setops": q_hll_setops,
+        "streaks": q_streaks,
+        "scd2": q_scd2,
     }
 
 
@@ -8580,6 +8669,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "cust_returns": _CUSTRET_ORACLE,
         "clique_comm": _clique_comm_sql(),
         "hll_setops": _SETOPS_ORACLE,
+        "streaks": _STREAKS_ORACLE,
+        "scd2": _SCD2_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

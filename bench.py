@@ -216,6 +216,8 @@ HEADLINE = [
     "cust_returns",
     "clique_comm",
     "hll_setops",
+    "streaks",
+    "scd2",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

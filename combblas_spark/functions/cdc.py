@@ -74,3 +74,50 @@ def cdc_apply(
             F.col("_v").alias("last_version"),
         )
     )
+
+
+def scd2_compress(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval builder from a
+    versioned change log — the history-table sibling of
+    :func:`cdc_apply` (which answers "latest state"; this answers
+    "state at any time").
+
+    Consecutive versions with an UNCHANGED value are compressed away
+    (a lag window keeps only change points), then each survivor's
+    validity closes at the NEXT change (lead window):
+    ``(key, value, valid_from, valid_to, is_current)`` with open
+    intervals carrying NULL valid_to and is_current = 1. Two windows,
+    both partitioned by key and bounded by that key's version count —
+    no global ordering, no joins. Duplicate (key, ts) rows make the
+    version order undefined and raise AT EXECUTION rather than
+    producing an arbitrary history.
+    """
+    wo = Window.partitionBy(key_col).orderBy(ts_col)
+    wd = Window.partitionBy(key_col, ts_col)
+    guarded = df.withColumn("_nv", F.count(F.lit(1)).over(wd)).withColumn(
+        "_v",
+        F.when(F.col("_nv") == 1, F.col(value_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_compress: duplicate (key, ts) at "),
+                    F.col(key_col).cast("string"),
+                )
+            )
+        ),
+    )
+    changes = guarded.withColumn("_prev", F.lag("_v").over(wo)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("_v"))
+    )
+    out = changes.withColumn("_to", F.lead(F.col(ts_col)).over(wo))
+    return out.select(
+        F.col(key_col).alias("key"),
+        F.col("_v").alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        F.col("_to").alias("valid_to"),
+        F.when(F.col("_to").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+    )

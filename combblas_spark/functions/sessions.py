@@ -469,3 +469,42 @@ def regularity_audit(
         "is_bot",
         ((F.col("n_gaps") >= int(min_gaps)) & regular).cast("long"),
     )
+
+
+def activity_streaks(
+    df: DataFrame, user_col: str, ts_col: str, epoch: str = "1995-01-01"
+) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity runs.
+
+    The classic island trick: after deduping to (user, day), the day
+    number minus the per-user row_number is CONSTANT within a
+    consecutive run (days are distinct, so row_number is dense), so
+    islands fall out of one groupBy — no iterative logic. One distinct,
+    one per-user window (bounded by that user's active days, hash-
+    partitioned by user — no global ordering), two aggregates.
+
+    Output (user, n_days, n_islands, max_streak, first_day, last_day)
+    — exact BIGINT counts and ISO date strings.
+    """
+    days = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .distinct()
+        .withColumn("dn", F.datediff(F.col("day"), F.lit(epoch).cast("date")))
+    )
+    w = Window.partitionBy("user").orderBy("dn")
+    isl = days.withColumn("grp", F.col("dn") - F.row_number().over(w))
+    runs = isl.groupBy("user", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    return runs.groupBy("user").agg(
+        F.sum("len").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("len").cast("long").alias("max_streak"),
+        F.min("d0").cast("string").alias("first_day"),
+        F.max("d1").cast("string").alias("last_day"),
+    )

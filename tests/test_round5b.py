@@ -542,3 +542,96 @@ def test_hll_setops_identical_sets(spark):
     assert r.est_a == r.est_b == r.est_union
     assert r.est_inter == round(r.est_a, 6)
     assert (r.n_inter, r.n_union) == (300, 300)
+
+
+# -------------------------------------------------------------------- streaks
+
+
+def test_activity_streaks_hand_case(spark):
+    import datetime
+
+    from combblas_spark.functions.sessions import activity_streaks
+
+    D = datetime.datetime
+    rows = [
+        # user 1: 3-day run, gap, 2-day run (dup timestamps same day)
+        (1, D(2024, 1, 1, 5)), (1, D(2024, 1, 2, 6)), (1, D(2024, 1, 3, 7)),
+        (1, D(2024, 1, 3, 9)), (1, D(2024, 1, 10, 1)), (1, D(2024, 1, 11, 2)),
+        # user 2: single day
+        (2, D(2024, 2, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.user: r for r in activity_streaks(df, "user_id", "ts").collect()}
+    u1 = out[1]
+    assert (u1.n_days, u1.n_islands, u1.max_streak) == (5, 2, 3)
+    assert (u1.first_day, u1.last_day) == ("2024-01-01", "2024-01-11")
+    u2 = out[2]
+    assert (u2.n_days, u2.n_islands, u2.max_streak) == (1, 1, 1)
+
+
+# ----------------------------------------------------------------------- scd2
+
+
+def test_scd2_compress_hand_case(spark):
+    from combblas_spark.functions.cdc import scd2_compress
+
+    rows = [
+        (1, "d1", "A"), (1, "d2", "A"), (1, "d3", "B"), (1, "d4", "A"),
+        (2, "d1", "X"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, val string")
+    got = sorted(
+        (r.key, r.value, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_compress(df, "k", "ts", "val").collect()
+    )
+    # d2's repeat of A is compressed away; A's validity runs d1->d3
+    assert got == [
+        (1, "A", "d1", "d3", 0),
+        (1, "A", "d4", None, 1),
+        (1, "B", "d3", "d4", 0),
+        (2, "X", "d1", None, 1),
+    ]
+
+
+def test_scd2_state_at_any_time_law(spark):
+    import hashlib
+
+    from combblas_spark.functions.cdc import scd2_compress
+
+    # random version history; the intervals must reproduce point-in-time
+    # state for every (key, query day)
+    rows = []
+    hist = {}
+    for k in range(20):
+        vals = []
+        for v in range(6):
+            h = hashlib.md5(f"s2|{k}|{v}".encode()).hexdigest()
+            vals.append(str(int(h[:4], 16) % 3))
+        hist[k] = vals
+        rows += [(k, f"t{v}", vals[v]) for v in range(6)]
+    df = spark.createDataFrame(rows, "k long, ts string, val string")
+    ivs = scd2_compress(df, "k", "ts", "val").collect()
+    for k, vals in hist.items():
+        for v in range(6):
+            q = f"t{v}"
+            # state at q = value of the interval containing q
+            state = [
+                r.value
+                for r in ivs
+                if r.key == k
+                and r.valid_from <= q
+                and (r.valid_to is None or q < r.valid_to)
+            ]
+            assert state == [vals[v]], (k, v)
+    # exactly one current row per key
+    assert sum(r.is_current for r in ivs) == 20
+
+
+def test_scd2_duplicate_ts_raises(spark):
+    from combblas_spark.functions.cdc import scd2_compress
+
+    df = spark.createDataFrame(
+        [(1, "d1", "A"), (1, "d1", "B")], "k long, ts string, val string"
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        scd2_compress(df, "k", "ts", "val").collect()
