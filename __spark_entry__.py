@@ -8306,6 +8306,138 @@ SELECT k AS key, val AS value, ts AS valid_from, nts AS valid_to,
 FROM sl"""
 
 
+def q_corr_matrix(spark, sf):
+    """Pairwise Pearson correlations over lineitem's numeric columns
+    (quantity, whole-dollar price, discount%, tax%) — ONE scan, every
+    pair's exact BIGINT moment sums in the value hash, r assembled
+    once per pair from those integers (dollars not cents keep
+    n*max|x*y| far inside int64 through sf1)."""
+    from combblas_spark.functions.dq import pearson_matrix
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor("l_extendedprice").cast("long").alias("price_d"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc_p"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("tax_p"),
+    )
+    return pearson_matrix(li, ["qty", "price_d", "disc_p", "tax_p"])
+
+
+def _corr_block(a: str, b: str) -> str:
+    return f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM({a}) AS BIGINT) AS s_x, CAST(SUM({b}) AS BIGINT) AS s_y,
+  CAST(SUM({a} * {b}) AS BIGINT) AS s_xy,
+  CAST(SUM({a} * {a}) AS BIGINT) AS s_xx,
+  CAST(SUM({b} * {b}) AS BIGINT) AS s_yy
+FROM cm"""
+
+
+_CORR_ORACLE = (
+    """WITH cm AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+    CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_d,
+    CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_p,
+    CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_p
+  FROM lineitem),
+cs AS ("""
+    + "\nUNION ALL ".join(
+        _corr_block(a, b)
+        for a, b in [
+            ("qty", "price_d"), ("qty", "disc_p"), ("qty", "tax_p"),
+            ("price_d", "disc_p"), ("price_d", "tax_p"),
+            ("disc_p", "tax_p"),
+        ]
+    )
+    + """)
+SELECT col_x, col_y, n, s_x, s_y, s_xy, s_xx, s_yy,
+  ROUND((CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)
+      - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+    / (SQRT(CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)
+        - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+     * SQRT(CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE)
+        - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))), 6) AS r
+FROM cs"""
+)
+
+
+def q_quantile_norm(spark, sf):
+    """Within-group quantile transform of events.value (milli-units)
+    per event type: every row's exact 0-based rank and 6-decimal
+    percentile through the range-partitioned composite sample sort —
+    the per-group-window-free feature-normalization pass; the full
+    per-row transform sits in the value hash."""
+    from combblas_spark.operators.kselect import quantile_normalize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    return quantile_normalize(ev, "event_type", "vm", "event_id")
+
+
+_QNORM_ORACLE = """WITH qn AS MATERIALIZED (
+  SELECT event_type AS g, CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+    CAST(event_id AS BIGINT) AS tb
+  FROM events),
+qr AS (
+  SELECT g, v, tb,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, tb) - 1 AS rk,
+    COUNT(*) OVER (PARTITION BY g) AS n
+  FROM qn)
+SELECT g AS event_type, tb AS event_id, v AS val,
+  CAST(rk AS BIGINT) AS rk,
+  ROUND(CASE WHEN n > 1 THEN CAST(rk AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+    ELSE 0.0 END, 6) AS pct
+FROM qr"""
+
+
+def q_ewma_drift(spark, sf):
+    """All-integer EWMA (alpha = 1/2) drift trace over per-type daily
+    event counts: the scaled level N_t = N_{t-1} + x_t*2^(t-2) is an
+    exact int64 running sum, the 50%-deviation alarm is a cross-
+    multiplied integer test, and the full (type, day, x, N_prev,
+    alert) trace hashes bit-exactly — the monitoring pass with NO
+    doubles anywhere."""
+    from combblas_spark.functions.sessions import ewma_drift
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    daily = (
+        ev.select(
+            "event_type", F.to_date("ts").cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return ewma_drift(daily, "event_type", "day", "x")
+
+
+_EWMA_ORACLE = """WITH ed AS MATERIALIZED (
+  SELECT event_type AS g, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY g, day),
+er AS (
+  SELECT g, day, x,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS t
+  FROM ed),
+ew AS (
+  SELECT g, day, x, t,
+    x * (CASE WHEN t = 1 THEN CAST(1 AS BIGINT)
+         ELSE CAST(1 AS BIGINT) << (t - 2) END) AS wx
+  FROM er),
+ec AS (
+  SELECT g, day, x, t, wx,
+    SUM(wx) OVER (PARTITION BY g ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS N
+  FROM ew)
+SELECT g AS event_type, CAST(t AS BIGINT) AS t, day AS period, x,
+  CAST(N - wx AS BIGINT) AS num_prev,
+  CAST(CASE WHEN t >= 2 AND ABS(wx - (N - wx)) * 2 > (N - wx)
+    THEN 1 ELSE 0 END AS BIGINT) AS alert
+FROM ec"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8571,6 +8703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_setops": q_hll_setops,
         "streaks": q_streaks,
         "scd2": q_scd2,
+        "corr_matrix": q_corr_matrix,
+        "quantile_norm": q_quantile_norm,
+        "ewma_drift": q_ewma_drift,
     }
 
 
@@ -8671,6 +8806,9 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "hll_setops": _SETOPS_ORACLE,
         "streaks": _STREAKS_ORACLE,
         "scd2": _SCD2_ORACLE,
+        "corr_matrix": _CORR_ORACLE,
+        "quantile_norm": _QNORM_ORACLE,
+        "ewma_drift": _EWMA_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -218,6 +218,9 @@ HEADLINE = [
     "hll_setops",
     "streaks",
     "scd2",
+    "corr_matrix",
+    "quantile_norm",
+    "ewma_drift",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -206,3 +206,57 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             F.round(dev * dev / exp, 6).alias("chi2_term"),
         )
     )
+
+
+def pearson_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over EXACT-INTEGER columns
+    (pre-scale doubles to dollars/percent units so the moment sums
+    stay in int64 — the caller owns the overflow envelope:
+    n * max|x*y| < 2^63).
+
+    ONE scan, one aggregate row holding every pair's exact moment sums
+    (n, s_x, s_y, s_xy, s_xx, s_yy — all BIGINT, in the output so the
+    correlation is auditable to the integer), unpivoted with stack; r
+    is assembled per pair in one double expression with
+    sqrt(a)*sqrt(b) (both factors correctly rounded) so ROUND(.,6) is
+    engine-portable — the same recipe as degree_assortativity, applied
+    to the table-profiling plane.
+    """
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).cast("long").alias(f"_s_{c}"))
+        aggs.append(
+            F.sum(F.col(c) * F.col(c)).cast("long").alias(f"_ss_{c}")
+        )
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"_sp_{a}_{b}")
+        )
+    row = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{a}', '{b}', _n, _s_{a}, _s_{b}, _sp_{a}_{b}, _ss_{a}, _ss_{b}"
+        for a, b in pairs
+    )
+    stacked = row.selectExpr(
+        f"stack({len(pairs)}, {parts}) AS "
+        "(col_x, col_y, n, s_x, s_y, s_xy, s_xx, s_yy)"
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("s_xy").cast("double") - F.col("s_x").cast(
+        "double"
+    ) * F.col("s_y").cast("double")
+    va = nd * F.col("s_xx").cast("double") - F.col("s_x").cast(
+        "double"
+    ) * F.col("s_x").cast("double")
+    vb = nd * F.col("s_yy").cast("double") - F.col("s_y").cast(
+        "double"
+    ) * F.col("s_y").cast("double")
+    return stacked.select(
+        "col_x", "col_y", "n", "s_x", "s_y", "s_xy", "s_xx", "s_yy",
+        F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6).alias("r"),
+    )

@@ -508,3 +508,72 @@ def activity_streaks(
         F.min("d0").cast("string").alias("first_day"),
         F.max("d1").cast("string").alias("last_day"),
     )
+
+
+def ewma_drift(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+    thresh_num: int = 1,
+    thresh_den: int = 2,
+) -> DataFrame:
+    """ALL-INTEGER EWMA (alpha = 1/2) drift alarm over per-group period
+    series — no doubles anywhere, so the whole trace is bit-exact.
+
+    With s_1 = x_1 and s_t = (s_{t-1} + x_t)/2, the scaled level
+    N_t = s_t * 2^(t-1) obeys N_t = N_{t-1} + x_t * 2^(t-2) — an exact
+    int64 running sum of power-weighted terms (one bounded per-group
+    window; raise at execution past 62 periods, the int64 shift
+    budget). Period t >= 2 alerts when the relative deviation from the
+    standing EWMA exceeds thresh_num/thresh_den (default 1/2), tested
+    by cross-multiplication:
+    |x_t*2^(t-2) - N_{t-1}| * thresh_den > thresh_num * N_{t-1}.
+
+    Output (group, t, period, x, num_prev, alert) — num_prev is the
+    scaled prior level N_{t-1} (0 for t = 1, which never alerts).
+    """
+    w = Window.partitionBy(group_col).orderBy(t_col)
+    rn = F.row_number().over(w)
+    base = df.withColumn("_t", rn)
+    wt = F.when(
+        F.col("_t") == 1, F.lit(1).cast("long")
+    ).otherwise(
+        F.when(
+            F.col("_t") <= 62,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_t AS INT) - 2)"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ewma_drift: > 62 periods in group "),
+                    F.col(group_col).cast("string"),
+                )
+            )
+        )
+    )
+    wtd = base.withColumn("_wx", F.col(x_col).cast("long") * wt)
+    cum = wtd.withColumn(
+        "_N",
+        F.sum("_wx").over(
+            Window.partitionBy(group_col)
+            .orderBy("_t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    n_prev = F.col("_N") - F.col("_wx")
+    dev = F.abs(F.col("_wx") - n_prev)
+    return cum.select(
+        F.col(group_col),
+        F.col("_t").cast("long").alias("t"),
+        F.col(t_col).alias("period"),
+        F.col(x_col).cast("long").alias("x"),
+        n_prev.cast("long").alias("num_prev"),
+        F.when(
+            (F.col("_t") >= 2)
+            & (dev * F.lit(int(thresh_den)) > F.lit(int(thresh_num)) * n_prev),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("alert"),
+    )

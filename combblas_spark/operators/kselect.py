@@ -246,3 +246,50 @@ def robust_outlier_counts(
         F.max("mad").cast("long").alias("mad"),
         F.sum(flag).cast("long").alias("n_outliers"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-row quantile transform within each group — the feature-
+    normalization pass (map every value to its within-group percentile
+    rank) with NO per-group window: the same range-partitioned
+    composite sample sort as :func:`grouped_percentiles`, so a 100-TB
+    group splits across tasks instead of funneling through one.
+
+    -> (group, tiebreak, val, rk, pct): rk is the exact 0-based rank
+    within the group (ties broken by tiebreak — a total order, so the
+    output is deterministic), pct = rk/(n-1) rounded to 6 (single-row
+    groups read 0.0).
+    """
+    from combblas_spark.operators.indexing import _global_ranks
+
+    ranked = _global_ranks(
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).alias("_v"),
+            F.col(tiebreak_col).alias("_tb"),
+        ),
+        [F.col("_g").asc(), F.col("_v").asc(), F.col("_tb").asc()],
+    )
+    spans = ranked.groupBy("_g").agg(
+        F.min("rank").alias("_base"), F.count(F.lit(1)).alias("_n")
+    )
+    j = ranked.join(F.broadcast(spans), on="_g")
+    rk = (F.col("rank") - F.col("_base")).cast("long")
+    return j.select(
+        F.col("_g").alias(group_col),
+        F.col("_tb").alias(tiebreak_col),
+        F.col("_v").alias("val"),
+        rk.alias("rk"),
+        F.round(
+            F.when(
+                F.col("_n") > 1,
+                rk.cast("double") / (F.col("_n") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pct"),
+    )

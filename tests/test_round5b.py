@@ -635,3 +635,114 @@ def test_scd2_duplicate_ts_raises(spark):
     )
     with pytest.raises(Exception, match="duplicate"):
         scd2_compress(df, "k", "ts", "val").collect()
+
+
+# -------------------------------------------------------------- pearson_matrix
+
+
+def test_pearson_matrix_exact_cases(spark):
+    from combblas_spark.functions.dq import pearson_matrix
+
+    rows = [(i, 2 * i, 10 - i) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    out = {(r.col_x, r.col_y): r for r in pearson_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")].r == 1.0   # y = 2x
+    assert out[("a", "c")].r == -1.0  # y = 10 - x
+    ab = out[("a", "b")]
+    assert (ab.n, ab.s_x, ab.s_y, ab.s_xy) == (7, 28, 56, 280)
+
+
+def test_pearson_matrix_python_replay(spark):
+    import hashlib
+
+    from combblas_spark.functions.dq import pearson_matrix
+
+    rows = []
+    for i in range(200):
+        h = hashlib.md5(f"pm|{i}".encode()).hexdigest()
+        rows.append((int(h[:4], 16) % 50, int(h[4:8], 16) % 50))
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = pearson_matrix(df, ["a", "b"]).collect()[0]
+    n = len(rows)
+    sx = sum(a for a, _ in rows)
+    sy = sum(b for _, b in rows)
+    sxy = sum(a * b for a, b in rows)
+    sxx = sum(a * a for a, _ in rows)
+    syy = sum(b * b for _, b in rows)
+    assert (r.n, r.s_x, r.s_y, r.s_xy, r.s_xx, r.s_yy) == (
+        n, sx, sy, sxy, sxx, syy,
+    )
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert r.r == round(want, 6)
+
+
+# ---------------------------------------------------------- quantile_normalize
+
+
+def test_quantile_normalize_hand_case(spark):
+    from combblas_spark.operators.kselect import quantile_normalize
+
+    rows = [
+        ("g1", 5, 1), ("g1", 5, 2), ("g1", 1, 3), ("g1", 9, 4),
+        ("g2", 7, 5),  # single-row group -> pct 0.0
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    out = {r.id: r for r in quantile_normalize(df, "g", "v", "id").collect()}
+    # g1 order: (1,3) rk0, (5,1) rk1, (5,2) rk2, (9,4) rk3
+    assert [out[i].rk for i in (3, 1, 2, 4)] == [0, 1, 2, 3]
+    assert out[3].pct == 0.0 and out[4].pct == 1.0
+    assert out[1].pct == round(1 / 3, 6)
+    assert out[5].rk == 0 and out[5].pct == 0.0
+
+
+def test_quantile_normalize_partition_invariance(spark):
+    from combblas_spark.operators.kselect import quantile_normalize
+
+    rows = [("g", i % 13, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    a = sorted(
+        (r.id, r.rk, r.pct)
+        for r in quantile_normalize(df, "g", "v", "id").collect()
+    )
+    b = sorted(
+        (r.id, r.rk, r.pct)
+        for r in quantile_normalize(
+            df.repartition(7), "g", "v", "id"
+        ).collect()
+    )
+    assert a == b
+
+
+# ------------------------------------------------------------------ ewma_drift
+
+
+def test_ewma_drift_exact_replay(spark):
+    from combblas_spark.functions.sessions import ewma_drift
+
+    xs = [8, 8, 8, 40, 8, 8]  # the spike at t=4 must alert
+    rows = [("g", f"d{i}", xs[i - 1]) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "g string, day string, x long")
+    out = {r.t: r for r in ewma_drift(df, "g", "day", "x").collect()}
+    # python replay of the exact scaled levels
+    N = 0
+    for t in range(1, 7):
+        w = 1 if t == 1 else 1 << (t - 2)
+        wx = xs[t - 1] * w
+        assert out[t].num_prev == N, t
+        want_alert = int(t >= 2 and abs(wx - N) * 2 > N)
+        assert out[t].alert == want_alert, t
+        N += wx
+    # s stays near 8 until the spike: only t=4 (x=40) and t=5 (EWMA
+    # dragged to ~24, x=8 deviates > 50%) alert
+    assert [out[t].alert for t in range(1, 7)] == [0, 0, 0, 1, 1, 0]
+
+
+def test_ewma_drift_too_many_periods_raises(spark):
+    from combblas_spark.functions.sessions import ewma_drift
+
+    rows = [("g", f"d{i:03d}", 1) for i in range(70)]
+    df = spark.createDataFrame(rows, "g string, day string, x long")
+    with pytest.raises(Exception, match="62 periods"):
+        ewma_drift(df, "g", "day", "x").collect()
