@@ -8438,6 +8438,103 @@ SELECT g AS event_type, CAST(t AS BIGINT) AS t, day AS period, x,
 FROM ec"""
 
 
+BASKET_MIN_SUPPORT = 3
+
+
+def q_basket_pairs(spark, sf):
+    """Market-basket association over orders-as-baskets: part pairs
+    co-purchased in >= {BASKET_MIN_SUPPORT} orders with exact support
+    counts and ROUND-6 confidence/lift — the transactional member of
+    the co-occurrence plane (LLR/PMI cover token adjacency). Pair
+    fanout is bounded by the single-digit order size; the mega-basket
+    guard raises loudly."""
+    from combblas_spark.functions.assoc import basket_pairs
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return basket_pairs(
+        li, "l_orderkey", "l_partkey",
+        min_pair_support=BASKET_MIN_SUPPORT,
+    )
+
+
+_BASKET_ORACLE = f"""WITH bk AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+    CAST(l_partkey AS BIGINT) AS i
+  FROM lineitem),
+bn AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM bk GROUP BY i),
+bt AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM bk),
+bp AS (
+  SELECT l.i AS item_a, r.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bk l JOIN bk r ON l.b = r.b AND l.i < r.i
+  GROUP BY l.i, r.i HAVING COUNT(*) >= {BASKET_MIN_SUPPORT})
+SELECT p.item_a, p.item_b, p.n_ab, na.n AS n_a, nb.n AS n_b, bt.n_baskets,
+  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS conf_ab,
+  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS conf_ba,
+  ROUND(CAST(bt.n_baskets AS DOUBLE) * CAST(p.n_ab AS DOUBLE)
+    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS lift
+FROM bp p
+JOIN bn na ON na.i = p.item_a
+JOIN bn nb ON nb.i = p.item_b
+CROSS JOIN bt"""
+
+
+EC_K = 3            # mutual-kNN fanout for embedding clustering
+EC_CC_ITERS = 16    # oracle min-label rounds (Spark runs to fixpoint)
+
+
+def q_embed_clusters(spark, sf):
+    """Embedding-space clustering: mutual k-NN graph (both endpoints
+    rank each other within their capped-LSH top-{EC_K}) + min-label CC
+    — the modality-agnostic near-dup/community pass over the vector
+    plane, composing the ANN and CC kernels; every vector gets a
+    cluster id (singletons keep their own)."""
+    from combblas_spark.functions.similarity import lsh_ann_topk
+    from combblas_spark.algorithms.cc import cc_minlabel
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    topk = lsh_ann_topk(
+        emb, k=EC_K, n_planes=8, seed=42, dim=64, max_bucket=10_000
+    ).select("query_id", "neighbor_id")
+    rev = topk.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    mutual = topk.join(rev, on=["query_id", "neighbor_id"], how="leftsemi")
+    edges = mutual.select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    verts = emb.select(F.col("vec_id").cast("long").alias("id"))
+    labels = cc_minlabel(spark, edges, vertices=verts)
+    return labels.select("id", F.col("val").alias("cluster"))
+
+
+def _embed_clusters_sql() -> str:
+    prefix = f"""{_ann_capped_ctes(_ANN_PLANES, 10_000)},
+ecscored AS (
+  SELECT q.id AS query_id, e.id AS neighbor_id, {_PAIR_COS_SQL} AS cos
+  FROM capped q JOIN capped e ON q.bucket = e.bucket AND e.id <> q.id),
+ectopk AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM ecscored) x
+  WHERE rn <= {EC_K}),
+ecmut AS MATERIALIZED (
+  SELECT t.query_id AS src, t.neighbor_id AS dst
+  FROM ectopk t JOIN ectopk r
+    ON r.query_id = t.neighbor_id AND r.neighbor_id = t.query_id),
+ecsym AS MATERIALIZED (
+  SELECT src, dst FROM ecmut
+  UNION SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT)
+  FROM embeddings)"""
+    body = _minlabel_ctes("ecsym", EC_CC_ITERS)
+    return f"""WITH {prefix},
+{body}
+SELECT id, val AS cluster FROM l{EC_CC_ITERS}"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8706,6 +8803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "quantile_norm": q_quantile_norm,
         "ewma_drift": q_ewma_drift,
+        "basket_pairs": q_basket_pairs,
+        "embed_clusters": q_embed_clusters,
     }
 
 
@@ -8809,6 +8908,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "corr_matrix": _CORR_ORACLE,
         "quantile_norm": _QNORM_ORACLE,
         "ewma_drift": _EWMA_ORACLE,
+        "basket_pairs": _BASKET_ORACLE,
+        "embed_clusters": _embed_clusters_sql(),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

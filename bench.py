@@ -221,6 +221,8 @@ HEADLINE = [
     "corr_matrix",
     "quantile_norm",
     "ewma_drift",
+    "basket_pairs",
+    "embed_clusters",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -746,3 +746,74 @@ def test_ewma_drift_too_many_periods_raises(spark):
     df = spark.createDataFrame(rows, "g string, day string, x long")
     with pytest.raises(Exception, match="62 periods"):
         ewma_drift(df, "g", "day", "x").collect()
+
+
+# ---------------------------------------------------------------- basket_pairs
+
+
+def test_basket_pairs_hand_case(spark):
+    from combblas_spark.functions.assoc import basket_pairs
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "z"),
+        (4, "z"),  # dup membership must not double-count
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in basket_pairs(df, "b", "i", min_pair_support=2).collect()
+    }
+    assert set(out) == {("x", "y")}  # xz/yz support 1 filtered out
+    r = out[("x", "y")]
+    assert (r.n_ab, r.n_a, r.n_b, r.n_baskets) == (3, 3, 3, 4)
+    assert r.conf_ab == 1.0 and r.conf_ba == 1.0
+    assert r.lift == round(4 * 3 / (3 * 3), 6)
+
+
+def test_basket_pairs_python_replay(spark):
+    import hashlib
+    from itertools import combinations
+
+    from combblas_spark.functions.assoc import basket_pairs
+
+    rows = set()
+    for i in range(300):
+        h = hashlib.md5(f"bp|{i}".encode()).hexdigest()
+        rows.add((int(h[:4], 16) % 40, f"i{int(h[4:8], 16) % 12}"))
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    n_item = {}
+    for items in baskets.values():
+        for i in items:
+            n_item[i] = n_item.get(i, 0) + 1
+    pair_n = {}
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    N = len(baskets)
+    df = spark.createDataFrame(sorted(rows), "b long, i string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in basket_pairs(df, "b", "i", min_pair_support=2).collect()
+    }
+    want = {k: v for k, v in pair_n.items() if v >= 2}
+    assert set(out) == set(want)
+    for (a, b), n_ab in want.items():
+        r = out[(a, b)]
+        assert (r.n_ab, r.n_a, r.n_b, r.n_baskets) == (
+            n_ab, n_item[a], n_item[b], N,
+        )
+        assert r.lift == round(N * n_ab / (n_item[a] * n_item[b]), 6)
+
+
+def test_basket_pairs_mega_basket_raises(spark):
+    from combblas_spark.functions.assoc import basket_pairs
+
+    rows = [(1, f"i{k}") for k in range(50)]
+    df = spark.createDataFrame(rows, "b long, i string")
+    with pytest.raises(Exception, match="max_basket"):
+        basket_pairs(df, "b", "i", max_basket=10).collect()
