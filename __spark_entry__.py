@@ -8535,6 +8535,70 @@ ecsym AS MATERIALIZED (
 SELECT id, val AS cluster FROM l{EC_CC_ITERS}"""
 
 
+LSPREAD_ITERS = 4
+
+
+def q_label_spread(spark, sf):
+    """Semi-supervised node classification on the part—supplier graph:
+    md5-chosen seed vertices (1/37) carry one of four labels; four
+    ALL-INTEGER spreading supersteps (micro-unit masses, integer
+    normalization — no floating addition-order hazard) extend them;
+    every reached vertex's argmax (label, mass) is in the value hash.
+    Distinct from labelprop (unsupervised): labels are GIVEN here."""
+    from combblas_spark.algorithms.labelspread import label_spread
+
+    g = part_supplier_graph(spark, sf)
+    ids = (
+        g.select(F.col("src").alias("id"))
+        .unionByName(g.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    from combblas_spark.functions.dedup import md5_60bit
+
+    sel = md5_60bit(F.concat(F.lit("lsp|"), F.col("id").cast("string")))
+    lab = md5_60bit(F.concat(F.lit("lsl|"), F.col("id").cast("string")))
+    seeds = ids.filter(sel % 37 == 0).select(
+        "id", (lab % 4).alias("label")
+    )
+    return label_spread(spark, g, seeds, num_iters=LSPREAD_ITERS)
+
+
+def _label_spread_sql() -> str:
+    parts = [
+        """lsv AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION SELECT DISTINCT dst FROM edges)""",
+        """lsd AS MATERIALIZED (
+  SELECT id,
+    CAST(('0x' || substr(md5('lsl|' || CAST(id AS VARCHAR)), 1, 15))
+      AS BIGINT) % 4 AS c
+  FROM lsv
+  WHERE CAST(('0x' || substr(md5('lsp|' || CAST(id AS VARCHAR)), 1, 15))
+      AS BIGINT) % 37 = 0)""",
+        "lse AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "m0 AS MATERIALIZED (SELECT id, c, CAST(1000000 AS BIGINT) AS mass FROM lsd)",
+    ]
+    for k in range(1, LSPREAD_ITERS + 1):
+        parts.append(f"""g{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, m.c, SUM(m.mass) AS raw
+  FROM lse e JOIN m{k-1} m ON e.src = m.id GROUP BY e.dst, m.c),
+t{k} AS (SELECT vid, SUM(raw) AS t FROM g{k} GROUP BY vid),
+m{k} AS MATERIALIZED (
+  SELECT n.id, n.c, n.mass FROM (
+    SELECT g.vid AS id, g.c, (g.raw * 1000000) // t.t AS mass
+    FROM g{k} g JOIN t{k} t ON g.vid = t.vid) n
+  WHERE n.mass > 0 AND n.id NOT IN (SELECT id FROM lsd)
+  UNION ALL SELECT id, c, CAST(1000000 AS BIGINT) FROM lsd)""")
+    joined = ",\n".join(parts)
+    return f"""WITH {PS_CTES},
+{joined}
+SELECT id, c AS label, CAST(mass AS BIGINT) AS mass FROM (
+  SELECT id, c, mass,
+    ROW_NUMBER() OVER (PARTITION BY id ORDER BY mass DESC, c ASC) AS rn
+  FROM m{LSPREAD_ITERS}) x
+WHERE rn = 1"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8805,6 +8869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_drift": q_ewma_drift,
         "basket_pairs": q_basket_pairs,
         "embed_clusters": q_embed_clusters,
+        "label_spread": q_label_spread,
     }
 
 
@@ -8910,6 +8975,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "ewma_drift": _EWMA_ORACLE,
         "basket_pairs": _BASKET_ORACLE,
         "embed_clusters": _embed_clusters_sql(),
+        "label_spread": _label_spread_sql(),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

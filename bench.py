@@ -223,6 +223,7 @@ HEADLINE = [
     "ewma_drift",
     "basket_pairs",
     "embed_clusters",
+    "label_spread",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -817,3 +817,93 @@ def test_basket_pairs_mega_basket_raises(spark):
     df = spark.createDataFrame(rows, "b long, i string")
     with pytest.raises(Exception, match="max_basket"):
         basket_pairs(df, "b", "i", max_basket=10).collect()
+
+
+# ---------------------------------------------------------------- label_spread
+
+
+def _py_label_spread(pairs, seeds, iters, scale=1_000_000):
+    """Exact integer replay of label_spread."""
+    edges = set()
+    for a, b in pairs:
+        if a != b:
+            edges.add((a, b))
+    state = {(i, c): scale for i, c in seeds.items()}
+    for _ in range(iters):
+        raw = {}
+        for u, v in edges:
+            for (i, c), m in state.items():
+                if i == u:
+                    raw[(v, c)] = raw.get((v, c), 0) + m
+        tot = {}
+        for (v, c), r in raw.items():
+            tot[v] = tot.get(v, 0) + r
+        nxt = {}
+        for (v, c), r in raw.items():
+            m = (r * scale) // tot[v]
+            if m > 0 and v not in seeds:
+                nxt[(v, c)] = m
+        for i, c in seeds.items():
+            nxt[(i, c)] = scale
+        state = nxt
+    best = {}
+    for (v, c), m in state.items():
+        cur = best.get(v)
+        if cur is None or (m, -c) > (cur[1], -cur[0]):
+            best[v] = (c, m)
+    return {(v, c, m) for v, (c, m) in best.items()}
+
+
+def test_label_spread_path_two_seeds(spark):
+    from combblas_spark.algorithms.labelspread import label_spread
+
+    # path 1-2-3-4-5, seeds 1->A(0), 5->B(1): nearest-seed labeling
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sym], "src long, dst long, w double"
+    )
+    seeds = spark.createDataFrame([(1, 0), (5, 1)], "id long, label long")
+    got = {
+        (r.id, r.label, r.mass)
+        for r in label_spread(spark, e, seeds, num_iters=4).collect()
+    }
+    assert got == _py_label_spread(sym, {1: 0, 5: 1}, 4)
+    lab = {v: c for v, c, _ in got}
+    assert lab[2] == 0 and lab[4] == 1  # nearest seed wins
+    assert lab[1] == 0 and lab[5] == 1  # clamps hold
+
+
+def test_label_spread_python_replay(spark):
+    import hashlib
+
+    from combblas_spark.algorithms.labelspread import label_spread
+
+    pairs = set()
+    for i in range(120):
+        h = hashlib.md5(f"lsx|{i}".encode()).hexdigest()
+        a, b = int(h[:5], 16) % 30, int(h[5:10], 16) % 30
+        if a != b:
+            pairs.add((a, b))
+            pairs.add((b, a))
+    seeds = {0: 0, 7: 1, 19: 2}
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sorted(pairs)], "src long, dst long, w double"
+    )
+    sd = spark.createDataFrame(
+        [(i, c) for i, c in seeds.items()], "id long, label long"
+    )
+    got = {
+        (r.id, r.label, r.mass)
+        for r in label_spread(spark, e, sd, num_iters=3).collect()
+    }
+    assert got == _py_label_spread(sorted(pairs), seeds, 3)
+
+
+def test_label_spread_duplicate_seed_raises(spark):
+    from combblas_spark.algorithms.labelspread import label_spread
+
+    e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    sd = spark.createDataFrame([(1, 0), (1, 1)], "id long, label long")
+    with pytest.raises(ValueError, match="duplicate seed"):
+        label_spread(spark, e, sd)
