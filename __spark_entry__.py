@@ -8634,34 +8634,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive": q_conjunctive,
         "phrase_search": q_phrase_search,
         "cc_trace": q_cc_trace,
-        "hist_quantiles": q_hist_quantiles,
-        "fetch_schedule": q_fetch_schedule,
         "ic_cascade": q_ic_cascade,
         "bursts": q_bursts,
-        "kwic": q_kwic,
         "crawl_budget": q_crawl_budget,
         "split_leakage": q_split_leakage,
-        "proximity": q_proximity,
         "level_schedule": q_level_schedule,
-        "crawl_delta": q_crawl_delta,
         "bloom_audit": q_bloom_audit,
         "hostrank": q_hostrank,
         "containment": q_containment,
         "incident_events": q_incident_events,
-        "vocab_growth": q_vocab_growth,
         "mutual_nn": q_mutual_nn,
-        "sq8_topk": q_sq8_topk,
-        "rp_distortion": q_rp_distortion,
         "event_rollup": q_event_rollup,
-        "walk_pairs": q_walk_pairs,
         "louvain_ps": q_louvain_ps,
         "densest_pref": q_densest_pref,
         "pii_scan": q_pii_scan,
         "clustering_coeff": q_clustering_coeff,
-        "sessionize": q_sessionize,
         "kmv_distinct": q_kmv_distinct,
-        "dup_ngrams": q_dup_ngrams,
-        "spmm_ps": q_spmm_ps,
         "adamic_adar_ev": q_adamic_adar_ev,
         "tfidf_topk": q_tfidf_topk,
         "msbfs_ps": q_msbfs_ps,
@@ -8679,6 +8667,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "cdc_merge": q_cdc_merge,
         "record_link": q_record_link,
+        # --- continuation-session-4 flagships promoted into the
+        #     graded front-50 (one per new family: DQ audit, Benford
+        #     forensics, spatial join, clique percolation, label
+        #     spreading, HLL set algebra, SCD2, market basket,
+        #     embedding clustering, integer EWMA, Pearson matrix,
+        #     topological order); the twelve displaced queries ride
+        #     the mirror like every beyond-budget entry ---
+        "fk_audit": q_fk_audit,
+        "benford": q_benford,
+        "spatial_pairs": q_spatial_pairs,
+        "clique_comm": q_clique_comm,
+        "label_spread": q_label_spread,
+        "hll_setops": q_hll_setops,
+        "scd2": q_scd2,
+        "basket_pairs": q_basket_pairs,
+        "embed_clusters": q_embed_clusters,
+        "ewma_drift": q_ewma_drift,
+        "corr_matrix": q_corr_matrix,
+        "topo_order": q_topo_order,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "unigram_xent": q_unigram_xent,
@@ -8712,6 +8719,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_ps": q_node2vec_ps,
         "bpe_merges": q_bpe_merges,
         # --- deferred r05 additions (mirror-verified, tiny fixed outputs,
+        "kwic": q_kwic,
+        "proximity": q_proximity,
+        "hist_quantiles": q_hist_quantiles,
+        "crawl_delta": q_crawl_delta,
+        "fetch_schedule": q_fetch_schedule,
+        "vocab_growth": q_vocab_growth,
+        "walk_pairs": q_walk_pairs,
+        "sq8_topk": q_sq8_topk,
+        "rp_distortion": q_rp_distortion,
+        "dup_ngrams": q_dup_ngrams,
+        "spmm_ps": q_spmm_ps,
+        "sessionize": q_sessionize,
         #     or landed after the 50-row budget filled) ---
         "edge_jaccard_ev": q_edge_jaccard_ev,
         "harmonic_ps": q_harmonic_ps,
@@ -8849,27 +8868,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "textrank": q_textrank,
         "value_outliers": q_value_outliers,
-        "fk_audit": q_fk_audit,
         "profile_table": q_profile,
         "key_audit": q_key_audit,
-        "benford": q_benford,
-        "spatial_pairs": q_spatial_pairs,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
-        "topo_order": q_topo_order,
         "promo_share": q_promo_share,
         "big_orders": q_big_orders,
         "cust_returns": q_cust_returns,
-        "clique_comm": q_clique_comm,
-        "hll_setops": q_hll_setops,
         "streaks": q_streaks,
-        "scd2": q_scd2,
-        "corr_matrix": q_corr_matrix,
         "quantile_norm": q_quantile_norm,
-        "ewma_drift": q_ewma_drift,
-        "basket_pairs": q_basket_pairs,
-        "embed_clusters": q_embed_clusters,
-        "label_spread": q_label_spread,
     }
 
 
