@@ -8599,6 +8599,80 @@ SELECT id, c AS label, CAST(mass AS BIGINT) AS mass FROM (
 WHERE rn = 1"""
 
 
+def q_dedup_agreement(spark, sf):
+    """Cross-modal dedup governance: the text near-dup pair set
+    (MinHash-LSH candidates -> exact integer-Jaccard verify, the
+    dedup_clusters front end) against the embedding-cosine near-dup
+    pair set over the SAME 0..499 id space — one row of 2x2 agreement
+    counts (both, text-only, embed-only). The audit a pipeline runs
+    before trusting either modality alone; composes two already-graded
+    dedup modes under one value hash."""
+    from combblas_spark.functions.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from combblas_spark.functions.similarity import embedding_near_dups
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sh = shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    jp = jaccard_pairs(sh, cand)
+    tpairs = jp.filter(
+        F.col("n_common") * 3 >= (F.col("n_a") + F.col("n_b")) * 1
+    ).select("id_a", "id_b")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    epairs = embedding_near_dups(
+        emb, threshold=EMBED_DUP_THRESHOLD, n_planes=8, seed=42, dim=64,
+        max_bucket=10_000,
+    ).select("id_a", "id_b")
+    from combblas_spark.functions.dedup import pair_agreement
+
+    return (
+        pair_agreement(tpairs, epairs)
+        .withColumnRenamed("n_a", "n_text")
+        .withColumnRenamed("n_b", "n_embed")
+        .withColumnRenamed("n_a_only", "n_text_only")
+        .withColumnRenamed("n_b_only", "n_embed_only")
+    )
+
+
+def _dedup_agreement_sql() -> str:
+    # the ver block mirrors _dedup_clusters_sql's verify stage (tau 1/2);
+    # the embed side nests the full _embed_dups_sql as a CTE subquery.
+    return f"""WITH {LSH_CTES},
+jsizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+ver AS MATERIALIZED (
+  SELECT c.id_a, c.id_b FROM (
+    SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+    FROM pairs p
+    JOIN sh a ON a.id = p.id_a
+    JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+    GROUP BY p.id_a, p.id_b) c
+  JOIN jsizes sa ON sa.id = c.id_a
+  JOIN jsizes sb ON sb.id = c.id_b
+  WHERE c.n_common * 3 >= (sa.n + sb.n) * 1),
+edup AS MATERIALIZED (
+  {_embed_dups_sql(_ANN_PLANES, EMBED_DUP_THRESHOLD, 10_000)}
+),
+daj AS (
+  SELECT COALESCE(t.id_a, e.id_a) AS id_a,
+    COALESCE(t.id_b, e.id_b) AS id_b,
+    (t.id_a IS NOT NULL) AS in_t, (e.id_a IS NOT NULL) AS in_e
+  FROM ver t FULL JOIN (SELECT id_a, id_b FROM edup) e
+    ON t.id_a = e.id_a AND t.id_b = e.id_b)
+SELECT
+  CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+  CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_embed,
+  CAST(SUM(CASE WHEN in_t AND in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+  CAST(SUM(CASE WHEN in_t AND NOT in_e THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_text_only,
+  CAST(SUM(CASE WHEN in_e AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_embed_only
+FROM daj"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8983,6 +9057,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "basket_pairs": _BASKET_ORACLE,
         "embed_clusters": _embed_clusters_sql(),
         "label_spread": _label_spread_sql(),
+        "dedup_agreement": _dedup_agreement_sql(),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

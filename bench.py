@@ -224,6 +224,7 @@ HEADLINE = [
     "basket_pairs",
     "embed_clusters",
     "label_spread",
+    "dedup_agreement",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -937,3 +937,32 @@ def fuzzy_pairs(
     return cand.withColumn(
         "dist", F.levenshtein("s_a", "s_b").cast("long")
     ).filter(F.col("dist") <= 1)
+
+
+def pair_agreement(a_pairs: DataFrame, b_pairs: DataFrame) -> DataFrame:
+    """2x2 agreement audit between two (id_a, id_b) pair sets (both
+    canonically ordered id_a < id_b): ONE row (n_a, n_b, n_both,
+    n_a_only, n_b_only) — the governance check run before trusting a
+    single dedup modality (text-shingle vs embedding-cosine, or any
+    two of the engine's eight modes). One full-outer hash join + one
+    aggregate."""
+    fj = (
+        a_pairs.select("id_a", "id_b").withColumn("_a", F.lit(1))
+        .join(
+            b_pairs.select("id_a", "id_b").withColumn("_b", F.lit(1)),
+            on=["id_a", "id_b"],
+            how="outer",
+        )
+    )
+    return fj.agg(
+        F.sum(F.coalesce(F.col("_a"), F.lit(0))).cast("long").alias("n_a"),
+        F.sum(F.coalesce(F.col("_b"), F.lit(0))).cast("long").alias("n_b"),
+        F.sum(
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_both"),
+        F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_a_only"),
+        F.sum(F.when(F.col("_a").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_b_only"),
+    )

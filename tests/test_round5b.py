@@ -907,3 +907,28 @@ def test_label_spread_duplicate_seed_raises(spark):
     sd = spark.createDataFrame([(1, 0), (1, 1)], "id long, label long")
     with pytest.raises(ValueError, match="duplicate seed"):
         label_spread(spark, e, sd)
+
+
+# -------------------------------------------------------------- pair_agreement
+
+
+def test_pair_agreement_hand_case(spark):
+    from combblas_spark.functions.dedup import pair_agreement
+
+    a = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    b = spark.createDataFrame(
+        [(3, 4), (5, 6), (7, 8), (9, 10)], "id_a long, id_b long"
+    )
+    r = pair_agreement(a, b).collect()[0]
+    assert (r.n_a, r.n_b, r.n_both, r.n_a_only, r.n_b_only) == (3, 4, 2, 1, 2)
+
+
+def test_pair_agreement_disjoint_and_empty(spark):
+    from combblas_spark.functions.dedup import pair_agreement
+
+    a = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    b = spark.createDataFrame([], "id_a long, id_b long")
+    r = pair_agreement(a, b).collect()[0]
+    assert (r.n_a, r.n_b, r.n_both, r.n_a_only, r.n_b_only) == (1, 0, 0, 1, 0)
