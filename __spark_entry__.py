@@ -8673,6 +8673,86 @@ SELECT
 FROM daj"""
 
 
+def q_chi2_events(spark, sf):
+    """Chi-square independence of event type vs weekday (day number
+    mod 7 — pure arithmetic, no engine weekday convention): every
+    observed contingency cell with its exact marginals and x*x
+    chi-square term in the value hash — the classic seasonality /
+    uniformity test of the audit plane."""
+    from combblas_spark.functions.dq import chi2_independence
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.pmod(
+            F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date")),
+            F.lit(7),
+        ).cast("long").alias("dow"),
+    )
+    return chi2_independence(ev, "event_type", "dow")
+
+
+_CHI2_ORACLE = """WITH cx AS MATERIALIZED (
+  SELECT event_type AS r,
+    CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) % 7
+      AS BIGINT) AS c
+  FROM events),
+cc2 AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n FROM cx GROUP BY r, c),
+crt AS (SELECT r, CAST(SUM(n) AS BIGINT) AS row_tot FROM cc2 GROUP BY r),
+cct AS (SELECT c, CAST(SUM(n) AS BIGINT) AS col_tot FROM cc2 GROUP BY c),
+ctt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cc2)
+SELECT cc2.r, cc2.c, cc2.n, crt.row_tot, cct.col_tot, ctt.n_total,
+  ROUND((CAST(cc2.n AS DOUBLE)
+      - CAST(crt.row_tot AS DOUBLE) * CAST(cct.col_tot AS DOUBLE)
+        / CAST(ctt.n_total AS DOUBLE))
+    * (CAST(cc2.n AS DOUBLE)
+      - CAST(crt.row_tot AS DOUBLE) * CAST(cct.col_tot AS DOUBLE)
+        / CAST(ctt.n_total AS DOUBLE))
+    / (CAST(crt.row_tot AS DOUBLE) * CAST(cct.col_tot AS DOUBLE)
+        / CAST(ctt.n_total AS DOUBLE)), 6) AS chi2_term
+FROM cc2 JOIN crt ON cc2.r = crt.r JOIN cct ON cc2.c = cct.c
+CROSS JOIN ctt"""
+
+
+def q_cheapest_supplier(spark, sf):
+    """TPC-H Q2-shaped argmin-per-group: the cheapest supplier per
+    part by exact integer unit price (cents DIV qty), the argmin
+    packed as unit_c * 10^7 + suppkey so one MIN aggregate resolves
+    both the winner and its key with a deterministic (price, suppkey)
+    tiebreak — no window, one map-side-combinable groupBy."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    unit_c = F.expr(
+        "CAST(FLOOR(l_extendedprice * 100) AS BIGINT) DIV "
+        "CAST(l_quantity AS BIGINT)"
+    )
+    packed = unit_c * F.lit(10_000_000).cast("long") + F.col(
+        "l_suppkey"
+    ).cast("long")
+    g = (
+        li.select(F.col("l_partkey").alias("p_partkey"),
+                  packed.alias("_pk"))
+        .groupBy("p_partkey")
+        .agg(F.min("_pk").alias("_best"))
+    )
+    return g.select(
+        "p_partkey",
+        F.expr("_best % 10000000").cast("long").alias("s_suppkey"),
+        F.expr("_best DIV 10000000").cast("long").alias("unit_c"),
+    )
+
+
+_CHEAPEST_ORACLE = """WITH chs AS MATERIALIZED (
+  SELECT l_partkey AS p_partkey,
+    (CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+      // CAST(l_quantity AS BIGINT)) * 10000000
+      + CAST(l_suppkey AS BIGINT) AS pk
+  FROM lineitem),
+chb AS (SELECT p_partkey, MIN(pk) AS best FROM chs GROUP BY p_partkey)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+  CAST(best % 10000000 AS BIGINT) AS s_suppkey,
+  CAST(best // 10000000 AS BIGINT) AS unit_c
+FROM chb"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -8951,6 +9031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_returns": q_cust_returns,
         "streaks": q_streaks,
         "quantile_norm": q_quantile_norm,
+        "dedup_agreement": q_dedup_agreement,
+        "chi2_events": q_chi2_events,
+        "cheapest_supplier": q_cheapest_supplier,
     }
 
 
@@ -9058,6 +9141,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "embed_clusters": _embed_clusters_sql(),
         "label_spread": _label_spread_sql(),
         "dedup_agreement": _dedup_agreement_sql(),
+        "chi2_events": _CHI2_ORACLE,
+        "cheapest_supplier": _CHEAPEST_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -225,6 +225,8 @@ HEADLINE = [
     "embed_clusters",
     "label_spread",
     "dedup_agreement",
+    "chi2_events",
+    "cheapest_supplier",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -260,3 +260,45 @@ def pearson_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         "col_x", "col_y", "n", "s_x", "s_y", "s_xy", "s_xx", "s_yy",
         F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6).alias("r"),
     )
+
+
+def chi2_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Chi-square independence test between two categorical columns.
+
+    One row per OBSERVED contingency cell: ``(r, c, n, row_tot,
+    col_tot, n_total, chi2_term)`` — the four counts are exact BIGINTs
+    (so the full contingency table is auditable), and the cell's
+    chi-square contribution (n - E)^2 / E with E = row_tot*col_tot/N
+    is a single double expression (x*x, no POWER) identical on both
+    engines. Sum chi2_term downstream for the statistic; df =
+    (R-1)(C-1).
+
+    Scale shape: one groupBy for the cells, two marginal aggregates
+    joined back (broadcast-sized: one row per category), one 1-row
+    total crossJoin — map-side combinable throughout.
+    """
+    cells = (
+        df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rt = cells.groupBy("r").agg(F.sum("n").cast("long").alias("row_tot"))
+    ct = cells.groupBy("c").agg(F.sum("n").cast("long").alias("col_tot"))
+    tot = cells.agg(F.sum("n").cast("long").alias("n_total"))
+    j = (
+        cells.join(F.broadcast(rt), on="r")
+        .join(F.broadcast(ct), on="c")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    dev = F.col("n").cast("double") - e
+    return j.select(
+        "r", "c", "n", "row_tot", "col_tot", "n_total",
+        F.round(dev * dev / e, 6).alias("chi2_term"),
+    )

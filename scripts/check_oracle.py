@@ -57,6 +57,12 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd or unregistered name must FAIL loudly — a silent skip
+        # reads as ALL OK for a query that was never checked
+        print(f"FAIL unknown query names: {sorted(unknown)}")
+        sys.exit(2)
     for name, fn in qs.items():
         if only and name not in only:
             continue

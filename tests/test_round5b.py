@@ -932,3 +932,65 @@ def test_pair_agreement_disjoint_and_empty(spark):
     b = spark.createDataFrame([], "id_a long, id_b long")
     r = pair_agreement(a, b).collect()[0]
     assert (r.n_a, r.n_b, r.n_both, r.n_a_only, r.n_b_only) == (1, 0, 0, 1, 0)
+
+
+# ---------------------------------------------------------- chi2_independence
+
+
+def test_chi2_independence_hand_case(spark):
+    from combblas_spark.functions.dq import chi2_independence
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 60
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(r.r, r.c): r for r in chi2_independence(df, "r", "c").collect()}
+    # perfectly independent table: every chi2 term is exactly 0
+    for cell in out.values():
+        assert cell.chi2_term == 0.0
+    assert (out[("a", "x")].n, out[("a", "x")].row_tot,
+            out[("a", "x")].col_tot, out[("a", "x")].n_total) == (
+        10, 30, 40, 120,
+    )
+
+
+def test_chi2_independence_dependent_case(spark):
+    from combblas_spark.functions.dq import chi2_independence
+
+    rows = [("a", "x")] * 50 + [("b", "y")] * 50
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c").collect()
+    # diagonal table: each observed cell contributes (50-25)^2/25 = 25
+    assert sorted(r.chi2_term for r in out) == [25.0, 25.0]
+
+
+# ----------------------------------------------------------- cheapest argmin
+
+
+def test_cheapest_supplier_argmin_is_deterministic(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+    import duckdb
+
+    out = {
+        r.p_partkey: (r.s_suppkey, r.unit_c)
+        for r in em.queries()["cheapest_supplier"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_partkey, l_suppkey, "
+        f"CAST(FLOOR(l_extendedprice*100) AS BIGINT)"
+        f" // CAST(l_quantity AS BIGINT) AS uc "
+        f"FROM '{sf}/lineitem.parquet'"
+    ).fetchall()
+    best = {}
+    for p, s, uc in rows:
+        k = (uc, s)
+        if p not in best or k < best[p]:
+            best[p] = k
+    assert out == {p: (s, uc) for p, (uc, s) in best.items()}
