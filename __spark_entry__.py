@@ -8753,6 +8753,136 @@ SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
 FROM chb"""
 
 
+def q_top_orders_per_cust(spark, sf):
+    """Grouped top-k: each customer's 3 priciest orders by exact cents
+    (orderkey tiebreak). Spark executes the rank-filter as
+    WindowGroupLimit — the partial/final per-group top-k pushdown that
+    never materializes full per-group sorts (plan asserted in
+    tests/test_round5b.py); the relational sibling of the salted
+    kselect."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price_c").desc(), F.col("o_orderkey").asc()
+    )
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "price_c",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_TOPORD_ORACLE = """SELECT o_custkey, o_orderkey, price_c,
+  CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey,
+    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC,
+               o_orderkey ASC) AS rk
+  FROM orders) t
+WHERE rk <= 3"""
+
+
+def q_monthly_growth(spark, sf):
+    """Month-over-month order volume and exact-cent revenue deltas:
+    one monthly aggregate + one lag window over the tiny month series
+    — the KPI trend table; growth in basis points as exact integer
+    cross-multiplication ((cur-prev)*10000 DIV prev), no float
+    percentage."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    from pyspark.sql import Window
+
+    m = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("c").cast("long").alias("rev_c"),
+        )
+    )
+    w = Window.orderBy("month")
+    g = m.withColumn("prev_rev", F.lag("rev_c").over(w))
+    return g.select(
+        "month",
+        "n_orders",
+        "rev_c",
+        F.coalesce(F.col("prev_rev"), F.lit(0)).cast("long")
+        .alias("prev_rev_c"),
+        F.when(
+            F.col("prev_rev").isNotNull(),
+            F.expr("((rev_c - prev_rev) * 10000) DIV prev_rev"),
+        ).otherwise(F.lit(0)).cast("long").alias("growth_bp"),
+    )
+
+
+_MGROWTH_ORACLE = """WITH mg AS MATERIALIZED (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY month),
+ml AS (SELECT month, n_orders, rev_c,
+  LAG(rev_c) OVER (ORDER BY month) AS prev_rev FROM mg)
+SELECT month, n_orders, rev_c,
+  CAST(COALESCE(prev_rev, 0) AS BIGINT) AS prev_rev_c,
+  CAST(CASE WHEN prev_rev IS NOT NULL
+    THEN ((rev_c - prev_rev) * 10000) // prev_rev ELSE 0 END AS BIGINT)
+    AS growth_bp
+FROM ml"""
+
+
+def q_event_trigrams(spark, sf):
+    """Per-user behavioral trigrams: the top 20 (t1, t2, t3)
+    consecutive event-type sequences (per-user time order, event_id
+    tiebreak) — two lead windows per user, one count aggregate,
+    TakeOrderedAndProject top-k; the sequence-mining extension of the
+    Markov transition matrix."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+    )
+    g = t.groupBy(
+        F.col("event_type").alias("t1"), "t2", "t3"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return g.orderBy(
+        F.col("n").desc(), F.col("t1").asc(), F.col("t2").asc(),
+        F.col("t3").asc(),
+    ).limit(20)
+
+
+_TRIGRAM_ORACLE = """WITH tg AS MATERIALIZED (
+  SELECT event_type AS t1,
+    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id) AS t2,
+    LEAD(event_type, 2) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id) AS t3
+  FROM events),
+tc AS (
+  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tg WHERE t3 IS NOT NULL GROUP BY t1, t2, t3)
+SELECT t1, t2, t3, n FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC) AS rn
+  FROM tc) x
+WHERE rn <= 20"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9034,6 +9164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": q_dedup_agreement,
         "chi2_events": q_chi2_events,
         "cheapest_supplier": q_cheapest_supplier,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "monthly_growth": q_monthly_growth,
+        "event_trigrams": q_event_trigrams,
     }
 
 
@@ -9143,6 +9276,9 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "dedup_agreement": _dedup_agreement_sql(),
         "chi2_events": _CHI2_ORACLE,
         "cheapest_supplier": _CHEAPEST_ORACLE,
+        "top_orders_per_cust": _TOPORD_ORACLE,
+        "monthly_growth": _MGROWTH_ORACLE,
+        "event_trigrams": _TRIGRAM_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -227,6 +227,9 @@ HEADLINE = [
     "dedup_agreement",
     "chi2_events",
     "cheapest_supplier",
+    "top_orders_per_cust",
+    "monthly_growth",
+    "event_trigrams",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

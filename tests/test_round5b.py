@@ -994,3 +994,60 @@ def test_cheapest_supplier_argmin_is_deterministic(spark):
         if p not in best or k < best[p]:
             best[p] = k
     assert out == {p: (s, uc) for p, (uc, s) in best.items()}
+
+
+# -------------------------------------------------------- grouped top-k plan
+
+
+def test_top_orders_plan_uses_window_group_limit(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+
+    plan = (
+        em.queries()["top_orders_per_cust"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the rank<=k filter must push into WindowGroupLimit (partial+final
+    # per-group top-k), not a full per-group sort + filter
+    assert "WindowGroupLimit" in plan
+
+
+def test_event_trigrams_plan_is_take_ordered(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+
+    plan = (
+        em.queries()["event_trigrams"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_monthly_growth_exact_bp(spark):
+    from pyspark.sql import Window
+
+    # growth_bp is integer floor division: hand-check the contract math
+    rows = [("2024-01", 100), ("2024-02", 125), ("2024-03", 80)]
+    df = spark.createDataFrame(rows, "month string, rev long")
+    w = Window.orderBy("month")
+    g = (
+        df.withColumn("prev", F.lag("rev").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "month", F.expr("((rev - prev) * 10000) DIV prev").alias("bp")
+        )
+        .collect()
+    )
+    assert {(r.month, r.bp) for r in g} == {("2024-02", 2500), ("2024-03", -3600)}
