@@ -484,3 +484,78 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ewma(
+    counts: DataFrame,
+    group_col: str = "g",
+    period_col: str = "period",
+    x_col: str = "x",
+    thresh_num: int = 1,
+    thresh_den: int = 2,
+) -> DataFrame:
+    """Stateful streaming twin of functions.sessions.ewma_drift: the
+    ALL-INTEGER alpha=1/2 EWMA drift alarm advanced across
+    micro-batches.
+
+    Per-group state is just ``(t, N, last)`` — the period index, the
+    exact int64 scaled level N_t, and the last period seen — so the
+    stream carries the WHOLE monitoring history in three scalars per
+    key (the keep-sketches-not-data shape again). Emits exactly the
+    batch operator's rows; equality with the batch run over the
+    concatenated input is the pytest oracle. Periods must arrive in
+    order per group (a regression to an already-consumed period raises
+    — EWMA state cannot be rewound) and the 62-period int64 shift
+    budget raises like the batch twin.
+    """
+    out_schema = (
+        f"{group_col} string, t long, {period_col} string, "
+        f"{x_col} long, num_prev long, alert long"
+    )
+    state_schema = "t long, n long, last string"
+
+    def step(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t, n_acc, last = state.get if state.exists else (0, 0, "")
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(period_col)
+            out = []
+            for period, x in zip(pdf[period_col], pdf[x_col]):
+                if last and str(period) <= last:
+                    raise ValueError(
+                        f"streaming_ewma: out-of-order period {period!r} "
+                        f"after {last!r} in group {key[0]!r}"
+                    )
+                t += 1
+                if t > 62:
+                    raise ValueError(
+                        f"streaming_ewma: > 62 periods in group {key[0]!r}"
+                    )
+                w = 1 if t == 1 else 1 << (t - 2)
+                wx = int(x) * w
+                alert = int(
+                    t >= 2 and abs(wx - n_acc) * thresh_den > thresh_num * n_acc
+                )
+                out.append((key[0], t, str(period), int(x), n_acc, alert))
+                n_acc += wx
+                last = str(period)
+            yield pd.DataFrame(
+                out,
+                columns=[group_col, "t", period_col, x_col,
+                         "num_prev", "alert"],
+            )
+        state.update((t, n_acc, last))
+
+    return counts.groupBy(group_col).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1051,3 +1051,49 @@ def test_monthly_growth_exact_bp(spark):
         .collect()
     )
     assert {(r.month, r.bp) for r in g} == {("2024-02", 2500), ("2024-03", -3600)}
+
+
+# ------------------------------------------------------------- streaming ewma
+
+
+def test_streaming_ewma_equals_batch(spark, tmp_path):
+    """Cross-batch stateful EWMA == batch ewma_drift on the
+    concatenated input (the state-carrying boundary is mid-series)."""
+    import os
+
+    from combblas_spark.functions.sessions import ewma_drift
+    from combblas_spark.streaming.stateful import streaming_ewma
+
+    schema = "g string, period string, x long"
+    rows1 = [("a", "d1", 8), ("a", "d2", 8), ("b", "d1", 5)]
+    rows2 = [("a", "d3", 40), ("a", "d4", 8), ("b", "d2", 50)]
+    src = str(tmp_path / "counts")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_state_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.g, r.t, r.period, r.x, r.num_prev, r.alert)
+        for r in spark.sql("SELECT * FROM ewma_state_t").collect()
+    }
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r.g, r.t, r.period, r.x, r.num_prev, r.alert)
+        for r in ewma_drift(batch_df, "g", "period", "x").collect()
+    }
+    assert got == want and len(got) == 6
