@@ -8883,6 +8883,49 @@ SELECT t1, t2, t3, n FROM (
 WHERE rn <= 20"""
 
 
+def q_cusum(spark, sf):
+    """One-sided CUSUM changepoint trace over per-type daily event
+    counts — the sequential max(0, S+dev) recurrence made distributed
+    via its prefix-sum closed form S_t = P_t - min(0, min P_i): two
+    bounded per-group windows, every column exact int64, reference
+    level = the group's integer-mean rate. The level-shift companion
+    of the spike detectors (bursts: trailing-window ratio; ewma_drift:
+    deviation from the standing average)."""
+    from combblas_spark.functions.sessions import cusum_alarm
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    daily = (
+        ev.select(
+            "event_type", F.to_date("ts").cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return cusum_alarm(daily, "event_type", "day", "x", h_mult=2)
+
+
+_CUSUM_ORACLE = """WITH cu AS MATERIALIZED (
+  SELECT event_type AS g, CAST(CAST(ts AS DATE) AS VARCHAR) AS period,
+    CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY g, period),
+ck AS (SELECT g, CAST(SUM(x) // COUNT(*) AS BIGINT) AS k FROM cu GROUP BY g),
+cp AS (
+  SELECT cu.g, cu.period, cu.x, ck.k,
+    SUM(cu.x - ck.k) OVER (PARTITION BY cu.g ORDER BY cu.period
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM cu JOIN ck USING (g)),
+cr AS (
+  SELECT g, period, x, k, p,
+    MIN(p) OVER (PARTITION BY g ORDER BY period
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+  FROM cp)
+SELECT g AS event_type, period, x, k,
+  CAST(p - LEAST(CAST(0 AS BIGINT), rm) AS BIGINT) AS s,
+  CAST(CASE WHEN p - LEAST(CAST(0 AS BIGINT), rm) > 2 * k
+    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM cr"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9167,6 +9210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "monthly_growth": q_monthly_growth,
         "event_trigrams": q_event_trigrams,
+        "cusum": q_cusum,
     }
 
 
@@ -9279,6 +9323,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "top_orders_per_cust": _TOPORD_ORACLE,
         "monthly_growth": _MGROWTH_ORACLE,
         "event_trigrams": _TRIGRAM_ORACLE,
+        "cusum": _CUSUM_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

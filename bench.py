@@ -230,6 +230,7 @@ HEADLINE = [
     "top_orders_per_cust",
     "monthly_growth",
     "event_trigrams",
+    "cusum",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

@@ -577,3 +577,52 @@ def ewma_drift(
         .cast("long")
         .alias("alert"),
     )
+
+
+def cusum_alarm(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+    h_mult: int = 2,
+) -> DataFrame:
+    """One-sided CUSUM changepoint alarm over per-group period series,
+    ALL-INTEGER via the prefix-sum identity.
+
+    The textbook recurrence S_t = max(0, S_{t-1} + (x_t - k)) is a
+    sequential scan; its closed form S_t = P_t - min(0, min_{i<=t} P_i)
+    (P = prefix sum of deviations) makes it TWO bounded per-group
+    windows — a cumulative sum and a running min — with no recursion
+    and no doubles. The reference level k is the group's integer mean
+    (sum DIV n, one broadcast-sized aggregate) and the alarm fires
+    when S_t > h_mult * k. Output (group, period, x, k, s, alarm) —
+    every column exact int64.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).alias("period"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    kref = base.groupBy("g").agg(
+        F.expr("SUM(x) DIV COUNT(*)").cast("long").alias("k")
+    )
+    j = base.join(F.broadcast(kref), on="g")
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(F.col("x") - F.col("k")).over(wcum)
+    runmin = F.min(p).over(wcum)
+    s = p - F.least(F.lit(0).cast("long"), runmin)
+    return j.select(
+        F.col("g").alias(group_col),
+        "period",
+        "x",
+        "k",
+        s.cast("long").alias("s"),
+        F.when(s > F.lit(int(h_mult)) * F.col("k"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("alarm"),
+    )

@@ -1097,3 +1097,35 @@ def test_streaming_ewma_equals_batch(spark, tmp_path):
         for r in ewma_drift(batch_df, "g", "period", "x").collect()
     }
     assert got == want and len(got) == 6
+
+
+# ----------------------------------------------------------------- cusum_alarm
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    import hashlib
+
+    from combblas_spark.functions.sessions import cusum_alarm
+
+    rows = []
+    series = {}
+    for g in ("a", "b"):
+        xs = []
+        for i in range(20):
+            h = hashlib.md5(f"cs|{g}|{i}".encode()).hexdigest()
+            x = 10 + int(h[:4], 16) % 7 + (30 if g == "a" and i >= 14 else 0)
+            xs.append(x)
+            rows.append((g, f"d{i:02d}", x))
+        series[g] = xs
+    df = spark.createDataFrame(rows, "g string, period string, x long")
+    out = {(r.g, r.period): r for r in cusum_alarm(df, "g", "period", "x").collect()}
+    for g, xs in series.items():
+        k = sum(xs) // len(xs)
+        s = 0
+        for i, x in enumerate(xs):
+            s = max(0, s + (x - k))  # the textbook recurrence
+            r = out[(g, f"d{i:02d}")]
+            assert (r.k, r.s, r.alarm) == (k, s, int(s > 2 * k)), (g, i)
+    # the planted level shift in group a must alarm by the end
+    assert out[("a", "d19")].alarm == 1
+    assert out[("b", "d19")].alarm == 0
