@@ -8926,6 +8926,111 @@ SELECT g AS event_type, period, x, k,
 FROM cr"""
 
 
+def q_golden_record(spark, sf):
+    """Golden-record survivorship — the merge step after entity
+    resolution (block -> link -> cluster -> MERGE): three deterministic
+    feed variants per customer (truncated-name copy with md5-drawn
+    NULLs, phone-bumped copy, balance drift) collapsed to one golden
+    row per entity under longest-name / modal-phone / max-balance /
+    min-source rules, all with total tie orders so the golden table is
+    replayable; the whole merged table is the value hash."""
+    from combblas_spark.functions.linkage import survivorship
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("cl"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal0"),
+    )
+    v = cu.select(
+        "cl", "bal0", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v")
+    )
+    name0 = "substr(md5(concat('gn|', CAST(cl AS STRING))), 1, 8)"
+    h5 = (
+        "CAST(conv(substring(md5(concat('gz|', CAST(cl AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT) % 5"
+    )
+    phone0 = (
+        "CAST(CAST(conv(substring(md5(concat('gp|', CAST(cl AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT) % 10000 AS STRING)"
+    )
+    hb = (
+        "CAST(conv(substring(md5(concat('gb|', CAST(cl AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT) % 1000"
+    )
+    feed = v.select(
+        "cl",
+        (F.col("cl") * 10 + F.col("v")).alias("src_id"),
+        F.when(F.col("v") == 0, F.expr(name0))
+        .when(
+            F.col("v") == 1,
+            F.when(F.expr(h5) == 0, F.lit(None).cast("string"))
+            .otherwise(F.expr(f"substr({name0}, 1, 6)")),
+        )
+        .otherwise(F.expr(name0))
+        .alias("name"),
+        F.when(F.col("v") == 2, F.expr(f"concat('9', {phone0})"))
+        .otherwise(F.expr(phone0))
+        .alias("phone"),
+        F.when(F.col("v") == 0, F.col("bal0"))
+        .when(F.col("v") == 1, F.col("bal0") - 500)
+        .otherwise(F.col("bal0") + F.expr(hb))
+        .cast("long")
+        .alias("bal_c"),
+    )
+    return survivorship(
+        feed,
+        "cl",
+        {"name": "longest", "phone": "mode", "bal_c": "max",
+         "src_id": "min"},
+    )
+
+
+_GOLDEN_ORACLE = """WITH gbase AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS cl,
+    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal0,
+    substr(md5('gn|' || CAST(c_custkey AS VARCHAR)), 1, 8) AS name0,
+    CAST(('0x' || substr(md5('gz|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+      AS BIGINT) % 5 AS h5,
+    CAST(CAST(('0x' || substr(md5('gp|' || CAST(c_custkey AS VARCHAR)),
+      1, 15)) AS BIGINT) % 10000 AS VARCHAR) AS phone0,
+    CAST(('0x' || substr(md5('gb|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+      AS BIGINT) % 1000 AS hb
+  FROM customer),
+gfeed AS MATERIALIZED (
+  SELECT cl, cl * 10 + t.v AS src_id,
+    CASE WHEN t.v = 1 THEN
+      CASE WHEN h5 = 0 THEN NULL ELSE substr(name0, 1, 6) END
+    ELSE name0 END AS name,
+    CASE WHEN t.v = 2 THEN '9' || phone0 ELSE phone0 END AS phone,
+    CAST(CASE WHEN t.v = 0 THEN bal0
+      WHEN t.v = 1 THEN bal0 - 500
+      ELSE bal0 + hb END AS BIGINT) AS bal_c
+  FROM gbase, UNNEST([0, 1, 2]) AS t(v)),
+gname AS (
+  SELECT f.cl, MIN(f.name) AS name FROM gfeed f
+  JOIN (SELECT cl, MAX(LENGTH(name)) AS len FROM gfeed
+        WHERE name IS NOT NULL GROUP BY cl) c
+    ON f.cl = c.cl AND LENGTH(f.name) = c.len
+  GROUP BY f.cl),
+gphone AS (
+  SELECT n.cl, MIN(n.phone) AS phone FROM
+    (SELECT cl, phone, COUNT(*) AS n FROM gfeed
+     WHERE phone IS NOT NULL GROUP BY cl, phone) n
+  JOIN (SELECT cl, MAX(n) AS mx FROM
+          (SELECT cl, phone, COUNT(*) AS n FROM gfeed
+           WHERE phone IS NOT NULL GROUP BY cl, phone) x
+        GROUP BY cl) c
+    ON n.cl = c.cl AND n.n = c.mx
+  GROUP BY n.cl),
+gnum AS (
+  SELECT cl, CAST(MAX(bal_c) AS BIGINT) AS bal_c,
+    CAST(MIN(src_id) AS BIGINT) AS src_id
+  FROM gfeed GROUP BY cl)
+SELECT g.cl, gn.name, gp.phone, g.bal_c, g.src_id
+FROM gnum g
+LEFT JOIN gname gn ON gn.cl = g.cl
+LEFT JOIN gphone gp ON gp.cl = g.cl"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9211,6 +9316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_growth": q_monthly_growth,
         "event_trigrams": q_event_trigrams,
         "cusum": q_cusum,
+        "golden_record": q_golden_record,
     }
 
 
@@ -9324,6 +9430,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "monthly_growth": _MGROWTH_ORACLE,
         "event_trigrams": _TRIGRAM_ORACLE,
         "cusum": _CUSUM_ORACLE,
+        "golden_record": _GOLDEN_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

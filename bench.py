@@ -231,6 +231,7 @@ HEADLINE = [
     "monthly_growth",
     "event_trigrams",
     "cusum",
+    "golden_record",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

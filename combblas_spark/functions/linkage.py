@@ -94,3 +94,65 @@ def blocked_link(
         )
         .filter(F.col("score") >= int(threshold))
     )
+
+
+def survivorship(
+    records: DataFrame,
+    cluster_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Golden-record merge: collapse each entity cluster to one row by
+    per-attribute survivorship rules — the step after
+    :func:`blocked_link` in the master-data pipeline (block -> score
+    -> cluster -> MERGE).
+
+    ``rules`` maps column -> rule:
+
+    * ``'longest'`` — longest value wins, ties by lexicographic min
+      (the name rule: prefer the most complete spelling)
+    * ``'mode'``    — most frequent value wins, ties by min (the
+      phone/email rule: prefer the majority entry)
+    * ``'max'`` / ``'min'`` — numeric extremes (the balance /
+      first-seen rules)
+
+    NULLs never survive unless a cluster's column is all-NULL. Every
+    rule is deterministic (total tie order), so the golden table is
+    replayable. Scale shape: per rule one or two map-side-combinable
+    aggregates keyed by the cluster — the two-pass rules (longest,
+    mode) compute the winning criterion first and join back on
+    (cluster, criterion), never a per-cluster sort window.
+    """
+    out = records.select(F.col(cluster_col).alias("_cl")).distinct()
+    for col, rule in rules.items():
+        r = records.select(
+            F.col(cluster_col).alias("_cl"), F.col(col).alias("_v")
+        ).filter(F.col("_v").isNotNull())
+        if rule == "longest":
+            crit = r.groupBy("_cl").agg(
+                F.max(F.length("_v")).alias("_len")
+            )
+            win = (
+                r.join(crit, on="_cl")
+                .filter(F.length("_v") == F.col("_len"))
+                .groupBy("_cl")
+                .agg(F.min("_v").alias(col))
+            )
+        elif rule == "mode":
+            counts = r.groupBy("_cl", "_v").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            crit = counts.groupBy("_cl").agg(F.max("_n").alias("_mx"))
+            win = (
+                counts.join(crit, on="_cl")
+                .filter(F.col("_n") == F.col("_mx"))
+                .groupBy("_cl")
+                .agg(F.min("_v").alias(col))
+            )
+        elif rule == "max":
+            win = r.groupBy("_cl").agg(F.max("_v").alias(col))
+        elif rule == "min":
+            win = r.groupBy("_cl").agg(F.min("_v").alias(col))
+        else:
+            raise ValueError(f"survivorship: unknown rule {rule!r} for {col}")
+        out = out.join(win, on="_cl", how="left")
+    return out.withColumnRenamed("_cl", cluster_col)

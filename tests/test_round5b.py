@@ -1129,3 +1129,46 @@ def test_cusum_closed_form_equals_recurrence(spark):
     # the planted level shift in group a must alarm by the end
     assert out[("a", "d19")].alarm == 1
     assert out[("b", "d19")].alarm == 0
+
+
+# --------------------------------------------------------------- survivorship
+
+
+def test_survivorship_rules_hand_case(spark):
+    from combblas_spark.functions.linkage import survivorship
+
+    rows = [
+        # cluster 1: longest name wins (tie 'Anna-Mari'/'Anna-Marx' -> min);
+        # phone mode 555 (2 of 3); bal max 900; src min 10
+        (1, 10, "Anna", "555", 100),
+        (1, 11, "Anna-Mari", "555", 900),
+        (1, 12, "Anna-Marx", "777", 50),
+        # cluster 2: NULL name must not survive over a real one
+        (2, 20, None, "111", 5),
+        (2, 21, "Bo", None, 7),
+        # cluster 3: all-NULL column stays NULL
+        (3, 30, None, "222", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "cl long, src long, name string, phone string, bal long"
+    )
+    out = {
+        r.cl: r
+        for r in survivorship(
+            df, "cl",
+            {"name": "longest", "phone": "mode", "bal": "max", "src": "min"},
+        ).collect()
+    }
+    assert (out[1].name, out[1].phone, out[1].bal, out[1].src) == (
+        "Anna-Mari", "555", 900, 10,
+    )
+    assert (out[2].name, out[2].phone) == ("Bo", "111")
+    assert out[3].name is None and out[3].phone == "222"
+
+
+def test_survivorship_unknown_rule_raises(spark):
+    from combblas_spark.functions.linkage import survivorship
+
+    df = spark.createDataFrame([(1, "x")], "cl long, v string")
+    with pytest.raises(ValueError, match="unknown rule"):
+        survivorship(df, "cl", {"v": "newest"})
