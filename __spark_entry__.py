@@ -9031,6 +9031,43 @@ LEFT JOIN gname gn ON gn.cl = g.cl
 LEFT JOIN gphone gp ON gp.cl = g.cl"""
 
 
+def q_small_qty_revenue(spark, sf):
+    """TPC-H Q17-shaped small-quantity revenue: lineitems whose
+    quantity is below 20% of their part's average — the threshold
+    cross-multiplied into exact integers (qty * 5 * n_part < sum_qty)
+    so no float average exists anywhere; one per-part aggregate joined
+    back + one final aggregate, exact cent totals."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("ep_c"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum("qty").alias("sum_qty"),
+    )
+    j = li.join(per_part, on="l_partkey").filter(
+        F.col("qty") * 5 * F.col("n_part") < F.col("sum_qty")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        F.sum("ep_c").cast("long").alias("revenue_c"),
+    )
+
+
+_SMALLQTY_ORACLE = """WITH sq AS MATERIALIZED (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ep_c
+  FROM lineitem),
+sp AS (
+  SELECT l_partkey, COUNT(*) AS n_part, SUM(qty) AS sum_qty
+  FROM sq GROUP BY l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+  CAST(SUM(s.ep_c) AS BIGINT) AS revenue_c
+FROM sq s JOIN sp p ON s.l_partkey = p.l_partkey
+WHERE s.qty * 5 * p.n_part < p.sum_qty"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9317,6 +9354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": q_event_trigrams,
         "cusum": q_cusum,
         "golden_record": q_golden_record,
+        "small_qty_revenue": q_small_qty_revenue,
     }
 
 
@@ -9431,6 +9469,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "event_trigrams": _TRIGRAM_ORACLE,
         "cusum": _CUSUM_ORACLE,
         "golden_record": _GOLDEN_ORACLE,
+        "small_qty_revenue": _SMALLQTY_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (
