@@ -9068,6 +9068,71 @@ FROM sq s JOIN sp p ON s.l_partkey = p.l_partkey
 WHERE s.qty * 5 * p.n_part < p.sum_qty"""
 
 
+def q_order_cube(spark, sf):
+    """Full CUBE over (orderpriority, orderstatus): all four grouping
+    levels in ONE Expand + partial/final agg pass (the multi-level
+    sibling of event_rollup's ROLLUP), exact counts and cent totals,
+    level marker from GROUPING() bits composed portably."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    g = orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c"),
+        (
+            F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+        ).cast("long").alias("lvl"),
+    )
+    return g.select(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<all>"))
+        .alias("prio"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+        "n",
+        "rev_c",
+        "lvl",
+    )
+
+
+_CUBE_ORACLE = """SELECT
+  COALESCE(o_orderpriority, '<all>') AS prio,
+  COALESCE(o_orderstatus, '<all>') AS status,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+    AS lvl
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)"""
+
+
+def q_status_pivot(spark, sf):
+    """Pivot evidence: per order priority, one column per order status
+    with exact counts (explicit pivot value list so the schema is
+    static and the plan is a single pivot aggregate — never a
+    collect-distinct schema inference at scale)."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    return p.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"),
+    )
+
+
+_PIVOT_ORACLE = """SELECT o_orderpriority AS prio,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_open,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_filled,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pending
+FROM orders GROUP BY o_orderpriority"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9355,6 +9420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "golden_record": q_golden_record,
         "small_qty_revenue": q_small_qty_revenue,
+        "order_cube": q_order_cube,
+        "status_pivot": q_status_pivot,
     }
 
 
@@ -9470,6 +9537,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "cusum": _CUSUM_ORACLE,
         "golden_record": _GOLDEN_ORACLE,
         "small_qty_revenue": _SMALLQTY_ORACLE,
+        "order_cube": _CUBE_ORACLE,
+        "status_pivot": _PIVOT_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -1172,3 +1172,39 @@ def test_survivorship_unknown_rule_raises(spark):
     df = spark.createDataFrame([(1, "x")], "cl long, v string")
     with pytest.raises(ValueError, match="unknown rule"):
         survivorship(df, "cl", {"v": "newest"})
+
+
+# ------------------------------------------------------------------ cube/pivot
+
+
+def test_order_cube_levels_add_up(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+
+    rows = em.queries()["order_cube"](spark, sf).collect()
+    total = [r for r in rows if r.lvl == 3]
+    assert len(total) == 1
+    base = [r for r in rows if r.lvl == 0]
+    assert sum(r.n for r in base) == total[0].n
+    assert sum(r.rev_c for r in base) == total[0].rev_c
+    # marginals per axis also reconcile
+    by_prio = [r for r in rows if r.lvl == 1]
+    assert sum(r.n for r in by_prio) == total[0].n
+
+
+def test_status_pivot_counts_reconcile(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+
+    rows = em.queries()["status_pivot"](spark, sf).collect()
+    got = sum(r.n_open + r.n_filled + r.n_pending for r in rows)
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert got == n_orders
