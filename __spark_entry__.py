@@ -6987,16 +6987,11 @@ FROM bta"""
 # --------------------------------------------------------------------------
 
 
-def q_record_link(spark, sf):
-    """Cross-table entity resolution: a synthetic vendor feed (1/3 of
-    customers duplicated with md5-drawn name deletions and phone-digit
-    bumps, plus 1/5 unrelated decoys) linked back to the master by
-    nation-blocked first2/last2 name keys + integer Fellegi-Sunter
-    scoring. The oracle is the BRUTE-FORCE within-nation comparison —
-    hash-equality proves the blocking loses no qualifying pair (every
-    score>=2 pair has name distance <= 1, which the first2/last2
-    pigeonhole covers structurally)."""
-    from combblas_spark.functions.linkage import blocked_link
+def _reclink_tables(spark, sf):
+    """The entity-resolution fixture shared by record_link and
+    mdm_golden: (master, dirty) record tables — 1/3 of customers
+    duplicated with md5-drawn name deletions and phone-digit bumps,
+    plus 1/5 unrelated decoys."""
     from combblas_spark.functions.urls import _h60
 
     cu = spark.read.parquet(f"{sf}/customer.parquet").select(
@@ -7038,7 +7033,20 @@ def q_record_link(spark, sf):
         .alias("name"),
         (_h60("zp", c) % 10_000_000).alias("phone"),
     )
-    return blocked_link(master, dups.unionByName(decoys))
+    return master, dups.unionByName(decoys)
+
+
+def q_record_link(spark, sf):
+    """Cross-table entity resolution: the synthetic vendor feed linked
+    back to the master by nation-blocked first2/last2 name keys +
+    integer Fellegi-Sunter scoring. The oracle is the BRUTE-FORCE
+    within-nation comparison — hash-equality proves the blocking loses
+    no qualifying pair (every score>=2 pair has name distance <= 1,
+    which the first2/last2 pigeonhole covers structurally)."""
+    from combblas_spark.functions.linkage import blocked_link
+
+    master, dirty = _reclink_tables(spark, sf)
+    return blocked_link(master, dirty)
 
 
 _LINK_ORACLE = """WITH rlm AS MATERIALIZED (
@@ -9133,6 +9141,87 @@ _PIVOT_ORACLE = """SELECT o_orderpriority AS prio,
 FROM orders GROUP BY o_orderpriority"""
 
 
+MDM_CC_ITERS = 8  # min-label rounds over the (star-shaped) link graph
+
+
+def q_mdm_golden(spark, sf):
+    """The MDM capstone composition — block -> link -> cluster ->
+    survivorship in one graded query: Fellegi-Sunter links over the
+    record_link fixture become entity clusters via min-label CC (every
+    record seeded, so unmatched records stay singleton golden rows),
+    then each cluster collapses to its golden record under
+    longest-name / modal-phone / min-source rules. Every golden row is
+    in the value hash."""
+    from combblas_spark.algorithms.cc import cc_minlabel
+    from combblas_spark.functions.linkage import blocked_link, survivorship
+
+    master, dirty = _reclink_tables(spark, sf)
+    links = blocked_link(master, dirty)
+    edges = links.select(
+        F.col("master_id").alias("src"),
+        F.col("dirty_id").alias("dst"),
+        F.lit(1.0).alias("w"),
+    ).unionByName(
+        links.select(
+            F.col("dirty_id").alias("src"),
+            F.col("master_id").alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    recs = master.unionByName(dirty)
+    verts = recs.select(F.col("rid").alias("id"))
+    labels = cc_minlabel(spark, edges, vertices=verts)
+    clustered = recs.join(
+        labels, on=recs.rid == labels.id
+    ).select(F.col("val").alias("cl"), "rid", "name", "phone")
+    return survivorship(
+        clustered, "cl", {"name": "longest", "phone": "mode", "rid": "min"}
+    )
+
+
+def _mdm_golden_sql() -> str:
+    head, _ = _LINK_ORACLE.rsplit("\nSELECT m.id", 1)
+    link_cond = """2 * (CASE WHEN levenshtein(m.name, d.name) <= 1
+      THEN 1 ELSE 0 END)
+    + (CASE WHEN m.phone = d.phone THEN 1 ELSE 0 END) >= 2"""
+    body = _minlabel_ctes("mdmsym", MDM_CC_ITERS)
+    return f"""{head},
+rll AS MATERIALIZED (
+  SELECT m.id AS mid, d.id AS did
+  FROM rlm m JOIN rld d ON m.ck = d.ck
+  WHERE {link_cond}),
+mdmsym AS MATERIALIZED (
+  SELECT mid AS src, did AS dst FROM rll
+  UNION SELECT did, mid FROM rll
+  UNION SELECT id, id FROM rlm
+  UNION SELECT id, id FROM rld),
+{body},
+mdmrec AS MATERIALIZED (
+  SELECT l.val AS cl, r.id AS rid, r.name, r.phone
+  FROM (SELECT id, name, CAST(phone AS BIGINT) AS phone FROM rlm
+        UNION ALL SELECT id, name, CAST(phone AS BIGINT) FROM rld) r
+  JOIN l{MDM_CC_ITERS} l ON l.id = r.id),
+mname AS (
+  SELECT f.cl, MIN(f.name) AS name FROM mdmrec f
+  JOIN (SELECT cl, MAX(LENGTH(name)) AS len FROM mdmrec
+        WHERE name IS NOT NULL GROUP BY cl) c
+    ON f.cl = c.cl AND LENGTH(f.name) = c.len
+  GROUP BY f.cl),
+mphone AS (
+  SELECT n.cl, MIN(n.phone) AS phone FROM
+    (SELECT cl, phone, COUNT(*) AS n FROM mdmrec GROUP BY cl, phone) n
+  JOIN (SELECT cl, MAX(n) AS mx FROM
+          (SELECT cl, phone, COUNT(*) AS n FROM mdmrec
+           GROUP BY cl, phone) x GROUP BY cl) c
+    ON n.cl = c.cl AND n.n = c.mx
+  GROUP BY n.cl),
+mnum AS (SELECT cl, CAST(MIN(rid) AS BIGINT) AS rid FROM mdmrec GROUP BY cl)
+SELECT g.cl, mn.name, mp.phone, g.rid
+FROM mnum g
+LEFT JOIN mname mn ON mn.cl = g.cl
+LEFT JOIN mphone mp ON mp.cl = g.cl"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9422,6 +9511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "order_cube": q_order_cube,
         "status_pivot": q_status_pivot,
+        "mdm_golden": q_mdm_golden,
     }
 
 
@@ -9539,6 +9629,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "small_qty_revenue": _SMALLQTY_ORACLE,
         "order_cube": _CUBE_ORACLE,
         "status_pivot": _PIVOT_ORACLE,
+        "mdm_golden": _mdm_golden_sql(),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -235,6 +235,7 @@ HEADLINE = [
     "small_qty_revenue",
     "order_cube",
     "status_pivot",
+    "mdm_golden",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

