@@ -9267,12 +9267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "incident_events": q_incident_events,
         "mutual_nn": q_mutual_nn,
-        "event_rollup": q_event_rollup,
         "louvain_ps": q_louvain_ps,
         "densest_pref": q_densest_pref,
         "pii_scan": q_pii_scan,
         "clustering_coeff": q_clustering_coeff,
-        "kmv_distinct": q_kmv_distinct,
         "adamic_adar_ev": q_adamic_adar_ev,
         "tfidf_topk": q_tfidf_topk,
         "msbfs_ps": q_msbfs_ps,
@@ -9309,6 +9307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_drift": q_ewma_drift,
         "corr_matrix": q_corr_matrix,
         "topo_order": q_topo_order,
+        "cusum": q_cusum,
+        "mdm_golden": q_mdm_golden,
         "butterflies_ps": q_butterflies_ps,
         "modularity_ps": q_modularity_ps,
         "unigram_xent": q_unigram_xent,
@@ -9342,6 +9342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_ps": q_node2vec_ps,
         "bpe_merges": q_bpe_merges,
         # --- deferred r05 additions (mirror-verified, tiny fixed outputs,
+        "event_rollup": q_event_rollup,
+        "kmv_distinct": q_kmv_distinct,
         "kwic": q_kwic,
         "proximity": q_proximity,
         "hist_quantiles": q_hist_quantiles,
@@ -9506,12 +9508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "monthly_growth": q_monthly_growth,
         "event_trigrams": q_event_trigrams,
-        "cusum": q_cusum,
         "golden_record": q_golden_record,
         "small_qty_revenue": q_small_qty_revenue,
         "order_cube": q_order_cube,
         "status_pivot": q_status_pivot,
-        "mdm_golden": q_mdm_golden,
     }
 
 
