@@ -9222,6 +9222,86 @@ LEFT JOIN mname mn ON mn.cl = g.cl
 LEFT JOIN mphone mp ON mp.cl = g.cl"""
 
 
+def q_skew_audit(spark, sf):
+    """Join-key skew report over lineitem.l_partkey — top-5 heavy keys
+    (TakeOrderedAndProject), exact p50/p99 multiplicity order
+    statistics through the sample sort, and summary counts; the
+    measurement companion of skew_join's salted mitigation, all on the
+    key-cardinality table."""
+    from combblas_spark.operators.skew import key_skew_audit
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return key_skew_audit(li, "l_partkey", pcts=(50, 99), top_k=5)
+
+
+_SKEWAUD_ORACLE = """WITH skc AS MATERIALIZED (
+  SELECT CAST(l_partkey AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey),
+sktop AS (
+  SELECT 'top' || CAST(ROW_NUMBER() OVER (ORDER BY n DESC, k ASC)
+    AS VARCHAR) AS stat, k AS key, n AS value
+  FROM skc ORDER BY n DESC, k ASC LIMIT 5),
+skr AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, k) AS rk,
+    COUNT(*) OVER () AS cnt
+  FROM skc),
+skp AS (
+  SELECT 'p' || CAST(p.p AS VARCHAR) AS stat,
+    CAST(NULL AS BIGINT) AS key, r.n AS value
+  FROM (SELECT UNNEST([50, 99]) AS p) p
+  JOIN skr r ON r.rk = (p.p * r.cnt + 99) // 100),
+sks AS (
+  SELECT s.stat, CAST(NULL AS BIGINT) AS key, s.value FROM (
+    SELECT 'n_rows' AS stat, CAST(SUM(n) AS BIGINT) AS value FROM skc
+    UNION ALL
+    SELECT 'n_keys', CAST(COUNT(*) AS BIGINT) FROM skc
+    UNION ALL
+    SELECT 'max_mult', CAST(MAX(n) AS BIGINT) FROM skc) s)
+SELECT stat, key, value FROM sktop
+UNION ALL SELECT stat, key, value FROM skp
+UNION ALL SELECT stat, key, value FROM sks"""
+
+
+ATTR_WINDOW_S = 3 * 86400
+
+
+def q_attribution(spark, sf):
+    """Last-touch attribution of purchase events to the most recent
+    strictly-preceding click/view/signup within 3 days — one per-user
+    running-last window with a 1-PRECEDING frame (same-microsecond
+    ties resolved by event id) + one aggregate; out-of-window and
+    touchless conversions credit '<none>' explicitly."""
+    from combblas_spark.functions.sessions import last_touch_attribution
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return last_touch_attribution(
+        ev, "purchase", ["click", "view", "signup"], ATTR_WINDOW_S
+    )
+
+
+_ATTR_ORACLE = f"""WITH ae AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS us,
+    event_type AS ty, CAST(event_id AS BIGINT) AS tb
+  FROM events),
+at2 AS (
+  SELECT u, us, ty,
+    LAST_VALUE(CASE WHEN ty IN ('click', 'view', 'signup')
+        THEN us END IGNORE NULLS)
+      OVER (PARTITION BY u ORDER BY us, tb
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_us,
+    LAST_VALUE(CASE WHEN ty IN ('click', 'view', 'signup')
+        THEN ty END IGNORE NULLS)
+      OVER (PARTITION BY u ORDER BY us, tb
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ty
+  FROM ae)
+SELECT CASE WHEN lt_us IS NOT NULL
+    AND us - lt_us <= {ATTR_WINDOW_S} * CAST(1000000 AS BIGINT)
+  THEN lt_ty ELSE '<none>' END AS touch_type,
+  CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM at2 WHERE ty = 'purchase'
+GROUP BY touch_type"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9510,6 +9590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": q_event_trigrams,
         "golden_record": q_golden_record,
         "small_qty_revenue": q_small_qty_revenue,
+        "skew_audit": q_skew_audit,
+        "attribution": q_attribution,
         "order_cube": q_order_cube,
         "status_pivot": q_status_pivot,
     }
@@ -9630,6 +9712,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "order_cube": _CUBE_ORACLE,
         "status_pivot": _PIVOT_ORACLE,
         "mdm_golden": _mdm_golden_sql(),
+        "skew_audit": _SKEWAUD_ORACLE,
+        "attribution": _ATTR_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

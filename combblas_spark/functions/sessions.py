@@ -626,3 +626,62 @@ def cusum_alarm(
         .cast("long")
         .alias("alarm"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch marketing attribution: every conversion event
+    credits the same user's most recent STRICTLY-PRECEDING touch event
+    within ``window_seconds``; conversions with no qualifying touch
+    credit ``'<none>'``.
+
+    One per-user window (running last over the touch columns with the
+    frame ending at 1 PRECEDING — ties at the same microsecond resolve
+    by the tiebreak order, deterministically) + one count aggregate:
+    ``(touch_type, n_conversions)``. The serving-side sibling of the
+    funnel (which asks "did the sequence complete"; this asks "who
+    gets credit").
+    """
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    else:
+        us = F.unix_micros(F.col(ts_col))
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        us.alias("_us"),
+        F.col(type_col).alias("ty"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    is_touch = F.col("ty").isin(list(touch_types))
+    w = (
+        Window.partitionBy("u")
+        .orderBy("_us", "tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "_lt_us", F.last(F.when(is_touch, F.col("_us")), True).over(w)
+    ).withColumn(
+        "_lt_ty", F.last(F.when(is_touch, F.col("ty")), True).over(w)
+    )
+    conv = tagged.filter(F.col("ty") == conversion_type)
+    credited = F.when(
+        F.col("_lt_us").isNotNull()
+        & (F.col("_us") - F.col("_lt_us")
+           <= F.lit(int(window_seconds) * 1_000_000)),
+        F.col("_lt_ty"),
+    ).otherwise(F.lit("<none>"))
+    return (
+        conv.select(credited.alias("touch_type"))
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )

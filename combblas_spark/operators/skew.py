@@ -19,7 +19,7 @@ matrix block); this is the relational-plane equivalent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -58,3 +58,64 @@ def skew_join(
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(int(n_salt) - 1))),
     )
     return f_s.join(d_s, on=[key, "_salt"], how=how).drop("_salt")
+
+
+def key_skew_audit(
+    df: DataFrame,
+    key_col: str,
+    pcts: tuple[int, ...] = (50, 99),
+    top_k: int = 5,
+) -> DataFrame:
+    """Join-key skew report — the pre-flight check before committing a
+    partitioning or join strategy (the measurement companion of
+    :func:`skew_join`, which is the mitigation).
+
+    Rows ``(stat, key, value)``: per-key multiplicities feed
+    ``top<i>`` rows (the heaviest keys, TakeOrderedAndProject),
+    ``p<pct>`` exact multiplicity order statistics (sample-sort ranks,
+    no single-task sort), and ``n_rows`` / ``n_keys`` / ``max_mult``
+    summary counts. All BIGINT; ``key`` is NULL on non-top rows.
+
+    Scale shape: one map-side-combinable count per key, then
+    everything downstream operates on the KEY-cardinality table.
+    """
+    from combblas_spark.operators.kselect import exact_percentiles
+
+    counts = (
+        df.select(F.col(key_col).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    top = (
+        counts.orderBy(F.col("_n").desc(), F.col("_k").asc())
+        .limit(int(top_k))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.col("_n").desc(), F.col("_k").asc())
+            ),
+        )
+        .select(
+            F.concat(F.lit("top"), F.col("_rk").cast("string")).alias("stat"),
+            F.col("_k").cast("long").alias("key"),
+            F.col("_n").cast("long").alias("value"),
+        )
+    )
+    pct = exact_percentiles(
+        counts, "_n", list(pcts), "_k"
+    ).select(
+        F.concat(F.lit("p"), F.col("pct").cast("string")).alias("stat"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("val").cast("long").alias("value"),
+    )
+    summary = counts.agg(
+        F.sum("_n").cast("long").alias("_rows"),
+        F.count(F.lit(1)).cast("long").alias("_keys"),
+        F.max("_n").cast("long").alias("_max"),
+    )
+    srows = summary.selectExpr(
+        "stack(3, 'n_rows', CAST(NULL AS BIGINT), _rows, "
+        "'n_keys', CAST(NULL AS BIGINT), _keys, "
+        "'max_mult', CAST(NULL AS BIGINT), _max) AS (stat, key, value)"
+    )
+    return top.unionByName(pct).unionByName(srows)

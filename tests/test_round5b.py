@@ -1251,3 +1251,56 @@ def _same_cluster(golden, a, b):
     # can't both be representatives unless equal
     reps = {g.rid for g in golden}
     return not (a in reps and b in reps)
+
+
+# ------------------------------------------------------------- key_skew_audit
+
+
+def test_key_skew_audit_hand_case(spark):
+    from combblas_spark.operators.skew import key_skew_audit
+
+    rows = [(1,)] * 10 + [(2,)] * 5 + [(3,)] * 5 + [(4,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    out = {r.stat: r for r in key_skew_audit(df, "k", pcts=(50,), top_k=2).collect()}
+    assert (out["top1"].key, out["top1"].value) == (1, 10)
+    assert (out["top2"].key, out["top2"].value) == (2, 5)  # tie by min key
+    assert (out["n_rows"].value, out["n_keys"].value, out["max_mult"].value) == (
+        21, 4, 10,
+    )
+    assert out["p50"].value == 5  # rank ceil(0.5*4)=2 of [1,5,5,10]
+
+
+# ------------------------------------------------------- last_touch_attribution
+
+
+def test_last_touch_attribution_hand_case(spark):
+    import datetime
+
+    from combblas_spark.functions.sessions import last_touch_attribution
+
+    D = datetime.datetime
+    rows = [
+        # u1: click then purchase 1h later -> click credited
+        (1, D(2024, 1, 1, 10), "click", 1),
+        (1, D(2024, 1, 1, 11), "purchase", 2),
+        # u1: second purchase 10 days later -> out of window -> <none>
+        (1, D(2024, 1, 11, 11), "purchase", 3),
+        # u2: view then SIGNUP later (closer) -> signup wins (last touch)
+        (2, D(2024, 1, 1, 9), "view", 4),
+        (2, D(2024, 1, 1, 10), "signup", 5),
+        (2, D(2024, 1, 1, 12), "purchase", 6),
+        # u3: purchase with no touch at all -> <none>
+        (3, D(2024, 1, 2, 8), "purchase", 7),
+        # u4: touch at the SAME timestamp but larger event_id is NOT
+        # strictly preceding by tiebreak -> <none>
+        (4, D(2024, 1, 3, 8), "purchase", 8),
+        (4, D(2024, 1, 3, 8), "click", 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    out = {
+        r.touch_type: r.n_conversions
+        for r in last_touch_attribution(
+            df, "purchase", ["click", "view", "signup"], 3 * 86400
+        ).collect()
+    }
+    assert out == {"click": 1, "signup": 1, "<none>": 3}
