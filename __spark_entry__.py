@@ -9302,6 +9302,48 @@ FROM at2 WHERE ty = 'purchase'
 GROUP BY touch_type"""
 
 
+def q_fof_recs(spark, sf):
+    """Friend-of-friend recommendations over the part—supplier graph
+    (FoF of a part = parts sharing a supplier — the co-purchase rec):
+    top-3 non-neighbor candidates per vertex by exact common-neighbor
+    count, candidate-id tiebreak, served through the two-phase salted
+    top-k; middle vertices above degree 200 are dropped (the
+    super-hub-is-uninformative cut that bounds wedge mass to ~18M even
+    at sf0.1 — the cap IS the scale mechanism, replicated by the
+    oracle); every (id, rec, n_common, rank) row is in the value
+    hash."""
+    from combblas_spark.algorithms.linkpred import fof_recommend
+
+    return fof_recommend(
+        part_supplier_graph(spark, sf), k=3, max_middle_degree=200
+    )
+
+
+_FOF_ORACLE = f"""WITH {PS_CTES},
+fund AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+fdeg AS (SELECT src, COUNT(*) AS d FROM fund GROUP BY src),
+fmid AS (SELECT src AS m FROM fdeg WHERE d <= 200),
+fwedge AS MATERIALIZED (
+  SELECT l.src AS u, r.dst AS w, COUNT(*) AS n_common
+  FROM fund l
+  JOIN fmid ON l.dst = fmid.m
+  JOIN fund r ON r.src = l.dst
+  WHERE l.src <> r.dst
+  GROUP BY l.src, r.dst),
+fnn AS MATERIALIZED (
+  SELECT c.u, c.w, CAST(c.n_common AS BIGINT) AS n_common
+  FROM fwedge c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fund e WHERE e.src = c.u AND e.dst = c.w))
+SELECT u AS id, w AS rec, n_common, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT u, w, n_common,
+    ROW_NUMBER() OVER (PARTITION BY u
+      ORDER BY n_common DESC, w ASC) AS rn
+  FROM fnn) x
+WHERE rn <= 3"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9592,6 +9634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "skew_audit": q_skew_audit,
         "attribution": q_attribution,
+        "fof_recs": q_fof_recs,
         "order_cube": q_order_cube,
         "status_pivot": q_status_pivot,
     }
@@ -9714,6 +9757,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "mdm_golden": _mdm_golden_sql(),
         "skew_audit": _SKEWAUD_ORACLE,
         "attribution": _ATTR_ORACLE,
+        "fof_recs": _FOF_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

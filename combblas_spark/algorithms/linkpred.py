@@ -127,3 +127,74 @@ def cocitation(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
+
+
+def fof_recommend(
+    edges: DataFrame,
+    k: int = 3,
+    max_middle_degree: int = 10_000,
+    salt: int = 16,
+) -> DataFrame:
+    """Friend-of-friend link recommendations — the SERVING query link
+    prediction exists for: per vertex, the top-k non-neighbor
+    candidates ranked by common-neighbor count (ties by candidate id —
+    a total order, so the rec list is replayable).
+
+    Wedge enumeration through a middle vertex costs deg^2; middles
+    above ``max_middle_degree`` are dropped (the standard
+    super-hub-is-uninformative cut — a celebrity neighbor says nothing
+    about affinity; documented, deterministic, and replicated by the
+    oracle). Top-k per source runs the two-phase salted shape (local
+    top-k per (source, candidate-hash salt), global top-k over the
+    <= salt*k survivors) so a vertex with a huge candidate set never
+    sorts through one task. Output (id, rec, n_common, rank).
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    mid_ok = deg.filter(F.col("_d") <= int(max_middle_degree)).select(
+        F.col("src").alias("_m")
+    )
+    left = und.select(F.col("dst").alias("_m"), F.col("src").alias("u"))
+    right = und.select(F.col("src").alias("_m"), F.col("dst").alias("w"))
+    wedges = (
+        left.join(mid_ok, on="_m")
+        .join(right, on="_m")
+        .filter(F.col("u") != F.col("w"))
+    )
+    cand = wedges.groupBy("u", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    non_nbr = cand.join(
+        und.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        on=["u", "w"],
+        how="left_anti",
+    )
+    from combblas_spark.functions.dedup import md5_60bit
+
+    local_w = Window.partitionBy(
+        "u", F.pmod(md5_60bit(F.col("w").cast("string")), F.lit(int(salt)))
+    ).orderBy(F.col("n_common").desc(), F.col("w").asc())
+    survivors = (
+        non_nbr.withColumn("_rn", F.row_number().over(local_w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+    glob_w = Window.partitionBy("u").orderBy(
+        F.col("n_common").desc(), F.col("w").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(glob_w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("u").alias("id"),
+            F.col("w").alias("rec"),
+            "n_common",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

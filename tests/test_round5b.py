@@ -1304,3 +1304,58 @@ def test_last_touch_attribution_hand_case(spark):
         ).collect()
     }
     assert out == {"click": 1, "signup": 1, "<none>": 3}
+
+
+# ------------------------------------------------------------------- fof_recs
+
+
+def test_fof_recommend_brute_force_law(spark):
+    import hashlib
+    from collections import Counter
+
+    from combblas_spark.algorithms.linkpred import fof_recommend
+
+    pairs = set()
+    for i in range(200):
+        h = hashlib.md5(f"ff|{i}".encode()).hexdigest()
+        a, b = int(h[:5], 16) % 30, int(h[5:10], 16) % 30
+        if a != b:
+            pairs.add((a, b))
+            pairs.add((b, a))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    want = set()
+    for u in adj:
+        scores = Counter()
+        for v in adj[u]:
+            for w in adj[v]:
+                if w != u and w not in adj[u]:
+                    scores[w] += 1
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (w, n) in enumerate(ranked, 1):
+            want.add((u, w, n, rk))
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sorted(pairs)], "src long, dst long, w double"
+    )
+    got = {
+        (r.id, r.rec, r.n_common, r.rank)
+        for r in fof_recommend(e, k=3).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_fof_recommend_hub_cap_drops_middle(spark):
+    from combblas_spark.algorithms.linkpred import fof_recommend
+
+    # star: hub 0 connects 1..5; through-hub recs vanish when the cap
+    # excludes the hub as a middle
+    pairs = [(0, i) for i in range(1, 6)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs],
+        "src long, dst long, w double",
+    )
+    full = fof_recommend(e, k=3).collect()
+    assert len(full) > 0  # leaves recommend each other through the hub
+    capped = fof_recommend(e, k=3, max_middle_degree=4).collect()
+    assert capped == []  # hub degree 5 > 4 -> no middles remain
