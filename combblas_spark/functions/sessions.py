@@ -585,6 +585,7 @@ def cusum_alarm(
     t_col: str,
     x_col: str,
     h_mult: int = 2,
+    k_ref: int | None = None,
 ) -> DataFrame:
     """One-sided CUSUM changepoint alarm over per-group period series,
     ALL-INTEGER via the prefix-sum identity.
@@ -594,19 +595,25 @@ def cusum_alarm(
     (P = prefix sum of deviations) makes it TWO bounded per-group
     windows — a cumulative sum and a running min — with no recursion
     and no doubles. The reference level k is the group's integer mean
-    (sum DIV n, one broadcast-sized aggregate) and the alarm fires
-    when S_t > h_mult * k. Output (group, period, x, k, s, alarm) —
-    every column exact int64.
+    (sum DIV n, one broadcast-sized aggregate) unless an explicit
+    ``k_ref`` is given (control-chart practice: fix k from a training
+    window — also what the streaming twin needs, since a stream cannot
+    know its own future mean); the alarm fires when S_t > h_mult * k.
+    Output (group, period, x, k, s, alarm) — every column exact
+    int64.
     """
     base = df.select(
         F.col(group_col).alias("g"),
         F.col(t_col).alias("period"),
         F.col(x_col).cast("long").alias("x"),
     )
-    kref = base.groupBy("g").agg(
-        F.expr("SUM(x) DIV COUNT(*)").cast("long").alias("k")
-    )
-    j = base.join(F.broadcast(kref), on="g")
+    if k_ref is None:
+        kref = base.groupBy("g").agg(
+            F.expr("SUM(x) DIV COUNT(*)").cast("long").alias("k")
+        )
+        j = base.join(F.broadcast(kref), on="g")
+    else:
+        j = base.withColumn("k", F.lit(int(k_ref)).cast("long"))
     wcum = (
         Window.partitionBy("g")
         .orderBy("period")

@@ -559,3 +559,71 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cusum(
+    counts: DataFrame,
+    k_ref: int,
+    group_col: str = "g",
+    period_col: str = "period",
+    x_col: str = "x",
+    h_mult: int = 2,
+) -> DataFrame:
+    """Stateful streaming twin of functions.sessions.cusum_alarm with
+    an explicit reference level ``k_ref`` (control-chart practice —
+    the stream cannot know its own future mean, so k comes from a
+    training window).
+
+    Per-group state is ``(p, rmin, last)``: the running prefix sum of
+    deviations, the running min of that prefix (seeded at 0 for the
+    implicit P_0), and the last period seen — the closed form
+    S_t = P_t - min(0, min P_i) advanced incrementally, all exact
+    int64. Emits exactly the batch operator's rows; out-of-order
+    periods raise (CUSUM state cannot be rewound).
+    """
+    out_schema = (
+        f"{group_col} string, {period_col} string, {x_col} long, "
+        "k long, s long, alarm long"
+    )
+    state_schema = "p long, rmin long, last string"
+    k = int(k_ref)
+    h = int(h_mult)
+
+    def step(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        p, rmin, last = state.get if state.exists else (0, 0, "")
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(period_col)
+            out = []
+            for period, x in zip(pdf[period_col], pdf[x_col]):
+                if last and str(period) <= last:
+                    raise ValueError(
+                        f"streaming_cusum: out-of-order period {period!r} "
+                        f"after {last!r} in group {key[0]!r}"
+                    )
+                p += int(x) - k
+                rmin = min(rmin, p)
+                s = p - min(0, rmin)
+                out.append(
+                    (key[0], str(period), int(x), k, s, int(s > h * k))
+                )
+                last = str(period)
+            yield pd.DataFrame(
+                out,
+                columns=[group_col, period_col, x_col, "k", "s", "alarm"],
+            )
+        state.update((p, rmin, last))
+
+    return counts.groupBy(group_col).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
