@@ -1404,3 +1404,42 @@ def test_streaming_cusum_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 6
     # the level shift crossing the batch boundary must alarm
     assert ("a", "d4", 31, 9, 43, 1) in got
+
+
+# ------------------------------------------------------------ final plan audit
+
+
+def test_fk_audit_plan_no_cartesian(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+
+    plan = (
+        em.queries()["fk_audit"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_norm_plan_has_no_window(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+
+    # the per-row quantile transform must ride the sample sort, not a
+    # per-group Window (which funnels each group through one task)
+    plan = (
+        em.queries()["quantile_norm"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
