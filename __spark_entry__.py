@@ -9344,6 +9344,133 @@ SELECT u AS id, w AS rec, n_common, CAST(rn AS BIGINT) AS rank FROM (
 WHERE rn <= 3"""
 
 
+def q_dau_wau(spark, sf):
+    """Rolling engagement: per day, exact distinct daily actives (DAU)
+    and trailing-7-day actives (WAU) with the stickiness ratio — the
+    sliding-window COUNT DISTINCT that cannot ride an ordinary window
+    frame: each (day, user) row is exploded to the <= 7 future days
+    whose trailing window it belongs to, then ONE countDistinct per
+    day; ghost days (no activity) are excluded by joining the actual
+    day set. Exact integers + ROUND-6 ratio."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    du = (
+        ev.select(
+            F.col("user_id").cast("long").alias("u"),
+            F.datediff(
+                F.to_date("ts"), F.lit("1995-01-01").cast("date")
+            ).alias("dn"),
+            F.to_date("ts").cast("string").alias("day"),
+        )
+        .distinct()
+    )
+    days = du.select("dn", "day").distinct()
+    dau = du.groupBy("dn").agg(
+        F.countDistinct("u").cast("long").alias("dau")
+    )
+    spread = du.select(
+        "u", F.explode(F.sequence(F.col("dn"), F.col("dn") + 6)).alias("dn")
+    )
+    wau = (
+        spread.join(days.select("dn"), on="dn", how="leftsemi")
+        .groupBy("dn")
+        .agg(F.countDistinct("u").cast("long").alias("wau"))
+    )
+    return (
+        days.join(dau, on="dn")
+        .join(wau, on="dn")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+_DAUWAU_ORACLE = """WITH wdu AS MATERIALIZED (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+    date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS dn,
+    CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+  FROM events),
+wdays AS (SELECT DISTINCT dn, day FROM wdu),
+wdau AS (SELECT dn, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+  FROM wdu GROUP BY dn),
+wspread AS (
+  SELECT wdu.u, wdu.dn + t.k AS dn
+  FROM wdu, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS t(k)),
+wwau AS (
+  SELECT s.dn, CAST(COUNT(DISTINCT s.u) AS BIGINT) AS wau
+  FROM wspread s
+  WHERE s.dn IN (SELECT dn FROM wdays)
+  GROUP BY s.dn)
+SELECT d.day, a.dau, w.wau,
+  ROUND(CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM wdays d JOIN wdau a ON a.dn = d.dn JOIN wwau w ON w.dn = d.dn"""
+
+
+def q_purchase_gaps(spark, sf):
+    """Repeat-purchase cadence: inter-purchase gaps per user in exact
+    integer microseconds (one per-user lag window over the purchase
+    partition), summarized by exact p50/p90 order statistics through
+    the sample sort plus count and max — the lifecycle metric next to
+    retention/funnel. All-BIGINT (stat, value) rows."""
+    from combblas_spark.operators.kselect import exact_percentiles
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ) if dict(ev.dtypes).get("ts") == "timestamp_ntz" else F.unix_micros(
+        F.col("ts")
+    )
+    w = Window.partitionBy("u").orderBy("_us", "eid")
+    g = (
+        ev.select(
+            F.col("user_id").cast("long").alias("u"),
+            us.alias("_us"),
+            F.col("event_id").cast("long").alias("eid"),
+        )
+        .withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    pct = exact_percentiles(g, "_gap", [50, 90], "eid").select(
+        F.concat(F.lit("p"), F.col("pct").cast("string")).alias("stat"),
+        F.col("val").cast("long").alias("value"),
+    )
+    summ = g.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.max("_gap").cast("long").alias("_mx"),
+    ).selectExpr(
+        "stack(2, 'n_gaps', _n, 'max_us', _mx) AS (stat, value)"
+    )
+    return pct.unionByName(summ)
+
+
+_PGAPS_ORACLE = """WITH pg AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS us,
+    CAST(event_id AS BIGINT) AS eid
+  FROM events WHERE event_type = 'purchase'),
+pgl AS (
+  SELECT u, eid, us - LAG(us) OVER (PARTITION BY u ORDER BY us, eid) AS gap
+  FROM pg),
+pgg AS (SELECT gap, eid FROM pgl WHERE gap IS NOT NULL),
+pgr AS (
+  SELECT gap, ROW_NUMBER() OVER (ORDER BY gap, eid) AS rk,
+    COUNT(*) OVER () AS n
+  FROM pgg),
+pgp AS (
+  SELECT 'p' || CAST(p.p AS VARCHAR) AS stat, CAST(r.gap AS BIGINT) AS value
+  FROM (SELECT UNNEST([50, 90]) AS p) p
+  JOIN pgr r ON r.rk = (p.p * r.n + 99) // 100)
+SELECT stat, value FROM pgp
+UNION ALL SELECT 'n_gaps', CAST(COUNT(*) AS BIGINT) FROM pgg
+UNION ALL SELECT 'max_us', CAST(MAX(gap) AS BIGINT) FROM pgg"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9635,6 +9762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_audit": q_skew_audit,
         "attribution": q_attribution,
         "fof_recs": q_fof_recs,
+        "dau_wau": q_dau_wau,
+        "purchase_gaps": q_purchase_gaps,
         "order_cube": q_order_cube,
         "status_pivot": q_status_pivot,
     }
@@ -9758,6 +9887,8 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "skew_audit": _SKEWAUD_ORACLE,
         "attribution": _ATTR_ORACLE,
         "fof_recs": _FOF_ORACLE,
+        "dau_wau": _DAUWAU_ORACLE,
+        "purchase_gaps": _PGAPS_ORACLE,
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

@@ -1443,3 +1443,71 @@ def test_quantile_norm_plan_has_no_window(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+# --------------------------------------------------------------- dau_wau/gaps
+
+
+def test_dau_wau_hand_case(spark):
+    import datetime
+
+    import __spark_entry__  # noqa: F401  (query tested via its fixture shape)
+    # replicate q_dau_wau's logic on a hand stream via the same operators
+    D = datetime.datetime
+    rows = [
+        (1, D(2024, 1, 1)), (2, D(2024, 1, 1)),
+        (1, D(2024, 1, 2)),
+        (3, D(2024, 1, 9)),  # > 7 days later: window resets
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    du = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date")).alias("dn"),
+            F.to_date("ts").cast("string").alias("day"),
+        ).distinct()
+    )
+    days = du.select("dn", "day").distinct()
+    dau = du.groupBy("dn").agg(F.countDistinct("u").alias("dau"))
+    spread = du.select("u", F.explode(F.sequence(F.col("dn"), F.col("dn") + 6)).alias("dn"))
+    wau = (
+        spread.join(days.select("dn"), on="dn", how="leftsemi")
+        .groupBy("dn").agg(F.countDistinct("u").alias("wau"))
+    )
+    out = {r.day: (r.dau, r.wau) for r in days.join(dau, "dn").join(wau, "dn").collect()}
+    assert out == {
+        "2024-01-01": (2, 2),        # day 1: users {1,2}
+        "2024-01-02": (1, 2),        # trailing 7d still {1,2}
+        "2024-01-09": (1, 1),        # day 2 user set aged out (7d window)
+    }
+
+
+def test_purchase_gaps_python_replay(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    import duckdb
+
+    import __spark_entry__ as em
+
+    got = {r.stat: r.value for r in em.queries()["purchase_gaps"](spark, sf).collect()}
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, epoch_us(ts) AS us, event_id "
+        f"FROM '{sf}/events.parquet' WHERE event_type = 'purchase' "
+        f"ORDER BY user_id, us, event_id"
+    ).fetchall()
+    gaps = []
+    prev = {}
+    for u, us, _ in rows:
+        if u in prev:
+            gaps.append(us - prev[u])
+        prev[u] = us
+    gaps.sort()
+    n = len(gaps)
+    assert got["n_gaps"] == n
+    assert got["max_us"] == max(gaps)
+    assert got["p50"] == gaps[(50 * n + 99) // 100 - 1]
+    assert got["p90"] == gaps[(90 * n + 99) // 100 - 1]
