@@ -9471,6 +9471,60 @@ UNION ALL SELECT 'n_gaps', CAST(COUNT(*) AS BIGINT) FROM pgg
 UNION ALL SELECT 'max_us', CAST(MAX(gap) AS BIGINT) FROM pgg"""
 
 
+COVERAGE_K = 5
+
+
+def q_coverage_seeds(spark, sf):
+    """Greedy maximum-coverage corpus selection (Nemhauser 1-1/e):
+    {COVERAGE_K} rounds over the document shingle sets, each picking
+    the doc covering the most not-yet-covered shingles (tie: min id) —
+    the submodular data-pruning/coreset shape; per round one anti-join
+    + one gain count + a TakeOrderedAndProject argmax, two scalars to
+    the driver. (round, id, gain, covered_total) all exact."""
+    from combblas_spark.functions.dedup import shingles
+    from combblas_spark.functions.sampling import greedy_coverage
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sh = shingles(docs).select("id", F.col("shingle").alias("item"))
+    return greedy_coverage(sh, k=COVERAGE_K)
+
+
+def _coverage_sql() -> str:
+    parts = []
+    for r in range(1, COVERAGE_K + 1):
+        rem = (
+            "sh"
+            if r == 1
+            else f"""(SELECT s.id, s.shingle FROM sh s
+    LEFT JOIN c{r-1} c ON s.shingle = c.shingle
+    WHERE c.shingle IS NULL)"""
+        )
+        parts.append(f"""g{r} AS MATERIALIZED (
+  SELECT id, COUNT(*) AS g FROM {rem} x{r} GROUP BY id),
+s{r} AS MATERIALIZED (
+  SELECT id, g FROM g{r} ORDER BY g DESC, id ASC LIMIT 1)""")
+        newly = (
+            f"SELECT DISTINCT shingle FROM sh "
+            f"WHERE id = (SELECT id FROM s{r})"
+        )
+        if r == 1:
+            parts.append(f"c1 AS MATERIALIZED ({newly})")
+        else:
+            parts.append(f"""c{r} AS MATERIALIZED (
+  SELECT shingle FROM c{r-1} UNION {newly})""")
+    finals = "\nUNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, CAST(id AS BIGINT) AS id,
+  CAST(g AS BIGINT) AS gain,
+  CAST((SELECT COUNT(*) FROM c{r}) AS BIGINT) AS covered_total
+FROM s{r}"""
+        for r in range(1, COVERAGE_K + 1)
+    )
+    joined = ",\n".join(parts)
+    return f"""WITH {SHINGLE_CTES},
+{joined}
+{finals}"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -9764,6 +9818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fof_recs": q_fof_recs,
         "dau_wau": q_dau_wau,
         "purchase_gaps": q_purchase_gaps,
+        "coverage_seeds": q_coverage_seeds,
         "order_cube": q_order_cube,
         "status_pivot": q_status_pivot,
     }
@@ -9889,6 +9944,7 @@ GROUP BY e.src, COALESCE(r.nxt, e.dst)""",
         "fof_recs": _FOF_ORACLE,
         "dau_wau": _DAUWAU_ORACLE,
         "purchase_gaps": _PGAPS_ORACLE,
+        "coverage_seeds": _coverage_sql(),
         "crawl_delta": _CRAWL_DELTA_ORACLE,
         "bloom_audit": _BLOOM_AUDIT_ORACLE,
         "hostrank": (

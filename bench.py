@@ -241,6 +241,7 @@ HEADLINE = [
     "fof_recs",
     "dau_wau",
     "purchase_gaps",
+    "coverage_seeds",
     # landmark_dist omitted: fixed 276-row output composing two msbfs
     # runs — the batched-fringe shape it exercises is already the
     # msbfs_ps row; its ~35s would be pure superstep-overhead re-count

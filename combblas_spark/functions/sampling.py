@@ -514,3 +514,68 @@ def waterfill_quota(
             "saturated",
         )
     )
+
+
+def greedy_coverage(
+    items: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Greedy maximum-coverage seed selection — the submodular
+    optimization shape behind corpus selection / data pruning /
+    test-suite minimization: k rounds, each picking the document whose
+    items cover the most NOT-YET-COVERED ground (ties by min id), with
+    the classic (1 - 1/e) approximation guarantee (Nemhauser-Wolsey-
+    Fisher 1978).
+
+    Returns one row per round: ``(round, id, gain, covered_total)`` —
+    exact BIGINTs. Rounds stop early when nothing remains uncovered.
+
+    Scale shape: per round one anti-join of the (distinct) membership
+    table against the covered-item set, one map-side-combinable gain
+    count, and a TakeOrderedAndProject argmax; only two scalars cross
+    the driver per round (the seed id and the covered total — the same
+    bounded-action-per-round discipline as maximum_matching's phase
+    schedule). The covered set is localCheckpointed per round so
+    lineage never compounds.
+    """
+    spark = items.sparkSession
+    sh = (
+        items.select(
+            F.col(id_col).alias("_id"), F.col(item_col).alias("_it")
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        covered = None
+        rows = []
+        for r in range(1, int(k) + 1):
+            rem = (
+                sh
+                if covered is None
+                else sh.join(covered, on="_it", how="left_anti")
+            )
+            top = (
+                rem.groupBy("_id")
+                .agg(F.count(F.lit(1)).alias("_g"))
+                .orderBy(F.col("_g").desc(), F.col("_id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            seed, gain = top[0]["_id"], top[0]["_g"]
+            newly = rem.filter(F.col("_id") == seed).select("_it")
+            covered = (
+                newly
+                if covered is None
+                else covered.unionByName(newly)
+            ).distinct().localCheckpoint()
+            rows.append((r, int(seed), int(gain), covered.count()))
+        return spark.createDataFrame(
+            rows, "round long, id long, gain long, covered_total long"
+        )
+    finally:
+        sh.unpersist()

@@ -1511,3 +1511,57 @@ def test_purchase_gaps_python_replay(spark):
     assert got["max_us"] == max(gaps)
     assert got["p50"] == gaps[(50 * n + 99) // 100 - 1]
     assert got["p90"] == gaps[(90 * n + 99) // 100 - 1]
+
+
+# ------------------------------------------------------------- greedy_coverage
+
+
+def test_greedy_coverage_python_replay(spark):
+    import hashlib
+
+    from combblas_spark.functions.sampling import greedy_coverage
+
+    rows = set()
+    for i in range(300):
+        h = hashlib.md5(f"gc|{i}".encode()).hexdigest()
+        rows.add((int(h[:4], 16) % 20, f"s{int(h[4:10], 16) % 60}"))
+    df = spark.createDataFrame(sorted(rows), "id long, item string")
+    got = [
+        (r.round, r.id, r.gain, r.covered_total)
+        for r in sorted(
+            greedy_coverage(df, k=4).collect(), key=lambda r: r.round
+        )
+    ]
+    # pure-python greedy replay
+    members = {}
+    for i, it in rows:
+        members.setdefault(i, set()).add(it)
+    covered = set()
+    want = []
+    for r in range(1, 5):
+        best = None
+        for i, its in sorted(members.items()):
+            g = len(its - covered)
+            if g == 0:
+                continue
+            if best is None or (g, -i) > (best[1], -best[0]):
+                best = (i, g)
+        if best is None:
+            break
+        covered |= members[best[0]]
+        want.append((r, best[0], best[1], len(covered)))
+    assert got == want
+
+
+def test_greedy_coverage_stops_when_covered(spark):
+    from combblas_spark.functions.sampling import greedy_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b")], "id long, item string"
+    )
+    out = greedy_coverage(df, k=5).collect()
+    # doc 1 covers everything in round 1; doc 2 adds 0 -> absent; stop
+    assert len(out) == 1
+    assert (out[0].round, out[0].id, out[0].gain, out[0].covered_total) == (
+        1, 1, 2, 2,
+    )
