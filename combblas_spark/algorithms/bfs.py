@@ -36,7 +36,10 @@ from combblas_spark.plans.superstep import SuperstepRunner
 # shared gate (core/tuning.py): above this many frontier rows, never force
 # a broadcast join — fall back to a shuffle join (AQE may still broadcast
 # from runtime stats). Re-exported here for existing importers.
-from combblas_spark.core.tuning import BROADCAST_MAX_ROWS  # noqa: E402
+from combblas_spark.core.tuning import (  # noqa: E402
+    BROADCAST_MAX_ROWS,
+    partition_by_key,
+)
 
 
 def bfs(
@@ -72,9 +75,7 @@ def bfs(
     if parent_select not in ("min", "rand"):
         raise ValueError(parent_select)
     runner = runner or SuperstepRunner(spark)
-    edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "dst"
-    )
+    edges = partition_by_key(edges.select("src", "dst", "w"), "dst")
     edges.persist()
     try:
         verts = (
@@ -135,18 +136,23 @@ def bfs(
                 cand_e = edges.join(unv, on="dst")
                 fr = frontier.select(F.col("id").alias("src"))
                 new = _pick(cand_e.join(fr, on="src").groupBy(F.col("dst").alias("id")))
-            new = runner.truncate(new)
+            # ONE action per level: the lazy cut of `new` materializes at
+            # this count (and pulls the previous level's lazy visited /
+            # unvisited chains through with it); the level's other states
+            # derive from the already-checkpointed `new` without their own
+            # materializing jobs.
+            new = runner.truncate_lazy(new)
             n_new = new.count()
             if n_new == 0:
                 break
             depth += 1
-            visited = runner.truncate(
+            visited = runner.truncate_lazy(
                 visited.unionByName(
                     new.select("id", F.col("val").alias("parent"), F.lit(depth).alias("depth"))
                 )
             )
-            frontier = runner.truncate(new.select("id", F.col("id").alias("val")))
-            unvisited = runner.truncate(unvisited.join(new.select("id"), on="id", how="left_anti"))
+            frontier = new.select("id", F.col("id").alias("val"))
+            unvisited = runner.truncate_lazy(unvisited.join(new.select("id"), on="id", how="left_anti"))
             n_frontier = n_new
             n_unvisited -= n_new
             runner.save(
@@ -154,6 +160,7 @@ def bfs(
                 {"visited": visited, "frontier": frontier},
                 {"new": int(n_new), "bottom_up": bool(bottom_up)},
             )
+        visited.count()  # materialize while the edge layout is still cached
         return visited
     finally:
         edges.unpersist()
@@ -185,9 +192,7 @@ def msbfs(
     tool (centrality sampling), not the one-giant-traversal tool.
     """
     runner = runner or SuperstepRunner(spark)
-    edges = edges.select("src", "dst").repartition(
-        spark.sparkContext.defaultParallelism, "dst"
-    )
+    edges = partition_by_key(edges.select("src", "dst"), "dst")
     edges.persist()
     try:
         visited = spark.createDataFrame(
@@ -207,17 +212,19 @@ def msbfs(
                 .select("s", F.col("dst").alias("id"))
                 .distinct()
             )
-            new = runner.truncate(
+            # ONE action per level (same shape as bfs): lazy cut + count
+            new = runner.truncate_lazy(
                 cand.join(visited.select("s", "id"), on=["s", "id"], how="left_anti")
             )
             n_frontier = new.count()
             if n_frontier == 0:
                 break
             depth += 1
-            visited = runner.truncate(
+            visited = runner.truncate_lazy(
                 visited.unionByName(new.select("s", "id", F.lit(depth).alias("depth")))
             )
             frontier = new
+        visited.count()  # materialize while the edge layout is still cached
         return visited
     finally:
         edges.unpersist()

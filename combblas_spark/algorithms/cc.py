@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from combblas_spark.core.semiring import SELECT2ND_MIN
-from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS, partition_by_key
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.ewise import ewise_apply_vec
 from combblas_spark.operators.indexing import vec_gather, vec_assign
@@ -59,31 +59,39 @@ def cc_minlabel(
 ) -> DataFrame:
     """(id, val) with val = min vertex id in the component (canonical).
 
-    Runs on A + I (AddLoops, SpParMat.cpp:3290): the diagonal carries each
-    vertex's own label through the min, so a superstep is a SINGLE
-    SpMV<Select2ndMin> — one job, no separate self-compare join.
+    Superstep = SpMV<Select2ndMin> over A, then ONE left join folding the
+    min-neighbor label into the old vector — new = least(old, mn) — with a
+    ``moved`` flag computed inline, so convergence costs NO separate
+    old-vs-new join: ``truncate_agg`` materializes the checkpoint AND sums
+    the flag in a single action per superstep (plans/superstep.py). The
+    label a vertex keeps when no neighbor improves it plays the role the
+    A + I diagonal (AddLoops, SpParMat.cpp:3290) played in the previous
+    formulation; the fixpoint is identical.
     Convergence (changed == 0) is checked every ``check_every`` supersteps.
     ``mode='grid'`` uses the 2D band-grid vector exchange (plans/grid.py)
     instead of a label-vector broadcast — the O(V)-row-vector scale path.
     """
     runner = runner or SuperstepRunner(spark)
-    verts = (vertices or _vertices(edges)).select("id")
-    # A + I, laid out by the aggregation key once; supersteps move only the
-    # label vector
-    diag = verts.select(
-        F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(1.0).alias("w")
-    )
-    edges = edges.select("src", "dst", F.col("w").cast("double")).unionByName(diag)
+    e = edges.select("src", "dst")
     grid = None
     if mode == "grid":
-        shape = grid_shape or auto_grid_shape(spark, edges.count())
+        shape = grid_shape or auto_grid_shape(spark, e.count())
         grid = Grid2D(spark, *shape)
         # select2nd ignores w — drop it from the cached layout
-        edges = grid.partition_edges(edges, with_w=False)
+        e = grid.partition_edges(e, with_w=False)
     else:
-        edges = edges.repartition(spark.sparkContext.defaultParallelism, "dst")
-    edges.persist()
+        e = partition_by_key(e, "dst")
+    e.persist()
     try:
+        if vertices is not None:
+            verts = vertices.select("id")
+        elif grid is None:
+            # symmetric-input contract: the dst side alone covers every
+            # vertex, and deriving it from the dst-clustered cache keeps
+            # the distinct Exchange-free
+            verts = e.select(F.col("dst").alias("id")).distinct()
+        else:
+            verts = _vertices(edges)
         labels = verts.select("id", F.col("id").alias("val"))
         resumed = runner.resume() if runner.dir else None
         start = 0
@@ -101,30 +109,34 @@ def cc_minlabel(
 
         for it in range(start, max_iter):
             if grid is not None:
-                step = spmv_grid(edges, labels, grid, SELECT2ND_MIN)
+                mn = spmv_grid(e, labels, grid, SELECT2ND_MIN)
             else:
-                step = spmv(edges, labels, SELECT2ND_MIN, broadcast_x=bb)
-            new_labels = runner.truncate(step)
+                mn = spmv(e, labels, SELECT2ND_MIN, broadcast_x=bb)
+            mnr = mn.select(F.col("id"), F.col("val").alias("_mn"))
+            if bb:
+                mnr = F.broadcast(mnr)
+            step = labels.join(mnr, on="id", how="left").select(
+                "id",
+                F.when(F.col("_mn") < F.col("val"), F.col("_mn"))
+                .otherwise(F.col("val"))
+                .alias("val"),
+                (F.col("_mn") < F.col("val")).cast("long").alias("_moved"),
+            )
             changed = None
             if (it + 1) % check_every == 0 or it + 1 == max_iter:
-                changed = (
-                    new_labels.alias("n")
-                    .join(
-                        F.broadcast(labels.alias("o"))
-                        if bb
-                        else labels.alias("o"),
-                        on="id",
-                    )
-                    .filter(F.col("n.val") != F.col("o.val"))
-                    .count()
+                new_labels, row = runner.truncate_agg(
+                    step, F.sum("_moved").alias("c")
                 )
-            labels = new_labels
+                changed = int(row["c"] or 0)
+            else:
+                new_labels = runner.truncate(step)
+            labels = new_labels.select("id", "val")
             runner.save(it + 1, {"labels": labels}, {"changed": changed})
             if changed == 0:
                 break
         return labels
     finally:
-        edges.unpersist()
+        e.unpersist()
 
 
 def cc_fastsv(
@@ -337,47 +349,38 @@ def cc_trace(
     superstep, n_labels = distinct labels remaining — a monotone upper
     bound on components).
 
-    Same plan per superstep as cc_minlabel (one SpMV<Select2ndMin> over
-    A+I with the label vector broadcast, lineage cut per superstep);
-    each iteration contributes one lazy 1-row aggregate, unioned after
-    the loop — metrics collection adds NO driver action inside the loop.
+    Same plan per superstep as cc_minlabel (one SpMV<Select2ndMin> plus
+    the least-fold left join with the ``moved`` flag computed inline,
+    lineage cut per superstep); each iteration contributes one lazy
+    1-row aggregate over its OWN checkpoint — no old-vs-new join and NO
+    driver action inside the loop.
     """
     runner = runner or SuperstepRunner(spark)
-    verts = _vertices(edges).select("id")
-    diag = verts.select(
-        F.col("id").alias("src"), F.col("id").alias("dst"),
-        F.lit(1.0).alias("w"),
-    )
-    e = (
-        edges.select("src", "dst", F.col("w").cast("double"))
-        .unionByName(diag)
-        .repartition(spark.sparkContext.defaultParallelism, "dst")
-    )
+    e = partition_by_key(edges.select("src", "dst"), "dst")
     e.persist()
     try:
-        labels = verts.select("id", F.col("id").alias("val"))
+        verts = e.select(F.col("dst").alias("id")).distinct()
+        labels = runner.truncate(verts.select("id", F.col("id").alias("val")))
         rows = []
         for it in range(1, num_iters + 1):
-            new_labels = runner.truncate(
-                spmv(e, labels, SELECT2ND_MIN, broadcast_x=True)
+            mn = spmv(e, labels, SELECT2ND_MIN, broadcast_x=True)
+            mnr = F.broadcast(mn.select(F.col("id"), F.col("val").alias("_mn")))
+            step = labels.join(mnr, on="id", how="left").select(
+                "id",
+                F.when(F.col("_mn") < F.col("val"), F.col("_mn"))
+                .otherwise(F.col("val"))
+                .alias("val"),
+                (F.col("_mn") < F.col("val")).cast("long").alias("_moved"),
             )
-            delta = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="id")
-                .agg(
+            new_labels = runner.truncate(step)
+            rows.append(
+                new_labels.agg(
                     F.lit(it).cast("long").alias("iter"),
-                    F.sum(
-                        (F.col("n.val") != F.col("o.val")).cast("int")
-                    )
-                    .cast("long")
-                    .alias("n_changed"),
+                    F.sum("_moved").cast("long").alias("n_changed"),
+                    F.countDistinct("val").cast("long").alias("n_labels"),
                 )
             )
-            ndist = new_labels.agg(
-                F.countDistinct("val").cast("long").alias("n_labels")
-            )
-            rows.append(delta.crossJoin(ndist))
-            labels = new_labels
+            labels = new_labels.select("id", "val")
         out = rows[0]
         for r in rows[1:]:
             out = out.unionByName(r)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from combblas_spark.core.semiring import PLUS_TIMES
+from combblas_spark.core.tuning import partition_by_key
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.plans.superstep import SuperstepRunner
 
@@ -63,9 +64,7 @@ def hits(
     if num_iters < 1:
         raise ValueError(f"num_iters must be >= 1, got {num_iters}")
     runner = runner or SuperstepRunner(spark)
-    e = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "dst"
-    )
+    e = partition_by_key(edges.select("src", "dst", "w"), "dst")
     e.persist()
     verts = (
         e.select(F.col("src").alias("id"))
@@ -80,19 +79,19 @@ def hits(
             # sparse half-steps: spmv output only has ids with in-(resp.
             # out-)edges; missing ids are exact zeros and affect neither the
             # norm nor the next multiply, so no per-iteration verts join.
-            # ONE lineage cut per full iteration (not per half-step): auth
-            # stays a lazy plan inside hub's job — halves the checkpoint
-            # job count; the 4-join intra-iteration chain is cut before
-            # Catalyst stats can compound across iterations.
+            # ONE lineage cut per full iteration (not per half-step), and
+            # the cut is LAZY: the fixed-iteration chain executes as one
+            # job at the output truncation below instead of a job per
+            # iteration; Catalyst plans stay flat either way.
             auth = _l2_normalize(spmv(e, hub, PLUS_TIMES))
-            hub = runner.truncate(
+            hub = runner.truncate_lazy(
                 _l2_normalize(spmv(e, auth, PLUS_TIMES, reverse=True))
             )
-        # the final auth is a lazy 2-shuffle plan over the last
-        # checkpointed hub — evaluated once in the output join below
-        auth = runner.truncate(auth)
-        # densify ONCE: every input vertex gets a row, absent scores are 0
-        return (
+        # densify ONCE: every input vertex gets a row, absent scores are 0.
+        # The EAGER truncate of the output materializes the whole lazy
+        # superstep chain in one job while e/verts are still cached.
+        auth = runner.truncate_lazy(auth)
+        return runner.truncate(
             verts.join(hub.select("id", F.col("val").alias("hub")), on="id", how="left")
             .join(auth.select("id", F.col("val").alias("auth")), on="id", how="left")
             .select(

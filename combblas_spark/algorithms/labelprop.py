@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from combblas_spark.core.semiring import PLUS_TIMES
-from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS, partition_by_key
 from combblas_spark.operators.multiply import spgemm
 from combblas_spark.operators.reduce import reduce_dim
 from combblas_spark.operators.transform import (
@@ -73,12 +73,14 @@ def label_propagation(
         grid = Grid2D(spark, *shape)
         edges = grid.partition_edges(edges.select("src", "dst", "w"))
     else:
-        edges = edges.select("src", "dst", "w").repartition(
-            spark.sparkContext.defaultParallelism, "dst"
-        )
+        edges = partition_by_key(edges.select("src", "dst", "w"), "dst")
     edges.persist()
     try:
-        labels = _vertices(edges).select("id", F.col("id").alias("val"))
+        # symmetric-input contract: dst alone covers every vertex; in
+        # broadcast mode the distinct over the dst-clustered cache is
+        # Exchange-free
+        verts = edges.select(F.col("dst").alias("id")).distinct()
+        labels = verts.select("id", F.col("id").alias("val"))
         labels = runner.truncate(labels)
         # count last: the job only runs when the gate can actually pass
         bb = (
@@ -108,23 +110,34 @@ def label_propagation(
                     .groupBy(edges["dst"].alias("id"), F.col("label"))
                     .agg(F.sum("w").alias("score"))
                 )
-            w_pick = Window.partitionBy("id").orderBy(
-                F.col("score").desc(), F.col("label").asc()
-            )
+            # same total order as the former row_number window (score desc,
+            # label asc) via one more hash aggregate — in broadcast mode
+            # both aggs cluster on dst over the cached layout, so the whole
+            # pick is Exchange-free (no shuffle+sort window)
             picked = (
-                scores.withColumn("_rn", F.row_number().over(w_pick))
-                .filter(F.col("_rn") == 1)
-                .select("id", F.col("label").alias("val"))
+                scores.groupBy("id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("score").alias("s"),
+                            (-F.col("label")).alias("nl"),
+                        )
+                    ).alias("m")
+                )
+                .select("id", (-F.col("m.nl")).alias("val"))
             )
             # isolated / no-incoming vertices keep their label
             if bb:
                 picked = F.broadcast(picked)
-            labels = runner.truncate(
+            # no in-loop action: lazy lineage cuts chain the fixed
+            # iteration count into the single materializing job below
+            labels = runner.truncate_lazy(
                 labels.alias("o")
                 .join(picked.alias("p"), on="id", how="left")
                 .select("id", F.coalesce(F.col("p.val"), F.col("o.val")).alias("val"))
             )
             runner.save(it + 1, {"labels": labels}, {})
+        labels.count()  # materialize while the edge layout is still cached
         return labels
     finally:
         edges.unpersist()

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from combblas_spark.core.semiring import PLUS_TIMES
-from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS, partition_by_key
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.reduce import reduce_dim
 from combblas_spark.operators.transform import dimapply
@@ -125,9 +125,7 @@ def _pagerank_loop(
         grid = Grid2D(spark, *shape)
         e_norm = grid.partition_edges(e_norm).persist()
     else:
-        e_norm = e_norm.repartition(
-            spark.sparkContext.defaultParallelism, "dst"
-        ).persist()
+        e_norm = partition_by_key(e_norm, "dst").persist()
     e_norm.count()
 
     dangling = verts.join(
@@ -204,26 +202,34 @@ def _pagerank_iters(
             reset = F.lit(1.0 - alpha + alpha * dang_mass) * p_col
         else:
             reset = F.lit((1.0 - alpha) / n + alpha * dang_mass / n)
+        # ranks is dense over verts, so it can be the left side itself —
+        # carrying the OLD value through lets the convergence check fold
+        # into the materializing action (no old-vs-new re-join)
         new_ranks = (
-            verts.join(contrib, on="id", how="left")
+            ranks.select("id", F.col("val").alias("_old"))
+            .join(contrib, on="id", how="left")
             .select(
                 "id",
                 (reset + F.lit(alpha) * F.coalesce(F.col("val"), F.lit(0.0))).alias(
                     "val"
                 ),
+                F.col("_old"),
             )
         )
-        new_ranks = runner.truncate(new_ranks)
         if num_iters is None:
             delta = None
             if (it + 1) % check_every == 0 or it + 1 == iters:
-                delta = (
-                    new_ranks.alias("n")
-                    .join(ranks.alias("o"), on="id")
-                    .agg(F.max(F.abs(F.col("n.val") - F.col("o.val"))))
-                    .collect()[0][0]
+                new_ranks, row = runner.truncate_agg(
+                    new_ranks.select(
+                        "id", "val",
+                        F.abs(F.col("val") - F.col("_old")).alias("_d"),
+                    ),
+                    F.max("_d").alias("d"),
                 )
-            ranks = new_ranks
+                delta = row["d"]
+            else:
+                new_ranks = runner.truncate(new_ranks)
+            ranks = new_ranks.select("id", "val")
             runner.save(
                 it + 1,
                 {"ranks": ranks},
@@ -232,8 +238,13 @@ def _pagerank_iters(
             if delta is not None and delta < tol:
                 break
         else:
-            ranks = new_ranks
+            # fixed-iteration (oracle-parity / bench) mode: no in-loop
+            # action — lazy lineage cuts chain every superstep into the
+            # single materializing job below
+            ranks = runner.truncate_lazy(new_ranks.select("id", "val"))
             runner.save(it + 1, {"ranks": ranks}, {"n": n})
+    if num_iters is not None:
+        ranks.count()  # materialize while e_norm/dangling are still cached
     return ranks
 
 

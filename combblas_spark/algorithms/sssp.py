@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from combblas_spark.core.semiring import MIN_PLUS
-from combblas_spark.core.tuning import BROADCAST_MAX_ROWS
+from combblas_spark.core.tuning import BROADCAST_MAX_ROWS, partition_by_key
 from combblas_spark.operators.multiply import spmv
 from combblas_spark.operators.ewise import ewise_apply_vec
 from combblas_spark.plans.superstep import SuperstepRunner
@@ -46,9 +46,7 @@ def sssp(
     join and AQE decides from runtime stats.
     """
     runner = runner or SuperstepRunner(spark)
-    edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "dst"
-    )
+    edges = partition_by_key(edges.select("src", "dst", "w"), "dst")
     edges.persist()
     try:
         return _sssp_loop(
@@ -72,10 +70,10 @@ def _sssp_loop(spark, edges, source, num_iters, max_iter, runner, bb):
             x_fill=F.col("val_y"), y_fill=F.col("val_x"),
             broadcast_y=gated,
         )
-        new = runner.truncate(new)
-        if bb:
-            n_dist = new.count()  # cheap: new is materialized by truncate()
         if num_iters is None:
+            new = runner.truncate(new)
+            if bb:
+                n_dist = new.count()  # cheap: materialized by truncate()
             changed = (
                 new.alias("n")
                 .join(dist.alias("o"), on="id", how="left")
@@ -89,8 +87,15 @@ def _sssp_loop(spark, edges, source, num_iters, max_iter, runner, bb):
             if changed == 0:
                 break
         else:
+            # fixed-iteration mode: lazy cut; the broadcast-gate count is
+            # then the ONE materializing action of the superstep
+            new = runner.truncate_lazy(new)
+            if bb:
+                n_dist = new.count()
             dist = new
             runner.save(it + 1, {"dist": dist}, {})
+    if num_iters is not None and not bb:
+        dist.count()  # materialize while the edge layout is still cached
     return dist
 
 
@@ -116,9 +121,7 @@ def _max_relax_loop(
     dst-partitioned edges, size-gated vector broadcast, GREATEST merge,
     per-superstep lineage cut as sssp — only the semiring differs."""
     runner = runner or SuperstepRunner(spark)
-    edges = edges.select("src", "dst", "w").repartition(
-        spark.sparkContext.defaultParallelism, "dst"
-    )
+    edges = partition_by_key(edges.select("src", "dst", "w"), "dst")
     edges.persist()
     try:
         vec = spark.createDataFrame(
@@ -135,10 +138,10 @@ def _max_relax_loop(
                 x_fill=F.col("val_y"), y_fill=F.col("val_x"),
                 broadcast_y=gated,
             )
-            new = runner.truncate(new)
-            if broadcast_vectors:
-                n_vec = new.count()
             if num_iters is None:
+                new = runner.truncate(new)
+                if broadcast_vectors:
+                    n_vec = new.count()
                 changed = (
                     new.alias("n")
                     .join(vec.alias("o"), on="id", how="left")
@@ -152,7 +155,14 @@ def _max_relax_loop(
                 if changed == 0:
                     break
             else:
+                # fixed-iteration mode: lazy cut; the broadcast-gate count
+                # is then the ONE materializing action of the superstep
+                new = runner.truncate_lazy(new)
+                if broadcast_vectors:
+                    n_vec = new.count()
                 vec = new
+        if num_iters is not None and not broadcast_vectors:
+            vec.count()  # materialize while the edge layout is still cached
         return vec
     finally:
         edges.unpersist()

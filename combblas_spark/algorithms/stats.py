@@ -628,9 +628,13 @@ def percolation_profile(
         % 1000,
     )
     und.persist()
+    und.count()  # materialize before the threads fork so no level re-runs it
     try:
-        rows = []
-        for p in levels:
+        def one_level(p):
+            # levels are independent CC runs — overlap them so one level's
+            # superstep tail back-fills the others' idle cores (guide §2.6
+            # concurrent-jobs pattern); job descriptions are thread-local
+            spark.sparkContext.setJobDescription(f"percolation:p={p}")
             keep = und.filter(F.col("_coin") < F.lit(int(p)))
             e = (
                 keep.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -651,15 +655,18 @@ def percolation_profile(
                 F.sum("sz").cast("long").alias("n_vertices"),
             )
             n_e = keep.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-            rows.append(
-                n_e.crossJoin(summary).select(
-                    F.lit(int(p)).cast("long").alias("p_permille"),
-                    "n_edges",
-                    "n_vertices",
-                    "gcc_size",
-                    "n_components",
-                )
+            return n_e.crossJoin(summary).select(
+                F.lit(int(p)).cast("long").alias("p_permille"),
+                "n_edges",
+                "n_vertices",
+                "gcc_size",
+                "n_components",
             )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(levels)) as pool:
+            rows = list(pool.map(one_level, levels))
         out = rows[0]
         for r in rows[1:]:
             out = out.unionByName(r)
@@ -754,6 +761,7 @@ def attack_profile(
         .distinct()
     )
     und.persist()
+    und.count()  # materialize before the threads fork so no level re-runs it
     try:
         deg = (
             und.select(F.col("a").alias("id"))
@@ -761,8 +769,11 @@ def attack_profile(
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        rows = []
-        for n in levels:
+
+        def one_level(n):
+            # independent CC runs per level — overlap them (guide §2.6);
+            # job descriptions are thread-local
+            spark.sparkContext.setJobDescription(f"attack:n={n}")
             hubs = F.broadcast(
                 deg.orderBy(F.col("deg").desc(), F.col("id").asc())
                 .limit(int(n))
@@ -794,15 +805,18 @@ def attack_profile(
                 .alias("n_vertices"),
             )
             n_e = keep.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-            rows.append(
-                n_e.crossJoin(summary).select(
-                    F.lit(int(n)).cast("long").alias("n_removed"),
-                    "n_edges",
-                    "n_vertices",
-                    "gcc_size",
-                    "n_components",
-                )
+            return n_e.crossJoin(summary).select(
+                F.lit(int(n)).cast("long").alias("n_removed"),
+                "n_edges",
+                "n_vertices",
+                "gcc_size",
+                "n_components",
             )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(levels)) as pool:
+            rows = list(pool.map(one_level, levels))
         out = rows[0]
         for r in rows[1:]:
             out = out.unionByName(r)

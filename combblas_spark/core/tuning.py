@@ -11,8 +11,33 @@ this limit (or the kernel runs in ``mode='grid'`` and broadcasts nothing).
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
+
 #: 4M rows of (long, double) ~ 64 MB serialized — comfortably under
 #: executor/driver headroom at 1000 executors, far under it locally.
 #: Kernels gate inline (`bb = ... and n <= BROADCAST_MAX_ROWS`) because the
 #: same flag also parameterizes operator arguments, not just F.broadcast.
 BROADCAST_MAX_ROWS = 4_000_000
+
+
+def partition_by_key(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive hash layout for a cached iterative edge table.
+
+    ``repartition(<keys>)`` WITHOUT a pinned numPartitions: the shuffle
+    width comes from ``spark.sql.shuffle.partitions`` (the cluster-sized
+    knob) and AQE's partition coalescing then sizes the actual partitions
+    from the DATA (advisoryPartitionSizeInBytes), instead of a constant
+    tuned for either local mode or the cluster. A toy graph collapses to a
+    handful of partitions (superstep task count tracks input size); a
+    100-TB edge table keeps the configured width.
+
+    ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true`` lets
+    the AQE-final layout reach the persisted plan; the coalesced
+    CoalescedHashPartitioning still satisfies the per-superstep
+    groupBy-on-key clustering, so the superstep aggregate over the cache
+    stays Exchange-free (verified in tests/test_plans.py).
+    """
+    df.sparkSession.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
+    return df.repartition(*keys)

@@ -57,7 +57,10 @@ def spmv(
     if broadcast_x is True:
         xr = F.broadcast(xr)
     j = edges.join(xr, on=edges[join_key] == xr["id"], how="inner")
-    contrib = sr.mult(edges["w"], xr["val"])
+    # weightless layouts (select2nd-style semirings never read w) may drop
+    # the column from the cached edge table — same contract as spmv_grid
+    w = edges["w"] if "w" in edges.columns else F.lit(1.0)
+    contrib = sr.mult(w, xr["val"])
     return (
         j.groupBy(edges[out_key].alias("id"))
         .agg(sr.add(contrib).alias("val"))

@@ -70,7 +70,43 @@ class SuperstepRunner:
         aggregate straight onto their join key where AQE coalesces.
         Measured net effect at sf0.1: every iterative headline query got
         faster (pagerank 12.3->9.3s, bfs 10.4->8.2s, cc 7.4->6.1s)."""
-        cp = df.localCheckpoint(eager=self.eager)
+        return self._cut(df, eager=self.eager)
+
+    def truncate_lazy(self, df: DataFrame) -> DataFrame:
+        """Cut the lineage WITHOUT materializing: the checkpoint RDD is
+        marked lazily and computes (then caches, then truncates) at the
+        NEXT action that touches it. For a fixed-iteration kernel with no
+        in-loop action this collapses the whole superstep chain into ONE
+        job at the final materialization instead of one job per superstep
+        — the Catalyst plan is still cut every superstep (each truncate
+        re-wraps into a flat LogicalRDD leaf), so analysis cost stays
+        constant; only the EXECUTION is deferred.
+
+        Contract: the caller MUST run one materializing action on the
+        final state while its cached inputs (the per-kernel edge layout)
+        are still persisted — evaluating after unpersist would recompute
+        the uncached base once per superstep reference.
+        """
+        return self._cut(df, eager=False)
+
+    def truncate_agg(self, df: DataFrame, *aggs):
+        """Cut the lineage of ``df`` AND evaluate ``aggs`` over it in ONE
+        Spark action: the localCheckpoint is taken lazily, so the first
+        action — the aggregate collect here — both materializes the
+        checkpointed partitions and folds them, where ``truncate(df)``
+        followed by a separate convergence aggregate costs two passes /
+        two jobs per superstep. Returns ``(truncated_df, agg_row)``.
+
+        This is the per-superstep convergence-check shape: fold the
+        changed-count (or any scalar metric) into the materializing job
+        instead of re-joining old and new state afterwards.
+        """
+        out = self._cut(df, eager=False)
+        row = out.agg(*aggs).collect()[0]
+        return out, row
+
+    def _cut(self, df: DataFrame, eager: bool) -> DataFrame:
+        cp = df.localCheckpoint(eager=eager)
         try:
             jdf = cp._jdf
             fresh = self.spark._jsparkSession.internalCreateDataFrame(
