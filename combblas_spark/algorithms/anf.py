@@ -102,27 +102,26 @@ def anf(
                 .select("id", F.explode("sketch").alias("hv"))
                 .distinct()
             )
-            # two-phase salted k-min (kselect pattern): local window bounded
-            # by salt, global window over <= SALT*k survivors per vertex
-            local_w = Window.partitionBy(
-                "id", F.pmod(F.col("hv"), F.lit(_SALT))
-            ).orderBy(F.col("hv").asc())
-            survivors = (
-                pairs.withColumn("_rn", F.row_number().over(local_w))
-                .filter(F.col("_rn") <= k)
-                .drop("_rn")
-            )
+            # one rank pass per hop: row_number <= k plans as a two-phase
+            # WindowGroupLimit (per-map-task group top-k before the
+            # exchange, final top-k after), so a hub's merge window is
+            # bounded map-side without the extra salted pre-window — the
+            # dedup exchange on (id, hv) plus ONE exchange on id per hop
             glob_w = Window.partitionBy("id").orderBy(F.col("hv").asc())
             kmin = (
-                survivors.withColumn("_rn", F.row_number().over(glob_w))
+                pairs.withColumn("_rn", F.row_number().over(glob_w))
                 .filter(F.col("_rn") <= k)
             )
-            sk = runner.truncate(
+            # groupBy(id) reuses the window's hash partitioning: no exchange
+            sk = runner.truncate_lazy(
                 kmin.groupBy("id").agg(
                     F.sort_array(F.collect_list("hv")).alias("sketch")
                 )
             )
             out = out.unionByName(_estimates(sk, h, k))
+        # fixed-hop kernel: the lazy superstep chain evaluates in one job at
+        # the caller's action; materialize while e is still cached
+        out = runner.truncate(out)
         return out
     finally:
         e.unpersist()

@@ -88,10 +88,13 @@ def bipartite_check(
             .join(dist, "id", "left_anti")
             .select("id", F.lit(k).cast("long").alias("d"))
         )
-        nxt = runner.truncate(nxt)
-        if nxt.limit(1).count() == 0:
+        # ONE action per level: the frontier count folds into the
+        # checkpoint; the distance table is a union of checkpointed
+        # frontiers (flat lineage, never rewritten)
+        nxt, row = runner.truncate_agg(nxt, F.count(F.lit(1)).alias("n"))
+        if int(row["n"] or 0) == 0:
             break
-        dist = runner.truncate(dist.unionByName(nxt))
+        dist = dist.unionByName(nxt)
         frontier = nxt
 
     pa = dist.select(F.col("id").alias("a"), (F.col("d") % 2).alias("pa"))

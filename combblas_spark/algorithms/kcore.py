@@ -48,8 +48,13 @@ def kcore(
         .union(e0.select(F.col("dst").alias("id")))
         .distinct()
     )
-    e = runner.truncate(e0.repartition(spark.sparkContext.defaultParallelism, "dst"))
-    n_prev = e.count()
+    # one action per peel round: truncate_agg folds the surviving-edge count
+    # into the materializing job (superstep.py idiom)
+    e, row = runner.truncate_agg(
+        e0.repartition(spark.sparkContext.defaultParallelism, "dst"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n_prev = int(row["n"] or 0)
     converged = False
     for _ in range(max_rounds):
         keep = (
@@ -63,8 +68,8 @@ def kcore(
             .join(keep, on="dst", how="leftsemi")
             .select("src", "dst")
         )
-        e2 = runner.truncate(e2)
-        n = e2.count()
+        e2, row = runner.truncate_agg(e2, F.count(F.lit(1)).alias("n"))
+        n = int(row["n"] or 0)
         e = e2
         if n == n_prev:
             converged = True
@@ -106,10 +111,19 @@ def coreness_profile(
     membership per k matches kcore() exactly, so the oracle is |ks|
     unrolled peels + one MAX.
     """
-    out = None
-    for k in sorted(ks):
-        m = kcore(spark, edges, k=k, max_rounds=max_rounds).select(
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one_k(k: int) -> DataFrame:
+        return kcore(spark, edges, k=k, max_rounds=max_rounds).select(
             "id", (F.col("in_kcore") * F.lit(k)).cast("long").alias("kb")
         )
-        out = m if out is None else out.unionByName(m)
+
+    # the |ks| peels are independent monotone filters — overlap them so
+    # each peel's stage tail back-fills with the next peel's tasks (the
+    # same concurrent-jobs shape as stats.attack_profile)
+    with ThreadPoolExecutor(max_workers=len(ks)) as pool:
+        parts = list(pool.map(one_k, sorted(ks)))
+    out = parts[0]
+    for m in parts[1:]:
+        out = out.unionByName(m)
     return out.groupBy("id").agg(F.max("kb").alias("coreness_bucket"))

@@ -105,24 +105,31 @@ def ktruss(
         )
         .distinct()
     )
-    e0 = runner.truncate(
-        e0.repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+    e0, row = runner.truncate_agg(
+        e0.repartition(spark.sparkContext.defaultParallelism, "src", "dst"),
+        F.count(F.lit(1)).alias("n"),
     )
+    n0 = int(row["n"] or 0)
     if k <= 2:  # support >= 0: every edge is trivially in the 2-truss
         return e0.select("src", "dst", F.lit(1).cast("long").alias("in_ktruss"))
 
     # round 0: one full support computation. Edges in no triangle have no
     # sup row (support 0 < k-2), so survivors are exactly the filtered rows.
-    sup = runner.truncate(_edge_support(e0).filter(F.col("support") >= k - 2))
-    e = runner.truncate(sup.select("src", "dst"))
-    deleted = runner.truncate(
-        e0.join(e, on=["src", "dst"], how="left_anti")
+    # ONE action: sup is cut lazily and materializes inside the deleted
+    # truncate_agg; e is a zero-cost projection of the checkpointed sup.
+    sup = runner.truncate_lazy(
+        _edge_support(e0).filter(F.col("support") >= k - 2)
+    )
+    e = sup.select("src", "dst")
+    deleted, row = runner.truncate_agg(
+        e0.join(e, on=["src", "dst"], how="left_anti"),
+        F.count(F.lit(1)).alias("n"),
     )
     # triangles destroyed by this round's deletions live in the PRE-deletion
     # edge set: pre-deletion = e (survivors) + deleted.
-    nd = deleted.count()
+    nd = int(row["n"] or 0)
     converged = nd == 0
-    n = e.count()
+    n = n0 - nd
     for _ in range(max_rounds):
         if nd == 0:
             converged = True
@@ -134,13 +141,16 @@ def ktruss(
         # recount fully; the incremental path is for the long tail of
         # rounds that delete a few edges each.
         if nd >= full_recount_frac * (n + nd):
-            sup = runner.truncate(
+            sup = runner.truncate_lazy(
                 _edge_support(e).filter(F.col("support") >= k - 2)
             )
-            e2 = runner.truncate(sup.select("src", "dst"))
-            deleted = runner.truncate(e.join(e2, on=["src", "dst"], how="left_anti"))
+            e2 = sup.select("src", "dst")
+            deleted, row = runner.truncate_agg(
+                e.join(e2, on=["src", "dst"], how="left_anti"),
+                F.count(F.lit(1)).alias("n"),
+            )
             e = e2
-            nd = deleted.count()
+            nd = int(row["n"] or 0)
             n = n - nd
             continue
         pre = e.unionByName(deleted)
@@ -186,7 +196,7 @@ def ktruss(
             .unionByName(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
         )
         dec = sides.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("dec"))
-        sup = runner.truncate(
+        sup = runner.truncate_lazy(
             sup.join(deleted, on=["src", "dst"], how="left_anti")
             .join(dec, on=["src", "dst"], how="left")
             .select(
@@ -196,10 +206,13 @@ def ktruss(
             )
             .filter(F.col("support") >= k - 2)
         )
-        e2 = runner.truncate(sup.select("src", "dst"))
-        deleted = runner.truncate(e.join(e2, on=["src", "dst"], how="left_anti"))
+        e2 = sup.select("src", "dst")
+        deleted, row = runner.truncate_agg(
+            e.join(e2, on=["src", "dst"], how="left_anti"),
+            F.count(F.lit(1)).alias("n"),
+        )
         e = e2
-        nd = deleted.count()
+        nd = int(row["n"] or 0)
         n = n - nd
     if not converged and nd != 0:
         warnings.warn(

@@ -80,7 +80,7 @@ def label_spread(
     )
     try:
         state = runner.truncate(clamped)
-        for _ in range(num_iters):
+        for it in range(num_iters):
             gathered = (
                 e.join(state, on=e.src == state.id)
                 .groupBy(F.col("dst").alias("vid"), "c")
@@ -96,10 +96,16 @@ def label_spread(
                 )
                 .filter(F.col("mass") > 0)
             )
-            state = runner.truncate(
-                normed.join(
-                    sd.select("id"), on="id", how="left_anti"
-                ).unionByName(clamped)
+            # fixed-iteration kernel: lazy lineage cuts chain the
+            # supersteps into one job; the LAST superstep materializes
+            # eagerly while e is still cached (superstep.py contract)
+            nxt = normed.join(
+                sd.select("id"), on="id", how="left_anti"
+            ).unionByName(clamped)
+            state = (
+                runner.truncate(nxt)
+                if it == num_iters - 1
+                else runner.truncate_lazy(nxt)
             )
         from pyspark.sql import Window
 

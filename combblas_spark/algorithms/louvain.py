@@ -116,8 +116,16 @@ def louvain_moves(
             )
         )
         asg = runner.truncate(deg.select("id", F.col("id").alias("comm")))
-        for _ in range(rounds):
-            asg = runner.truncate(louvain_round(e, asg, deg, big_m))
+        # fixed-round kernel: intermediate rounds are lazy lineage cuts (no
+        # in-loop action); the LAST round materializes eagerly while e is
+        # still cached, evaluating the whole chain in one job
+        for r in range(rounds):
+            step = louvain_round(e, asg, deg, big_m)
+            asg = (
+                runner.truncate(step)
+                if r == rounds - 1
+                else runner.truncate_lazy(step)
+            )
         return asg
     finally:
         e.unpersist()

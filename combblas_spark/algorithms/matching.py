@@ -45,22 +45,33 @@ def maximal_matching(
     remaining edge joins two unmatched vertices (maximality).
     """
     runner = runner or SuperstepRunner(spark)
-    active = runner.truncate(edges.select("src", "dst").distinct())
+    # one action per round: the active set's truncate_agg folds the
+    # remaining-edge count into the materializing job; ``accepted`` is cut
+    # lazily and materializes (then caches) inside that same action, so
+    # both its consumers (the matched union, the two anti-joins) read the
+    # cached partitions (superstep.py idiom)
+    active, row = runner.truncate_agg(
+        edges.select("src", "dst").distinct(), F.count(F.lit(1)).alias("n")
+    )
+    n_active = int(row["n"] or 0)
     matched = None
     for rnd in range(max_rounds):
-        if active.limit(1).count() == 0:
+        if n_active == 0:
             break
         # each src proposes to its min active dst; each dst accepts min proposer
         proposals = active.groupBy("src").agg(F.min("dst").alias("dst"))
         accepted = proposals.groupBy("dst").agg(F.min("src").alias("src")).select("src", "dst")
-        accepted = runner.truncate(accepted)
-        matched = accepted if matched is None else runner.truncate(matched.unionByName(accepted))
+        accepted = runner.truncate_lazy(accepted)
+        # union of checkpointed terms: lineage stays flat, no re-checkpoint
+        matched = accepted if matched is None else matched.unionByName(accepted)
         # drop every edge touching a newly matched endpoint
-        active = runner.truncate(
+        active, row = runner.truncate_agg(
             active.join(accepted.select("src"), on="src", how="left_anti")
             .join(accepted.select("dst"), on="dst", how="left_anti")
-            .select("src", "dst")
+            .select("src", "dst"),
+            F.count(F.lit(1)).alias("n"),
         )
+        n_active = int(row["n"] or 0)
         runner.save(rnd + 1, {"matched": matched, "active": active}, {})
     if matched is None:
         return edges.select("src", "dst").filter(F.lit(False))
@@ -103,18 +114,19 @@ def _augment_phase(
         if visited is not None:
             prop = prop.join(visited, on="dst", how="left_anti")
         # dl is the only per-level materialization: it feeds the next level,
-        # the visited set, and the traceback
-        dl = runner.truncate(prop.groupBy("dst").agg(F.min("src").alias("ps")))
-        # ONE driver action per level: (level size, free-column count) in a
-        # single aggregate over the already-checkpointed dl. m.dst is unique
-        # (it is a matching), so the left join cannot duplicate rows.
-        stats = (
-            dl.join(m.select("dst").withColumn("_m", F.lit(1)), on="dst", how="left")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col("_m").isNull(), True)).alias("n_free"),
-            )
-            .first()
+        # the visited set, and the traceback. The matched-flag left join is
+        # folded INTO dl (m.dst is unique — a matching — so it cannot
+        # duplicate rows) and truncate_agg evaluates (level size, free-column
+        # count) in the same action that materializes the checkpoint: ONE
+        # driver action per level.
+        dl, stats = runner.truncate_agg(
+            prop.groupBy("dst")
+            .agg(F.min("src").alias("ps"))
+            .join(
+                m.select("dst").withColumn("_m", F.lit(1)), on="dst", how="left"
+            ),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("_m").isNull(), True)).alias("n_free"),
         )
         if stats["n"] == 0:
             # no vertices reached at this level: no augmenting path of this
@@ -141,7 +153,8 @@ def _augment_phase(
     if found_level is None:
         return None if not fixed else (m, 0)
 
-    freed = parents[found_level].join(m.select("dst"), on="dst", how="left_anti")
+    # the matched flag was folded into dl at truncation time (same m)
+    freed = parents[found_level].filter(F.col("_m").isNull())
     # trace back every free column vertex to its root; collect path edges
     state = freed.select(
         F.col("dst").alias("dd"), F.col("ps").alias("s")
@@ -344,15 +357,27 @@ def approx_weight_matching(
     actions); rounds past convergence are no-ops. Returns (src, dst, w).
     """
     runner = runner or SuperstepRunner(spark)
-    active = runner.truncate(
-        edges.groupBy("src", "dst").agg(F.max("w").alias("w"))
-    )
+    fixed = num_rounds is not None
+    if fixed:
+        # oracle-replay mode: no in-loop actions at all — every superstep is
+        # a lazy lineage cut and the whole chain evaluates in ONE job at the
+        # caller's action (rounds past convergence are no-op filters)
+        active = runner.truncate_lazy(
+            edges.groupBy("src", "dst").agg(F.max("w").alias("w"))
+        )
+        n_active = None
+    else:
+        active, row = runner.truncate_agg(
+            edges.groupBy("src", "dst").agg(F.max("w").alias("w")),
+            F.count(F.lit(1)).alias("n"),
+        )
+        n_active = int(row["n"] or 0)
     matched = None
     w_src = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
     w_dst = Window.partitionBy("dst").orderBy(F.col("w").desc(), F.col("src").asc())
-    rounds = num_rounds if num_rounds is not None else max_rounds
+    rounds = num_rounds if fixed else max_rounds
     for rnd in range(rounds):
-        if num_rounds is None and active.limit(1).count() == 0:
+        if not fixed and n_active == 0:
             break
         best_s = (
             active.withColumn("_r", F.row_number().over(w_src))
@@ -364,16 +389,24 @@ def approx_weight_matching(
             .filter(F.col("_r") == 1)
             .drop("_r")
         )
-        dom = runner.truncate(
-            best_s.join(best_d.select("src", "dst"), on=["src", "dst"])
-        )
-        if num_rounds is None and dom.limit(1).count() == 0:
-            break
-        matched = dom if matched is None else runner.truncate(matched.unionByName(dom))
-        active = runner.truncate(
+        mutual = best_s.join(best_d.select("src", "dst"), on=["src", "dst"])
+        if fixed:
+            dom = runner.truncate_lazy(mutual)
+        else:
+            dom, drow = runner.truncate_agg(mutual, F.count(F.lit(1)).alias("n"))
+            if int(drow["n"] or 0) == 0:
+                break
+        # union of checkpointed terms: flat lineage, no re-checkpoint job
+        matched = dom if matched is None else matched.unionByName(dom)
+        nxt = (
             active.join(dom.select("src"), on="src", how="left_anti")
             .join(dom.select("dst"), on="dst", how="left_anti")
         )
+        if fixed:
+            active = runner.truncate_lazy(nxt)
+        else:
+            active, row = runner.truncate_agg(nxt, F.count(F.lit(1)).alias("n"))
+            n_active = int(row["n"] or 0)
         runner.save(rnd + 1, {"matched": matched, "active": active}, {})
     if matched is None:
         return edges.select("src", "dst", "w").filter(F.lit(False))

@@ -54,10 +54,14 @@ def mis_luby(
             .unionByName(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-        cand = runner.truncate(verts)
+        # one action per round: the candidate set's truncate_agg folds the
+        # remaining-candidate count into the materializing job, so the next
+        # round's emptiness check costs no extra job (superstep.py idiom)
+        cand, row = runner.truncate_agg(verts, F.count(F.lit(1)).alias("n"))
+        n_cand = int(row["n"] or 0)
         mis = None
         for rnd in range(max_rounds):
-            if cand.limit(1).count() == 0:
+            if n_cand == 0:
                 break
             p = cand.select("id", _priority(F.col("id"), rnd, seed).alias("p"))
             # min (priority, id) among CANDIDATE neighbors — the
@@ -80,7 +84,11 @@ def mis_luby(
                 )
                 .select("id")
             )
-            winners = runner.truncate(winners)
+            # lazy cut: the winners checkpoint materializes (and caches) as
+            # part of the candidate set's truncate_agg action below — both
+            # its consumers (the MIS union, the wn anti-join) then read the
+            # cached partitions, so each round is ONE Spark job
+            winners = runner.truncate_lazy(winners)
             # the running MIS union is only needed for resume snapshots and
             # the final answer — build it lazily (each term is checkpointed,
             # so the union's lineage stays flat; no per-round re-checkpoint job)
@@ -92,7 +100,11 @@ def mis_luby(
                 .select(F.col("dst").alias("id"))
                 .unionByName(winners)
             )
-            cand = runner.truncate(cand.join(wn, on="id", how="left_anti"))
+            cand, row = runner.truncate_agg(
+                cand.join(wn, on="id", how="left_anti"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            n_cand = int(row["n"] or 0)
             runner.save(rnd + 1, {"cand": cand, "mis": mis}, {})
         mis = mis if mis is not None else verts.filter(F.lit(False))
         return verts.join(

@@ -60,7 +60,10 @@ def boruvka_msf(
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
     )
-    und = runner.truncate(und)
+    # fold the edge count into the materializing action (one job), so the
+    # emptiness checks cost no separate isEmpty pass per round
+    und, row = runner.truncate_agg(und, F.count(F.lit(1)).alias("n"))
+    n_edges = int(row["n"] or 0)
     verts = (
         und.select(F.col("a").alias("id"))
         .union(und.select(F.col("b").alias("id")))
@@ -70,21 +73,26 @@ def boruvka_msf(
     forest = None
 
     for _ in range(max_rounds):
-        if und.isEmpty():
+        if n_edges == 0:
             break
         # attach component labels to the canonical edges (two O(V)-keyed
         # hash joins — the cc superstep shape), keep cross edges only
         ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
         cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
-        ce = (
+        ce, row = runner.truncate_agg(
             und.join(ca, on="a")
             .join(cb, on="b")
-            .filter(F.col("ca") != F.col("cb"))
+            .filter(F.col("ca") != F.col("cb")),
+            F.count(F.lit(1)).alias("n"),
         )
-        ce = runner.truncate(ce)
+        n_edges = int(row["n"] or 0)
         # survivors are the next round's edge table (intra edges can never
         # become cross again — monotone shrink)
         und = ce.select("a", "b", "w")
+        if n_edges == 0:
+            # no cross edge anywhere: contraction is complete; the rest of
+            # the round body would be a chain of no-ops
+            break
         # per-component argmin over both endpoints' views of each edge:
         # min(struct) is the deterministic Select2ndMin-style reduction
         both = ce.select(
@@ -106,11 +114,13 @@ def boruvka_msf(
             )
         )
         hooks = hooks.persist()
-        new_forest = hooks.select("a", "b", "w").distinct()
+        # the round's forest increment is checkpointed once; the running
+        # forest is a plain union of checkpointed terms (flat lineage) —
+        # the old re-truncate rewrote the WHOLE forest every round
+        new_forest = runner.truncate(hooks.select("a", "b", "w").distinct())
         forest = (
             new_forest if forest is None else forest.unionByName(new_forest)
         )
-        forest = runner.truncate(forest)
         # hook digraph: parent[c] = d, except 2-cycles (mutual picks of one
         # globally-minimal edge) root at the SMALLER component id
         h2 = hooks.select("c", "d")
@@ -142,32 +152,38 @@ def boruvka_msf(
         )
         hooks.unpersist()
         # pointer jumping to roots (log depth; hook forests are acyclic
-        # after the 2-cycle break)
+        # after the 2-cycle break) — the moved flag is computed inline and
+        # truncate_agg folds it into the materializing job: ONE action per
+        # jump instead of checkpoint + old-vs-new join
         while True:
-            jumped = parent.alias("x").join(
-                parent.select(
-                    F.col("c").alias("p"), F.col("p").alias("pp")
+            jumped, jrow = runner.truncate_agg(
+                parent.alias("x")
+                .join(
+                    parent.select(
+                        F.col("c").alias("p"), F.col("p").alias("pp")
+                    ),
+                    on="p",
+                )
+                .select(
+                    "c",
+                    F.col("pp").alias("p"),
+                    (F.col("pp") != F.col("p")).cast("long").alias("_moved"),
                 ),
-                on="p",
-            ).select("c", F.col("pp").alias("p"))
-            jumped = runner.truncate(jumped)
-            n_moved = (
-                jumped.alias("n")
-                .join(parent.alias("o"), on="c")
-                .filter(F.col("n.p") != F.col("o.p"))
-                .count()
+                F.sum("_moved").alias("m"),
             )
-            parent = jumped
-            if n_moved == 0:
+            parent = jumped.select("c", "p")
+            if int(jrow["m"] or 0) == 0:
                 break
-        comp = runner.truncate(
+        # lazy cut: the relabeled comp materializes inside the next round's
+        # cross-edge truncate_agg action
+        comp = runner.truncate_lazy(
             comp.join(
                 parent.select(F.col("c").alias("comp"), F.col("p").alias("root")),
                 on="comp",
             ).select("id", F.col("root").alias("comp"))
         )
     else:
-        if not und.isEmpty():
+        if n_edges > 0:
             warnings.warn(
                 f"boruvka_msf: round budget {max_rounds} exhausted before "
                 "contraction completed — forest is PARTIAL",

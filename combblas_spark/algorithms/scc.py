@@ -53,10 +53,11 @@ def scc(
         .distinct()
     )
     try:
-        rem = runner.truncate(verts)
+        rem, rrow = runner.truncate_agg(verts, F.count(F.lit(1)).alias("n"))
+        n_rem = int(rrow["n"] or 0)
         labels = None
         for _ in range(max_peels):
-            if rem.limit(1).count() == 0:
+            if n_rem == 0:
                 break
             er = runner.truncate(
                 e_all.join(rem.select(F.col("id").alias("src")), on="src", how="leftsemi")
@@ -64,9 +65,13 @@ def scc(
                 .select("src", "dst")
             )
             # forward MAX-color fixpoint; colors only grow, so the sum of
-            # colors is a monotone convergence checksum (one action/step)
-            c = runner.truncate(rem.select("id", F.col("id").alias("col")))
-            csum = c.agg(F.sum("col")).collect()[0][0]
+            # colors is a monotone convergence checksum — truncate_agg folds
+            # it into the materializing job (ONE action/step)
+            c, crow = runner.truncate_agg(
+                rem.select("id", F.col("id").alias("col")),
+                F.sum("col").alias("s"),
+            )
+            csum = crow["s"]
             for _ in range(max_depth):
                 mx = (
                     er.join(c.withColumnRenamed("id", "src"), on="src")
@@ -74,12 +79,13 @@ def scc(
                     .agg(F.max("col").alias("mx"))
                     .withColumnRenamed("dst", "id")
                 )
-                c = runner.truncate(
+                c, crow = runner.truncate_agg(
                     c.join(mx, on="id", how="left").select(
                         "id", F.greatest(F.col("col"), F.coalesce(F.col("mx"), F.col("col"))).alias("col")
-                    )
+                    ),
+                    F.sum("col").alias("s"),
                 )
-                s2 = c.agg(F.sum("col")).collect()[0][0]
+                s2 = crow["s"]
                 if s2 == csum:
                     break
                 csum = s2
@@ -90,13 +96,14 @@ def scc(
             # set stays distinct by construction (the frontier is distinct
             # and disjoint from it). Per-step work is sum-of-frontier-
             # indegrees, not O(E) + O(|visited|) distinct.
-            b = runner.truncate(
+            b, brow = runner.truncate_agg(
                 c.filter(F.col("col") == F.col("id")).select(
                     "id", F.col("id").alias("root")
-                )
+                ),
+                F.count(F.lit(1)).alias("n"),
             )
             frontier = b
-            nf = frontier.count()
+            nf = int(brow["n"] or 0)
             for _ in range(max_depth):
                 if nf == 0:
                     break
@@ -111,11 +118,17 @@ def scc(
                     .distinct()
                     .join(b.select("id"), on="id", how="left_anti")
                 )
-                frontier = runner.truncate(add)
-                nf = frontier.count()
+                # ONE action per step: frontier count folds into the
+                # checkpoint; the visited set is a union of checkpointed
+                # frontiers (flat lineage — the old re-truncate rewrote the
+                # whole visited set every step)
+                frontier, frow = runner.truncate_agg(
+                    add, F.count(F.lit(1)).alias("n")
+                )
+                nf = int(frow["n"] or 0)
                 if nf == 0:
                     break
-                b = runner.truncate(b.unionByName(frontier))
+                b = b.unionByName(frontier)
             if nf != 0:
                 warnings.warn(
                     "scc: backward closure hit max_depth before the frontier "
@@ -124,13 +137,14 @@ def scc(
                     stacklevel=2,
                 )
             lab = b.select("id", F.col("root").alias("scc_id"))
-            labels = lab if labels is None else runner.truncate(
-                labels.unionByName(lab)
+            # plain union of checkpointed terms: flat lineage, no rewrite
+            labels = lab if labels is None else labels.unionByName(lab)
+            rem, rrow = runner.truncate_agg(
+                rem.join(b.select("id"), on="id", how="left_anti"),
+                F.count(F.lit(1)).alias("n"),
             )
-            rem = runner.truncate(
-                rem.join(b.select("id"), on="id", how="left_anti")
-            )
-        if rem.limit(1).count() != 0:
+            n_rem = int(rrow["n"] or 0)
+        if n_rem != 0:
             # max_peels exhausted with vertices left: emit them with the
             # sentinel label -1 (never a valid max-vertex-id root) instead of
             # silently dropping them, and say so.
@@ -206,13 +220,16 @@ def bowtie(
                     nxt = e.join(
                         frontier.withColumnRenamed("id", "dst"), on="dst"
                     ).select(F.col("src").alias("id"))
-                frontier = runner.truncate(
-                    nxt.distinct().join(vis, on="id", how="left_anti")
+                # ONE action per step (count folded into the checkpoint);
+                # visited = union of checkpointed frontiers, never rewritten
+                frontier, frow = runner.truncate_agg(
+                    nxt.distinct().join(vis, on="id", how="left_anti"),
+                    F.count(F.lit(1)).alias("n"),
                 )
-                nf = frontier.count()
+                nf = int(frow["n"] or 0)
                 if nf == 0:
                     break
-                vis = runner.truncate(vis.unionByName(frontier))
+                vis = vis.unionByName(frontier)
             if nf != 0:
                 warnings.warn(
                     "bowtie: reachability closure hit max_depth before the "

@@ -230,12 +230,14 @@ def hamilton_quota(
     (B*score mod S, ties by key). All arithmetic is exact int64
     (requires B * max_score < 2^63), so the allocation replays
     bit-exactly and sums to EXACTLY the budget — no float shares, no
-    drift. One O(keys) aggregate for S + two windows over the O(keys)
-    score table (orders smaller than the data that produced it).
+    drift. One O(keys) aggregate for S; the remainder rank runs through
+    the range-partitioned sample sort (``_global_ranks``, the same shape
+    ``waterfill`` uses) — no single-task global window anywhere, so the
+    allocation stays parallel at web-scale key counts (10^8 hosts).
 
     Returns (key, score, quota).
     """
-    from pyspark.sql import Window
+    from combblas_spark.operators.indexing import _global_ranks
 
     s = scores.agg(F.sum(score_col).cast("long").alias("s_total"))
     j = scores.select(
@@ -253,14 +255,13 @@ def hamilton_quota(
     leftover = base.agg(
         (F.lit(int(total_budget)) - F.sum("base")).cast("long").alias("k")
     )
-    w = Window.orderBy(F.col("rem").desc(), F.col("key"))
+    ranked = _global_ranks(base, [F.col("rem").desc(), F.col("key").asc()])
     return (
-        base.withColumn("rr", F.row_number().over(w))
-        .crossJoin(F.broadcast(leftover))
+        ranked.crossJoin(F.broadcast(leftover))
         .select(
             "key",
             "score",
-            (F.col("base") + (F.col("rr") <= F.col("k")).cast("long"))
+            (F.col("base") + (F.col("rank") < F.col("k")).cast("long"))
             .cast("long")
             .alias("quota"),
         )

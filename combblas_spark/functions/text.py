@@ -660,21 +660,22 @@ def zipf_stats(
     types (zero variance).
 
     Scale shape: one explode -> token count (map-side combinable); the
-    rank is ONE window over the token-count table — the table is
-    |vocabulary|-sized (Zipf-bounded, millions not trillions), so a
-    global window over it is safe at any corpus scale; the fit collapses
+    rank runs through the range-partitioned sample sort
+    (``_global_ranks``) — on a real web crawl the raw type table (typos,
+    hashes, boilerplate tokens) reaches billions of rows, so no
+    single-task global window is allowed over it; the fit collapses
     through a single aggregate. No UDFs.
     """
-    from pyspark.sql import Window
+    from combblas_spark.operators.indexing import _global_ranks
 
     spark = docs.sparkSession
     occ = docs.repartition(spark.sparkContext.defaultParallelism).select(
         F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
     cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
-    xy = cnt.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    ranked = _global_ranks(cnt, [F.col("c").desc(), F.col("tok").asc()])
+    xy = ranked.select(
+        F.log((F.col("rank") + 1).cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
         F.col("c"),
     )

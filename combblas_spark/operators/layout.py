@@ -140,28 +140,61 @@ def reshard_audit(
     move TO the new shard) — a wrong hash or tiebreak anywhere breaks
     that column. One pass, one map-side-combinable aggregate.
     """
-    s_old = rendezvous_shard(F.col(key_col), n_old, salt)
-    s_new = rendezvous_shard(F.col(key_col), n_new, salt)
-    tagged = df.select(s_old.alias("_so"), s_new.alias("_sn"))
-    arr = tagged.groupBy(F.col("_sn").alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_new_keys"),
-        F.sum((F.col("_so") != F.col("_sn")).cast("long"))
-        .cast("long")
-        .alias("n_arrived"),
+    from combblas_spark.functions.dedup import md5_60bit
+
+    # materialize each per-shard hash ONCE as a named column: the two CASE
+    # chains then fold over cheap column refs instead of re-evaluating the
+    # md5 expression at every GREATEST/WHEN site (CollapseProject keeps the
+    # boundary because the hashes are non-cheap and multiply referenced)
+    n_max = max(int(n_old), int(n_new))
+    hashed = df.select(
+        *[
+            md5_60bit(
+                F.concat(F.lit(f"{salt}{r}|"), F.col(key_col).cast("string"))
+            ).alias(f"_h{r}")
+            for r in range(n_max)
+        ]
     )
-    dep = tagged.groupBy(F.col("_so").alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_old_keys"),
-        F.sum((F.col("_so") != F.col("_sn")).cast("long"))
-        .cast("long")
-        .alias("n_departed"),
-    )
-    return (
-        arr.join(dep, "shard", "full")
-        .select(
-            "shard",
-            F.coalesce("n_old_keys", F.lit(0)).cast("long").alias("n_old_keys"),
-            F.coalesce("n_new_keys", F.lit(0)).cast("long").alias("n_new_keys"),
-            F.coalesce("n_arrived", F.lit(0)).cast("long").alias("n_arrived"),
-            F.coalesce("n_departed", F.lit(0)).cast("long").alias("n_departed"),
-        )
+
+    def pick(n: int) -> Column:
+        hs = [F.col(f"_h{r}") for r in range(int(n))]
+        mx = F.greatest(*hs) if len(hs) > 1 else hs[0]
+        out = F.lit(int(n) - 1).cast("long")
+        for r in range(int(n) - 2, -1, -1):
+            out = F.when(hs[r] == mx, F.lit(r).cast("long")).otherwise(out)
+        return out
+
+    tagged = hashed.select(pick(n_old).alias("_so"), pick(n_new).alias("_sn"))
+    # ONE pass / ONE map-side-combinable aggregate: each key contributes an
+    # arrival-side row under its new shard and a departure-side row under
+    # its old shard (the old full-outer join of two aggregates re-ran the
+    # whole hash pass per branch)
+    moved = (F.col("_so") != F.col("_sn")).cast("long")
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    flows = tagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_sn").alias("shard"),
+                    zero.alias("n_old"),
+                    one.alias("n_new"),
+                    moved.alias("arr"),
+                    zero.alias("dep"),
+                ),
+                F.struct(
+                    F.col("_so").alias("shard"),
+                    one.alias("n_old"),
+                    zero.alias("n_new"),
+                    zero.alias("arr"),
+                    moved.alias("dep"),
+                ),
+            )
+        ).alias("f")
+    ).select("f.*")
+    return flows.groupBy("shard").agg(
+        F.sum("n_old").cast("long").alias("n_old_keys"),
+        F.sum("n_new").cast("long").alias("n_new_keys"),
+        F.sum("arr").cast("long").alias("n_arrived"),
+        F.sum("dep").cast("long").alias("n_departed"),
     )
