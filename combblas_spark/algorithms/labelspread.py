@@ -61,13 +61,16 @@ def label_spread(
     """
     if num_iters < 1:
         raise ValueError(f"num_iters must be >= 1, got {num_iters}")
-    sd = seeds.select(
-        F.col("id"), F.col("label").cast("long").alias("c")
+    runner = runner or SuperstepRunner(spark)
+    # checkpoint the seed table once: it is re-read every superstep (the
+    # clamp union and the seed anti-join) and is often derived from the
+    # full graph build — without the cut each reference re-runs that scan
+    sd = runner.truncate(
+        seeds.select(F.col("id"), F.col("label").cast("long").alias("c"))
     )
     dup = sd.groupBy("id").count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError("label_spread: duplicate seed ids")
-    runner = runner or SuperstepRunner(spark)
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))

@@ -349,7 +349,7 @@ def ppr_batch(
         x = runner.truncate(
             sdf.select("seed", F.col("seed").alias("id"), F.lit(1.0).alias("val"))
         )
-        for _ in range(num_iters):
+        for it in range(num_iters):
             xj = F.broadcast(x) if bb else x
             contrib = (
                 e_norm.join(xj, e_norm["src"] == xj["id"])
@@ -379,11 +379,19 @@ def ppr_batch(
                     "seed", "id", F.lit(1.0 - alpha).alias("val")
                 )
             # max 2 rows per (seed, id) — two-operand IEEE addition is
-            # commutative, so the merge is deterministic across engines
-            x = runner.truncate(
+            # commutative, so the merge is deterministic across engines.
+            # Fixed-iteration kernel: lazy lineage cuts chain the
+            # supersteps; the LAST one materializes eagerly while
+            # e_norm/dangling/sdf are still cached.
+            nxt = (
                 contrib.unionByName(restart)
                 .groupBy("seed", "id")
                 .agg(F.sum("val").alias("val"))
+            )
+            x = (
+                runner.truncate(nxt)
+                if it == num_iters - 1
+                else runner.truncate_lazy(nxt)
             )
         return x
     finally:

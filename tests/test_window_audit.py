@@ -37,7 +37,18 @@ ROW_PRESERVING = {
 #: operators that bound the row count flowing up into the window: an
 #: explicit limit, or an aggregate (bucket/bin/group tables — cardinality
 #: = |group keys|, orders below the data that produced them).
-BOUNDED = {"GlobalLimit", "LocalLimit", "Limit", "Aggregate", "Deduplicate"}
+BOUNDED = {
+    "GlobalLimit",
+    "LocalLimit",
+    "Limit",
+    "Aggregate",
+    "Deduplicate",
+    # parameter-sized literal relations (vocab_growth's K-row checkpoint
+    # grid is spark.range(n_checkpoints))
+    "Range",
+    "LocalRelation",
+    "OneRowRelation",
+}
 
 
 def _children(node):
@@ -45,18 +56,28 @@ def _children(node):
     return [seq.apply(i) for i in range(seq.size())]
 
 
-def _bounded_below(node):
-    """Walk the single-child chain below an unpartitioned Window; True iff
-    a bounding operator appears before anything else."""
-    kids = _children(node)
-    while len(kids) == 1:
-        name = kids[0].getClass().getSimpleName()
-        if name in BOUNDED:
-            return True
-        if name not in ROW_PRESERVING:
-            return False
-        kids = _children(kids[0])
+def _bounded_node(node, depth=0):
+    """True iff ``node``'s output size is bounded by a Limit/Aggregate
+    reached through row-preserving operators; a Join follows its LEFT
+    (stream) side — a bounded driving table joined against keyed lookups
+    stays proportional to the bounded side (sweep_cut's top-m prefix,
+    vocab_growth's K-row checkpoint table)."""
+    if depth > 40:
+        return False
+    name = node.getClass().getSimpleName()
+    if name in BOUNDED:
+        return True
+    if name == "Join":
+        return _bounded_node(_children(node)[0], depth + 1)
+    if name in ROW_PRESERVING:
+        kids = _children(node)
+        return len(kids) == 1 and _bounded_node(kids[0], depth + 1)
     return False
+
+
+def _bounded_below(node):
+    kids = _children(node)
+    return len(kids) == 1 and _bounded_node(kids[0])
 
 
 def _audit(node, offenders, path=""):
