@@ -67,12 +67,17 @@ def eigenvector_centrality(
         n = verts.count()
         bb = n <= BROADCAST_MAX_ROWS
         x = runner.truncate(verts.select("id", F.lit(1.0).alias("val")))
-        for _ in range(num_iters):
-            # sparse superstep: ids with no in-walk drop out and stay 0
-            x = runner.truncate(
-                spmv(e, x, PLUS_TIMES, broadcast_x=bb).select(
-                    "id", (F.col("val") / F.lit(wdmax)).alias("val")
-                )
+        for it in range(num_iters):
+            # sparse superstep: ids with no in-walk drop out and stay 0.
+            # Fixed-iteration chain: lazy lineage cuts, final superstep
+            # materialized eagerly while e/verts are still cached.
+            nxt = spmv(e, x, PLUS_TIMES, broadcast_x=bb).select(
+                "id", (F.col("val") / F.lit(wdmax)).alias("val")
+            )
+            x = (
+                runner.truncate(nxt)
+                if it == num_iters - 1
+                else runner.truncate_lazy(nxt)
             )
         dense = verts.join(x, on="id", how="left").select(
             "id", F.coalesce(F.col("val"), F.lit(0.0)).alias("val")

@@ -80,18 +80,23 @@ def katz(
         bb = n <= BROADCAST_MAX_ROWS
 
         x = runner.truncate(verts.select("id", F.lit(beta).alias("val")))
-        for _ in range(num_iters):
+        for it in range(num_iters):
             contrib = spmv(e, x, PLUS_TIMES, broadcast_x=bb)
             if bb:
                 contrib = F.broadcast(contrib)
-            x = runner.truncate(
-                verts.join(contrib, on="id", how="left").select(
-                    "id",
-                    (
-                        F.lit(beta)
-                        + F.lit(a_eff) * F.coalesce(F.col("val"), F.lit(0.0))
-                    ).alias("val"),
-                )
+            # fixed-iteration chain: lazy lineage cuts, final superstep
+            # materialized eagerly while e/verts are still cached
+            nxt = verts.join(contrib, on="id", how="left").select(
+                "id",
+                (
+                    F.lit(beta)
+                    + F.lit(a_eff) * F.coalesce(F.col("val"), F.lit(0.0))
+                ).alias("val"),
+            )
+            x = (
+                runner.truncate(nxt)
+                if it == num_iters - 1
+                else runner.truncate_lazy(nxt)
             )
         return x
     finally:

@@ -9,20 +9,18 @@ ParFriends.h:1447) widened to per-edge TOTAL support: enumerate (a,b,c)
 a<b<c triples with one wedge join + one closing semi-join, explode each
 triple into its three edges, hash-count.
 
-Scale shape: the FULL wedge join runs ONCE (same bound as triangle counting
-— degree orientation keeps wedge counts manageable on skewed graphs); every
-subsequent peel round recounts INCREMENTALLY — only the triangles destroyed
-by that round's deleted edges are enumerated (per deleted edge, common
-neighbors of its lower-degree endpoint), deduped by triple, and their
-surviving sides decremented. Round cost is proportional to the deleted
-edges' neighborhoods, not the whole graph. HYBRID gate: an early avalanche
-round that deletes >= full_recount_frac of the pre-deletion set recounts
-support fully on the (smaller) survivor set instead — per-deleted-edge
-enumeration over half the graph costs more than one full pass over the
-other half; the incremental path serves the long convergence tail. The edge table shrinks
-monotonically across rounds and lineage is truncated per round. Rounds to
-fixpoint are few on real graphs; max_rounds bounds adversarial chains (a
-warning fires if it truncates before the fixpoint).
+Scale shape: each peel round recounts support with the degree-ordered
+wedge join over the (monotonically shrinking) survivor set — the same
+O(m^1.5) bound as triangle counting. An INCREMENTAL recount path exists
+(enumerate only the triangles destroyed by the round's deletions, per
+deleted edge from its lower-degree endpoint, decrement surviving sides)
+behind ``full_recount_frac > 0``, but the round-6 measurement settled the
+default at full recount: this peel converges in few avalanche-sized
+rounds, where one full pass over the smaller survivor set beats
+per-deleted-edge enumeration over half the graph (sf0.1: full 8.5s,
+hybrid 8.7-9.5s, incremental-always 11.8s). Lineage is truncated per
+round; max_rounds bounds adversarial chains (a warning fires if it
+truncates before the fixpoint).
 """
 
 from __future__ import annotations
@@ -90,11 +88,20 @@ def ktruss(
     k: int,
     max_rounds: int = 30,
     runner: Optional[SuperstepRunner] = None,
-    full_recount_frac: float = 0.25,
+    full_recount_frac: float = 0.0,
 ) -> DataFrame:
     """(src, dst, in_ktruss) over the canonical (src<dst, distinct, no-loop)
     edge set of the undirected graph ``edges``: 1 if the edge survives
     peeling to the k-truss, else 0. k >= 3 (k-2 = minimum triangle support).
+
+    ``full_recount_frac`` gates the incremental recount: a round deleting
+    >= frac * pre-deletion edges recounts support fully on the survivor
+    set. Default 0.0 = ALWAYS full recount — settled empirically (round 6,
+    quiet-session min-of-2 on the sf0.1 events fixture): full 8.5-8.7s,
+    hybrid-0.25 8.7-9.5s, incremental-always 11.8s. The peel here converges
+    in few rounds with avalanche-sized deletions, so per-deleted-edge
+    enumeration never amortizes; the incremental path stays available
+    (frac > 0) for long-tail fixtures where rounds delete a few edges each.
     """
     runner = runner or SuperstepRunner(spark)
     e0 = (

@@ -268,6 +268,9 @@ def level_schedule(
             contrib = spmv(e, lvl, MAX_PLUS, broadcast_x=True).select(
                 "id", F.col("val").alias("cand")
             )
+            # moved flag computed inline; truncate_agg folds the
+            # convergence count into the materializing job (ONE action
+            # per superstep, no old-vs-new re-join)
             merged = (
                 lvl.join(contrib, "id", "left")
                 .select(
@@ -275,17 +278,16 @@ def level_schedule(
                     F.greatest(
                         F.col("val"), F.coalesce(F.col("cand"), F.lit(0))
                     ).alias("val"),
+                    (F.coalesce(F.col("cand"), F.lit(0)) > F.col("val"))
+                    .cast("long")
+                    .alias("_moved"),
                 )
             )
-            new_lvl = runner.truncate(merged)
-            changed = (
-                new_lvl.alias("n")
-                .join(F.broadcast(lvl.alias("o")), on="id")
-                .filter(F.col("n.val") != F.col("o.val"))
-                .count()
+            new_lvl, row = runner.truncate_agg(
+                merged, F.sum("_moved").alias("m")
             )
-            lvl = new_lvl
-            if changed == 0:
+            lvl = new_lvl.select("id", "val")
+            if int(row["m"] or 0) == 0:
                 return lvl.select("id", F.col("val").alias("level"))
         raise RuntimeError(
             f"level_schedule: no fixpoint within max_iter={max_iter} "
@@ -350,12 +352,18 @@ def path_count(
         )
         acc = y
         for _ in range(max_iter):
-            y = runner.truncate(spmv(e, y, PLUS_TIMES, broadcast_x=True))
-            if y.limit(1).count() == 0:
+            # ONE action per superstep: frontier count folds into the
+            # checkpoint; the accumulator is a union of checkpointed
+            # frontiers (flat lineage, never rewritten)
+            y, row = runner.truncate_agg(
+                spmv(e, y, PLUS_TIMES, broadcast_x=True),
+                F.count(F.lit(1)).alias("n"),
+            )
+            if int(row["n"] or 0) == 0:
                 return acc.groupBy("id").agg(
                     F.sum("val").cast("long").alias("n_paths")
                 )
-            acc = runner.truncate(acc.unionByName(y))
+            acc = acc.unionByName(y)
         raise RuntimeError(
             f"path_count: frontier not drained within max_iter={max_iter} "
             "supersteps — the longest root-path exceeds the budget, or "

@@ -86,7 +86,7 @@ def simrank(
         e2 = de.select(F.col("src").alias("b"), F.col("dst").alias("nb"))
         ia = ind.select(F.col("id").alias("na"), F.col("ind").alias("ind_a"))
         ib = ind.select(F.col("id").alias("nb"), F.col("ind").alias("ind_b"))
-        for _ in range(num_iters):
+        for it in range(num_iters):
             raw = (
                 s.join(e1, on="a")
                 .join(e2, on="b")
@@ -106,7 +106,14 @@ def simrank(
                     ).cast("long").alias("val_e9"),
                 )
             )
-            s = runner.truncate(diag.unionByName(off))
+            # fixed-iteration chain: lazy cuts, final iteration eager so
+            # the chain evaluates while de/ind are still cached
+            nxt = diag.unionByName(off)
+            s = (
+                runner.truncate(nxt)
+                if it == num_iters - 1
+                else runner.truncate_lazy(nxt)
+            )
         return s
     finally:
         de.unpersist()

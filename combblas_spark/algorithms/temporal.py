@@ -73,7 +73,9 @@ def temporal_reach(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("ts_us").alias("mn"))
             )
-            old = arr
+            # moved flag inline (arrived-for-the-first-time or improved);
+            # truncate_agg folds size + convergence into the materializing
+            # job — ONE action per superstep, no old-vs-new re-join
             merged = (
                 arr.join(relax, on="id", how="full")
                 .select(
@@ -82,22 +84,24 @@ def temporal_reach(
                         F.coalesce(F.col("arrival_us"), F.col("mn")),
                         F.coalesce(F.col("mn"), F.col("arrival_us")),
                     ).alias("arrival_us"),
+                    (
+                        F.col("arrival_us").isNull()
+                        | (F.col("mn") < F.col("arrival_us"))
+                    )
+                    .cast("long")
+                    .alias("_moved"),
                 )
             )
-            arr = runner.truncate(merged)
-            if broadcast_vectors:
-                n_arr = arr.count()  # cheap: truncate() materialized it
+            stepped, row = runner.truncate_agg(
+                merged,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_moved").alias("m"),
+            )
+            arr = stepped.select("id", "arrival_us")
+            n_arr = int(row["n"] or 0)
             if num_iters is None:
-                changed = (
-                    arr.alias("n")
-                    .join(old.alias("o"), on="id", how="left")
-                    .filter(
-                        F.col("o.arrival_us").isNull()
-                        | (F.col("n.arrival_us") < F.col("o.arrival_us"))
-                    )
-                    .count()
-                )
-                runner.save(it + 1, {"arr": arr}, {"changed": int(changed)})
+                changed = int(row["m"] or 0)
+                runner.save(it + 1, {"arr": arr}, {"changed": changed})
                 if changed == 0:
                     break
             else:

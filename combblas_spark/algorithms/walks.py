@@ -160,7 +160,9 @@ def random_walks(
                 )
                 .select("walk_id", F.col("m.d").alias("vertex"))
             )
-            cur = runner.truncate(nxt)
+            # fixed-length walk: lazy lineage cuts chain the steps into the
+            # single materializing truncate below (run while e is cached)
+            cur = runner.truncate_lazy(nxt)
             levels.append(
                 cur.select(
                     "walk_id", F.lit(step).cast("long").alias("step"), "vertex"
@@ -169,7 +171,7 @@ def random_walks(
         out = levels[0]
         for lv in levels[1:]:
             out = out.unionByName(lv)
-        return out
+        return runner.truncate(out)
     finally:
         e.unpersist()
 
@@ -416,7 +418,9 @@ def node2vec_walks(
                     F.col("m.d").alias("vertex"),
                 )
             )
-            state = runner.truncate(nxt)
+            # fixed-length walk: lazy lineage cuts, one materializing
+            # truncate at the end while e is still cached
+            state = runner.truncate_lazy(nxt)
             levels.append(
                 state.select(
                     "walk_id", F.lit(step).cast("long").alias("step"), "vertex"
@@ -425,6 +429,6 @@ def node2vec_walks(
         out = levels[0]
         for lv in levels[1:]:
             out = out.unionByName(lv)
-        return out
+        return runner.truncate(out)
     finally:
         e.unpersist()

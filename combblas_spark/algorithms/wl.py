@@ -60,7 +60,7 @@ def wl_refine(
             .agg(F.count(F.lit(1)).alias("deg"))
             .select("id", F.md5(F.col("deg").cast("string")).alias("c"))
         )
-        for _ in range(rounds):
+        for r in range(rounds):
             gathered = (
                 sym.join(col.withColumnRenamed("id", "src"), on="src")
                 .groupBy("dst")
@@ -69,9 +69,16 @@ def wl_refine(
                 )
                 .withColumnRenamed("dst", "id")
             )
-            col = runner.truncate(
+            # fixed-round refinement: lazy lineage cuts, final round
+            # materialized eagerly while sym is still cached
+            nxt = (
                 col.join(gathered, on="id")
                 .select("id", F.md5(F.concat_ws("|", F.col("c"), F.col("ns"))).alias("c"))
+            )
+            col = (
+                runner.truncate(nxt)
+                if r == rounds - 1
+                else runner.truncate_lazy(nxt)
             )
         return col.select("id", F.col("c").alias("wl_color"))
     finally:
