@@ -80,6 +80,8 @@ def main():
                 f.write(df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
             spark.catalog.clearCache()
+        if args.passes == 0:
+            continue
         best, rows = None, 0
         for _pass in range(args.passes):
             spark.sparkContext.setJobDescription(f"bench:{name}:pass{_pass}")
