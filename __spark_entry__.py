@@ -9534,15 +9534,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return cc_minlabel(spark, part_supplier_graph(spark, "/root/testdata/sf0.001"))
 
 
+#: ROUND-6 ROTATION (VERDICT r5 item #1 — certify the never-driver-graded
+#: surface): 50 of the 130 queries with NO driver CORRECTNESS row in any of
+#: rounds 1-5 (union of CORRECTNESS_r0{1..5}.json = 123 distinct names out
+#: of 253), taken in registry order. queries() moves exactly these to the
+#: front; the remaining 80 never-graded names are next in line for round 7.
+#: No query is added, removed or changed — order only.
+_R6_FRONT = [
+    "butterflies_ps", "modularity_ps", "unigram_xent", "tri_centrality_ev",
+    "coarsen_ev", "salsa_ev", "backbone_ev", "source_dups", "wl_colors_ps",
+    "zipf_stats", "knn_curve_ev", "sweep_cut_ps", "katz_ev", "prefix_pairs",
+    "msf_ps", "anf_ps", "span_contam", "motifs_ev", "winnow_pairs",
+    "eigc_ps", "temporal_reach_ev", "cliques4_ev", "quotient_ps",
+    "cms_heavy", "temporal_wedges_ev", "asof_ev", "simrank_ev",
+    "spam_mass_ev", "bm25_topk", "neg_sample_ev", "node2vec_ps",
+    "bpe_merges", "event_rollup", "kmv_distinct", "kwic", "proximity",
+    "hist_quantiles", "crawl_delta", "fetch_schedule", "vocab_growth",
+    "walk_pairs", "sq8_topk", "rp_distortion", "dup_ngrams", "spmm_ps",
+    "sessionize", "edge_jaccard_ev", "harmonic_ps", "hop_hist_ps",
+    "conductance_ps",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION RULE: dict order matters — the driver grades only the first
     # 50 entries per round. Each round, move the LEAST-RECENTLY-GRADED
-    # queries (last round's tail) plus everything newly added to the FRONT;
-    # last round's graded 50 fill the tail. This keeps every query within
-    # one round of a fresh driver CORRECTNESS row.
-    # Round 5 front block: the 23 queries whose latest driver row is r03
-    # (graded positions 51-73 in r04's ordering), then round-5 additions,
-    # then the r04-graded 50.
+    # queries (never-driver-graded first) to the FRONT; everything else
+    # keeps its relative order. Round 6 front block: _R6_FRONT above.
+    base = _queries_base()
+    front = {n: base[n] for n in _R6_FRONT}
+    assert len(front) == 50, len(front)
+    out = dict(front)
+    out.update({k: v for k, v in base.items() if k not in front})
+    assert len(out) == len(base), (len(out), len(base))
+    return out
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # DRIVER-BUDGET ROTATION (the driver grades the FIRST 50 entries
         # per round): final round -> 50 of this round's never-driver-
